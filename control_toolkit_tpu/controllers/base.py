@@ -1,0 +1,115 @@
+"""Controller base class.
+
+Capability parity with the reference template_controller
+(/root/reference/Controllers/__init__.py:27-178): per-controller YAML config
+loading, control limits, environment attributes as mutable named tensors, the
+7-key logging contract (Q_logged, J_logged, s_logged, u_logged,
+realized_cost_logged, trajectory_ages_logged, rollout_trajectories_logged)
+with ``get_outputs()`` stacking each log along axis 0, ``update_attributes``,
+``controller_report``/``controller_reset`` and the name property.
+
+Redesign notes: the ComputationLibrary resolution block (reference :46-64)
+disappears — JAX is the only backend; the ``computation_library`` YAML key is
+accepted and ignored for config compatibility.  VariableParameters becomes a
+plain dict of device arrays handed to jitted steps as arguments.
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from control_toolkit_tpu.utils.config import load_controller_config
+from control_toolkit_tpu.utils.logging_util import get_logger
+
+logger = get_logger(__name__)
+
+SAVE_VARS = [
+    "Q_logged",
+    "J_logged",
+    "s_logged",
+    "u_logged",
+    "realized_cost_logged",
+    "trajectory_ages_logged",
+    "rollout_trajectories_logged",
+]
+
+
+class Controller(ABC):
+    _has_optimizer = False
+    registered_name: str = "template"
+
+    def __init__(
+        self,
+        environment_name: str,
+        control_limits: Tuple[np.ndarray, np.ndarray],
+        initial_environment_attributes: Optional[Dict] = None,
+        config: Optional[Dict] = None,
+    ):
+        if config is not None:
+            self.config_controller = dict(config)
+        else:
+            self.config_controller = load_controller_config(self.controller_name)
+
+        self.environment_name = environment_name
+        self.control_limits = control_limits
+        self.action_low, self.action_high = control_limits
+
+        # Mutable named environment attributes (targets etc.) — the
+        # VariableParameters analogue; values live on device, keys are stable
+        # so jitted steps never retrace on updates.
+        self.variable_parameters: Dict[str, jnp.ndarray] = {
+            k: jnp.asarray(v, dtype=jnp.float32)
+            for k, v in (initial_environment_attributes or {}).items()
+        }
+
+        self.u: np.ndarray | float = 0.0
+
+        self.controller_logging = bool(self.config_controller.get("controller_logging", False))
+        self.save_vars = list(SAVE_VARS)
+        self.logs: Dict[str, List[np.ndarray]] = {v: [] for v in self.save_vars}
+        self.controller_data_for_csv: Dict = {}
+
+    def configure(self, **kwargs) -> None:
+        """Additional initialization; override in subclasses."""
+
+    def update_attributes(self, updated_attributes: Optional[Dict]) -> None:
+        if not updated_attributes:
+            return
+        for k, v in updated_attributes.items():
+            self.variable_parameters[k] = jnp.asarray(v, dtype=jnp.float32)
+
+    @abstractmethod
+    def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
+        ...
+
+    def controller_report(self) -> None:
+        logger.info("No controller report implemented for this controller.")
+
+    def controller_reset(self) -> None:
+        raise NotImplementedError
+
+    @property
+    def controller_name(self) -> str:
+        return self.registered_name
+
+    @property
+    def has_optimizer(self) -> bool:
+        return self._has_optimizer
+
+    def get_outputs(self) -> Dict[str, Optional[np.ndarray]]:
+        """Stack per-step logs along axis 0 (reference :159-168)."""
+        return {
+            name: np.stack(v, axis=0) if len(v) > 0 else None
+            for name, v in self.logs.items()
+        }
+
+    def update_logs(self, logging_values: Dict) -> None:
+        if not self.controller_logging:
+            return
+        for name in self.save_vars:
+            var = logging_values.get(name)
+            if var is not None:
+                self.logs[name].append(np.asarray(var).copy())

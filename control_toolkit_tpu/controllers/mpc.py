@@ -1,0 +1,109 @@
+"""MPC controller: optimizer + predictor + cost function composition.
+
+Capability parity with the reference controller_mpc
+(/root/reference/Controllers/controller_mpc.py:21-109), including the
+two-phase init that resolves the chicken-and-egg dependency (optimizer knows
+K/H -> predictor configure needs K/dt -> predictor knows state dims ->
+optimizer configure needs dims; reference :45-53) and the step sequence
+(hot-reload check -> update_attributes -> optimizer.step -> update_logs).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from control_toolkit_tpu.controllers.base import Controller
+from control_toolkit_tpu.costs.wrapper import CostFunctionWrapper
+from control_toolkit_tpu.models.predictors import PredictorWrapper
+from control_toolkit_tpu.utils import registry
+from control_toolkit_tpu.utils.config import load_optimizer_config
+from control_toolkit_tpu.utils.logging_util import get_logger
+
+logger = get_logger(__name__)
+
+
+@registry.controllers.register("mpc")
+class MPCController(Controller):
+    _has_optimizer = True
+
+    def configure(
+        self,
+        optimizer_name: Optional[str] = None,
+        predictor_specification: Optional[str] = None,
+        optimizer_config: Optional[Dict] = None,
+        mesh=None,
+    ) -> None:
+        if not optimizer_name:
+            optimizer_name = str(self.config_controller["optimizer"])
+            logger.info(f"Using optimizer {optimizer_name!r} from controller config")
+        if not predictor_specification:
+            predictor_specification = self.config_controller.get("predictor_specification", "ODE")
+
+        if optimizer_config is None:
+            optimizer_config = load_optimizer_config(optimizer_name)
+        config_optimizer = dict(optimizer_config)
+
+        cost_function_specification = self.config_controller.get("cost_function_specification", None)
+        self.cost_function = CostFunctionWrapper()
+        self.predictor = PredictorWrapper()
+
+        OptimizerCls = registry.import_optimizer_by_name(optimizer_name)
+        self.optimizer = OptimizerCls(
+            predictor=self.predictor,
+            cost_function=self.cost_function,
+            control_limits=self.control_limits,
+            optimizer_logging=self.controller_logging,
+            calculate_optimal_trajectory=self.config_controller.get(
+                "calculate_optimal_trajectory", False
+            ),
+            **config_optimizer,
+        )
+
+        dt = config_optimizer.get("mpc_timestep", 0.02)
+        self.predictor.configure(
+            batch_size=self.optimizer.num_rollouts,
+            horizon=self.optimizer.mpc_horizon,
+            dt=dt,
+            predictor_specification=predictor_specification,
+            environment_name=self.environment_name,
+            variable_parameters=self.variable_parameters,
+        )
+
+        self.cost_function.configure(
+            batch_size=self.optimizer.num_rollouts,
+            horizon=self.optimizer.mpc_horizon,
+            environment_name=self.environment_name,
+            cost_function_specification=cost_function_specification,
+            variable_parameters=self.variable_parameters,
+        )
+
+        self.optimizer.configure(
+            dt=dt,
+            predictor_specification=predictor_specification,
+            num_states=self.predictor.num_states,
+            num_control_inputs=self.predictor.num_control_inputs,
+        )
+
+        if mesh is not None:
+            self.optimizer.plan_sharding(mesh)
+
+        self.controller_data_for_csv = self.cost_function.cost_function.logged_attributes
+
+    def _assemble_params(self) -> Dict:
+        return {
+            "dyn": self.predictor.default_params(),
+            "cost": self.cost_function.current_params()["cost"],
+            "attrs": dict(self.variable_parameters),
+        }
+
+    def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
+        self.cost_function.update_cost_parameters_from_config()
+        self.update_attributes(updated_attributes)
+        u = self.optimizer.step(s, time, params=self._assemble_params())
+        self.update_logs(self.optimizer.logging_values)
+        self.u = u
+        return u
+
+    def controller_reset(self) -> None:
+        self.optimizer.optimizer_reset()

@@ -1,0 +1,85 @@
+"""Cost function base: stage/terminal/trajectory cost contract.
+
+Capability parity with the reference cost_function_base
+(/root/reference/Cost_Functions/__init__.py:9-104), preserving the exact
+reduction semantics the optimizers rely on:
+
+* ``get_stage_cost`` shifts ``_get_stage_cost`` by ``-MAX_COST`` so costs are
+  <= 0 when MAX_COST bounds the raw cost (reference :63-64).
+* ``get_trajectory_cost`` is the **mean** over the concatenation of H stage
+  costs and 1 terminal cost — i.e. mean over H+1 entries (reference :74-93).
+* ``get_summed_stage_cost`` is the sum over stage costs (reference :71-72).
+
+TPU-native redesign: all methods are pure in ``(arrays, params)``; mutable
+config lives in a dict that is passed *through jit as an argument* so cost
+hot-reload never triggers recompilation.  ``variable_parameters`` (targets
+etc.) arrive in the same way under ``params['attrs']``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+
+class CostFunction:
+    MIN_COST = -1.0
+    MAX_COST = 0.0
+
+    # Names of numeric config entries that become jit arguments.  Subclasses
+    # list their tunable weights here; everything else in the YAML entry is
+    # treated as static.
+    dynamic_config_keys: tuple = ()
+
+    def __init__(self, config: Optional[Dict] = None):
+        self.config: Dict = dict(config or {})
+        self.batch_size: Optional[int] = None
+        self.horizon: Optional[int] = None
+        self.logged_attributes: Dict = {}
+
+    def configure(self, batch_size: int, horizon: int, **kwargs) -> None:
+        self.batch_size = batch_size
+        self.horizon = horizon
+
+    # ---- pure cost API ----------------------------------------------------
+    def _get_stage_cost(self, states, inputs, previous_input, params) -> jnp.ndarray:
+        """[B,H,S],[B,H,U],prev_u,params -> [B,H]. Implement in subclass."""
+        raise NotImplementedError
+
+    def get_terminal_cost(self, terminal_states, params) -> jnp.ndarray:
+        """[B,S] -> [B]. Default: zero terminal cost (reference :38-47)."""
+        return jnp.zeros(terminal_states.shape[:-1], dtype=terminal_states.dtype)
+
+    def get_stage_cost(self, states, inputs, previous_input, params) -> jnp.ndarray:
+        return self._get_stage_cost(states, inputs, previous_input, params) - self.MAX_COST
+
+    def get_trajectory_cost(self, state_horizon, inputs, previous_input=None, params=None) -> jnp.ndarray:
+        """[B,H+1,S],[B,H,U] -> [B]: mean over (H stage costs + terminal)."""
+        params = params if params is not None else self.current_params()
+        stage = self.get_stage_cost(state_horizon[:, :-1, :], inputs, previous_input, params)
+        terminal = self.get_terminal_cost(state_horizon[:, -1, :], params)
+        total = jnp.concatenate([stage, terminal[:, None]], axis=1)
+        return jnp.mean(total, axis=1)
+
+    def get_summed_stage_cost(self, state_horizon, inputs, previous_input=None, params=None) -> jnp.ndarray:
+        params = params if params is not None else self.current_params()
+        return jnp.sum(
+            self.get_stage_cost(state_horizon[:, :-1, :], inputs, previous_input, params),
+            axis=1,
+        )
+
+    # ---- parameter plumbing ----------------------------------------------
+    def current_params(self, attrs: Optional[Dict] = None) -> Dict:
+        """Assemble the jit-argument params pytree from current config."""
+        cost = {
+            k: jnp.asarray(self.config[k], dtype=jnp.float32)
+            for k in self.dynamic_config_keys
+            if k in self.config
+        }
+        return {"cost": cost, "attrs": dict(attrs or {})}
+
+    def reload_cost_parameters_from_config(self) -> None:
+        """Hook invoked after the config dict was hot-reloaded."""
+
+    def set_logged_attributes(self, logged: Dict) -> None:
+        self.logged_attributes = logged

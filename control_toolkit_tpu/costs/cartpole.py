@@ -1,0 +1,79 @@
+"""Built-in cartpole cost functions.
+
+The reference ships cost functions as app-side ASF plugins (e.g.
+``quadratic_boundary_grad`` documented in
+/root/reference/Control_Toolkit_ASF_Template/config_cost_function.yml:9-17,
+with weights dd_weight/ep_weight/ekp_weight/cc_weight/ccrc_weight/R).  These
+built-ins provide the same capability for the in-tree cartpole environment.
+
+State: [position, positionD, angle, angleD]; angle 0 == pole upright.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from control_toolkit_tpu.costs.base import CostFunction
+from control_toolkit_tpu.utils import registry
+
+
+@registry.cost_functions.register("cartpole/default")
+@registry.cost_functions.register("cartpole/quadratic")
+class CartpoleQuadraticCost(CostFunction):
+    """Swing-up/stabilization cost with target-position tracking.
+
+    Weight names mirror the reference ASF example (dd=distance, ep=pole
+    potential, ekp=pole kinetic, cc=control cost, ccrc=control-change cost).
+    ``target_position`` is a variable attribute (params['attrs']) so the host
+    can move the setpoint every tick without recompiling.
+    """
+
+    dynamic_config_keys = (
+        "dd_weight", "ep_weight", "ekp_weight", "cc_weight", "ccrc_weight", "R",
+    )
+
+    DEFAULTS = {
+        "dd_weight": 120.0,
+        "ep_weight": 10000.0,
+        "ekp_weight": 10.0,
+        "cc_weight": 1.0,
+        "ccrc_weight": 1.0,
+        "R": 1.0,
+    }
+
+    def __init__(self, config=None):
+        merged = dict(self.DEFAULTS)
+        merged.update(config or {})
+        super().__init__(merged)
+
+    def _get_stage_cost(self, states, inputs, previous_input, params):
+        w = params["cost"]
+        attrs = params["attrs"]
+        target = attrs.get("target_position", jnp.float32(0.0))
+
+        pos = states[..., 0]
+        angle = states[..., 2]
+        angle_d = states[..., 3]
+
+        dd = w["dd_weight"] * (pos - target) ** 2
+        ep = w["ep_weight"] * 0.25 * (1.0 - jnp.cos(angle)) ** 2
+        ekp = w["ekp_weight"] * (angle_d / (2.0 * jnp.pi)) ** 2
+        cc = w["cc_weight"] * w["R"] * jnp.sum(inputs**2, axis=-1)
+
+        if previous_input is not None:
+            prev = jnp.asarray(previous_input, dtype=inputs.dtype)
+            prev = jnp.broadcast_to(
+                jnp.reshape(prev, (-1,))[: inputs.shape[-1]], inputs[:, :1, :].shape
+            )
+            shifted = jnp.concatenate([prev, inputs[:, :-1, :]], axis=1)
+            ccrc = w["ccrc_weight"] * jnp.sum((inputs - shifted) ** 2, axis=-1)
+        else:
+            ccrc = jnp.zeros_like(cc)
+
+        return dd + ep + ekp + cc + ccrc
+
+    def get_terminal_cost(self, terminal_states, params):
+        # Penalize terminal pole-down configurations; keeps swing-up honest
+        # at short horizons.
+        angle = terminal_states[..., 2]
+        angle_d = terminal_states[..., 3]
+        return 1.0e4 * (1.0 - jnp.cos(angle)) ** 2 + 10.0 * angle_d**2

@@ -1,0 +1,93 @@
+"""Cost-parameter hot-reload.
+
+Capability parity with the reference CostFunctionUpdater
+(/root/reference/Cost_Functions/CostFunctionUpdater.py:8-68): watch the cost
+YAML, re-parse it on modification, and raise a flag the control loop consumes
+at the next step.  The watchdog package is replaced by a stdlib polling thread
+(mtime check); the single-writer bool-flag handoff pattern is kept, and
+updated parameters flow into the next jitted call as *arguments*, so a reload
+never recompiles.
+"""
+from __future__ import annotations
+
+import atexit
+import threading
+from pathlib import Path
+from typing import Dict, Optional
+
+import yaml
+
+from control_toolkit_tpu.utils.logging_util import get_logger
+
+logger = get_logger(__name__)
+
+_watchers: Dict[str, "CostFunctionUpdater"] = {}
+_watchers_lock = threading.Lock()
+
+
+class CostFunctionUpdater:
+    """Polls one YAML file; on change, updates the bound cost function config."""
+
+    POLL_INTERVAL_S = 0.25
+
+    def __init__(self, cost_function, environment_name: str, cost_function_name: str, config_path: Path):
+        self.cost_function = cost_function
+        self.environment_name = environment_name
+        self.cost_function_name = cost_function_name
+        self.config_path = Path(config_path)
+        self._mtime = self._stat_mtime()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name=f"cost-updater-{self.config_path.name}", daemon=True
+        )
+        self._thread.start()
+
+    @classmethod
+    def ensure_watching(cls, cost_function, environment_name, cost_function_name, config_path) -> "CostFunctionUpdater":
+        """Deduplicate watchers per (path, env, name) — reference :20-53."""
+        key = f"{config_path}::{environment_name}::{cost_function_name}"
+        with _watchers_lock:
+            if key not in _watchers:
+                _watchers[key] = cls(cost_function, environment_name, cost_function_name, Path(config_path))
+            else:
+                _watchers[key].cost_function = cost_function
+            return _watchers[key]
+
+    def _stat_mtime(self) -> Optional[float]:
+        try:
+            return self.config_path.stat().st_mtime
+        except OSError:
+            return None
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.POLL_INTERVAL_S):
+            mtime = self._stat_mtime()
+            if mtime is not None and mtime != self._mtime:
+                self._mtime = mtime
+                self._reload()
+
+    def _reload(self) -> None:
+        try:
+            with open(self.config_path) as f:
+                full = yaml.safe_load(f) or {}
+            env_cfg = full.get(self.environment_name, {}) or {}
+            new_cfg = env_cfg.get(self.cost_function_name, {}) or {}
+        except Exception as e:  # malformed mid-write YAML: retry on next poll
+            logger.warning(f"cost config reload failed ({e}); keeping old params")
+            return
+        self.cost_function.config.update(new_cfg)
+        # Single-writer flag read by the control loop at the next step
+        # (reference CostFunctionUpdater.py:68 / cost_function_wrapper.py:71-74).
+        self.cost_function.reload_cost_parameters_from_config_flag = True
+        logger.info(f"hot-reloaded cost parameters from {self.config_path}")
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+@atexit.register
+def _cleanup() -> None:
+    with _watchers_lock:
+        for w in _watchers.values():
+            w.stop()
+        _watchers.clear()

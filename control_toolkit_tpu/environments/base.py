@@ -1,0 +1,80 @@
+"""Batched gym-style environment base.
+
+Capability parity with the reference EnvironmentBatched
+(/root/reference/others/environment.py:13-136): gymnasium>=0.26 5-tuple step
+API, a pure ``step_dynamics(state, action, dt)`` hook, batched actuator
+noise, and batch-dim expansion.  Environments double as closed-loop test
+benches for the controllers.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from control_toolkit_tpu.utils.rng import make_key
+
+
+class EnvironmentBatched:
+    num_states: int
+    num_actions: int
+    action_low: np.ndarray
+    action_high: np.ndarray
+
+    def __init__(self, batch_size: int = 1, dt: float = 0.02, seed: Optional[int] = None,
+                 actuator_noise: float = 0.0):
+        self.batch_size = batch_size
+        self.dt = float(dt)
+        self._key = make_key(seed, context=self.__class__.__name__)
+        self.actuator_noise = float(actuator_noise)
+        self.state: Optional[jnp.ndarray] = None
+
+    # ---- to implement ------------------------------------------------------
+    def step_dynamics(self, state: jnp.ndarray, action: jnp.ndarray, dt: float) -> jnp.ndarray:
+        """Pure dynamics advance: [B,S],[B,U] -> [B,S]."""
+        raise NotImplementedError
+
+    def get_reward(self, state: jnp.ndarray, action: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def is_done(self, state: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(state.shape[:-1], dtype=bool)
+
+    def _sample_initial_state(self, key: jax.Array) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # ---- gym-style API -----------------------------------------------------
+    def reset(self, seed: Optional[int] = None) -> Tuple[np.ndarray, Dict]:
+        if seed is not None:
+            self._key = make_key(seed, context=self.__class__.__name__)
+        self._key, sub = jax.random.split(self._key)
+        self.state = self._sample_initial_state(sub)
+        return np.asarray(self.state), {}
+
+    def step(self, action) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, Dict]:
+        action = self._expand_batch(jnp.asarray(action, jnp.float32), self.num_actions)
+        if self.actuator_noise > 0.0:
+            self._key, sub = jax.random.split(self._key)
+            action = action + self.actuator_noise * jax.random.normal(sub, action.shape)
+        action = jnp.clip(action, jnp.asarray(self.action_low), jnp.asarray(self.action_high))
+        self.state = self.step_dynamics(self.state, action, self.dt)
+        reward = self.get_reward(self.state, action)
+        terminated = self.is_done(self.state)
+        truncated = jnp.zeros_like(terminated)
+        return (
+            np.asarray(self.state),
+            np.asarray(reward),
+            np.asarray(terminated),
+            np.asarray(truncated),
+            {},
+        )
+
+    def _expand_batch(self, arr: jnp.ndarray, last_dim: int) -> jnp.ndarray:
+        arr = jnp.atleast_1d(arr)
+        if arr.ndim == 1:
+            arr = arr.reshape(1, -1) if arr.shape[0] == last_dim else arr[:, None]
+        if arr.shape[0] != self.batch_size:
+            arr = jnp.broadcast_to(arr, (self.batch_size, arr.shape[-1]))
+        return arr

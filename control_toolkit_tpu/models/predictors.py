@@ -1,0 +1,219 @@
+"""Dynamics predictors: horizon rollout of batched control sequences.
+
+Capability parity with SI_Toolkit's PredictorWrapper surface as used by the
+reference (configure/predict_core/update/copy + num_states/num_control_inputs;
+see /root/reference/Controllers/controller_mpc.py:67-73,
+/root/reference/Optimizers/optimizer_mppi.py:133-137,188,195-197).
+
+TPU-native redesign: a predictor is a thin object holding a *pure* rollout
+function ``rollout(s0, Q, params) -> [B, H+1, S]`` built on ``lax.scan`` over
+the horizon.  No batch-size freezing is needed (XLA specializes per shape);
+``copy()`` therefore just returns self for stateless predictors.  Stateful
+(RNN) predictors thread their carry explicitly (``init_carry``/``update``).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from control_toolkit_tpu.models.dynamics import DYNAMICS, DynamicsFn
+from control_toolkit_tpu.utils.logging_util import get_logger
+from control_toolkit_tpu.utils import registry
+
+logger = get_logger(__name__)
+
+
+def euler_step(f: DynamicsFn, x, u, dt, p):
+    return x + dt * f(x, u, p)
+
+
+def rk4_step(f: DynamicsFn, x, u, dt, p):
+    k1 = f(x, u, p)
+    k2 = f(x + 0.5 * dt * k1, u, p)
+    k3 = f(x + 0.5 * dt * k2, u, p)
+    k4 = f(x + dt * k3, u, p)
+    return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+INTEGRATORS = {"euler": euler_step, "rk4": rk4_step}
+
+
+def make_ode_rollout(
+    dynamics: DynamicsFn, dt: float, integrator: str = "rk4", intermediate_steps: int = 1
+) -> Callable:
+    """Build a pure rollout function for an ODE predictor.
+
+    Returns ``rollout(s0 [B,S], Q [B,H,U], params) -> [B,H+1,S]``.  The
+    horizon is a ``lax.scan`` (sequential state recurrence — SURVEY §2
+    parallelism note); the K-batch rides inside each scan step as one fused
+    vector op, which is where the TPU parallelism lives.
+    """
+    step_fn = INTEGRATORS[integrator]
+    sub_dt = dt / intermediate_steps
+
+    def single_step(x, u, params):
+        for _ in range(intermediate_steps):
+            x = step_fn(dynamics, x, u, sub_dt, params)
+        return x
+
+    def rollout(s0: jnp.ndarray, Q: jnp.ndarray, params: Dict) -> jnp.ndarray:
+        # Time-major scan: carry [B,S], inputs [H,B,U].
+        Q_t = jnp.swapaxes(Q, 0, 1)
+
+        def body(x, u):
+            x_next = single_step(x, u, params)
+            return x_next, x_next
+
+        _, traj = jax.lax.scan(body, s0, Q_t)
+        traj = jnp.swapaxes(traj, 0, 1)  # [B,H,S]
+        return jnp.concatenate([s0[:, None, :], traj], axis=1)
+
+    return rollout
+
+
+class Predictor:
+    """Base predictor: pure rollout plus optional explicit carry."""
+
+    num_states: int
+    num_control_inputs: int
+
+    def rollout(self, s0: jnp.ndarray, Q: jnp.ndarray, params: Optional[Dict] = None) -> jnp.ndarray:
+        raise NotImplementedError
+
+    # predict_core alias for parity with the reference naming.
+    def predict_core(self, s0, Q, params=None):
+        return self.rollout(s0, Q, params)
+
+    def update(self, s, Q0, params=None) -> None:
+        """Advance internal (RNN) state with the actually applied control.
+
+        No-op for stateless predictors (reference: predictor.update used by
+        MPPI, optimizer_mppi.py:195-197).
+        """
+
+    def copy(self) -> "Predictor":
+        return self
+
+    def default_params(self) -> Dict:
+        return {}
+
+
+@registry.predictors.register("ODE")
+class ODEPredictor(Predictor):
+    """ODE-integrator predictor over a named built-in dynamics model."""
+
+    def __init__(
+        self,
+        environment_name: str = "cartpole",
+        dt: float = 0.02,
+        integrator: str = "rk4",
+        intermediate_steps: int = 1,
+        dynamics: Optional[DynamicsFn] = None,
+        num_states: Optional[int] = None,
+        num_control_inputs: Optional[int] = None,
+        params: Optional[Dict] = None,
+    ):
+        if dynamics is not None:
+            if num_states is None or num_control_inputs is None:
+                raise ValueError("custom dynamics needs num_states/num_control_inputs")
+            self.dynamics = dynamics
+            self._defaults = dict(params or {})
+            self.num_states = num_states
+            self.num_control_inputs = num_control_inputs
+        else:
+            key = environment_name.lower()
+            if key not in DYNAMICS:
+                raise KeyError(
+                    f"No built-in dynamics for environment {environment_name!r}; "
+                    f"available: {sorted(DYNAMICS)}"
+                )
+            fn, defaults, n_s, n_u = DYNAMICS[key]
+            self.dynamics = fn
+            self._defaults = dict(defaults)
+            if params:
+                self._defaults.update(params)
+            self.num_states = n_s
+            self.num_control_inputs = n_u
+        self.dt = float(dt)
+        self.integrator = integrator
+        self.intermediate_steps = int(intermediate_steps)
+        self.rollout_fn = make_ode_rollout(
+            self.dynamics, self.dt, integrator, self.intermediate_steps
+        )
+
+    def default_params(self) -> Dict:
+        return dict(self._defaults)
+
+    def rollout(self, s0, Q, params=None):
+        p = self._defaults if params is None else params
+        return self.rollout_fn(s0, Q, p)
+
+
+class PredictorWrapper:
+    """Deferred-configuration predictor resolver.
+
+    Mirrors the reference PredictorWrapper lifecycle: constructed empty, then
+    ``configure(...)`` resolves the predictor specification string.  Spec
+    grammar: ``"ODE"`` / ``"ODE_v0"`` (built-in dynamics for the environment,
+    rk4), ``"ODE:euler"``, ``"ODE:rk4:2"`` (integrator / substeps), or a
+    registered custom predictor name.
+    """
+
+    def __init__(self):
+        self.predictor: Optional[Predictor] = None
+        self.num_states: Optional[int] = None
+        self.num_control_inputs: Optional[int] = None
+        self._spec: Optional[str] = None
+
+    def configure(
+        self,
+        batch_size: Optional[int] = None,   # accepted for API parity; unused (XLA respecializes)
+        horizon: Optional[int] = None,
+        dt: float = 0.02,
+        predictor_specification: str = "ODE",
+        environment_name: str = "cartpole",
+        variable_parameters=None,
+        **kwargs,
+    ) -> None:
+        self._spec = predictor_specification or "ODE"
+        spec_parts = self._spec.split(":")
+        head = spec_parts[0]
+        if head in ("ODE", "ODE_v0"):
+            integrator = spec_parts[1] if len(spec_parts) > 1 else "rk4"
+            substeps = int(spec_parts[2]) if len(spec_parts) > 2 else 1
+            self.predictor = ODEPredictor(
+                environment_name=environment_name,
+                dt=dt,
+                integrator=integrator,
+                intermediate_steps=substeps,
+            )
+        elif head in registry.predictors:
+            cls = registry.predictors.get(head)
+            self.predictor = cls(environment_name=environment_name, dt=dt, **kwargs)
+        else:
+            raise KeyError(f"Unknown predictor specification {self._spec!r}")
+        self.num_states = self.predictor.num_states
+        self.num_control_inputs = self.predictor.num_control_inputs
+
+    def default_params(self) -> Dict:
+        return self.predictor.default_params() if self.predictor else {}
+
+    def rollout(self, s0, Q, params=None):
+        return self.predictor.rollout(s0, Q, params)
+
+    def predict_core(self, s0, Q, params=None):
+        return self.predictor.rollout(s0, Q, params)
+
+    def update(self, s, Q0, params=None):
+        return self.predictor.update(s, Q0, params)
+
+    def copy(self) -> "PredictorWrapper":
+        new = PredictorWrapper()
+        if self.predictor is not None:
+            new.predictor = self.predictor.copy()
+            new.num_states = self.num_states
+            new.num_control_inputs = self.num_control_inputs
+            new._spec = self._spec
+        return new

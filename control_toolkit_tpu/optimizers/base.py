@@ -1,0 +1,188 @@
+"""Optimizer base class.
+
+Capability parity with the reference template_optimizer
+(/root/reference/Optimizers/__init__.py:10-79): same constructor surface
+(predictor, cost_function, control_limits, optimizer_logging, seed,
+num_rollouts, mpc_horizon), ``configure(num_states, num_control_inputs)``,
+``step(s, time) -> u``, ``optimizer_reset()``, ``optimizer_name`` property and
+the ``logging_values`` dict contract (Q_logged/J_logged/
+rollout_trajectories_logged/u_logged/s_logged[/trajectory_ages_logged]).
+
+TPU-native redesign: every optimizer is a *pure function*
+``_step_fn(state, s, params) -> (u, new_state, diagnostics)`` compiled once
+with ``jax.jit`` and an explicit state pytree (Q population, distribution
+moments, Adam m/v, PRNG key, step counter).  The mutable-variable surgery of
+the reference (tf.Variable assign / Adam get_weights-set_weights) becomes
+gather/concat inside the jitted step.  Dynamic quantities (cost weights,
+environment attributes, dynamics parameters) are jit *arguments* so nothing
+recompiles when they change.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from control_toolkit_tpu.utils.logging_util import get_logger
+from control_toolkit_tpu.utils.rng import make_key
+
+logger = get_logger(__name__)
+
+
+class Optimizer:
+    registered_name: str = "template"
+
+    def __init__(
+        self,
+        predictor,
+        cost_function,
+        control_limits: Tuple[np.ndarray, np.ndarray],
+        optimizer_logging: bool = False,
+        seed: Optional[int] = None,
+        num_rollouts: int = 32,
+        mpc_horizon: int = 35,
+        computation_library: Any = None,  # accepted for API parity; ignored (JAX only)
+        calculate_optimal_trajectory: bool = False,
+        **kwargs,
+    ):
+        self.predictor = predictor
+        self.cost_function = cost_function
+        self.num_rollouts = int(num_rollouts)
+        self.mpc_horizon = int(mpc_horizon)
+        self.optimizer_logging = bool(optimizer_logging)
+        self.calculate_optimal_trajectory = bool(calculate_optimal_trajectory)
+
+        action_low, action_high = control_limits
+        self.action_low = jnp.asarray(action_low, dtype=jnp.float32)
+        self.action_high = jnp.asarray(action_high, dtype=jnp.float32)
+
+        self.seed = seed
+        self._initial_key = make_key(seed, context=self.__class__.__name__)
+
+        self.num_states: Optional[int] = None
+        self.num_control_inputs: Optional[int] = None
+
+        self.logging_values: Dict[str, np.ndarray] = {}
+        self.opt_state: Any = None
+        self.u: Any = 0.0  # last applied control (reference convention)
+        self.optimal_trajectory: Optional[np.ndarray] = None
+        self.optimal_control_sequence: Optional[np.ndarray] = None
+
+        self._step_jit = None
+        # Optional sharding plan (set via plan_sharding) applied to the state.
+        self._shard_state = None
+
+    # ---- lifecycle --------------------------------------------------------
+    def configure(
+        self,
+        num_states: int,
+        num_control_inputs: int,
+        dt: Optional[float] = None,
+        predictor_specification: Optional[str] = None,
+        default_configure: bool = True,
+        **kwargs,
+    ) -> None:
+        self.num_states = int(num_states)
+        self.num_control_inputs = int(num_control_inputs)
+        self.dt = dt
+        self._build()
+        if default_configure:
+            self.optimizer_reset()
+
+    def _build(self) -> None:
+        """Compile the pure step function. Subclasses construct
+        ``self._step_jit`` here from ``self._make_step_fn()``."""
+        self._step_jit = jax.jit(self._make_step_fn())
+
+    def _make_step_fn(self):
+        raise NotImplementedError
+
+    def _init_state(self, key: jax.Array):
+        raise NotImplementedError
+
+    def optimizer_reset(self) -> None:
+        state = self._init_state(self._initial_key)
+        if self._shard_state is not None:
+            state = self._shard_state(state)
+        self.opt_state = state
+        self.u = jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
+
+    # ---- hot path ---------------------------------------------------------
+    def step(self, s: np.ndarray, time=None, params: Optional[Dict] = None) -> np.ndarray:
+        """One control step: host state in, host control out.
+
+        Crosses the device boundary exactly twice (s in, u out); diagnostics
+        are copied only when optimizer_logging is on (reference hot-path
+        structure, optimizer_mppi.py:205-225).
+        """
+        if self.optimizer_logging:
+            self.logging_values = {"s_logged": np.asarray(s).copy()}
+
+        s_dev = jnp.atleast_2d(jnp.asarray(s, dtype=jnp.float32))
+        params = params if params is not None else self.default_params()
+
+        u, self.opt_state, diag = self._step_jit(self.opt_state, s_dev, params)
+        self.u = u
+
+        if self.optimizer_logging:
+            for key_name, val in diag.items():
+                self.logging_values[key_name] = np.asarray(val)
+            self.logging_values["u_logged"] = np.asarray(u)
+
+        if "u_nom" in diag:
+            self.optimal_control_sequence = np.asarray(diag["u_nom"])
+
+        return np.asarray(u)
+
+    def default_params(self) -> Dict:
+        dyn = self.predictor.default_params() if self.predictor is not None else {}
+        cost = (
+            self.cost_function.current_params()
+            if self.cost_function is not None and getattr(self.cost_function, "cost_function", True) is not None
+            else {"cost": {}, "attrs": {}}
+        )
+        return {"dyn": dyn, "cost": cost["cost"], "attrs": cost["attrs"]}
+
+    # ---- shared pure helpers ---------------------------------------------
+    def _cost_params(self, params: Dict) -> Dict:
+        return {"cost": params["cost"], "attrs": params["attrs"]}
+
+    def _rollout_and_cost(self, s_tiled, Q, u_prev, params):
+        traj = self.predictor.rollout(s_tiled, Q, params["dyn"])
+        cost = self.cost_function.get_trajectory_cost(
+            traj, Q, u_prev, self._cost_params(params)
+        )
+        return cost, traj
+
+    # ---- sharding ---------------------------------------------------------
+    def plan_sharding(self, mesh, axis: str = "k") -> None:
+        """Shard the rollout population over a device mesh.
+
+        Per-rollout state leaves ([K, ...]) are placed with
+        ``NamedSharding(mesh, P(axis, ...))``; XLA then partitions the jitted
+        step and inserts the ICI collectives for top-k / softmax reductions
+        (SURVEY §2 parallelism plan).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        K = self.num_rollouts
+
+        def place(state):
+            def leaf_sharding(x):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == K:
+                    spec = P(axis, *([None] * (x.ndim - 1)))
+                else:
+                    spec = P()
+                return jax.device_put(x, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(leaf_sharding, state)
+
+        self._shard_state = place
+        if self.opt_state is not None:
+            self.opt_state = place(self.opt_state)
+
+    @property
+    def optimizer_name(self) -> str:
+        return self.registered_name
