@@ -30,6 +30,7 @@ class EnvironmentBatched:
         self._key = make_key(seed, context=self.__class__.__name__)
         self.actuator_noise = float(actuator_noise)
         self.state: Optional[jnp.ndarray] = None
+        self._step_jit = jax.jit(self._step_impl)
 
     # ---- to implement ------------------------------------------------------
     def step_dynamics(self, state: jnp.ndarray, action: jnp.ndarray, dt: float) -> jnp.ndarray:
@@ -53,15 +54,19 @@ class EnvironmentBatched:
         self.state = self._sample_initial_state(sub)
         return np.asarray(self.state), {}
 
+    def _step_impl(self, state, action, key):
+        if self.actuator_noise > 0.0:
+            action = action + self.actuator_noise * jax.random.normal(key, action.shape)
+        action = jnp.clip(action, jnp.asarray(self.action_low), jnp.asarray(self.action_high))
+        next_state = self.step_dynamics(state, action, self.dt)
+        reward = self.get_reward(next_state, action)
+        terminated = self.is_done(next_state)
+        return next_state, reward, terminated
+
     def step(self, action) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, Dict]:
         action = self._expand_batch(jnp.asarray(action, jnp.float32), self.num_actions)
-        if self.actuator_noise > 0.0:
-            self._key, sub = jax.random.split(self._key)
-            action = action + self.actuator_noise * jax.random.normal(sub, action.shape)
-        action = jnp.clip(action, jnp.asarray(self.action_low), jnp.asarray(self.action_high))
-        self.state = self.step_dynamics(self.state, action, self.dt)
-        reward = self.get_reward(self.state, action)
-        terminated = self.is_done(self.state)
+        self._key, sub = jax.random.split(self._key)
+        self.state, reward, terminated = self._step_jit(self.state, action, sub)
         truncated = jnp.zeros_like(terminated)
         return (
             np.asarray(self.state),

@@ -33,7 +33,7 @@ PENDULUM_DEFAULTS = {
     "m": 1.0,
     "L": 1.0,
     "g": 9.81,
-    "u_max": 2.0,
+    "u_max": 6.0,   # underactuated (< m*g*L) but swing-up feasible in ~2 s
     "damping": 0.0,
 }
 

@@ -1,0 +1,144 @@
+"""MPPI — Model Predictive Path Integral optimizer.
+
+Capability parity with the reference optimizer_mppi
+(/root/reference/Optimizers/optimizer_mppi.py:13-231), Williams et al. 2017:
+
+* perturbations sampled at inducing points with stdev ``SQRTRHOINV/sqrt(dt)``
+  then linearly interpolated to the horizon (reference :170-179),
+* nominal plan shifted one step each tick before perturbation (:184),
+* MPPI correction cost ``cc_weight*(0.5*(1-1/NU)*R*du^2 + R*u*du + 0.5*R*u^2)``
+  summed over horizon and inputs (:154-155),
+* reward-weighted average with softmax ``exp(-(S-min S)/LBD)`` (:163-168),
+* optional single-trajectory replay of the optimal plan (:199-202).
+
+TPU-native redesign: the entire step — sample, interpolate (MXU matmul),
+scan rollout, cost, softmax reduction, nominal update — is ONE jitted pure
+function over an explicit state pytree.  The cross-K reductions (min, sum)
+become ``psum``-style collectives automatically when the state is sharded
+over a device mesh.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from control_toolkit_tpu.ops.interpolation import Interpolator
+from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.utils import registry
+
+
+class MPPIState(NamedTuple):
+    key: jax.Array
+    u_nom: jax.Array   # [1, H, U] nominal plan
+    u_prev: jax.Array  # [U] last applied control
+
+
+@registry.optimizers.register("mppi")
+@registry.optimizers.register("mppi-optimize-tf")
+class MPPIOptimizer(Optimizer):
+    def __init__(
+        self,
+        *,
+        cc_weight: float = 1.0,
+        R: float = 1.0,
+        LBD: float = 100.0,
+        NU: float = 1000.0,
+        SQRTRHOINV: float = 0.03,
+        period_interpolation_inducing_points: int = 10,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.cc_weight = float(cc_weight)
+        self.R = float(R)
+        self.LBD = float(LBD)
+        self.NU = float(NU)
+        self._SQRTRHOINV = float(SQRTRHOINV)
+        self.period_interpolation_inducing_points = int(period_interpolation_inducing_points)
+
+    def configure(self, num_states, num_control_inputs, dt=None, **kwargs):
+        if dt is None:
+            raise ValueError("MPPI requires dt (mpc_timestep)")
+        # Same scaling as reference: SQRTRHODTINV = SQRTRHOINV / sqrt(dt).
+        self.SQRTRHODTINV = self._SQRTRHOINV / float(np.sqrt(dt))
+        self.interp = Interpolator.build(
+            self.mpc_horizon, self.period_interpolation_inducing_points
+        )
+        super().configure(num_states, num_control_inputs, dt=dt, **kwargs)
+
+    def _init_state(self, key):
+        # Nominal plan initialized at mid-range action (reference :227-231).
+        u_mid = 0.5 * (self.action_low + self.action_high)
+        u_nom = jnp.broadcast_to(
+            u_mid, (1, self.mpc_horizon, self.num_control_inputs)
+        ).astype(jnp.float32)
+        return MPPIState(
+            key=key,
+            u_nom=u_nom,
+            u_prev=jnp.zeros((self.num_control_inputs,), jnp.float32),
+        )
+
+    def _make_step_fn(self):
+        K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
+        P = self.interp.number_of_interpolation_inducing_points
+        low, high = self.action_low, self.action_high
+        cc_weight, R, LBD, NU = self.cc_weight, self.R, self.LBD, self.NU
+        stdev = self.SQRTRHODTINV
+        interp = self.interp
+        want_opt_traj = self.calculate_optimal_trajectory
+
+        def correction_cost(u, delta_u):
+            # MPPI-specific control-cost term (reference :154-155).
+            return jnp.sum(
+                cc_weight
+                * (0.5 * (1.0 - 1.0 / NU) * R * delta_u**2 + R * u * delta_u + 0.5 * R * u**2),
+                axis=(1, 2),
+            )
+
+        def reward_weighted_average(S, delta_u):
+            # Softmax over the K rollouts (reference :163-168).  With K
+            # sharded over a mesh these reductions lower to ICI psums.
+            rho = jnp.min(S, axis=0)
+            w = jnp.exp(-1.0 / LBD * (S - rho))
+            a = jnp.sum(w, axis=0)
+            return jnp.sum(w[:, None, None] * delta_u, axis=0) / a
+
+        def step_fn(state: MPPIState, s, params):
+            key, sample_key = jax.random.split(state.key)
+            s_tiled = jnp.tile(s[:1], (K, 1))
+
+            # Shift nominal one step, repeating the tail (reference :184).
+            u_nom = jnp.concatenate([state.u_nom[:, 1:, :], state.u_nom[:, -1:, :]], axis=1)
+
+            delta_u = (
+                jax.random.normal(sample_key, (K, P, U), dtype=jnp.float32) * stdev
+            )
+            delta_u = interp.interpolate(delta_u)
+
+            u_run = jnp.clip(u_nom + delta_u, low, high)
+
+            traj = self.predictor.rollout(s_tiled, u_run, params["dyn"])
+            traj_cost = self.cost_function.get_trajectory_cost(
+                traj, u_run, state.u_prev, self._cost_params(params)
+            ) + correction_cost(u_run, delta_u)
+
+            u_nom = jnp.clip(
+                u_nom + reward_weighted_average(traj_cost, delta_u)[None], low, high
+            )
+            u = u_nom[0, 0, :]
+
+            diag = {
+                "Q_logged": u_run,
+                "J_logged": traj_cost,
+                "rollout_trajectories_logged": traj,
+                "u_nom": u_nom,
+            }
+            if want_opt_traj:
+                diag["optimal_trajectory"] = self.predictor.rollout(
+                    s[:1], u_nom, params["dyn"]
+                )
+            return u, MPPIState(key=key, u_nom=u_nom, u_prev=u), diag
+
+        return step_fn

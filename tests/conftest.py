@@ -2,14 +2,21 @@
 
 Multi-chip hardware is unavailable in CI; sharding tests use XLA's host
 platform device-count override (SURVEY §4 test strategy).
+
+Note: this environment force-registers a TPU plugin via sitecustomize and
+presets JAX_PLATFORMS, so the env-var route is not enough — we must also set
+the jax_platforms config before any backend is touched.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+assert jax.default_backend() == "cpu", "tests must not grab the real TPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
