@@ -1,0 +1,144 @@
+"""CEM — Cross-Entropy Method optimizer.
+
+Capability parity with the reference optimizer_cem_tf
+(/root/reference/Optimizers/optimizer_cem_tf.py:13-117):
+
+* per outer iteration: sample K sequences from a diagonal Gaussian (mu,
+  sigma per horizon step and input), clip to bounds, rollout + cost,
+  top-``cem_best_k`` elites, refit mu/sigma to the elites (:62-80),
+* warmup: more iterations on the first control step (:92),
+* after the iterations: clip sigma to [stdev_min, 1e8], time-shift mu and
+  sigma one step padding with defaults, u = first action of the best elite
+  (:99-104).
+
+TPU-native redesign: the outer iterations are a ``lax.fori_loop`` inside ONE
+jitted step (warmup handled with a traced trip count), elite selection is
+``lax.top_k``, and the whole state (mu, sigma, PRNG key, step count) is an
+explicit pytree.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from control_toolkit_tpu.ops.common import elite_indices
+from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.utils import registry
+
+
+class CEMState(NamedTuple):
+    key: jax.Array
+    dist_mue: jax.Array  # [1, H, U]
+    stdev: jax.Array     # [1, H, U]
+    count: jax.Array     # scalar int32 control-step counter
+    u_prev: jax.Array    # [U]
+
+
+@registry.optimizers.register("cem-tf")
+@registry.optimizers.register("cem")
+class CEMOptimizer(Optimizer):
+    def __init__(
+        self,
+        *,
+        cem_outer_it: int = 3,
+        cem_initial_action_stdev: float = 0.5,
+        cem_stdev_min: float = 0.01,
+        cem_best_k: int = 40,
+        warmup: bool = False,
+        warmup_iterations: int = 250,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.cem_outer_it = int(cem_outer_it)
+        self.cem_initial_action_stdev = float(cem_initial_action_stdev)
+        self.cem_stdev_min = float(cem_stdev_min)
+        self.cem_best_k = int(cem_best_k)
+        self.warmup = bool(warmup)
+        self.warmup_iterations = int(warmup_iterations)
+
+    def _init_state(self, key):
+        H, U = self.mpc_horizon, self.num_control_inputs
+        u_mid = 0.5 * (self.action_low + self.action_high)
+        return CEMState(
+            key=key,
+            dist_mue=jnp.broadcast_to(u_mid, (1, H, U)).astype(jnp.float32),
+            stdev=jnp.full((1, H, U), self.cem_initial_action_stdev, jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+            u_prev=jnp.zeros((U,), jnp.float32),
+        )
+
+    def _make_step_fn(self):
+        K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
+        low, high = self.action_low, self.action_high
+        best_k = self.cem_best_k
+        u_mid = 0.5 * (self.action_low + self.action_high)
+
+        def outer_iter(carry, s_tiled, u_prev, params):
+            key, mue, std = carry["key"], carry["mue"], carry["std"]
+            key, sub = jax.random.split(key)
+            Q = mue + jax.random.normal(sub, (K, H, U), jnp.float32) * std
+            Q = jnp.clip(Q, low, high)
+            cost, traj = self._rollout_and_cost(s_tiled, Q, u_prev, params)
+            idx = elite_indices(cost, best_k)
+            elite_Q = Q[idx]
+            new_mue = jnp.mean(elite_Q, axis=0, keepdims=True)
+            new_std = jnp.std(elite_Q, axis=0, keepdims=True)
+            return {
+                "key": key, "mue": new_mue, "std": new_std,
+                "Q": Q, "elite0": elite_Q[0], "cost": cost, "traj": traj,
+            }
+
+        def step_fn(state: CEMState, s, params):
+            s_tiled = jnp.tile(s[:1], (K, 1))
+            iterations = jnp.where(
+                jnp.logical_and(self.warmup, state.count == 0),
+                self.warmup_iterations,
+                self.cem_outer_it,
+            )
+
+            carry = {
+                "key": state.key,
+                "mue": state.dist_mue,
+                "std": state.stdev,
+                "Q": jnp.zeros((K, H, U), jnp.float32),
+                "elite0": jnp.zeros((H, U), jnp.float32),
+                "cost": jnp.zeros((K,), jnp.float32),
+                "traj": jnp.zeros((K, H + 1, self.num_states), jnp.float32),
+            }
+            carry = jax.lax.fori_loop(
+                0, iterations,
+                lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
+                carry,
+            )
+
+            u = carry["elite0"][0, :]
+
+            # Post-loop distribution shift (reference :99-104): clip sigma,
+            # shift both one step, pad tails with the initial defaults.
+            std = jnp.clip(carry["std"], self.cem_stdev_min, 1.0e8)
+            std = jnp.concatenate(
+                [std[:, 1:, :],
+                 jnp.full((1, 1, U), self.cem_initial_action_stdev, jnp.float32)],
+                axis=1,
+            )
+            mue = jnp.concatenate(
+                [carry["mue"][:, 1:, :],
+                 jnp.broadcast_to(u_mid, (1, 1, U)).astype(jnp.float32)],
+                axis=1,
+            )
+
+            diag = {
+                "Q_logged": carry["Q"],
+                "J_logged": carry["cost"],
+                "rollout_trajectories_logged": carry["traj"],
+                "u_nom": carry["elite0"][None],
+            }
+            new_state = CEMState(
+                key=carry["key"], dist_mue=mue, stdev=std,
+                count=state.count + 1, u_prev=u,
+            )
+            return u, new_state, diag
+
+        return step_fn

@@ -1,0 +1,129 @@
+"""CEM with one naive gradient step (Bharadhwaj et al. 2020 variant).
+
+Capability parity with the reference optimizer_cem_naive_grad_tf
+(/root/reference/Optimizers/optimizer_cem_naive_grad_tf.py:15-119): per outer
+iteration sample K sequences from the CEM Gaussian, take ONE SGD step on the
+sampled Q through the rollout (gradient of the summed trajectory cost,
+per-rollout norm-clipped over axes [1,2]), re-rollout, refit the elite
+distribution; u = first action of the refit mean.
+
+TPU-native: the AD runs through the lax.scan rollout via jax.grad inside the
+same jitted step — no separate eager tape phase.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from control_toolkit_tpu.ops.common import clip_by_norm, elite_indices
+from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.optimizers.cem import CEMState
+from control_toolkit_tpu.utils import registry
+
+
+@registry.optimizers.register("cem-naive-grad-tf")
+@registry.optimizers.register("cem-naive-grad")
+class CEMNaiveGradOptimizer(Optimizer):
+    def __init__(
+        self,
+        *,
+        cem_outer_it: int = 1,
+        cem_initial_action_stdev: float = 0.5,
+        cem_stdev_min: float = 0.1,
+        cem_best_k: int = 40,
+        learning_rate: float = 0.1,
+        gradmax_clip: float = 10.0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.cem_outer_it = int(cem_outer_it)
+        self.cem_initial_action_stdev = float(cem_initial_action_stdev)
+        self.cem_stdev_min = float(cem_stdev_min)
+        self.cem_best_k = int(cem_best_k)
+        self.learning_rate = float(learning_rate)
+        self.gradmax_clip = float(gradmax_clip)
+
+    def _init_state(self, key):
+        H, U = self.mpc_horizon, self.num_control_inputs
+        u_mid = 0.5 * (self.action_low + self.action_high)
+        return CEMState(
+            key=key,
+            dist_mue=jnp.broadcast_to(u_mid, (1, H, U)).astype(jnp.float32),
+            stdev=jnp.full((1, H, U), self.cem_initial_action_stdev, jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+            u_prev=jnp.zeros((U,), jnp.float32),
+        )
+
+    def _make_step_fn(self):
+        K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
+        low, high = self.action_low, self.action_high
+        best_k = self.cem_best_k
+        lr, gclip = self.learning_rate, self.gradmax_clip
+        u_mid = 0.5 * (self.action_low + self.action_high)
+
+        def summed_cost(Q, s_tiled, u_prev, params):
+            cost, _ = self._rollout_and_cost(s_tiled, Q, u_prev, params)
+            return jnp.sum(cost)
+
+        grad_fn = jax.grad(summed_cost)
+
+        def outer_iter(carry, s_tiled, u_prev, params):
+            key, sub = jax.random.split(carry["key"])
+            Q = carry["mue"] + jax.random.normal(sub, (K, H, U), jnp.float32) * carry["std"]
+            Q = jnp.clip(Q, low, high)
+            # One SGD step through the rollout (reference :66-79).
+            dQ = grad_fn(Q, s_tiled, u_prev, params)
+            dQ = clip_by_norm(dQ, gclip, axes=(1, 2))
+            Qn = jnp.clip(Q - lr * dQ, low, high)
+            cost, traj = self._rollout_and_cost(s_tiled, Qn, u_prev, params)
+            idx = elite_indices(cost, best_k)
+            elite_Q = Qn[idx]
+            return {
+                "key": key,
+                "mue": jnp.mean(elite_Q, axis=0, keepdims=True),
+                "std": jnp.std(elite_Q, axis=0, keepdims=True),
+                "Q": Qn, "cost": cost, "traj": traj,
+            }
+
+        def step_fn(state: CEMState, s, params):
+            s_tiled = jnp.tile(s[:1], (K, 1))
+            carry = {
+                "key": state.key, "mue": state.dist_mue, "std": state.stdev,
+                "Q": jnp.zeros((K, H, U), jnp.float32),
+                "cost": jnp.zeros((K,), jnp.float32),
+                "traj": jnp.zeros((K, H + 1, self.num_states), jnp.float32),
+            }
+            carry = jax.lax.fori_loop(
+                0, self.cem_outer_it,
+                lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
+                carry,
+            )
+
+            # u = first action of the refit mean (reference :105).
+            u = carry["mue"][0, 0, :]
+
+            std = jnp.clip(carry["std"], self.cem_stdev_min, 10.0)
+            std = jnp.concatenate(
+                [std[:, 1:, :],
+                 jnp.full((1, 1, U), self.cem_initial_action_stdev, jnp.float32)],
+                axis=1,
+            )
+            mue = jnp.concatenate(
+                [carry["mue"][:, 1:, :],
+                 jnp.broadcast_to(u_mid, (1, 1, U)).astype(jnp.float32)],
+                axis=1,
+            )
+
+            diag = {
+                "Q_logged": carry["Q"],
+                "J_logged": carry["cost"],
+                "rollout_trajectories_logged": carry["traj"],
+                "u_nom": carry["mue"],
+            }
+            new_state = CEMState(
+                key=carry["key"], dist_mue=mue, stdev=std,
+                count=state.count + 1, u_prev=u,
+            )
+            return u, new_state, diag
+
+        return step_fn

@@ -1,0 +1,236 @@
+"""RPGD — Resampling Parallel Gradient Descent (Heetmeyer et al., ICRA 2023).
+
+Capability parity with the reference optimizer_rpgd
+(/root/reference/Optimizers/optimizer_rpgd.py:145-548):
+
+* persistent population of K control sequences optimized with batched Adam
+  through the rollout, ``outer_its`` steps per control tick (warmup more on
+  the first), per-rollout gradient norm clip over axes [1,2] (:306-320),
+* warm start: population shifted by ``shift_previous`` steps with the tail
+  repeated (:377-379),
+* every ``resamp_per`` ticks: keep the ``opt_keep_k`` elites, resample the
+  rest (uniform/normal at inducing points, linearly interpolated) (:275-296,
+  :449-459),
+* Adam "moment surgery": gather the elites' m/v rows, time-shift them left
+  zero-padding the tail, zero the moments of freshly resampled rows
+  (:460-513); otherwise shift all rows,
+* trajectory-age tracking (:456-459,514).
+
+TPU-native redesign: the reference does the surgery eagerly through
+get_weights/set_weights on a keras optimizer; here the Adam state is an
+explicit pytree and the whole tick — gradient loop, elite selection, shift,
+resample branch (lax.cond), surgery — is ONE jitted pure function.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from control_toolkit_tpu.ops.common import AdamState, adam_init, adam_update, clip_by_norm, elite_indices
+from control_toolkit_tpu.ops.interpolation import Interpolator
+from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.utils import registry
+
+
+class RPGDState(NamedTuple):
+    key: jax.Array
+    Q: jax.Array               # [K, H, U]
+    adam: AdamState            # over [K, H, U]
+    trajectory_ages: jax.Array  # [K] float32
+    count: jax.Array
+    u_prev: jax.Array
+
+
+@registry.optimizers.register("rpgd-tf")
+@registry.optimizers.register("rpgd")
+@registry.optimizers.register("dist-adam-resamp2-tf")
+class RPGDOptimizer(Optimizer):
+    def __init__(
+        self,
+        *,
+        outer_its: int = 2,
+        sample_stdev: float = 0.5,
+        sample_mean: float = 0.0,
+        sample_whole_control_space: bool = True,
+        uniform_dist_min: float = -1.0,
+        uniform_dist_max: float = 1.0,
+        resamp_per: int = 10,
+        period_interpolation_inducing_points: int = 10,
+        SAMPLING_DISTRIBUTION: str = "uniform",
+        shift_previous: int = 1,
+        warmup: bool = False,
+        warmup_iterations: int = 250,
+        learning_rate: float = 0.05,
+        opt_keep_k_ratio: float = 0.25,
+        gradmax_clip: float = 5.0,
+        rtol: float = 1e-3,
+        adam_beta_1: float = 0.9,
+        adam_beta_2: float = 0.999,
+        adam_epsilon: float = 1e-8,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.outer_its = int(outer_its)
+        self.sample_stdev = float(sample_stdev)
+        self.sample_mean = float(sample_mean)
+        self.sample_whole_control_space = bool(sample_whole_control_space)
+        self.uniform_dist_min = float(uniform_dist_min)
+        self.uniform_dist_max = float(uniform_dist_max)
+        self.resamp_per = int(resamp_per)
+        self.period_interpolation_inducing_points = int(period_interpolation_inducing_points)
+        self.sampling_distribution = str(SAMPLING_DISTRIBUTION)
+        if self.sampling_distribution not in ("uniform", "normal"):
+            raise ValueError(
+                f"RPGD cannot interpret sampling type {SAMPLING_DISTRIBUTION!r}"
+            )
+        self.shift_previous = int(shift_previous)
+        self.warmup = bool(warmup)
+        self.warmup_iterations = int(warmup_iterations)
+        self.learning_rate = float(learning_rate)
+        self.opt_keep_k = max(int(self.num_rollouts * float(opt_keep_k_ratio)), 1)
+        self.gradmax_clip = float(gradmax_clip)
+        self.rtol = float(rtol)
+        self.adam_beta_1 = float(adam_beta_1)
+        self.adam_beta_2 = float(adam_beta_2)
+        self.adam_epsilon = float(adam_epsilon)
+
+    def configure(self, num_states, num_control_inputs, dt=None, **kwargs):
+        self.interp = Interpolator.build(
+            self.mpc_horizon, self.period_interpolation_inducing_points
+        )
+        super().configure(num_states, num_control_inputs, dt=dt, **kwargs)
+
+    # ---- sampling (reference :275-296) ------------------------------------
+    def _sample_actions(self, key, batch: int) -> jnp.ndarray:
+        P = self.interp.number_of_interpolation_inducing_points
+        U = self.num_control_inputs
+        if self.sampling_distribution == "normal":
+            Qp = self.sample_mean + self.sample_stdev * jax.random.normal(
+                key, (batch, P, U), jnp.float32
+            )
+        else:
+            if self.sample_whole_control_space:
+                lo, hi = self.action_low, self.action_high
+            else:
+                lo = jnp.float32(self.uniform_dist_min)
+                hi = jnp.float32(self.uniform_dist_max)
+            Qp = jax.random.uniform(
+                key, (batch, P, U), minval=lo, maxval=hi, dtype=jnp.float32
+            )
+        Qp = jnp.clip(Qp, self.action_low, self.action_high)
+        return self.interp.interpolate(Qp)
+
+    def _init_state(self, key):
+        K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
+        key, sub = jax.random.split(key)
+        Q = self._sample_actions(sub, K)
+        return RPGDState(
+            key=key, Q=Q, adam=adam_init((K, H, U)),
+            trajectory_ages=jnp.zeros((K,), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+            u_prev=jnp.zeros((U,), jnp.float32),
+        )
+
+    def _make_step_fn(self):
+        K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
+        low, high = self.action_low, self.action_high
+        keep_k = self.opt_keep_k
+        lr, b1, b2, eps = self.learning_rate, self.adam_beta_1, self.adam_beta_2, self.adam_epsilon
+        gclip = self.gradmax_clip
+        shift = self.shift_previous
+        want_opt_traj = self.calculate_optimal_trajectory
+
+        def summed_cost(Q, s_tiled, u_prev, params):
+            cost, _ = self._rollout_and_cost(s_tiled, Q, u_prev, params)
+            return jnp.sum(cost)
+
+        grad_fn = jax.grad(summed_cost)
+
+        def grad_iter(carry, s_tiled, u_prev, params):
+            Q, adam = carry
+            dQ = grad_fn(Q, s_tiled, u_prev, params)
+            dQ = clip_by_norm(dQ, gclip, axes=(1, 2))
+            adam, delta = adam_update(adam, dQ, lr, b1, b2, eps)
+            Q = jnp.clip(Q - delta, low, high)
+            return Q, adam
+
+        def shift_rows(M):
+            # time-shift rows left along horizon, zero tail
+            return jnp.concatenate(
+                [M[:, 1:, :], jnp.zeros_like(M[:, :1, :])], axis=1
+            )
+
+        def step_fn(state: RPGDState, s, params):
+            s_tiled = jnp.tile(s[:1], (K, 1))
+            iterations = jnp.where(
+                jnp.logical_and(self.warmup, state.count == 0),
+                self.warmup_iterations,
+                self.outer_its,
+            )
+            Q, adam = jax.lax.fori_loop(
+                0, iterations,
+                lambda i, c: grad_iter(c, s_tiled, state.u_prev, params),
+                (state.Q, state.adam),
+            )
+
+            # Final rollout, elite selection and warm-start shift
+            # (reference _get_action :340-380).
+            cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
+            best_idx = elite_indices(cost, keep_k)
+            u_nom = Q[best_idx[0]][None]  # [1, H, U]
+            u = u_nom[0, 0, :]
+            Qn = jnp.concatenate(
+                [Q[:, shift:, :], jnp.tile(Q[:, -1:, :], (1, shift, 1))], axis=1
+            )
+
+            key, sub = jax.random.split(state.key)
+
+            def resample_branch(op):
+                Qn, adam, ages = op
+                Qres = self._sample_actions(sub, K - keep_k)
+                Q_keep = Qn[best_idx]
+                Q_new = jnp.concatenate([Qres, Q_keep], axis=0)
+                ages_new = jnp.concatenate(
+                    [jnp.zeros((K - keep_k,), jnp.float32), ages[best_idx]], axis=0
+                )
+                # Moment surgery: keep+shift elite rows, zero fresh rows
+                # (reference :460-495).
+                zeros_rows = jnp.zeros((K - keep_k, H, U), jnp.float32)
+                m_new = jnp.concatenate([zeros_rows, shift_rows(adam.m[best_idx])], axis=0)
+                v_new = jnp.concatenate([zeros_rows, shift_rows(adam.v[best_idx])], axis=0)
+                return Q_new, AdamState(adam.step, m_new, v_new), ages_new
+
+            def keep_branch(op):
+                Qn, adam, ages = op
+                return Qn, AdamState(adam.step, shift_rows(adam.m), shift_rows(adam.v)), ages
+
+            do_resample = (state.count % self.resamp_per) == 0
+            Q_next, adam_next, ages = jax.lax.cond(
+                do_resample, resample_branch, keep_branch,
+                (Qn, adam, state.trajectory_ages),
+            )
+
+            diag = {
+                "Q_logged": Q,
+                "J_logged": cost,
+                "rollout_trajectories_logged": traj,
+                "trajectory_ages_logged": state.trajectory_ages,
+                "u_nom": u_nom,
+            }
+            if want_opt_traj:
+                opt_traj = self.predictor.rollout(s[:1], u_nom, params["dyn"])
+                diag["optimal_trajectory"] = opt_traj
+                diag["summed_stage_cost"] = self.cost_function.get_summed_stage_cost(
+                    opt_traj, u_nom, state.u_prev, self._cost_params(params)
+                )
+
+            new_state = RPGDState(
+                key=key, Q=Q_next, adam=adam_next,
+                trajectory_ages=ages + 1.0,
+                count=state.count + 1, u_prev=u,
+            )
+            return u, new_state, diag
+
+        return step_fn
