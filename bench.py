@@ -1,0 +1,175 @@
+"""Benchmark harness.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.md north star): controller.step p50 latency for
+MPPI on the cartpole ODE at K=16384, H=50, on the default JAX backend (the
+real TPU chip when available).
+
+vs_baseline: speedup over a TensorFlow-CPU implementation of the same MPPI
+step (the reference is TF-based and publishes no numbers, so BASELINE.md
+directs us to measure the TF-CPU denominator ourselves).  The TF measurement
+is cached in BASELINE_TF_CPU.json; run ``python bench.py --measure-tf-baseline``
+to (re)create it.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / "BASELINE_TF_CPU.json"
+
+K = 16384
+H = 50
+DT = 0.02
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+
+
+def bench_ours() -> dict:
+    import jax
+
+    from __graft_entry__ import _build_mppi
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+
+    ctrl = _build_mppi(num_rollouts=K, horizon=H, seed=0)
+    env = CartpoleEnv(batch_size=1, dt=DT, seed=0)
+    s, _ = env.reset()
+
+    # Warmup (compile) + closed loop so states vary realistically.
+    for _ in range(WARMUP_STEPS):
+        u = ctrl.step(s[0])
+        s, *_ = env.step(u)
+
+    lat = []
+    for _ in range(MEASURE_STEPS):
+        t0 = time.perf_counter()
+        u = ctrl.step(s[0])  # returns np.ndarray => device sync included
+        lat.append(time.perf_counter() - t0)
+        s, *_ = env.step(u)
+
+    lat_ms = np.array(lat) * 1e3
+    return {
+        "p50_ms": float(np.percentile(lat_ms, 50)),
+        "p99_ms": float(np.percentile(lat_ms, 99)),
+        "rollouts_per_sec": float(K / (np.percentile(lat_ms, 50) / 1e3)),
+        "backend": jax.default_backend(),
+    }
+
+
+def bench_tf_cpu() -> dict:
+    """Reference-style TF-CPU MPPI step: same math, tf.function-compiled."""
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+
+    from control_toolkit_tpu.ops.interpolation import interpolation_matrix, num_inducing_points
+
+    P_pts = num_inducing_points(H, 10)
+    interp_mat = tf.constant(interpolation_matrix(H, 10))  # [P, H]
+
+    p = {"m_cart": 1.0, "m_pole": 0.1, "L": 0.5, "g": 9.81, "u_max": 10.0}
+
+    def dynamics(x, u):
+        pos_d = x[:, 1]
+        theta = x[:, 2]
+        theta_d = x[:, 3]
+        force = u[:, 0] * p["u_max"]
+        sin_t, cos_t = tf.sin(theta), tf.cos(theta)
+        total_m = p["m_cart"] + p["m_pole"]
+        temp = (force + p["m_pole"] * p["L"] * theta_d**2 * sin_t) / total_m
+        theta_dd = (p["g"] * sin_t - cos_t * temp) / (
+            p["L"] * (4.0 / 3.0 - p["m_pole"] * cos_t**2 / total_m)
+        )
+        pos_dd = temp - p["m_pole"] * p["L"] * theta_dd * cos_t / total_m
+        return tf.stack([pos_d, pos_dd, theta_d, theta_dd], axis=1)
+
+    def rk4(x, u):
+        k1 = dynamics(x, u)
+        k2 = dynamics(x + 0.5 * DT * k1, u)
+        k3 = dynamics(x + 0.5 * DT * k2, u)
+        k4 = dynamics(x + DT * k3, u)
+        return x + DT / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    stdev = 0.03 / np.sqrt(DT)
+    LBD = 100.0
+
+    @tf.function(jit_compile=False)
+    def mppi_step(s, u_nom, seed):
+        u_nom = tf.concat([u_nom[:, 1:, :], u_nom[:, -1:, :]], axis=1)
+        eps = tf.random.stateless_normal([K, P_pts, 1], seed) * stdev
+        delta_u = tf.einsum("kpu,ph->khu", eps, interp_mat)
+        u_run = tf.clip_by_value(u_nom + delta_u, -1.0, 1.0)
+
+        x = tf.tile(s, [K, 1])
+        traj_costs = tf.zeros([K])
+        for h in tf.range(H):
+            x = rk4(x, u_run[:, h, :])
+            angle = x[:, 2]
+            cost_h = (
+                120.0 * x[:, 0] ** 2
+                + 10000.0 * 0.25 * (1.0 - tf.cos(angle)) ** 2
+                + 10.0 * (x[:, 3] / (2 * np.pi)) ** 2
+                + tf.reduce_sum(u_run[:, h, :] ** 2, axis=1)
+            )
+            traj_costs += cost_h
+        S = traj_costs / H
+        rho = tf.reduce_min(S)
+        w = tf.exp(-(S - rho) / LBD)
+        b = tf.reduce_sum(w[:, None, None] * delta_u, axis=0) / tf.reduce_sum(w)
+        u_nom = tf.clip_by_value(u_nom + b[None], -1.0, 1.0)
+        return u_nom
+
+    s = tf.constant([[0.0, 0.0, 0.1, 0.0]], tf.float32)
+    u_nom = tf.zeros([1, H, 1])
+    for i in range(2):  # compile + warm
+        u_nom = mppi_step(s, u_nom, tf.constant([i, 0]))
+
+    lat = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        u_nom = mppi_step(s, u_nom, tf.constant([i, 1]))
+        _ = u_nom.numpy()
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1e3
+    return {"p50_ms": float(np.percentile(lat_ms, 50)), "K": K, "H": H}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-tf-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.measure_tf_baseline:
+        base = bench_tf_cpu()
+        BASELINE_CACHE.write_text(json.dumps(base, indent=2))
+        print(json.dumps(base), file=sys.stderr)
+        return
+
+    ours = bench_ours()
+
+    vs_baseline = None
+    if BASELINE_CACHE.exists():
+        base = json.loads(BASELINE_CACHE.read_text())
+        vs_baseline = base["p50_ms"] / ours["p50_ms"]
+
+    print(json.dumps({
+        "metric": f"controller.step p50 latency, MPPI cartpole K={K} H={H} ({ours['backend']})",
+        "value": round(ours["p50_ms"], 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+    # extra detail on stderr (driver reads stdout's single line only)
+    print(json.dumps(ours), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,17 +88,35 @@ class MPCController(Controller):
         if mesh is not None:
             self.optimizer.plan_sharding(mesh)
 
+        self._dyn_params = None
+        self._cost_params = None
         self.controller_data_for_csv = self.cost_function.cost_function.logged_attributes
 
     def _assemble_params(self) -> Dict:
+        """Build the jit-argument params pytree.
+
+        Hot-path note: leaves are cached as device arrays so a control step
+        transfers nothing but the state vector; cost params are rebuilt only
+        when the YAML hot-reload flag fires, attrs only when updated.
+        """
+        import jax.numpy as jnp
+
+        if self._dyn_params is None:
+            self._dyn_params = {
+                k: jnp.asarray(v, dtype=jnp.float32)
+                for k, v in self.predictor.default_params().items()
+            }
+        if self._cost_params is None:
+            self._cost_params = self.cost_function.current_params()["cost"]
         return {
-            "dyn": self.predictor.default_params(),
-            "cost": self.cost_function.current_params()["cost"],
-            "attrs": dict(self.variable_parameters),
+            "dyn": self._dyn_params,
+            "cost": self._cost_params,
+            "attrs": self.variable_parameters,
         }
 
     def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
-        self.cost_function.update_cost_parameters_from_config()
+        if self.cost_function.update_cost_parameters_from_config():
+            self._cost_params = None  # re-device the reloaded weights
         self.update_attributes(updated_attributes)
         u = self.optimizer.step(s, time, params=self._assemble_params())
         self.update_logs(self.optimizer.logging_values)

@@ -131,9 +131,11 @@ class Optimizer:
             for key_name, val in diag.items():
                 self.logging_values[key_name] = np.asarray(val)
             self.logging_values["u_logged"] = np.asarray(u)
-
-        if "u_nom" in diag:
-            self.optimal_control_sequence = np.asarray(diag["u_nom"])
+            if "u_nom" in diag:
+                self.optimal_control_sequence = self.logging_values.get("u_nom")
+        elif "u_nom" in diag:
+            # Keep the device array; fetch only if someone reads it.
+            self.optimal_control_sequence = diag["u_nom"]
 
         return np.asarray(u)
 
