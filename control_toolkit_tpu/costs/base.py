@@ -30,6 +30,9 @@ class CostFunction:
     # list their tunable weights here; everything else in the YAML entry is
     # treated as static.
     dynamic_config_keys: tuple = ()
+    # Names of environment attributes (variable_parameters) this cost reads;
+    # declared so the Pallas kernel can pack them into its scalar vector.
+    attr_keys: tuple = ()
 
     def __init__(self, config: Optional[Dict] = None):
         self.config: Dict = dict(config or {})
@@ -42,13 +45,71 @@ class CostFunction:
         self.horizon = horizon
 
     # ---- pure cost API ----------------------------------------------------
-    def _get_stage_cost(self, states, inputs, previous_input, params) -> jnp.ndarray:
-        """[B,H,S],[B,H,U],prev_u,params -> [B,H]. Implement in subclass."""
+    # Subclasses implement the struct-of-arrays primitives (xs/us are tuples
+    # of same-shaped component arrays), which unlock both the fused scan
+    # rollout and the Pallas rollout kernel; or they override _get_stage_cost
+    # directly for full control (losing fusion).
+
+    def _stage_cost_core_soa(self, xs, us, params) -> jnp.ndarray:
+        """Component-form stage cost sans control-change term."""
         raise NotImplementedError
 
+    def control_change_cost_soa(self, us, prev_us, params) -> jnp.ndarray:
+        """Component-form penalty on u_h - u_{h-1}. Default 0."""
+        return jnp.zeros_like(us[0])
+
+    def terminal_cost_soa(self, xs, params) -> jnp.ndarray:
+        """Component-form terminal cost. Default 0 (reference :38-47)."""
+        return jnp.zeros_like(xs[0])
+
+    # ---- array-of-structs forms (derived) ---------------------------------
+    def _stage_cost_core(self, states, inputs, params) -> jnp.ndarray:
+        """[..., S], [..., U] -> [...]: stage cost sans control-change term."""
+        xs = tuple(states[..., i] for i in range(states.shape[-1]))
+        us = tuple(inputs[..., j] for j in range(inputs.shape[-1]))
+        return self._stage_cost_core_soa(xs, us, params)
+
+    def control_change_cost(self, inputs, prev_inputs, params) -> jnp.ndarray:
+        """[..., U], [..., U] -> [...]: penalty on u_h - u_{h-1}."""
+        us = tuple(inputs[..., j] for j in range(inputs.shape[-1]))
+        pus = tuple(prev_inputs[..., j] for j in range(prev_inputs.shape[-1]))
+        return self.control_change_cost_soa(us, pus, params)
+
+    @property
+    def supports_fused_rollout(self) -> bool:
+        cls = type(self)
+        return cls._get_stage_cost is CostFunction._get_stage_cost
+
+    def _get_stage_cost(self, states, inputs, previous_input, params) -> jnp.ndarray:
+        """[B,H,S],[B,H,U],prev_u,params -> [B,H].
+
+        Default: assembled from the per-step primitives; the control-change
+        term compares each input with its predecessor along the horizon,
+        seeded with the actually-applied previous control.
+        """
+        cost = self._stage_cost_core(states, inputs, params)
+        if previous_input is not None:
+            prev = jnp.asarray(previous_input, dtype=inputs.dtype)
+            prev = jnp.broadcast_to(
+                jnp.reshape(prev, (-1,))[: inputs.shape[-1]],
+                inputs[:, :1, :].shape,
+            )
+            shifted = jnp.concatenate([prev, inputs[:, :-1, :]], axis=1)
+            cost = cost + self.control_change_cost(inputs, shifted, params)
+        return cost
+
+    def stage_cost_step(self, x, u, u_prev, params) -> jnp.ndarray:
+        """Single-horizon-step stage cost for the fused rollout:
+        [B,S],[B,U],[B,U] -> [B] (includes the MAX_COST shift)."""
+        cost = self._stage_cost_core(x, u, params)
+        if u_prev is not None:
+            cost = cost + self.control_change_cost(u, u_prev, params)
+        return cost - self.MAX_COST
+
     def get_terminal_cost(self, terminal_states, params) -> jnp.ndarray:
-        """[B,S] -> [B]. Default: zero terminal cost (reference :38-47)."""
-        return jnp.zeros(terminal_states.shape[:-1], dtype=terminal_states.dtype)
+        """[B,S] -> [B]. Derived from terminal_cost_soa (default zero)."""
+        xs = tuple(terminal_states[..., i] for i in range(terminal_states.shape[-1]))
+        return self.terminal_cost_soa(xs, params)
 
     def get_stage_cost(self, states, inputs, previous_input, params) -> jnp.ndarray:
         return self._get_stage_cost(states, inputs, previous_input, params) - self.MAX_COST

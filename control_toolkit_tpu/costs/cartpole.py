@@ -30,6 +30,7 @@ class CartpoleQuadraticCost(CostFunction):
     dynamic_config_keys = (
         "dd_weight", "ep_weight", "ekp_weight", "cc_weight", "ccrc_weight", "R",
     )
+    attr_keys = ("target_position",)
 
     DEFAULTS = {
         "dd_weight": 120.0,
@@ -45,35 +46,25 @@ class CartpoleQuadraticCost(CostFunction):
         merged.update(config or {})
         super().__init__(merged)
 
-    def _get_stage_cost(self, states, inputs, previous_input, params):
+    def _stage_cost_core_soa(self, xs, us, params):
         w = params["cost"]
         attrs = params["attrs"]
         target = attrs.get("target_position", jnp.float32(0.0))
 
-        pos = states[..., 0]
-        angle = states[..., 2]
-        angle_d = states[..., 3]
+        pos, _, angle, angle_d = xs
 
         dd = w["dd_weight"] * (pos - target) ** 2
         ep = w["ep_weight"] * 0.25 * (1.0 - jnp.cos(angle)) ** 2
         ekp = w["ekp_weight"] * (angle_d / (2.0 * jnp.pi)) ** 2
-        cc = w["cc_weight"] * w["R"] * jnp.sum(inputs**2, axis=-1)
+        cc = w["cc_weight"] * w["R"] * sum(u * u for u in us)
+        return dd + ep + ekp + cc
 
-        if previous_input is not None:
-            prev = jnp.asarray(previous_input, dtype=inputs.dtype)
-            prev = jnp.broadcast_to(
-                jnp.reshape(prev, (-1,))[: inputs.shape[-1]], inputs[:, :1, :].shape
-            )
-            shifted = jnp.concatenate([prev, inputs[:, :-1, :]], axis=1)
-            ccrc = w["ccrc_weight"] * jnp.sum((inputs - shifted) ** 2, axis=-1)
-        else:
-            ccrc = jnp.zeros_like(cc)
+    def control_change_cost_soa(self, us, prev_us, params):
+        w = params["cost"]
+        return w["ccrc_weight"] * sum((u - pu) ** 2 for u, pu in zip(us, prev_us))
 
-        return dd + ep + ekp + cc + ccrc
-
-    def get_terminal_cost(self, terminal_states, params):
+    def terminal_cost_soa(self, xs, params):
         # Penalize terminal pole-down configurations; keeps swing-up honest
         # at short horizons.
-        angle = terminal_states[..., 2]
-        angle_d = terminal_states[..., 3]
+        _, _, angle, angle_d = xs
         return 1.0e4 * (1.0 - jnp.cos(angle)) ** 2 + 10.0 * angle_d**2

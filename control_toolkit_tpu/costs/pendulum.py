@@ -39,10 +39,9 @@ class PendulumQuadraticCost(CostFunction):
         merged.update(config or {})
         super().__init__(merged)
 
-    def _get_stage_cost(self, states, inputs, previous_input, params):
+    def _stage_cost_core_soa(self, xs, us, params):
         w = params["cost"]
-        angle = states[..., 0]
-        angle_d = states[..., 1]
+        angle, angle_d = xs
         # Total mechanical energy; upright-at-rest has E = m*g*L.
         m, L, g = w["m"], w["L"], w["g"]
         energy = 0.5 * m * L**2 * angle_d**2 + m * g * L * jnp.cos(angle)
@@ -54,5 +53,5 @@ class PendulumQuadraticCost(CostFunction):
             w["angle_weight"] * (1.0 - jnp.cos(angle))
             + w["energy_weight"] * energy_err
             + w["velocity_weight"] * near_top * angle_d**2
-            + w["control_weight"] * jnp.sum(inputs**2, axis=-1)
+            + w["control_weight"] * sum(u * u for u in us)
         )

@@ -3,9 +3,15 @@
 The reference delegates dynamics to the external SI_Toolkit predictor zoo
 (ODE integrators, neural nets, GPs — see
 /root/reference/Control_Toolkit_ASF_Template/config_controllers.yml:8).  Here
-dynamics are pure JAX functions ``f(x, u, p) -> dx/dt`` over batched state
-``x: [..., S]`` and control ``u: [..., U]``, with parameters passed as a dict
-so targets/attributes can change without recompilation.
+dynamics are pure JAX functions with parameters passed as a dict so targets/
+attributes can change without recompilation.
+
+Each model is defined ONCE in struct-of-arrays (SOA) component form —
+``f(xs: tuple[Array], us: tuple[Array], p) -> tuple[Array]`` where each
+component has any shape — and the array-of-structs form ``f(x[...,S],
+u[...,U], p) -> dx[...,S]`` is derived from it.  SOA is what the Pallas
+rollout kernel consumes (state components live as [1, TILE_K] rows, keeping
+the TPU lane dimension fully utilized); AoS is the user-facing API.
 
 State conventions:
   cartpole: [position, positionD, angle, angleD]; u in [-1, 1] scaled by u_max.
@@ -13,7 +19,7 @@ State conventions:
 """
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Tuple
 
 import jax.numpy as jnp
 
@@ -38,44 +44,56 @@ PENDULUM_DEFAULTS = {
 }
 
 
-def cartpole_dynamics(x: jnp.ndarray, u: jnp.ndarray, p: Dict) -> jnp.ndarray:
-    """Cart-pole ODE (pole balancing upward at angle=0).
+def cartpole_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
+    """Cart-pole ODE in component form (pole balancing upward at angle=0).
 
-    Standard underactuated cart-pole equations of motion; x: [..., 4],
-    u: [..., 1] normalized to [-1, 1].
+    Standard underactuated cart-pole equations of motion.
+    xs = (position, positionD, angle, angleD); us = (force_cmd,).
     """
-    pos_d = x[..., 1]
-    theta = x[..., 2]
-    theta_d = x[..., 3]
-    force = u[..., 0] * p["u_max"]
+    _, pos_d, theta, theta_d = xs
+    force = us[0] * p["u_max"]
 
     m_c, m_p, L, g = p["m_cart"], p["m_pole"], p["L"], p["g"]
     sin_t = jnp.sin(theta)
     cos_t = jnp.cos(theta)
     total_m = m_c + m_p
 
-    # Equations of motion (pole pivoting on cart, angle measured from upright).
     temp = (force + m_p * L * theta_d**2 * sin_t - p["friction_cart"] * pos_d) / total_m
     theta_dd = (g * sin_t - cos_t * temp - p["friction_pole"] * theta_d / (m_p * L)) / (
         L * (4.0 / 3.0 - m_p * cos_t**2 / total_m)
     )
     pos_dd = temp - m_p * L * theta_dd * cos_t / total_m
+    return (pos_d, pos_dd, theta_d, theta_dd)
 
-    return jnp.stack([pos_d, pos_dd, theta_d, theta_dd], axis=-1)
 
-
-def pendulum_dynamics(x: jnp.ndarray, u: jnp.ndarray, p: Dict) -> jnp.ndarray:
+def pendulum_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
     """Inverted pendulum ODE; angle = 0 is upright, torque-actuated."""
-    theta = x[..., 0]
-    theta_d = x[..., 1]
-    torque = u[..., 0] * p["u_max"]
+    theta, theta_d = xs
+    torque = us[0] * p["u_max"]
     theta_dd = (
         p["g"] / p["L"] * jnp.sin(theta)
         + torque / (p["m"] * p["L"] ** 2)
         - p["damping"] * theta_d
     )
-    return jnp.stack([theta_d, theta_dd], axis=-1)
+    return (theta_d, theta_dd)
 
+
+def soa_to_aos(derivs_soa: Callable, num_states: int, num_controls: int) -> DynamicsFn:
+    """Lift a component-form derivative to the [..., S] array form."""
+
+    def f(x: jnp.ndarray, u: jnp.ndarray, p: Dict) -> jnp.ndarray:
+        xs = tuple(x[..., i] for i in range(num_states))
+        us = tuple(u[..., j] for j in range(num_controls))
+        return jnp.stack(derivs_soa(xs, us, p), axis=-1)
+
+    f.soa = derivs_soa
+    f.num_states = num_states
+    f.num_controls = num_controls
+    return f
+
+
+cartpole_dynamics = soa_to_aos(cartpole_derivs_soa, 4, 1)
+pendulum_dynamics = soa_to_aos(pendulum_derivs_soa, 2, 1)
 
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),

@@ -70,6 +70,7 @@ def make_ode_rollout(
         traj = jnp.swapaxes(traj, 0, 1)  # [B,H,S]
         return jnp.concatenate([s0[:, None, :], traj], axis=1)
 
+    rollout.single_step = single_step  # exposed for fused cost rollouts
     return rollout
 
 
@@ -98,6 +99,12 @@ class Predictor:
 
     def default_params(self) -> Dict:
         return {}
+
+    @property
+    def single_step(self):
+        """Single-transition fn, or None if this predictor can't expose one
+        (then the fused rollout paths fall back to the full-trajectory scan)."""
+        return None
 
 
 @registry.predictors.register("ODE")
@@ -149,6 +156,12 @@ class ODEPredictor(Predictor):
     def rollout(self, s0, Q, params=None):
         p = self._defaults if params is None else params
         return self.rollout_fn(s0, Q, p)
+
+    @property
+    def single_step(self):
+        """Pure single-transition fn (x, u, params) -> x_next, for fused
+        rollout+cost paths (ops/rollout.py, ops/pallas_rollout.py)."""
+        return self.rollout_fn.single_step
 
 
 class PredictorWrapper:
@@ -208,6 +221,10 @@ class PredictorWrapper:
 
     def update(self, s, Q0, params=None):
         return self.predictor.update(s, Q0, params)
+
+    @property
+    def single_step(self):
+        return self.predictor.single_step if self.predictor else None
 
     def copy(self) -> "PredictorWrapper":
         new = PredictorWrapper()

@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused rollout + trajectory cost over the K-batch.
+
+The framework's hottest loop (BASELINE.json north star): K control sequences
+rolled through an ODE dynamics model for H steps and scored.  The lax.scan
+path round-trips the [K,S] carry (and, when logged, the [K,H+1,S] trajectory)
+through HBM every horizon step; this kernel keeps the whole integration state
+in VMEM for a tile of rollouts and writes only the final [K] cost vector.
+
+Layout (see /opt/skills/guides/pallas_guide.md): state components are SOA
+rows of shape [1, TILE_K] — the lane dimension is the rollout batch, fully
+utilized; the sublane dimension is not wasted on the tiny state size.  The
+control tensor arrives pre-transposed as [H, U, K] and is block-sliced to
+[H, U, TILE_K] per grid step.  Scalar parameters (dynamics constants, cost
+weights, attributes, previous control) ride in SMEM via scalar prefetch, so
+hot-reloaded weights and moving targets never trigger recompilation.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tile of rollouts processed per grid step. 2048 f32 lanes x (H*U + S) rows
+# keeps VMEM usage far under budget while saturating the VPU.
+DEFAULT_TILE_K = 2048
+
+
+def _tadd(a: Tuple, b: Tuple) -> Tuple:
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _tscale(a: Tuple, c) -> Tuple:
+    return tuple(c * x for x in a)
+
+
+def build_cost_rollout_kernel(
+    derivs_soa: Callable,       # (xs, us, p) -> dxs  (component form)
+    stage_cost_soa: Callable,   # (xs, us, prev_us, pvec_dict) -> [1, T]
+    terminal_cost_soa: Callable,  # (xs, pvec_dict) -> [1, T]
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    dt: float,
+    param_keys: Sequence[str],  # ordering of the packed scalar params
+    integrator: str = "rk4",
+    intermediate_steps: int = 1,
+    tile_k: int = DEFAULT_TILE_K,
+    interpret: bool = False,
+):
+    """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> cost [K]``.
+
+    ``pvec`` packs all scalar parameters in ``param_keys`` order; the SOA
+    callbacks receive them as a dict.  K must be a multiple of ``tile_k``
+    (the caller pads or falls back to the scan path otherwise).
+    """
+    S, U, H = num_states, num_controls, horizon
+    sub_dt = dt / intermediate_steps
+    n_params = len(param_keys)
+
+    def unpack(pvec_ref):
+        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
+
+    def euler_step(xs, us, p):
+        return _tadd(xs, _tscale(derivs_soa(xs, us, p), sub_dt))
+
+    def rk4_step(xs, us, p):
+        k1 = derivs_soa(xs, us, p)
+        k2 = derivs_soa(_tadd(xs, _tscale(k1, 0.5 * sub_dt)), us, p)
+        k3 = derivs_soa(_tadd(xs, _tscale(k2, 0.5 * sub_dt)), us, p)
+        k4 = derivs_soa(_tadd(xs, _tscale(k3, sub_dt)), us, p)
+        incr = _tadd(_tadd(k1, _tscale(k2, 2.0)), _tadd(_tscale(k3, 2.0), k4))
+        return _tadd(xs, _tscale(incr, sub_dt / 6.0))
+
+    one_step = rk4_step if integrator == "rk4" else euler_step
+
+    def kernel(pvec_ref, s0_ref, q_ref, cost_ref):
+        p = unpack(pvec_ref)
+        xs = tuple(s0_ref[i : i + 1, :] for i in range(S))          # [1, T] rows
+        prev_us = tuple(
+            jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+        )
+        acc = jnp.zeros((1, tile_k), jnp.float32)
+
+        def body(h, carry):
+            xs, prev_us, acc = carry
+            u_slab = q_ref[h]                                        # [U, T]
+            us = tuple(u_slab[j : j + 1, :] for j in range(U))
+            acc = acc + stage_cost_soa(xs, us, prev_us, p)
+            for _ in range(intermediate_steps):
+                xs = one_step(xs, us, p)
+            return xs, us, acc
+
+        xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
+        cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+
+    @partial(jax.jit, static_argnames=())
+    def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray) -> jnp.ndarray:
+        K = s0.shape[0]
+        assert K % tile_k == 0, f"K={K} not divisible by tile_k={tile_k}"
+        n_tiles = K // tile_k
+        s0_t = s0.T                      # [S, K]
+        q_t = jnp.transpose(Q, (1, 2, 0))  # [H, U, K]
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((S, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
+                                   memory_space=pltpu.VMEM),
+        )
+        cost = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+            grid_spec=gs,
+            interpret=interpret,
+        )(pvec, s0_t, q_t)
+        return cost[0]
+
+    return run
+
+
+def pack_params(param_keys: Sequence[str], values: Dict) -> jnp.ndarray:
+    """Pack a {key: scalar} dict into the kernel's pvec in key order."""
+    return jnp.stack([jnp.asarray(values[k], jnp.float32) for k in param_keys])

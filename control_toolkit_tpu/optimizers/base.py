@@ -159,6 +159,132 @@ class Optimizer:
         )
         return cost, traj
 
+    def _can_fuse_rollout(self) -> bool:
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        return (
+            self.predictor is not None
+            and self.predictor.single_step is not None
+            and cf is not None
+            and getattr(cf, "supports_fused_rollout", False)
+        )
+
+    def _fused_cost(self, s_tiled, Q, u_prev, params):
+        """Trajectory cost without materializing [K,H+1,S] (ops/rollout.py)."""
+        from control_toolkit_tpu.ops.rollout import scan_cost_rollout
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        cp = self._cost_params(params)
+        step = self.predictor.single_step
+
+        cost, _ = scan_cost_rollout(
+            lambda x, u, p: step(x, u, p["dyn"]),
+            lambda x, u, up, p: cf.stage_cost_step(x, u, up, cp),
+            lambda x, p: cf.get_terminal_cost(x, cp),
+            s_tiled, Q, u_prev, params,
+        )
+        return cost
+
+    # ---- Pallas fused kernel ---------------------------------------------
+    def _can_use_pallas(self) -> bool:
+        import jax
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        from control_toolkit_tpu.models.predictors import ODEPredictor
+        from control_toolkit_tpu.ops.pallas_rollout import DEFAULT_TILE_K
+
+        return (
+            jax.default_backend() == "tpu"
+            and isinstance(pred, ODEPredictor)
+            and getattr(pred.dynamics, "soa", None) is not None
+            and cf is not None
+            and getattr(cf, "supports_fused_rollout", False)
+            and self.num_rollouts % DEFAULT_TILE_K == 0
+        )
+
+    def _build_pallas_cost(self, interpret: bool = False, tile_k: int = None):
+        """Bind predictor dynamics + cost function into the fused Pallas
+        rollout+cost kernel (ops/pallas_rollout.py).
+
+        Returns ``cost_fn(s_tiled, Q, u_prev, params) -> [K]`` with the same
+        semantics as ``_fused_cost``; all scalar parameters are packed into
+        the kernel's SMEM prefetch vector per call, so weight hot-reloads and
+        attribute updates need no recompilation.
+        """
+        import jax.numpy as jnp
+
+        from control_toolkit_tpu.ops.pallas_rollout import (
+            DEFAULT_TILE_K,
+            build_cost_rollout_kernel,
+        )
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        U = self.num_control_inputs
+
+        dyn_keys = sorted(pred.default_params())
+        cost_keys = sorted(cf.dynamic_config_keys)
+        attr_keys = sorted(getattr(cf, "attr_keys", ()))
+        param_keys = (
+            [f"d_{k}" for k in dyn_keys]
+            + [f"c_{k}" for k in cost_keys]
+            + [f"a_{k}" for k in attr_keys]
+            + [f"__u_prev_{j}" for j in range(U)]
+        )
+
+        def split_p(p):
+            dyn = {k: p[f"d_{k}"] for k in dyn_keys}
+            cp = {
+                "cost": {k: p[f"c_{k}"] for k in cost_keys},
+                "attrs": {k: p[f"a_{k}"] for k in attr_keys},
+            }
+            return dyn, cp
+
+        max_cost = cf.MAX_COST
+
+        def stage_soa(xs, us, prev_us, p):
+            dyn, cp = split_p(p)
+            return (
+                cf._stage_cost_core_soa(xs, us, cp)
+                + cf.control_change_cost_soa(us, prev_us, cp)
+                - max_cost
+            )
+
+        def terminal_soa(xs, p):
+            _, cp = split_p(p)
+            return cf.terminal_cost_soa(xs, cp)
+
+        def derivs(xs, us, p):
+            dyn, _ = split_p(p)
+            return pred.dynamics.soa(xs, us, dyn)
+
+        kernel = build_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa,
+            num_states=self.num_states, num_controls=U,
+            horizon=self.mpc_horizon, dt=pred.dt,
+            param_keys=param_keys,
+            integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tile_k or DEFAULT_TILE_K,
+            interpret=interpret,
+        )
+
+        def cost_fn(s_tiled, Q, u_prev, params):
+            vals = {}
+            for k in dyn_keys:
+                vals[f"d_{k}"] = params["dyn"][k]
+            for k in cost_keys:
+                vals[f"c_{k}"] = params["cost"][k]
+            for k in attr_keys:
+                vals[f"a_{k}"] = params["attrs"].get(k, 0.0)
+            up = jnp.reshape(jnp.asarray(u_prev, jnp.float32), (-1,))
+            for j in range(U):
+                vals[f"__u_prev_{j}"] = up[j]
+            pvec = jnp.stack([jnp.asarray(vals[k], jnp.float32) for k in param_keys])
+            return kernel(s_tiled, Q, pvec)
+
+        return cost_fn
+
     # ---- sharding ---------------------------------------------------------
     def plan_sharding(self, mesh, axis: str = "k") -> None:
         """Shard the rollout population over a device mesh.

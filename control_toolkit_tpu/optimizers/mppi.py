@@ -105,6 +105,15 @@ class MPPIOptimizer(Optimizer):
             a = jnp.sum(w, axis=0)
             return jnp.sum(w[:, None, None] * delta_u, axis=0) / a
 
+        # Fused path: skip trajectory materialization when nobody reads it
+        # (logging off).  Saves the [K,H+1,S] HBM round trip per step.
+        # On TPU with compatible models, the fused rollout+cost runs as a
+        # Pallas kernel holding the integration state in VMEM.
+        fuse = (not self.optimizer_logging) and self._can_fuse_rollout()
+        pallas_cost = (
+            self._build_pallas_cost() if (fuse and self._can_use_pallas()) else None
+        )
+
         def step_fn(state: MPPIState, s, params):
             key, sample_key = jax.random.split(state.key)
             s_tiled = jnp.tile(s[:1], (K, 1))
@@ -119,22 +128,31 @@ class MPPIOptimizer(Optimizer):
 
             u_run = jnp.clip(u_nom + delta_u, low, high)
 
-            traj = self.predictor.rollout(s_tiled, u_run, params["dyn"])
-            traj_cost = self.cost_function.get_trajectory_cost(
-                traj, u_run, state.u_prev, self._cost_params(params)
-            ) + correction_cost(u_run, delta_u)
+            if pallas_cost is not None:
+                base_cost = pallas_cost(s_tiled, u_run, state.u_prev, params)
+                traj = None
+            elif fuse:
+                base_cost = self._fused_cost(s_tiled, u_run, state.u_prev, params)
+                traj = None
+            else:
+                traj = self.predictor.rollout(s_tiled, u_run, params["dyn"])
+                base_cost = self.cost_function.get_trajectory_cost(
+                    traj, u_run, state.u_prev, self._cost_params(params)
+                )
+            traj_cost = base_cost + correction_cost(u_run, delta_u)
 
             u_nom = jnp.clip(
                 u_nom + reward_weighted_average(traj_cost, delta_u)[None], low, high
             )
             u = u_nom[0, 0, :]
 
-            diag = {
-                "Q_logged": u_run,
-                "J_logged": traj_cost,
-                "rollout_trajectories_logged": traj,
-                "u_nom": u_nom,
-            }
+            diag = {"u_nom": u_nom}
+            if not fuse:
+                diag.update({
+                    "Q_logged": u_run,
+                    "J_logged": traj_cost,
+                    "rollout_trajectories_logged": traj,
+                })
             if want_opt_traj:
                 diag["optimal_trajectory"] = self.predictor.rollout(
                     s[:1], u_nom, params["dyn"]
