@@ -1,0 +1,128 @@
+"""Neural-imitator controller: a trained network policy as a controller.
+
+Capability parity with the reference controller_neural_imitator
+(/root/reference/Controllers/controller_neural_imitator.py:15-159):
+
+* input vector assembled by mapping the network's declared input names to
+  state indices or variable parameters, with precedence
+  updated_attributes > state > variable_parameters > 0.0 (:49-62,79-106),
+* optional output clipping to [-1, 1] (:74-75),
+* hls4ml/FPGA emulation mode (:44-45,109-113) — emulated here by fixed-point
+  weight quantization,
+* recurrent (GRU) hidden-state logging for CSV export (:37-38,116-159).
+
+The evaluator is a pure-JAX network (models/networks.py) jitted once; the
+hidden state for recurrent nets threads explicitly through the controller.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from control_toolkit_tpu.controllers.base import Controller
+from control_toolkit_tpu.models.dynamics import state_indices
+from control_toolkit_tpu.models import networks as nets
+from control_toolkit_tpu.utils import registry
+from control_toolkit_tpu.utils.logging_util import get_logger
+from control_toolkit_tpu.utils.rng import make_key
+
+logger = get_logger(__name__)
+
+
+@registry.controllers.register("neural-imitator")
+class NeuralImitatorController(Controller):
+    def configure(self, **kwargs) -> None:
+        cfg = self.config_controller
+        self.net_name = str(cfg.get("net_name", "mlp-32-32"))
+        self.path_to_models = Path(cfg.get("path_to_models", "./models"))
+        self.input_at_input = bool(cfg.get("input_at_input", False))
+        self.hls4ml = bool(cfg.get("hls4ml", False))
+        self.clip_output = bool(cfg.get("clip_output", True))
+
+        ckpt = self.path_to_models / f"{self.net_name}.npz"
+        sidx = state_indices(self.environment_name)
+
+        if ckpt.is_file():
+            self.params, meta = nets.load_net(ckpt)
+            self.input_names = meta.get("inputs", list(sidx))
+            self.output_names = meta.get("outputs", ["Q"])
+            arch = meta.get("arch") or nets.parse_net_name(self.net_name)
+            logger.info(f"loaded network {self.net_name} from {ckpt}")
+        else:
+            # No checkpoint: random-initialized net with env-default wiring.
+            arch = nets.parse_net_name(self.net_name)
+            self.input_names = list(sidx)
+            self.output_names = ["Q"]
+            key = make_key(cfg.get("seed", 0), "neural_imitator")
+            if arch["kind"] == "mlp":
+                sizes = [len(self.input_names)] + list(arch["hiddens"]) + [len(self.output_names)]
+                self.params = nets.mlp_init(key, sizes)
+            else:
+                self.params = nets.gru_init(
+                    key, len(self.input_names), arch["hiddens"], len(self.output_names)
+                )
+            logger.warning(
+                f"no checkpoint at {ckpt}; using randomly initialized {arch['kind']}"
+            )
+        self.arch = arch
+
+        if self.hls4ml:
+            self.params = nets.quantize_params(self.params)
+            logger.info("hls4ml mode: fixed-point-quantized weights (ap_fixed<16,6>)")
+
+        self._state_index = {n: i for n, i in state_indices(self.environment_name).items()}
+        self.recurrent = arch["kind"] == "gru"
+        if self.recurrent:
+            self._hidden = nets.gru_init_state(arch["hiddens"], 1)
+            self._apply = jax.jit(
+                lambda p, x, h: nets.gru_apply(p, x, h)
+            )
+        else:
+            self._apply = jax.jit(lambda p, x: nets.mlp_apply(p, x))
+
+        # CSV logging of hidden states (reference :116-159).
+        self.controller_data_for_csv = {}
+
+    def _assemble_input(self, s: np.ndarray, updated_attributes: Dict) -> np.ndarray:
+        """Precedence: updated_attributes > state > variable_parameters > 0."""
+        vec = np.zeros(len(self.input_names), np.float32)
+        for i, name in enumerate(self.input_names):
+            if name in updated_attributes:
+                vec[i] = float(np.asarray(updated_attributes[name]).reshape(-1)[0])
+            elif name in self._state_index:
+                vec[i] = float(s[self._state_index[name]])
+            elif name in self.variable_parameters:
+                vec[i] = float(np.asarray(self.variable_parameters[name]).reshape(-1)[0])
+            else:
+                vec[i] = 0.0
+        return vec
+
+    def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
+        updated_attributes = updated_attributes or {}
+        self.update_attributes(updated_attributes)
+        x = jnp.asarray(self._assemble_input(np.asarray(s, np.float32), updated_attributes))[None]
+
+        if self.recurrent:
+            out, self._hidden = self._apply(self.params, x, self._hidden)
+            for li, h in enumerate(self._hidden):
+                h_np = np.asarray(h[0])
+                for ui, val in enumerate(h_np):
+                    self.controller_data_for_csv[f"gru_{li}_state_{ui}"] = float(val)
+        else:
+            out = self._apply(self.params, x)
+
+        u = np.asarray(out[0], np.float32)
+        if self.clip_output:
+            u = np.clip(u, -1.0, 1.0)
+        self.u = u
+        if self.controller_logging:
+            self.update_logs({"u_logged": u, "s_logged": np.asarray(s)})
+        return u
+
+    def controller_reset(self) -> None:
+        if self.recurrent:
+            self._hidden = nets.gru_init_state(self.arch["hiddens"], 1)

@@ -99,3 +99,20 @@ DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),
 }
+
+# Named state/control components per environment — the STATE_INDICES analogue
+# used to map network input names to state slots (reference
+# controller_neural_imitator.py:49-62, controller_embedded.py:46-66).
+STATE_NAMES = {
+    "cartpole": ["position", "positionD", "angle", "angleD"],
+    "pendulum": ["angle", "angleD"],
+}
+CONTROL_NAMES = {
+    "cartpole": ["Q"],
+    "pendulum": ["Q"],
+}
+
+
+def state_indices(environment_name: str) -> Dict:
+    names = STATE_NAMES.get(environment_name.lower(), [])
+    return {n: i for i, n in enumerate(names)}

@@ -1,0 +1,162 @@
+"""Neural network evaluators: MLP and GRU policies/dynamics models.
+
+The reference delegates network policies to SI_Toolkit's
+``neural_network_evaluator`` (used by controller_neural_imitator,
+/root/reference/Controllers/controller_neural_imitator.py:2,21-26; network
+predictor kinds named in config_controllers.yml:8, e.g.
+'GRU-6IN-32H1-32H2-5OUT-0').  Here networks are pure-JAX functions over
+explicit parameter pytrees — directly jit/scan/vmap-compatible, trivially
+checkpointable (flat dict of arrays -> npz/orbax), and usable both as
+policies (neural imitator) and as dynamics predictors.
+
+Architecture strings follow the reference naming scheme:
+  "mlp-32-32"              2 hidden layers of 32, tanh
+  "GRU-6IN-32H1-32H2-5OUT" GRU with 2 stacked cells (32, 32)
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- MLP
+def mlp_init(key: jax.Array, sizes: Sequence[int]) -> Dict:
+    """Glorot-initialized MLP params for layer sizes [in, h1, ..., out]."""
+    params = {}
+    keys = jax.random.split(key, len(sizes) - 1)
+    for i, (fan_in, fan_out) in enumerate(zip(sizes[:-1], sizes[1:])):
+        scale = jnp.sqrt(2.0 / (fan_in + fan_out))
+        params[f"w{i}"] = scale * jax.random.normal(keys[i], (fan_in, fan_out))
+        params[f"b{i}"] = jnp.zeros((fan_out,))
+    return params
+
+
+def mlp_apply(params: Dict, x: jnp.ndarray, activation=jnp.tanh) -> jnp.ndarray:
+    n = sum(1 for k in params if k.startswith("w"))
+    for i in range(n):
+        x = x @ params[f"w{i}"] + params[f"b{i}"]
+        if i < n - 1:
+            x = activation(x)
+    return x
+
+
+# ---------------------------------------------------------------- GRU
+def gru_cell_init(key: jax.Array, in_dim: int, hidden: int) -> Dict:
+    k1, k2 = jax.random.split(key)
+    scale_i = jnp.sqrt(1.0 / in_dim)
+    scale_h = jnp.sqrt(1.0 / hidden)
+    return {
+        "wi": scale_i * jax.random.normal(k1, (in_dim, 3 * hidden)),
+        "wh": scale_h * jax.random.normal(k2, (hidden, 3 * hidden)),
+        "bi": jnp.zeros((3 * hidden,)),
+        "bh": jnp.zeros((3 * hidden,)),
+    }
+
+
+def gru_cell_apply(p: Dict, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Standard GRU cell: x [..., I], h [..., H] -> h' [..., H]."""
+    gi = x @ p["wi"] + p["bi"]
+    gh = h @ p["wh"] + p["bh"]
+    H = h.shape[-1]
+    r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
+    z = jax.nn.sigmoid(gi[..., H:2*H] + gh[..., H:2*H])
+    n = jnp.tanh(gi[..., 2*H:] + r * gh[..., 2*H:])
+    return (1.0 - z) * n + z * h
+
+
+def gru_init(key: jax.Array, in_dim: int, hiddens: Sequence[int], out_dim: int) -> Dict:
+    keys = jax.random.split(key, len(hiddens) + 1)
+    params: Dict = {}
+    d = in_dim
+    for i, h in enumerate(hiddens):
+        params[f"cell{i}"] = gru_cell_init(keys[i], d, h)
+        d = h
+    scale = jnp.sqrt(1.0 / d)
+    params["wo"] = scale * jax.random.normal(keys[-1], (d, out_dim))
+    params["bo"] = jnp.zeros((out_dim,))
+    return params
+
+
+def gru_apply(params: Dict, x: jnp.ndarray, hs: Tuple[jnp.ndarray, ...]):
+    """One step through stacked GRU cells.
+
+    x: [..., I]; hs: tuple of per-layer hidden states [..., H_i].
+    Returns (output [..., O], new_hs).
+    """
+    new_hs = []
+    inp = x
+    for i in range(len(hs)):
+        h_new = gru_cell_apply(params[f"cell{i}"], inp, hs[i])
+        new_hs.append(h_new)
+        inp = h_new
+    out = inp @ params["wo"] + params["bo"]
+    return out, tuple(new_hs)
+
+
+def gru_init_state(hiddens: Sequence[int], batch: int) -> Tuple[jnp.ndarray, ...]:
+    return tuple(jnp.zeros((batch, h)) for h in hiddens)
+
+
+# ------------------------------------------------ architecture strings
+def parse_net_name(name: str) -> Dict:
+    """Parse a reference-style network name into an architecture spec."""
+    low = name.lower()
+    if low.startswith("mlp"):
+        hiddens = [int(x) for x in re.findall(r"-(\d+)", name)]
+        return {"kind": "mlp", "hiddens": hiddens or [32, 32]}
+    if low.startswith("gru") or low.startswith("lstm"):
+        in_m = re.search(r"(\d+)in", low)
+        out_m = re.search(r"(\d+)out", low)
+        hiddens = [int(h) for h in re.findall(r"(\d+)h\d", low)]
+        return {
+            "kind": "gru",
+            "in_dim": int(in_m.group(1)) if in_m else None,
+            "out_dim": int(out_m.group(1)) if out_m else None,
+            "hiddens": hiddens or [32],
+        }
+    raise ValueError(f"Cannot parse network name {name!r}")
+
+
+# ------------------------------------------------ checkpoint I/O
+def save_net(path, params: Dict, meta: Optional[Dict] = None) -> None:
+    flat = {k: np.asarray(v) for k, v in params.items()}
+    if meta:
+        import json
+        flat["__meta"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        )
+    np.savez(path, **flat)
+
+
+def load_net(path) -> Tuple[Dict, Dict]:
+    import json
+    data = np.load(path)
+    meta = {}
+    params = {}
+    for k in data.files:
+        if k == "__meta":
+            meta = json.loads(bytes(data[k]).decode("utf-8"))
+        else:
+            params[k] = jnp.asarray(data[k])
+    return params, meta
+
+
+def quantize_params(params: Dict, total_bits: int = 16, frac_bits: int = 10) -> Dict:
+    """Fixed-point weight emulation for the hls4ml/FPGA mode
+    (reference controller_neural_imitator.py:44-45,109-113): quantize every
+    weight to ap_fixed<total_bits, total_bits-frac_bits> semantics."""
+    scale = float(2**frac_bits)
+    lo = -(2 ** (total_bits - 1)) / scale
+    hi = (2 ** (total_bits - 1) - 1) / scale
+
+    def q(v):
+        v = jnp.asarray(v)
+        if v.dtype not in (jnp.float32, jnp.float64):
+            return v
+        return jnp.clip(jnp.round(v * scale) / scale, lo, hi)
+
+    return jax.tree_util.tree_map(q, params)

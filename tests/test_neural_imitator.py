@@ -1,0 +1,67 @@
+"""Neural imitator controller + network evaluator tests."""
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.controllers.neural_imitator import NeuralImitatorController
+from control_toolkit_tpu.models import networks as nets
+
+
+def make(tmp_path, net_name="mlp-16-16", hls4ml=False, with_ckpt=False, seed=0):
+    if with_ckpt:
+        import jax
+        key = jax.random.PRNGKey(7)
+        params = nets.mlp_init(key, [5, 16, 16, 1])
+        nets.save_net(
+            tmp_path / f"{net_name}.npz", params,
+            meta={"inputs": ["position", "positionD", "angle", "angleD", "target_position"],
+                  "outputs": ["Q"], "arch": {"kind": "mlp", "hiddens": [16, 16]}},
+        )
+    ctrl = NeuralImitatorController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.25},
+        config={"net_name": net_name, "path_to_models": str(tmp_path),
+                "hls4ml": hls4ml, "controller_logging": False, "seed": seed},
+    )
+    ctrl.configure()
+    return ctrl
+
+
+def test_mlp_imitator_steps_and_clips(tmp_path):
+    ctrl = make(tmp_path)
+    u = ctrl.step(np.array([0.1, 0.0, 0.2, 0.0], np.float32))
+    assert u.shape == (1,)
+    assert -1.0 <= float(u[0]) <= 1.0
+
+
+def test_checkpoint_roundtrip_with_input_mapping(tmp_path):
+    ctrl = make(tmp_path, with_ckpt=True)
+    assert ctrl.input_names[-1] == "target_position"
+    s = np.array([0.1, 0.0, 0.2, 0.0], np.float32)
+    u1 = ctrl.step(s)
+    # updated attribute overrides variable parameter in the input vector
+    u2 = ctrl.step(s, updated_attributes={"target_position": 5.0})
+    assert not np.allclose(u1, u2), "target change must alter the net input"
+
+
+def test_gru_imitator_hidden_state_and_reset(tmp_path):
+    ctrl = make(tmp_path, net_name="GRU-4IN-8H1-1OUT")
+    s = np.array([0.1, 0.0, 0.2, 0.0], np.float32)
+    u1 = ctrl.step(s)
+    u2 = ctrl.step(s)  # hidden state advanced => different output
+    assert not np.allclose(u1, u2)
+    assert any(k.startswith("gru_0_state_") for k in ctrl.controller_data_for_csv)
+    ctrl.controller_reset()
+    u3 = ctrl.step(s)
+    np.testing.assert_allclose(u1, u3, atol=1e-6)
+
+
+def test_hls4ml_quantization_changes_weights(tmp_path):
+    a = make(tmp_path, hls4ml=False, seed=3)
+    b = make(tmp_path, hls4ml=True, seed=3)
+    w_a = np.asarray(a.params["w0"])
+    w_b = np.asarray(b.params["w0"])
+    assert not np.allclose(w_a, w_b)
+    # quantized weights land on the fixed-point grid
+    scale = 2**10
+    np.testing.assert_allclose(w_b * scale, np.round(w_b * scale), atol=1e-4)

@@ -1,0 +1,95 @@
+"""ZMQ server + remote controller round trip (in-process, tcp://127.0.0.1)."""
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+zmq = pytest.importorskip("zmq")
+
+from control_toolkit_tpu.controllers.remote import RemoteController
+from control_toolkit_tpu.serving.server import build_controller, serve
+
+PORT = 55331
+ENDPOINT_BIND = f"tcp://127.0.0.1:{PORT}"
+
+
+@pytest.fixture(scope="module")
+def server_thread():
+    ctrl = build_controller(
+        "mpc", "random-action-tf", environment_name="cartpole",
+        initial_attributes={"target_position": 0.0},
+        optimizer_config={"seed": 0, "mpc_timestep": 0.02,
+                          "mpc_horizon": 8, "num_rollouts": 16},
+    )
+    t = threading.Thread(
+        target=serve,
+        kwargs={"ctrl": ctrl, "endpoint": ENDPOINT_BIND,
+                "warmup_state": np.zeros(4, np.float32), "max_requests": 50},
+        daemon=True,
+    )
+    t.start()
+    time.sleep(1.0)
+    yield t
+
+
+def test_raw_protocol_round_trip(server_thread):
+    ctx = zmq.Context.instance()
+    sock = ctx.socket(zmq.DEALER)
+    sock.connect(f"tcp://127.0.0.1:{PORT}")
+    sock.setsockopt(zmq.RCVTIMEO, 10000)
+
+    sock.send_json({"rid": 1, "state": [0.0, 0.0, 0.1, 0.0], "time": 0.0,
+                    "updated_attributes": {"target_position": 0.5}})
+    resp = sock.recv_json()
+    assert resp["rid"] == 1
+    q = np.asarray(resp["Q"], np.float32)
+    assert q.shape == (1,)
+    assert -1.0 <= float(q[0]) <= 1.0
+    sock.close(0)
+
+
+def test_malformed_request_gets_no_reply(server_thread):
+    """Server contract: exceptions produce silence, not an error reply."""
+    ctx = zmq.Context.instance()
+    sock = ctx.socket(zmq.DEALER)
+    sock.connect(f"tcp://127.0.0.1:{PORT}")
+    sock.setsockopt(zmq.RCVTIMEO, 300)
+
+    sock.send(b"this is not json")
+    with pytest.raises(zmq.error.Again):
+        sock.recv_json()
+    # server still alive for valid requests
+    sock.setsockopt(zmq.RCVTIMEO, 10000)
+    sock.send_json({"rid": 2, "state": [0, 0, 0, 0], "time": None,
+                    "updated_attributes": {}})
+    assert sock.recv_json()["rid"] == 2
+    sock.close(0)
+
+
+def test_remote_controller_round_trip(server_thread):
+    ctrl = RemoteController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={},
+        config={"host": "127.0.0.1", "port": PORT, "timeout_ms": 10000,
+                "fallback_controller": None, "controller_logging": False},
+    )
+    ctrl.configure()
+    u = ctrl.step(np.array([0.0, 0.0, 0.1, 0.0], np.float32))
+    assert u.shape == (1,)
+
+
+def test_remote_timeout_falls_back_to_zero():
+    """No server on this port: timeout path returns zero control."""
+    ctrl = RemoteController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={},
+        config={"host": "127.0.0.1", "port": 59999, "timeout_ms": 30,
+                "fallback_controller": None, "controller_logging": False},
+    )
+    ctrl.configure()
+    u = ctrl.step(np.zeros(4, np.float32))
+    np.testing.assert_allclose(u, np.zeros(1, np.float32))
