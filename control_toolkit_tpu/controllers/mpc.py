@@ -92,6 +92,11 @@ class MPCController(Controller):
         self._cost_params = None
         self.controller_data_for_csv = self.cost_function.cost_function.logged_attributes
 
+        from control_toolkit_tpu.utils.profiling import LatencyTracker
+        self.latency = LatencyTracker() if self.config_controller.get(
+            "profile_latency", False
+        ) else None
+
     def _assemble_params(self) -> Dict:
         """Build the jit-argument params pytree.
 
@@ -118,10 +123,20 @@ class MPCController(Controller):
         if self.cost_function.update_cost_parameters_from_config():
             self._cost_params = None  # re-device the reloaded weights
         self.update_attributes(updated_attributes)
-        u = self.optimizer.step(s, time, params=self._assemble_params())
+        if self.latency is not None:
+            with self.latency.measure():
+                u = self.optimizer.step(s, time, params=self._assemble_params())
+        else:
+            u = self.optimizer.step(s, time, params=self._assemble_params())
         self.update_logs(self.optimizer.logging_values)
         self.u = u
         return u
+
+    def controller_report(self) -> None:
+        if self.latency is not None and len(self.latency):
+            logger.info(self.latency.report())
+        else:
+            super().controller_report()
 
     def controller_reset(self) -> None:
         self.optimizer.optimizer_reset()

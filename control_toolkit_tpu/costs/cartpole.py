@@ -63,6 +63,21 @@ class CartpoleQuadraticCost(CostFunction):
         w = params["cost"]
         return w["ccrc_weight"] * sum((u - pu) ** 2 for u, pu in zip(us, prev_us))
 
+    def cost_components(self, states, inputs, previous_input=None, params=None):
+        """Named stage-cost terms for the CostFunctionTester."""
+        params = params if params is not None else self.current_params()
+        w = params["cost"]
+        target = params["attrs"].get("target_position", jnp.float32(0.0))
+        pos = states[..., 0]
+        angle = states[..., 2]
+        angle_d = states[..., 3]
+        return {
+            "dd": w["dd_weight"] * (pos - target) ** 2,
+            "ep": w["ep_weight"] * 0.25 * (1.0 - jnp.cos(angle)) ** 2,
+            "ekp": w["ekp_weight"] * (angle_d / (2.0 * jnp.pi)) ** 2,
+            "cc": w["cc_weight"] * w["R"] * jnp.sum(inputs**2, axis=-1),
+        }
+
     def terminal_cost_soa(self, xs, params):
         # Penalize terminal pole-down configurations; keeps swing-up honest
         # at short horizons.

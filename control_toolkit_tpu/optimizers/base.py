@@ -137,7 +137,18 @@ class Optimizer:
             # Keep the device array; fetch only if someone reads it.
             self.optimal_control_sequence = diag["u_nom"]
 
-        return np.asarray(u)
+        u_host = np.asarray(u)
+        # NaN guard on the jitted output (SURVEY §5: the reference only
+        # nan-guards the embedded path; here every optimizer output is
+        # checked at the host boundary — a diverged solve commands zero).
+        if not np.all(np.isfinite(u_host)):
+            logger.warning(
+                f"{self.__class__.__name__} produced non-finite control "
+                f"{u_host}; substituting zeros and resetting optimizer state"
+            )
+            self.optimizer_reset()
+            u_host = np.zeros_like(u_host)
+        return u_host
 
     def default_params(self) -> Dict:
         dyn = self.predictor.default_params() if self.predictor is not None else {}

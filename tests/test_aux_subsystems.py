@@ -1,0 +1,102 @@
+"""Aux subsystems: checkpoint/resume, latency tracker, NaN guard, cost
+tester, ASF template registration."""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from control_toolkit_tpu.utils import checkpoint
+from control_toolkit_tpu.utils.profiling import LatencyTracker
+
+
+def make_rpgd(seed=3):
+    from test_optimizer_zoo import make
+    return make("rpgd-tf", logging=False)
+
+
+def test_checkpoint_roundtrip_resumes_identically(tmp_path):
+    a = make_rpgd()
+    s = np.array([0.0, 0.0, 0.2, 0.0], np.float32)
+    for _ in range(3):
+        a.step(s)
+    ckpt = tmp_path / "opt.npz"
+    checkpoint.save_optimizer(ckpt, a.optimizer)
+    u_next_a = a.step(s)
+
+    b = make_rpgd()
+    checkpoint.load_optimizer(ckpt, b.optimizer)
+    u_next_b = b.step(s)
+    np.testing.assert_allclose(u_next_a, u_next_b, atol=1e-6)
+
+
+def test_controller_checkpoint_includes_attrs(tmp_path):
+    a = make_rpgd()
+    a.step(np.zeros(4, np.float32), updated_attributes={"target_position": 3.0})
+    checkpoint.save_controller(tmp_path / "ctrl.npz", a)
+    b = make_rpgd()
+    checkpoint.load_controller(tmp_path / "ctrl.npz", b)
+    assert float(b.variable_parameters["target_position"]) == 3.0
+
+
+def test_latency_tracker_percentiles():
+    t = LatencyTracker()
+    for v in [0.001, 0.002, 0.003, 0.010]:
+        t.record(v)
+    p = t.percentiles()
+    assert 1.0 <= p["p50_ms"] <= 3.0
+    assert p["max_ms"] == pytest.approx(10.0)
+    assert "p99" in t.report()
+
+
+def test_nan_guard_resets_and_zeroes():
+    from test_optimizer_zoo import make
+    ctrl = make("mppi", logging=False)
+    # Poison the state: nominal plan full of NaNs -> step output NaN.
+    import jax.numpy as jnp
+    st = ctrl.optimizer.opt_state
+    ctrl.optimizer.opt_state = st._replace(u_nom=jnp.full_like(st.u_nom, jnp.nan))
+    u = ctrl.step(np.zeros(4, np.float32))
+    np.testing.assert_allclose(u, 0.0)
+    # state was reset: next step is finite and nominal is clean
+    u2 = ctrl.step(np.zeros(4, np.float32))
+    assert np.all(np.isfinite(u2))
+    assert np.all(np.isfinite(np.asarray(ctrl.optimizer.opt_state.u_nom)))
+
+
+def test_cost_tester_collects_components():
+    from control_toolkit_tpu.costs.cartpole import CartpoleQuadraticCost
+    from control_toolkit_tpu.costs.tester import CostFunctionTester
+
+    cf = CartpoleQuadraticCost()
+    tester = CostFunctionTester(cf)
+    states = np.random.default_rng(0).normal(size=(2, 5, 4)).astype(np.float32)
+    inputs = np.zeros((2, 5, 1), np.float32)
+    for _ in range(4):
+        tester.collect_costs(states, inputs)
+    arrays = tester.to_arrays()
+    assert set(arrays) == {"dd", "ep", "ekp", "cc"}
+    assert all(v.shape == (4,) for v in arrays.values())
+    fig = tester.plot(show=False)
+    assert fig is not None
+    assert tester.buffers == {}
+
+
+def test_asf_template_registers_plugins():
+    sys.path.insert(0, "/root/repo")
+    from control_toolkit_tpu.utils import registry
+    registry.load_asf_package("Control_Toolkit_ASF_Template")
+    assert "barebone" in registry.controllers
+    assert "environment_name/barebone" in registry.cost_functions
+
+    Ctrl = registry.controllers.get("barebone")
+    ctrl = Ctrl(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={},
+        config={"gain": 2.0, "controller_logging": False},
+    )
+    ctrl.configure()
+    u = ctrl.step(np.array([0.3, 0.0, 0.0, 0.0], np.float32))
+    np.testing.assert_allclose(u, [-0.6], atol=1e-6)
