@@ -104,13 +104,14 @@ class MPCController(Controller):
         transfers nothing but the state vector; cost params are rebuilt only
         when the YAML hot-reload flag fires, attrs only when updated.
         """
+        import jax
         import jax.numpy as jnp
 
         if self._dyn_params is None:
-            self._dyn_params = {
-                k: jnp.asarray(v, dtype=jnp.float32)
-                for k, v in self.predictor.default_params().items()
-            }
+            self._dyn_params = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, dtype=jnp.float32),
+                self.predictor.default_params(),
+            )
         if self._cost_params is None:
             self._cost_params = self.cost_function.current_params()["cost"]
         return {

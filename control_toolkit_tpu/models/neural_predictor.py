@@ -1,0 +1,157 @@
+"""Learned-dynamics predictors (MLP / GRU networks).
+
+Capability parity with SI_Toolkit's neural predictors, which the reference
+selects by network name in ``predictor_specification`` (e.g.
+'GRU-6IN-32H1-32H2-5OUT-0', Control_Toolkit_ASF_Template/
+config_controllers.yml:8) and drives through predict_core/update (the RNN
+internal-state advance used by MPPI, optimizer_mppi.py:195-197).
+
+TPU-native design: the network weights ARE the predictor params pytree, so
+they flow through the optimizer's jitted step like any other dynamics
+parameter (swap checkpoints without recompiling).  MLP predictors model
+``x_{t+1} = x_t + net(x_t, u_t)`` (delta form) or ``x_{t+1} = net(x_t,
+u_t)``; GRU predictors carry a persistent batch-1 hidden state advanced by
+``update`` with the actually-applied control, broadcast to the K rollouts at
+rollout start.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from control_toolkit_tpu.models import networks as nets
+from control_toolkit_tpu.models.predictors import Predictor
+from control_toolkit_tpu.utils import registry
+from control_toolkit_tpu.utils.logging_util import get_logger
+from control_toolkit_tpu.utils.rng import make_key
+
+logger = get_logger(__name__)
+
+
+@registry.predictors.register("neural")
+class NeuralPredictor(Predictor):
+    def __init__(
+        self,
+        environment_name: str = "cartpole",
+        dt: float = 0.02,
+        net_name: str = "mlp-64-64",
+        num_states: Optional[int] = None,
+        num_control_inputs: Optional[int] = None,
+        path_to_models: Optional[str] = None,
+        predict_delta: bool = True,
+        seed: int = 0,
+        params: Optional[Dict] = None,
+        **kwargs,
+    ):
+        from control_toolkit_tpu.models.dynamics import DYNAMICS
+
+        if num_states is None:
+            _, _, num_states, num_control_inputs = DYNAMICS[environment_name.lower()]
+        self.num_states = int(num_states)
+        self.num_control_inputs = int(num_control_inputs)
+        self.dt = float(dt)
+        self.net_name = net_name
+        self.predict_delta = bool(predict_delta)
+        self.arch = nets.parse_net_name(net_name)
+        self.recurrent = self.arch["kind"] == "gru"
+
+        in_dim = self.num_states + self.num_control_inputs
+        if params is not None:
+            self.net_params = params
+        else:
+            ckpt = Path(path_to_models or ".") / f"{net_name}.npz"
+            if ckpt.is_file():
+                self.net_params, meta = nets.load_net(ckpt)
+                self.predict_delta = bool(meta.get("predict_delta", predict_delta))
+                logger.info(f"loaded dynamics net {net_name} from {ckpt}")
+            else:
+                key = make_key(seed, "neural_predictor")
+                if self.recurrent:
+                    self.net_params = nets.gru_init(
+                        key, in_dim, self.arch["hiddens"], self.num_states
+                    )
+                else:
+                    sizes = [in_dim] + list(self.arch["hiddens"]) + [self.num_states]
+                    self.net_params = nets.mlp_init(key, sizes)
+                logger.warning(
+                    f"no checkpoint for dynamics net {net_name}; random init"
+                )
+        if self.recurrent:
+            self.hidden = nets.gru_init_state(self.arch["hiddens"], 1)
+
+    def default_params(self) -> Dict:
+        return {"net": self.net_params}
+
+    # ---- single transition (MLP only) -------------------------------------
+    @property
+    def single_step(self):
+        if self.recurrent:
+            return None  # hidden state threading excludes the fused paths
+
+        def step(x, u, p):
+            net = p["net"]
+            inp = jnp.concatenate([x, u], axis=-1)
+            if "norm_in_mean" in net:
+                inp = (inp - net["norm_in_mean"]) / net["norm_in_std"]
+            core = {k: v for k, v in net.items() if not k.startswith("norm_")}
+            out = nets.mlp_apply(core, inp)
+            if "norm_out_mean" in net:
+                out = out * net["norm_out_std"] + net["norm_out_mean"]
+            return x + out if self.predict_delta else out
+
+        return step
+
+    def rollout(self, s0, Q, params=None):
+        p = {"net": self.net_params} if params is None else params
+        Q_t = jnp.swapaxes(Q, 0, 1)  # [H, B, U]
+
+        if not self.recurrent:
+            step = self.single_step
+
+            def body(x, u):
+                xn = step(x, u, p)
+                return xn, xn
+
+            _, traj = jax.lax.scan(body, s0, Q_t)
+        else:
+            B = s0.shape[0]
+            h0 = tuple(jnp.broadcast_to(h, (B, h.shape[-1])) for h in self.hidden)
+
+            def body(carry, u):
+                x, hs = carry
+                out, hs = nets.gru_apply(p["net"], jnp.concatenate([x, u], -1), hs)
+                xn = x + out if self.predict_delta else out
+                return (xn, hs), xn
+
+            (_, _), traj = jax.lax.scan(body, (s0, h0), Q_t)
+
+        traj = jnp.swapaxes(traj, 0, 1)
+        return jnp.concatenate([s0[:, None, :], traj], axis=1)
+
+    def update(self, s, Q0, params=None) -> None:
+        """Advance the persistent RNN hidden state with the applied control
+        (reference predictor.update semantics)."""
+        if not self.recurrent:
+            return
+        p = {"net": self.net_params} if params is None else params
+        x = jnp.asarray(s)[:1]
+        u = jnp.asarray(Q0).reshape(1, -1)[:, : self.num_control_inputs]
+        _, self.hidden = nets.gru_apply(
+            p["net"], jnp.concatenate([x, u], -1), self.hidden
+        )
+
+    def reset_state(self) -> None:
+        if self.recurrent:
+            self.hidden = nets.gru_init_state(self.arch["hiddens"], 1)
+
+    def copy(self) -> "NeuralPredictor":
+        new = NeuralPredictor(
+            dt=self.dt, net_name=self.net_name,
+            num_states=self.num_states,
+            num_control_inputs=self.num_control_inputs,
+            predict_delta=self.predict_delta, params=self.net_params,
+        )
+        return new

