@@ -195,6 +195,21 @@ class Optimizer:
         )
         return cost
 
+    def _make_cost_only(self, differentiable: bool = False):
+        """Best available cost-only rollout evaluator, or None.
+
+        Preference: Pallas VMEM kernel (TPU) > fused scan > None (caller
+        keeps the trajectory path).  Used by sampling optimizers when
+        logging is off, so the [K,H+1,S] trajectory is never materialized.
+        ``differentiable=True`` excludes the Pallas kernel (no AD rules) —
+        gradient-based optimizers differentiate through the fused scan.
+        """
+        if not differentiable and self._can_use_pallas():
+            return self._build_pallas_cost()
+        if self._can_fuse_rollout():
+            return self._fused_cost
+        return None
+
     # ---- Pallas fused kernel ---------------------------------------------
     def _can_use_pallas(self) -> bool:
         import jax

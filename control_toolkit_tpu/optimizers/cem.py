@@ -74,21 +74,30 @@ class CEMOptimizer(Optimizer):
         low, high = self.action_low, self.action_high
         best_k = self.cem_best_k
         u_mid = 0.5 * (self.action_low + self.action_high)
+        # Logging needs the trajectories; otherwise evaluate costs through the
+        # fused/Pallas path and keep the loop carry trajectory-free.
+        cost_only = None if self.optimizer_logging else self._make_cost_only()
 
         def outer_iter(carry, s_tiled, u_prev, params):
             key, mue, std = carry["key"], carry["mue"], carry["std"]
             key, sub = jax.random.split(key)
             Q = mue + jax.random.normal(sub, (K, H, U), jnp.float32) * std
             Q = jnp.clip(Q, low, high)
-            cost, traj = self._rollout_and_cost(s_tiled, Q, u_prev, params)
+            if cost_only is not None:
+                cost = cost_only(s_tiled, Q, u_prev, params)
+            else:
+                cost, traj = self._rollout_and_cost(s_tiled, Q, u_prev, params)
             idx = elite_indices(cost, best_k)
             elite_Q = Q[idx]
             new_mue = jnp.mean(elite_Q, axis=0, keepdims=True)
             new_std = jnp.std(elite_Q, axis=0, keepdims=True)
-            return {
+            out = {
                 "key": key, "mue": new_mue, "std": new_std,
-                "Q": Q, "elite0": elite_Q[0], "cost": cost, "traj": traj,
+                "Q": Q, "elite0": elite_Q[0], "cost": cost,
             }
+            if cost_only is None:
+                out["traj"] = traj
+            return out
 
         def step_fn(state: CEMState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
@@ -105,8 +114,9 @@ class CEMOptimizer(Optimizer):
                 "Q": jnp.zeros((K, H, U), jnp.float32),
                 "elite0": jnp.zeros((H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
-                "traj": jnp.zeros((K, H + 1, self.num_states), jnp.float32),
             }
+            if cost_only is None:
+                carry["traj"] = jnp.zeros((K, H + 1, self.num_states), jnp.float32)
             carry = jax.lax.fori_loop(
                 0, iterations,
                 lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
@@ -132,9 +142,10 @@ class CEMOptimizer(Optimizer):
             diag = {
                 "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
-                "rollout_trajectories_logged": carry["traj"],
                 "u_nom": carry["elite0"][None],
             }
+            if cost_only is None:
+                diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMState(
                 key=carry["key"], dist_mue=mue, stdev=std,
                 count=state.count + 1, u_prev=u,

@@ -81,6 +81,7 @@ class CEMGMMOptimizer(Optimizer):
         low, high = self.action_low, self.action_high
         best_k = self.cem_best_k
         std_min = self.cem_stdev_min
+        cost_only = None if self.optimizer_logging else self._make_cost_only()
 
         def outer_iter(carry, s_tiled, u_prev, params):
             key, k_comp, k_norm = jax.random.split(carry["key"], 3)
@@ -93,7 +94,10 @@ class CEMGMMOptimizer(Optimizer):
             Q = carry["mue"][comp] + eps * carry["std"][comp]
             Q = jnp.clip(Q, low, high)
 
-            cost, traj = self._rollout_and_cost(s_tiled, Q, u_prev, params)
+            if cost_only is not None:
+                cost = cost_only(s_tiled, Q, u_prev, params)
+            else:
+                cost, traj = self._rollout_and_cost(s_tiled, Q, u_prev, params)
             idx = elite_indices(cost, best_k)
             elite_Q = Q[idx]  # [k, H, U], best first
 
@@ -110,7 +114,7 @@ class CEMGMMOptimizer(Optimizer):
             n0 = jnp.sum((~to_c1).astype(jnp.float32))
             prob0 = n0 / best_k
 
-            return {
+            out = {
                 "key": key,
                 "mue": jnp.stack([m0, m1]),
                 "std": jnp.stack([
@@ -118,8 +122,11 @@ class CEMGMMOptimizer(Optimizer):
                     jnp.clip(s1, std_min, 1.0e4),
                 ]),
                 "probs": jnp.stack([prob0, 1.0 - prob0]),
-                "Q": Q, "elite0": elite_Q[0], "cost": cost, "traj": traj,
+                "Q": Q, "elite0": elite_Q[0], "cost": cost,
             }
+            if cost_only is None:
+                out["traj"] = traj
+            return out
 
         def step_fn(state: CEMGMMState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
@@ -129,8 +136,9 @@ class CEMGMMOptimizer(Optimizer):
                 "Q": jnp.zeros((K, H, U), jnp.float32),
                 "elite0": jnp.zeros((H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
-                "traj": jnp.zeros((K, H + 1, S), jnp.float32),
             }
+            if cost_only is None:
+                carry["traj"] = jnp.zeros((K, H + 1, S), jnp.float32)
             carry = jax.lax.fori_loop(
                 0, self.cem_outer_it,
                 lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
@@ -146,9 +154,10 @@ class CEMGMMOptimizer(Optimizer):
             diag = {
                 "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
-                "rollout_trajectories_logged": carry["traj"],
                 "u_nom": carry["elite0"][None],
             }
+            if cost_only is None:
+                diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMGMMState(
                 key=carry["key"], comp_mue=mue, comp_std=std,
                 mix_probs=carry["probs"], u_prev=u,

@@ -83,9 +83,11 @@ class CEMGradBharadhwajOptimizer(Optimizer):
         gclip = self.gradmax_clip
         u_mid = 0.5 * (self.action_low + self.action_high)
 
+        cost_only = None if self.optimizer_logging else self._make_cost_only(differentiable=True)
+        eval_cost = cost_only or (lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0])
+
         def summed_cost(Q, s_tiled, u_prev, params):
-            cost, _ = self._rollout_and_cost(s_tiled, Q, u_prev, params)
-            return jnp.sum(cost)
+            return jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
 
         grad_fn = jax.grad(summed_cost)
 
@@ -102,15 +104,21 @@ class CEMGradBharadhwajOptimizer(Optimizer):
             adam, delta = adam_update(carry["adam"], dQ, lr, b1, b2, eps)
             Qn = jnp.clip(Q - delta, low, high)
 
-            cost, traj = self._rollout_and_cost(s_tiled, Qn, u_prev, params)
+            if cost_only is not None:
+                cost = cost_only(s_tiled, Qn, u_prev, params)
+            else:
+                cost, traj = self._rollout_and_cost(s_tiled, Qn, u_prev, params)
             idx = elite_indices(cost, best_k)
             elite_Q = Qn[idx]
-            return {
+            out = {
                 "key": key, "adam": adam,
                 "mue": jnp.mean(elite_Q, axis=0, keepdims=True),
                 "std": jnp.std(elite_Q, axis=0, keepdims=True),
-                "elite_Q": elite_Q, "Q": Qn, "cost": cost, "traj": traj,
+                "elite_Q": elite_Q, "Q": Qn, "cost": cost,
             }
+            if cost_only is None:
+                out["traj"] = traj
+            return out
 
         def step_fn(state: CEMGradState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
@@ -130,8 +138,9 @@ class CEMGradBharadhwajOptimizer(Optimizer):
                 "elite_Q": elite_seed,
                 "Q": jnp.zeros((K, H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
-                "traj": jnp.zeros((K, H + 1, S), jnp.float32),
             }
+            if cost_only is None:
+                carry["traj"] = jnp.zeros((K, H + 1, S), jnp.float32)
             carry = jax.lax.fori_loop(
                 0, iterations,
                 lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
@@ -156,9 +165,10 @@ class CEMGradBharadhwajOptimizer(Optimizer):
             diag = {
                 "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
-                "rollout_trajectories_logged": carry["traj"],
                 "u_nom": carry["elite_Q"][:1],
             }
+            if cost_only is None:
+                diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMGradState(
                 key=carry["key"], dist_mue=mue, stdev=std, adam=carry["adam"],
                 count=state.count + 1, u_prev=u,

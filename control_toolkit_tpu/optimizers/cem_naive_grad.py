@@ -60,10 +60,11 @@ class CEMNaiveGradOptimizer(Optimizer):
         best_k = self.cem_best_k
         lr, gclip = self.learning_rate, self.gradmax_clip
         u_mid = 0.5 * (self.action_low + self.action_high)
+        cost_only = None if self.optimizer_logging else self._make_cost_only(differentiable=True)
+        eval_cost = cost_only or (lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0])
 
         def summed_cost(Q, s_tiled, u_prev, params):
-            cost, _ = self._rollout_and_cost(s_tiled, Q, u_prev, params)
-            return jnp.sum(cost)
+            return jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
 
         grad_fn = jax.grad(summed_cost)
 
@@ -75,15 +76,21 @@ class CEMNaiveGradOptimizer(Optimizer):
             dQ = grad_fn(Q, s_tiled, u_prev, params)
             dQ = clip_by_norm(dQ, gclip, axes=(1, 2))
             Qn = jnp.clip(Q - lr * dQ, low, high)
-            cost, traj = self._rollout_and_cost(s_tiled, Qn, u_prev, params)
+            if cost_only is not None:
+                cost = cost_only(s_tiled, Qn, u_prev, params)
+            else:
+                cost, traj = self._rollout_and_cost(s_tiled, Qn, u_prev, params)
             idx = elite_indices(cost, best_k)
             elite_Q = Qn[idx]
-            return {
+            out = {
                 "key": key,
                 "mue": jnp.mean(elite_Q, axis=0, keepdims=True),
                 "std": jnp.std(elite_Q, axis=0, keepdims=True),
-                "Q": Qn, "cost": cost, "traj": traj,
+                "Q": Qn, "cost": cost,
             }
+            if cost_only is None:
+                out["traj"] = traj
+            return out
 
         def step_fn(state: CEMState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
@@ -91,8 +98,9 @@ class CEMNaiveGradOptimizer(Optimizer):
                 "key": state.key, "mue": state.dist_mue, "std": state.stdev,
                 "Q": jnp.zeros((K, H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
-                "traj": jnp.zeros((K, H + 1, self.num_states), jnp.float32),
             }
+            if cost_only is None:
+                carry["traj"] = jnp.zeros((K, H + 1, self.num_states), jnp.float32)
             carry = jax.lax.fori_loop(
                 0, self.cem_outer_it,
                 lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
@@ -117,9 +125,10 @@ class CEMNaiveGradOptimizer(Optimizer):
             diag = {
                 "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
-                "rollout_trajectories_logged": carry["traj"],
                 "u_nom": carry["mue"],
             }
+            if cost_only is None:
+                diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMState(
                 key=carry["key"], dist_mue=mue, stdev=std,
                 count=state.count + 1, u_prev=u,

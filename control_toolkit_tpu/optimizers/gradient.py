@@ -87,9 +87,11 @@ class GradientOptimizer(Optimizer):
         lr, b1, b2, eps = self.learning_rate, self.adam_beta_1, self.adam_beta_2, self.adam_epsilon
         gclip = self.gradmax_clip
 
+        cost_only = None if self.optimizer_logging else self._make_cost_only(differentiable=True)
+        eval_cost = cost_only or (lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0])
+
         def summed_cost(Q, s_tiled, u_prev, params):
-            cost, _ = self._rollout_and_cost(s_tiled, Q, u_prev, params)
-            return jnp.sum(cost)
+            return jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
 
         grad_fn = jax.grad(summed_cost)
 
@@ -114,7 +116,11 @@ class GradientOptimizer(Optimizer):
                 (state.Q, state.adam),
             )
 
-            cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
+            if cost_only is not None:
+                cost = cost_only(s_tiled, Q, state.u_prev, params)
+                traj = None
+            else:
+                cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
             best = jnp.argmin(cost)
             u = Q[best, 0, :]
 
@@ -130,9 +136,10 @@ class GradientOptimizer(Optimizer):
             diag = {
                 "Q_logged": Q,
                 "J_logged": cost,
-                "rollout_trajectories_logged": traj,
                 "u_nom": Q[best][None],
             }
+            if traj is not None:
+                diag["rollout_trajectories_logged"] = traj
             new_state = GradientState(
                 key=key, Q=Q_shifted, adam=adam,
                 count=state.count + 1, u_prev=u,

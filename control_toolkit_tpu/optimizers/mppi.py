@@ -109,10 +109,8 @@ class MPPIOptimizer(Optimizer):
         # (logging off).  Saves the [K,H+1,S] HBM round trip per step.
         # On TPU with compatible models, the fused rollout+cost runs as a
         # Pallas kernel holding the integration state in VMEM.
-        fuse = (not self.optimizer_logging) and self._can_fuse_rollout()
-        pallas_cost = (
-            self._build_pallas_cost() if (fuse and self._can_use_pallas()) else None
-        )
+        cost_only = None if self.optimizer_logging else self._make_cost_only()
+        fuse = cost_only is not None
 
         def step_fn(state: MPPIState, s, params):
             key, sample_key = jax.random.split(state.key)
@@ -128,11 +126,8 @@ class MPPIOptimizer(Optimizer):
 
             u_run = jnp.clip(u_nom + delta_u, low, high)
 
-            if pallas_cost is not None:
-                base_cost = pallas_cost(s_tiled, u_run, state.u_prev, params)
-                traj = None
-            elif fuse:
-                base_cost = self._fused_cost(s_tiled, u_run, state.u_prev, params)
+            if fuse:
+                base_cost = cost_only(s_tiled, u_run, state.u_prev, params)
                 traj = None
             else:
                 traj = self.predictor.rollout(s_tiled, u_run, params["dyn"])

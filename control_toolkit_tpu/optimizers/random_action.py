@@ -35,20 +35,24 @@ class RandomActionOptimizer(Optimizer):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         low, high = self.action_low, self.action_high
 
+        cost_only = None if self.optimizer_logging else self._make_cost_only()
+
         def step_fn(state: RandomActionState, s, params):
             key, sample_key = jax.random.split(state.key)
             s_tiled = jnp.tile(s[:1], (K, 1))
             Q = jax.random.uniform(
                 sample_key, (K, H, U), minval=low, maxval=high, dtype=jnp.float32
             )
-            cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
+            if cost_only is not None:
+                cost = cost_only(s_tiled, Q, state.u_prev, params)
+                traj = None
+            else:
+                cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
             best = jnp.argmin(cost)
             u = Q[best, 0, :]
-            diag = {
-                "Q_logged": Q,
-                "J_logged": cost,
-                "rollout_trajectories_logged": traj,
-            }
+            diag = {"Q_logged": Q, "J_logged": cost}
+            if traj is not None:
+                diag["rollout_trajectories_logged"] = traj
             return u, RandomActionState(key=key, u_prev=u), diag
 
         return step_fn

@@ -142,9 +142,11 @@ class RPGDOptimizer(Optimizer):
         shift = self.shift_previous
         want_opt_traj = self.calculate_optimal_trajectory
 
+        cost_only = None if self.optimizer_logging else self._make_cost_only(differentiable=True)
+        eval_cost = cost_only or (lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0])
+
         def summed_cost(Q, s_tiled, u_prev, params):
-            cost, _ = self._rollout_and_cost(s_tiled, Q, u_prev, params)
-            return jnp.sum(cost)
+            return jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
 
         grad_fn = jax.grad(summed_cost)
 
@@ -177,7 +179,11 @@ class RPGDOptimizer(Optimizer):
 
             # Final rollout, elite selection and warm-start shift
             # (reference _get_action :340-380).
-            cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
+            if cost_only is not None:
+                cost = cost_only(s_tiled, Q, state.u_prev, params)
+                traj = None
+            else:
+                cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
             best_idx = elite_indices(cost, keep_k)
             u_nom = Q[best_idx[0]][None]  # [1, H, U]
             u = u_nom[0, 0, :]
@@ -215,10 +221,11 @@ class RPGDOptimizer(Optimizer):
             diag = {
                 "Q_logged": Q,
                 "J_logged": cost,
-                "rollout_trajectories_logged": traj,
                 "trajectory_ages_logged": state.trajectory_ages,
                 "u_nom": u_nom,
             }
+            if traj is not None:
+                diag["rollout_trajectories_logged"] = traj
             if want_opt_traj:
                 opt_traj = self.predictor.rollout(s[:1], u_nom, params["dyn"])
                 diag["optimal_trajectory"] = opt_traj

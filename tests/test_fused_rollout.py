@@ -53,3 +53,23 @@ def test_mppi_fused_equals_unfused():
         ua = a.step(s)
         ub = b.step(s)
     np.testing.assert_allclose(ua, ub, atol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name", ["cem-tf", "cem-naive-grad-tf", "cem-gmm-tf",
+                                  "cem-grad-bharadhwaj-tf", "gradient-tf",
+                                  "rpgd-tf", "random-action-tf"])
+def test_fused_path_equals_trajectory_path(name):
+    """Logging on (trajectory path) vs off (fused cost-only path) must yield
+    identical controls for every optimizer."""
+    from test_optimizer_zoo import make
+
+    a = make(name, logging=True)
+    b = make(name, logging=False)
+    s = np.array([0.0, 0.0, 0.25, -0.1], np.float32)
+    for _ in range(3):
+        ua = a.step(s)
+        ub = b.step(s)
+        np.testing.assert_allclose(ua, ub, atol=2e-5)
