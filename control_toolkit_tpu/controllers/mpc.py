@@ -107,7 +107,9 @@ class MPCController(Controller):
         import jax
         import jax.numpy as jnp
 
-        if self._dyn_params is None:
+        if self._dyn_params is None or getattr(self.predictor, "is_stateful", False):
+            # Stateful (RNN) predictors re-thread their hidden state into the
+            # params every step; stateless params are cached on device.
             self._dyn_params = jax.tree_util.tree_map(
                 lambda v: jnp.asarray(v, dtype=jnp.float32),
                 self.predictor.default_params(),

@@ -82,7 +82,15 @@ class NeuralPredictor(Predictor):
         if self.recurrent:
             self.hidden = nets.gru_init_state(self.arch["hiddens"], 1)
 
+    @property
+    def is_stateful(self) -> bool:
+        return self.recurrent
+
     def default_params(self) -> Dict:
+        # The RNN hidden state is part of the params pytree so jitted
+        # optimizer steps see the CURRENT hidden, not a trace-time constant.
+        if self.recurrent:
+            return {"net": self.net_params, "hidden": self.hidden}
         return {"net": self.net_params}
 
     # ---- single transition (MLP only) -------------------------------------
@@ -105,7 +113,7 @@ class NeuralPredictor(Predictor):
         return step
 
     def rollout(self, s0, Q, params=None):
-        p = {"net": self.net_params} if params is None else params
+        p = self.default_params() if params is None else params
         Q_t = jnp.swapaxes(Q, 0, 1)  # [H, B, U]
 
         if not self.recurrent:
@@ -118,7 +126,8 @@ class NeuralPredictor(Predictor):
             _, traj = jax.lax.scan(body, s0, Q_t)
         else:
             B = s0.shape[0]
-            h0 = tuple(jnp.broadcast_to(h, (B, h.shape[-1])) for h in self.hidden)
+            hidden = p.get("hidden", self.hidden)
+            h0 = tuple(jnp.broadcast_to(h, (B, h.shape[-1])) for h in hidden)
 
             def body(carry, u):
                 x, hs = carry

@@ -106,6 +106,12 @@ class Predictor:
         (then the fused rollout paths fall back to the full-trajectory scan)."""
         return None
 
+    @property
+    def is_stateful(self) -> bool:
+        """True when the predictor carries mutable internal state (RNN
+        hidden) that must be re-threaded into params every control step."""
+        return False
+
 
 @registry.predictors.register("ODE")
 class ODEPredictor(Predictor):
@@ -241,6 +247,10 @@ class PredictorWrapper:
     @property
     def single_step(self):
         return self.predictor.single_step if self.predictor else None
+
+    @property
+    def is_stateful(self) -> bool:
+        return bool(self.predictor) and getattr(self.predictor, "is_stateful", False)
 
     def copy(self) -> "PredictorWrapper":
         new = PredictorWrapper()

@@ -137,6 +137,8 @@ class Optimizer:
             # Keep the device array; fetch only if someone reads it.
             self.optimal_control_sequence = diag["u_nom"]
 
+        self._post_step(s_dev, u, diag)
+
         u_host = np.asarray(u)
         # NaN guard on the jitted output (SURVEY §5: the reference only
         # nan-guards the embedded path; here every optimizer output is
@@ -149,6 +151,13 @@ class Optimizer:
             self.optimizer_reset()
             u_host = np.zeros_like(u_host)
         return u_host
+
+    def _post_step(self, s_dev, u, diag) -> None:
+        """Host-side hook after the jitted step (e.g. RNN predictor state
+        advance with the applied control — reference predictor.update,
+        optimizer_mppi.py:195-197).  Default: advance stateful predictors."""
+        if self.predictor is not None and getattr(self.predictor, "update", None):
+            self.predictor.update(s_dev[:1], jnp.reshape(u, (1, 1, -1)))
 
     def default_params(self) -> Dict:
         dyn = self.predictor.default_params() if self.predictor is not None else {}
