@@ -1,0 +1,284 @@
+"""Fully-fused MPPI control step as two Pallas TPU kernels.
+
+The modular path (ops/pallas_rollout.py) streams the sampled perturbation
+tensor [K,H,U] through HBM several times (sample, interpolate, clip,
+correction cost, weighted average).  This module fuses the ENTIRE MPPI
+update:
+
+  pass 1 (per K-tile, everything in VMEM):
+      counter-based PRNG -> Box-Muller normals at the inducing points ->
+      interpolation matmul (MXU) -> clip to bounds -> H-step ODE rollout
+      with stage cost + MPPI correction-cost accumulation
+      -> write ONLY the per-rollout trajectory-cost vector.
+  XLA glue: rho = min(S), a = sum(exp(-(S-rho)/LBD))  (tiny [K] reductions,
+      psum-able across a sharded mesh).
+  pass 2 (per K-tile): REGENERATE the identical perturbations from the same
+      counters, weight them with exp(-(S-rho)/LBD)/a, and emit per-tile
+      partial sums [n_tiles, H, U]; XLA sums the partials and updates the
+      nominal plan.
+
+Layout: each tile of ``tile_k`` rollouts is held as [8, C] blocks
+(C = tile_k/8) so every VPU op runs on full 8x128 tiles — a flat
+[1, tile_k] row would waste 7/8 of every vector cycle.  Cross-row
+reductions in pass 2 are expressed as two small constant matmuls
+(block-diagonal select + 8-block sum) instead of relayouts, which Mosaic
+cannot lower inside kernels.
+
+The counter-based PRNG (splitmix32 + Box-Muller) is NOT bit-compatible
+with jax.random.normal, so this path is opt-in (MPPIOptimizer fully_fused
+flag); it is validated statistically and in closed loop
+(tests/test_pallas_mppi.py).
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_K = 2048
+ROWS = 8  # VPU sublane count; per-tile arrays are [ROWS, tile_k // ROWS]
+_TWO_PI = 6.283185307179586
+
+
+def _tadd(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _tscale(a, c):
+    return tuple(c * x for x in a)
+
+
+def _splitmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """Counter-based hash (splitmix32 finalizer) on uint32 arrays.
+
+    Self-contained so the SAME bits regenerate in both kernel passes and in
+    interpret mode on any backend (pltpu.prng_seed has no CPU lowering).
+    """
+    x = x * jnp.uint32(0x9E3779B9)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
+    return x
+
+
+def _normals(counter_base: jnp.ndarray, shape) -> jnp.ndarray:
+    """Box-Muller standard normals keyed by a per-element uint32 counter."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    idx = rows * jnp.uint32(shape[1]) + cols
+    bits1 = _splitmix32(counter_base + idx)
+    bits2 = _splitmix32(counter_base + idx + jnp.uint32(0x7F4A7C15))
+    # uint32 -> uniform via the top 24 bits; u1 in (0, 1], u2 in [0, 1).
+    # Mosaic has no uint32->f32 cast: go through int32 (value < 2^24 fits).
+    eight = jnp.uint32(8)
+    i1 = jax.lax.shift_right_logical(bits1, eight).astype(jnp.int32)
+    i2 = jax.lax.shift_right_logical(bits2, eight).astype(jnp.int32)
+    u1 = (i1.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+    u2 = i2.astype(jnp.float32) * (1.0 / 16777216.0)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def build_fused_mppi_step(
+    derivs_soa: Callable,
+    stage_cost_soa: Callable,      # (xs, us, prev_us, pdict) -> [R, C]
+    terminal_cost_soa: Callable,   # (xs, pdict) -> [R, C]
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    num_inducing: int,
+    interp_matrix: np.ndarray,     # [P, H]
+    dt: float,
+    param_keys: Sequence[str],
+    cc_weight: float, R: float, NU: float, LBD: float,
+    stdev: float,
+    action_low, action_high,
+    integrator: str = "rk4",
+    intermediate_steps: int = 1,
+    tile_k: int = DEFAULT_TILE_K,
+    interpret: bool = False,
+):
+    """Build ``make_run(K) -> step(s0 [S], u_nom [H,U], pvec [N], seed [1])
+    -> (new_u_nom [H,U], costs [K])`` implementing one full MPPI update."""
+    S, U, H, P = num_states, num_controls, horizon, num_inducing
+    assert tile_k % ROWS == 0
+    C = tile_k // ROWS
+    sub_dt = dt / intermediate_steps
+    low = float(np.asarray(action_low).reshape(-1)[0])
+    high = float(np.asarray(action_high).reshape(-1)[0])
+
+    # Constant operands (small, passed as VMEM inputs — Mosaic kernels can't
+    # capture array constants):
+    W_np = np.asarray(interp_matrix, np.float32)            # [P, H]
+    # Block interpolation: delta_full [H*R, C] = Wk @ z [P*R, C] with
+    # Wk = kron(W.T, eye(R)).
+    Wk_np = np.kron(W_np.T, np.eye(ROWS, dtype=np.float32))     # [H*R, P*R]
+    # Pass-2 helpers: select the matching sublane then sum each 8-row block.
+    eyemask_np = np.tile(np.eye(ROWS, dtype=np.float32), (H, 1))  # [H*R, R]
+    blocksum_np = np.kron(np.eye(H, dtype=np.float32),
+                          np.ones((1, ROWS), np.float32))         # [H, H*R]
+
+    def unpack(pvec_ref):
+        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
+
+    def one_step(xs, us, p):
+        def euler(xs):
+            return _tadd(xs, _tscale(derivs_soa(xs, us, p), sub_dt))
+
+        def rk4(xs):
+            k1 = derivs_soa(xs, us, p)
+            k2 = derivs_soa(_tadd(xs, _tscale(k1, 0.5 * sub_dt)), us, p)
+            k3 = derivs_soa(_tadd(xs, _tscale(k2, 0.5 * sub_dt)), us, p)
+            k4 = derivs_soa(_tadd(xs, _tscale(k3, sub_dt)), us, p)
+            incr = _tadd(_tadd(k1, _tscale(k2, 2.0)), _tadd(_tscale(k3, 2.0), k4))
+            return _tadd(xs, _tscale(incr, sub_dt / 6.0))
+
+        step = rk4 if integrator == "rk4" else euler
+        for _ in range(intermediate_steps):
+            xs = step(xs)
+        return xs
+
+    def gen_delta_into(seed_ref, wk_ref, delta_ref):
+        """Perturbations for this tile into VMEM scratch [U, H*R, C].
+
+        Counter base unique per (seed, tile, control dim): both passes
+        regenerate identical noise.
+        """
+        tile_id = pl.program_id(0).astype(jnp.uint32)
+        seed = seed_ref[0].astype(jnp.uint32)
+        Wk = wk_ref[:, :]                                   # [H*R, P*R]
+        stride = jnp.uint32(P * tile_k)
+        for j in range(U):
+            base = (seed * jnp.uint32(0x01000193)
+                    + tile_id * stride * jnp.uint32(U)
+                    + jnp.uint32(j) * stride)
+            z = _normals(base, (P * ROWS, C)) * stdev       # [P*R, C]
+            delta_ref[j] = jnp.dot(Wk, z, preferred_element_type=jnp.float32)
+
+    # ---------------- pass 1: rollout + cost -------------------------------
+    def kernel1(seed_ref, pvec_ref, wk_ref, s0_ref, unom_ref, cost_ref, delta_ref):
+        p = unpack(pvec_ref)
+        gen_delta_into(seed_ref, wk_ref, delta_ref)
+        xs = tuple(jnp.full((ROWS, C), s0_ref[i, 0]) for i in range(S))
+        prev_us = tuple(
+            jnp.full((ROWS, C), p[f"__u_prev_{j}"]) for j in range(U)
+        )
+        acc = jnp.zeros((ROWS, C), jnp.float32)
+        corr = jnp.zeros((ROWS, C), jnp.float32)
+
+        def body(h, carry):
+            xs, prev_us, acc, corr = carry
+            us, dus = [], []
+            for j in range(U):
+                d = delta_ref[j, pl.ds(h * ROWS, ROWS), :]       # [R, C]
+                un = unom_ref[pl.ds(h, 1), pl.ds(j, 1)]          # [1, 1]
+                u = jnp.clip(un + d, low, high)
+                us.append(u)
+                dus.append(d)
+            us = tuple(us)
+            acc = acc + stage_cost_soa(xs, us, prev_us, p)
+            # MPPI correction cost (reference optimizer_mppi.py:154-155).
+            for j in range(U):
+                corr = corr + cc_weight * (
+                    0.5 * (1.0 - 1.0 / NU) * R * dus[j] * dus[j]
+                    + R * us[j] * dus[j]
+                    + 0.5 * R * us[j] * us[j]
+                )
+            xs = one_step(xs, us, p)
+            return xs, us, acc, corr
+
+        xs, _, acc, corr = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc, corr))
+        cost_ref[:, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1) + corr
+
+    # ---------------- pass 2: weighted perturbation sums -------------------
+    def kernel2(seed_ref, red_ref, wk_ref, eyemask_ref, blocksum_ref,
+                cost_ref, out_ref, delta_ref):
+        # red_ref: [2] = (rho, a)
+        gen_delta_into(seed_ref, wk_ref, delta_ref)
+        rho = red_ref[0]
+        a = red_ref[1]
+        w = jnp.exp(-(cost_ref[:, :] - rho) * (1.0 / LBD)) / a      # [R, C]
+        cols = []
+        for j in range(U):
+            d = delta_ref[j]                                        # [H*R, C]
+            # prod[i, r] = sum_c d[i, c] * w[r, c]
+            prod = jnp.dot(d, w.T, preferred_element_type=jnp.float32)  # [H*R, R]
+            # keep only the matching sublane, then lane-reduce
+            sel = jnp.sum(prod * eyemask_ref[:, :], axis=1, keepdims=True)  # [H*R, 1]
+            # sum each 8-row block -> [H, 1]
+            out_h = jnp.dot(blocksum_ref[:, :], sel,
+                            preferred_element_type=jnp.float32)
+            cols.append(out_h[:, 0])
+        out_ref[0] = jnp.stack(cols, axis=-1)                       # [H, U]
+
+    def make_run(K: int):
+        assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
+        n_tiles = K // tile_k
+        Wk = jnp.asarray(Wk_np)
+        eyemask = jnp.asarray(eyemask_np)
+        blocksum = jnp.asarray(blocksum_np)
+
+        gs1 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # seed, pvec
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((H * ROWS, P * ROWS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, U), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((U, H * ROWS, C), jnp.float32)],
+        )
+        gs2 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # seed, (rho, a)
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((H * ROWS, P * ROWS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H * ROWS, ROWS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, H * ROWS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, U), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((U, H * ROWS, C), jnp.float32)],
+        )
+
+        @jax.jit
+        def step(s0, u_nom, pvec, seed):
+            """s0 [S], u_nom [H,U] -> (u_nom' [H,U], costs [K])."""
+            costs2d = pl.pallas_call(
+                kernel1,
+                out_shape=jax.ShapeDtypeStruct((ROWS, K // ROWS), jnp.float32),
+                grid_spec=gs1,
+                interpret=interpret,
+            )(seed, pvec, Wk, s0[:, None], u_nom)
+
+            rho = jnp.min(costs2d)
+            wsum = jnp.sum(jnp.exp(-(costs2d - rho) / LBD))
+            red = jnp.stack([rho, wsum])
+
+            partials = pl.pallas_call(
+                kernel2,
+                out_shape=jax.ShapeDtypeStruct((n_tiles, H, U), jnp.float32),
+                grid_spec=gs2,
+                interpret=interpret,
+            )(seed, red, Wk, eyemask, blocksum, costs2d)
+            b = jnp.sum(partials, axis=0)                      # [H, U]
+            u_nom_new = jnp.clip(u_nom + b, low, high)
+            return u_nom_new, costs2d.reshape(-1)
+
+        return step
+
+    return make_run

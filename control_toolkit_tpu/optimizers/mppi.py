@@ -48,6 +48,7 @@ class MPPIOptimizer(Optimizer):
         NU: float = 1000.0,
         SQRTRHOINV: float = 0.03,
         period_interpolation_inducing_points: int = 10,
+        fully_fused: bool = False,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -57,6 +58,12 @@ class MPPIOptimizer(Optimizer):
         self.NU = float(NU)
         self._SQRTRHOINV = float(SQRTRHOINV)
         self.period_interpolation_inducing_points = int(period_interpolation_inducing_points)
+        # EXPERIMENTAL opt-in: entire MPPI update as two Pallas kernels with
+        # in-kernel perturbation generation (ops/pallas_mppi.py).  Uses a
+        # counter-based PRNG, so results are statistically (not bitwise)
+        # equivalent to the modular path.  The default modular Pallas path
+        # is the supported fast path.
+        self.fully_fused = bool(fully_fused)
 
     def configure(self, num_states, num_control_inputs, dt=None, **kwargs):
         if dt is None:
@@ -78,6 +85,99 @@ class MPPIOptimizer(Optimizer):
             key=key,
             u_nom=u_nom,
             u_prev=jnp.zeros((self.num_control_inputs,), jnp.float32),
+        )
+
+    def _build_fused_mppi(self, interpret: bool = False, tile_k: int = None):
+        """Bind dynamics + cost into the fully-fused two-pass MPPI kernel."""
+        import numpy as np
+
+        from control_toolkit_tpu.ops.pallas_mppi import (
+            DEFAULT_TILE_K, build_fused_mppi_step,
+        )
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        U = self.num_control_inputs
+
+        dyn_keys = sorted(pred.default_params())
+        cost_keys = sorted(cf.dynamic_config_keys)
+        attr_keys = sorted(getattr(cf, "attr_keys", ()))
+        param_keys = (
+            [f"d_{k}" for k in dyn_keys]
+            + [f"c_{k}" for k in cost_keys]
+            + [f"a_{k}" for k in attr_keys]
+            + [f"__u_prev_{j}" for j in range(U)]
+        )
+
+        def split_p(p):
+            dyn = {k: p[f"d_{k}"] for k in dyn_keys}
+            cp = {
+                "cost": {k: p[f"c_{k}"] for k in cost_keys},
+                "attrs": {k: p[f"a_{k}"] for k in attr_keys},
+            }
+            return dyn, cp
+
+        max_cost = cf.MAX_COST
+
+        def stage_soa(xs, us, prev_us, p):
+            dyn, cp = split_p(p)
+            return (
+                cf._stage_cost_core_soa(xs, us, cp)
+                + cf.control_change_cost_soa(us, prev_us, cp)
+                - max_cost
+            )
+
+        def terminal_soa(xs, p):
+            _, cp = split_p(p)
+            return cf.terminal_cost_soa(xs, cp)
+
+        def derivs(xs, us, p):
+            dyn, _ = split_p(p)
+            return pred.dynamics.soa(xs, us, dyn)
+
+        make_run = build_fused_mppi_step(
+            derivs, stage_soa, terminal_soa,
+            num_states=self.num_states, num_controls=U,
+            horizon=self.mpc_horizon,
+            num_inducing=self.interp.number_of_interpolation_inducing_points,
+            interp_matrix=np.asarray(self.interp.matrix),
+            dt=pred.dt, param_keys=param_keys,
+            cc_weight=self.cc_weight, R=self.R, NU=self.NU, LBD=self.LBD,
+            stdev=self.SQRTRHODTINV,
+            action_low=self.action_low, action_high=self.action_high,
+            integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tile_k or DEFAULT_TILE_K,
+            interpret=interpret,
+        )
+        kernel_step = make_run(self.num_rollouts)
+
+        import jax.numpy as jnp
+
+        def pack(params, u_prev):
+            vals = {}
+            for k in dyn_keys:
+                vals[f"d_{k}"] = params["dyn"][k]
+            for k in cost_keys:
+                vals[f"c_{k}"] = params["cost"][k]
+            for k in attr_keys:
+                vals[f"a_{k}"] = params["attrs"].get(k, 0.0)
+            up = jnp.reshape(jnp.asarray(u_prev, jnp.float32), (-1,))
+            for j in range(U):
+                vals[f"__u_prev_{j}"] = up[j]
+            return jnp.stack([jnp.asarray(vals[k], jnp.float32) for k in param_keys])
+
+        return kernel_step, pack
+
+    def _can_fully_fuse(self) -> bool:
+        from control_toolkit_tpu.ops.pallas_rollout import DEFAULT_TILE_K
+
+        return (
+            self.fully_fused
+            and not self.optimizer_logging
+            and not self.calculate_optimal_trajectory
+            and self._can_use_pallas()
+            and self.num_rollouts % DEFAULT_TILE_K == 0
         )
 
     def _make_step_fn(self):
@@ -109,6 +209,23 @@ class MPPIOptimizer(Optimizer):
         # (logging off).  Saves the [K,H+1,S] HBM round trip per step.
         # On TPU with compatible models, the fused rollout+cost runs as a
         # Pallas kernel holding the integration state in VMEM.
+        if self._can_fully_fuse():
+            kernel_step, pack = self._build_fused_mppi()
+
+            def fused_step_fn(state: MPPIState, s, params):
+                key, sub = jax.random.split(state.key)
+                seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+                u_nom = jnp.concatenate(
+                    [state.u_nom[:, 1:, :], state.u_nom[:, -1:, :]], axis=1
+                )[0]                                             # [H, U]
+                pvec = pack(params, state.u_prev)
+                u_nom_new, costs = kernel_step(s[0], u_nom, pvec, seed)
+                u = u_nom_new[0, :]
+                diag = {"u_nom": u_nom_new[None], "J_logged": costs}
+                return u, MPPIState(key=key, u_nom=u_nom_new[None], u_prev=u), diag
+
+            return fused_step_fn
+
         cost_only = None if self.optimizer_logging else self._make_cost_only()
         fuse = cost_only is not None
 

@@ -1,0 +1,91 @@
+"""Fully-fused MPPI kernel (interpret mode): statistical + closed-loop checks.
+
+The in-kernel PRNG differs from jax.random, so validation is statistical
+(cost distribution matches the modular path) and behavioral (closed-loop
+stabilization), not bitwise.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+from test_pallas_rollout import make_mppi_ctrl
+
+
+def build(K=256, H=20, tile=128):
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    kernel_step, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    return ctrl, opt, kernel_step, pack, params
+
+
+def test_fused_mppi_cost_distribution_matches_modular():
+    K, H = 256, 20
+    ctrl, opt, kernel_step, pack, params = build(K, H)
+    s0 = jnp.array([0.1, 0.0, 0.3, -0.2], jnp.float32)
+    u_nom = jnp.zeros((H, 1), jnp.float32)
+    u_prev = jnp.zeros((1,), jnp.float32)
+
+    u_nom_new, costs = kernel_step(s0, u_nom, pack(params, u_prev),
+                                   jnp.array([123], jnp.int32))
+    costs = np.asarray(costs)
+    assert costs.shape == (K,)
+    assert np.all(np.isfinite(costs))
+
+    # Modular path on the same state with jax.random sampling.
+    s_tiled = jnp.tile(s0[None], (K, 1))
+    key = jax.random.PRNGKey(0)
+    delta = (jax.random.normal(key, (K, opt.interp.number_of_interpolation_inducing_points, 1))
+             * opt.SQRTRHODTINV)
+    delta = opt.interp.interpolate(delta)
+    u_run = jnp.clip(u_nom[None] + delta, -1.0, 1.0)
+    base = opt._fused_cost(s_tiled, u_run, u_prev, params)
+    corr = jnp.sum(
+        opt.cc_weight * (0.5 * (1 - 1 / opt.NU) * opt.R * delta**2
+                         + opt.R * u_run * delta + 0.5 * opt.R * u_run**2),
+        axis=(1, 2),
+    )
+    ref_costs = np.asarray(base + corr)
+
+    # Same state, same nominal, same noise scale: distributions must agree.
+    assert abs(costs.mean() - ref_costs.mean()) < 0.15 * abs(ref_costs.mean())
+    assert abs(costs.std() - ref_costs.std()) < 0.5 * ref_costs.std()
+
+    # The nominal update moved toward lower cost and stayed in bounds.
+    u_new = np.asarray(u_nom_new)
+    assert np.all(u_new >= -1.0) and np.all(u_new <= 1.0)
+    assert not np.allclose(u_new, 0.0)
+
+
+def test_fused_mppi_seed_determinism():
+    ctrl, opt, kernel_step, pack, params = build()
+    s0 = jnp.array([0.0, 0.0, 0.2, 0.0], jnp.float32)
+    u_nom = jnp.zeros((20, 1), jnp.float32)
+    pv = pack(params, jnp.zeros((1,), jnp.float32))
+    un1, c1 = kernel_step(s0, u_nom, pv, jnp.array([7], jnp.int32))
+    un2, c2 = kernel_step(s0, u_nom, pv, jnp.array([7], jnp.int32))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(un1), np.asarray(un2))
+    _, c3 = kernel_step(s0, u_nom, pv, jnp.array([8], jnp.int32))
+    assert not np.allclose(np.asarray(c1), np.asarray(c3))
+
+
+def test_fused_mppi_closed_loop_stabilizes():
+    K, H = 256, 25
+    ctrl, opt, kernel_step, pack, params = build(K, H)
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=3)
+    s, _ = env.reset()
+    u_nom = jnp.zeros((H, 1), jnp.float32)
+    u_prev = jnp.zeros((1,), jnp.float32)
+    for t in range(50):
+        u_nom = jnp.concatenate([u_nom[1:], u_nom[-1:]], axis=0)
+        u_nom, _ = kernel_step(
+            jnp.asarray(s[0]), u_nom, pack(params, u_prev),
+            jnp.array([t + 1], jnp.int32),
+        )
+        u_prev = u_nom[0]
+        s, *_ = env.step(np.asarray(u_prev))
+    assert abs(float(s[0, 2])) < 0.2, f"fused MPPI failed to stabilize: {s[0]}"
