@@ -39,6 +39,16 @@ class MPPIState(NamedTuple):
 @registry.optimizers.register("mppi")
 @registry.optimizers.register("mppi-optimize-tf")
 class MPPIOptimizer(Optimizer):
+    """MPPI, optionally with Adam refinement of the nominal plan.
+
+    With ``optim_steps > 0`` this is the 'mppi-optimize' variant the
+    reference documents in its optimizer config
+    (Control_Toolkit_ASF_Template/config_optimizers.yml:63-79: mppi_LR,
+    adam betas, gradmax_clip, optim_steps): after the softmax-weighted
+    update, the nominal plan takes ``optim_steps`` Adam steps on the
+    trajectory cost through the differentiable rollout.
+    """
+
     def __init__(
         self,
         *,
@@ -49,6 +59,12 @@ class MPPIOptimizer(Optimizer):
         SQRTRHOINV: float = 0.03,
         period_interpolation_inducing_points: int = 10,
         fully_fused: bool = False,
+        optim_steps: int = 0,
+        mppi_LR: float = 0.02,
+        adam_beta_1: float = 0.9,
+        adam_beta_2: float = 0.999,
+        adam_epsilon: float = 1e-7,
+        gradmax_clip: float = 1000.0,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -64,6 +80,12 @@ class MPPIOptimizer(Optimizer):
         # equivalent to the modular path.  The default modular Pallas path
         # is the supported fast path.
         self.fully_fused = bool(fully_fused)
+        self.optim_steps = int(optim_steps)
+        self.mppi_LR = float(mppi_LR)
+        self.adam_beta_1 = float(adam_beta_1)
+        self.adam_beta_2 = float(adam_beta_2)
+        self.adam_epsilon = float(adam_epsilon)
+        self.gradmax_clip = float(gradmax_clip)
 
     def configure(self, num_states, num_control_inputs, dt=None, **kwargs):
         if dt is None:
@@ -256,6 +278,40 @@ class MPPIOptimizer(Optimizer):
             u_nom = jnp.clip(
                 u_nom + reward_weighted_average(traj_cost, delta_u)[None], low, high
             )
+
+            if self.optim_steps > 0:
+                # 'mppi-optimize' refinement: Adam on the nominal plan
+                # through the differentiable rollout (fresh moments each
+                # tick — the refinement is a local polish of this tick's
+                # plan, warm-started by the shifted nominal itself).
+                from control_toolkit_tpu.ops.common import (
+                    adam_init, adam_update, clip_by_norm,
+                )
+
+                eval_nom = (
+                    self._fused_cost if self._can_fuse_rollout()
+                    else (lambda s_, Q_, up_, p_: self._rollout_and_cost(s_, Q_, up_, p_)[0])
+                )
+
+                def nom_cost(un):
+                    return jnp.sum(eval_nom(s[:1], un, state.u_prev, params))
+
+                nom_grad = jax.grad(nom_cost)
+
+                def refine(i, carry):
+                    un, ad = carry
+                    g = clip_by_norm(nom_grad(un), self.gradmax_clip, axes=(1, 2))
+                    ad, delta = adam_update(
+                        ad, g, self.mppi_LR,
+                        self.adam_beta_1, self.adam_beta_2, self.adam_epsilon,
+                    )
+                    return jnp.clip(un - delta, low, high), ad
+
+                u_nom, _ = jax.lax.fori_loop(
+                    0, self.optim_steps, refine,
+                    (u_nom, adam_init(u_nom.shape)),
+                )
+
             u = u_nom[0, 0, :]
 
             diag = {"u_nom": u_nom}

@@ -83,3 +83,27 @@ def test_mppi_softmax_weighting_prefers_low_cost():
     w = jnp.exp(-(S - rho) / opt.LBD)
     avg = jnp.sum(w[:, None, None] * delta_u, 0) / jnp.sum(w)
     np.testing.assert_allclose(np.asarray(avg)[0, 0], 0.7, rtol=1e-3)
+
+
+def test_mppi_optimize_refinement_improves_nominal():
+    """mppi-optimize (optim_steps>0) must reach at least as good a nominal
+    plan as plain MPPI from the same seed/state."""
+    import jax.numpy as jnp
+    base = make_mppi(logging=False, num_rollouts=128, mpc_horizon=20)
+    opt_r = make_mppi(logging=False, num_rollouts=128, mpc_horizon=20,
+                      optim_steps=5, mppi_LR=0.05)
+    s = np.array([0.0, 0.0, 0.3, 0.0], np.float32)
+    for _ in range(3):
+        base.step(s)
+        opt_r.step(s)
+
+    def nom_cost(ctrl):
+        o = ctrl.optimizer
+        un = jnp.asarray(o.optimal_control_sequence)
+        params = ctrl._assemble_params()
+        return float(o._fused_cost(jnp.asarray(s[None]), un,
+                                   o.opt_state.u_prev, params)[0])
+
+    assert nom_cost(opt_r) <= nom_cost(base) + 1e-3, (
+        f"refined {nom_cost(opt_r)} vs base {nom_cost(base)}"
+    )
