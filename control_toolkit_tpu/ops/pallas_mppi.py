@@ -162,10 +162,12 @@ def build_fused_mppi_step(
             delta_ref[j] = jnp.dot(Wk, z, preferred_element_type=jnp.float32)
 
     # ---------------- pass 1: rollout + cost -------------------------------
-    def kernel1(seed_ref, pvec_ref, wk_ref, s0_ref, unom_ref, cost_ref, delta_ref):
+    # s0 and u_nom ride in SMEM (scalar prefetch): dynamic scalar reads from
+    # degenerate VMEM blocks crash the Mosaic compiler.
+    def kernel1(seed_ref, pvec_ref, s0_ref, unom_ref, wk_ref, cost_ref, delta_ref):
         p = unpack(pvec_ref)
         gen_delta_into(seed_ref, wk_ref, delta_ref)
-        xs = tuple(jnp.full((ROWS, C), s0_ref[i, 0]) for i in range(S))
+        xs = tuple(jnp.full((ROWS, C), s0_ref[i]) for i in range(S))
         prev_us = tuple(
             jnp.full((ROWS, C), p[f"__u_prev_{j}"]) for j in range(U)
         )
@@ -177,7 +179,7 @@ def build_fused_mppi_step(
             us, dus = [], []
             for j in range(U):
                 d = delta_ref[j, pl.ds(h * ROWS, ROWS), :]       # [R, C]
-                un = unom_ref[pl.ds(h, 1), pl.ds(j, 1)]          # [1, 1]
+                un = unom_ref[h * U + j]                          # SMEM scalar
                 u = jnp.clip(un + d, low, high)
                 us.append(u)
                 dus.append(d)
@@ -225,13 +227,11 @@ def build_fused_mppi_step(
         blocksum = jnp.asarray(blocksum_np)
 
         gs1 = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # seed, pvec
+            num_scalar_prefetch=4,  # seed, pvec, s0, unom_flat
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((H * ROWS, P * ROWS), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((S, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, U), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
                                    memory_space=pltpu.VMEM),
@@ -263,7 +263,7 @@ def build_fused_mppi_step(
                 out_shape=jax.ShapeDtypeStruct((ROWS, K // ROWS), jnp.float32),
                 grid_spec=gs1,
                 interpret=interpret,
-            )(seed, pvec, Wk, s0[:, None], u_nom)
+            )(seed, pvec, s0, u_nom.reshape(-1), Wk)
 
             rho = jnp.min(costs2d)
             wsum = jnp.sum(jnp.exp(-(costs2d - rho) / LBD))
