@@ -35,6 +35,8 @@ class UartInterface:
         self._lib = load_uart_lib()
         self._h: Optional[int] = None
         self.pending_spec: Optional[Tuple[int, List[str], int]] = None
+        self._port: Optional[str] = None
+        self._baud: Optional[int] = None
 
     # ---- lifecycle --------------------------------------------------------
     def open(self, port: str, baud: int) -> None:
@@ -42,6 +44,21 @@ class UartInterface:
         if not h:
             raise IOError(f"cannot open serial device {port}")
         self._h = h
+        self._port, self._baud = port, int(baud)
+
+    def reconnect(self) -> bool:
+        """Reopen the serial device after an IO failure (reference
+        auto-reconnect loop, controller_embedded.py:294-302).  Only possible
+        for port-opened interfaces, not wrapped fds."""
+        if self._port is None:
+            return False
+        logger.warning(f"reconnecting serial device {self._port}")
+        self.close()
+        try:
+            self.open(self._port, self._baud)
+            return True
+        except IOError:
+            return False
 
     def open_fd(self, fd: int) -> None:
         """Attach to an existing file descriptor (pty fakes in tests)."""
@@ -91,6 +108,10 @@ class UartInterface:
         ok = self._lib.ctt_uart_receive_outputs(
             self._h, ptr, n_outputs, int(timeout_s * 1000)
         )
+        if not ok and self.reconnect():
+            ok = self._lib.ctt_uart_receive_outputs(
+                self._h, ptr, n_outputs, int(timeout_s * 1000)
+            )
         if not ok:
             raise IOError(
                 f"receive_controller_output: expected {n_outputs * 4} bytes"
