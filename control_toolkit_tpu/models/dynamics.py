@@ -95,9 +95,52 @@ def soa_to_aos(derivs_soa: Callable, num_states: int, num_controls: int) -> Dyna
 cartpole_dynamics = soa_to_aos(cartpole_derivs_soa, 4, 1)
 pendulum_dynamics = soa_to_aos(pendulum_derivs_soa, 2, 1)
 
+ACROBOT_DEFAULTS = {
+    "m1": 1.0, "m2": 1.0,      # link masses
+    "l1": 1.0, "l2": 1.0,      # link lengths
+    "lc1": 0.5, "lc2": 0.5,    # centers of mass
+    "I1": 1.0, "I2": 1.0,      # link inertias
+    "g": 9.8,
+    "u_max": 10.0,             # elbow torque scale
+}
+
+
+def acrobot_derivs_soa(xs, us, p):
+    """Acrobot (two-link pendulum actuated at the elbow), Spong dynamics.
+
+    xs = (theta1, theta1D, theta2, theta2D); theta1 = 0 is hanging down.
+    """
+    t1, t1d, t2, t2d = xs
+    tau = us[0] * p["u_max"]
+    m1, m2 = p["m1"], p["m2"]
+    l1 = p["l1"]
+    lc1, lc2 = p["lc1"], p["lc2"]
+    I1, I2, g = p["I1"], p["I2"], p["g"]
+
+    c2 = jnp.cos(t2)
+    s2 = jnp.sin(t2)
+    d1 = m1 * lc1**2 + m2 * (l1**2 + lc2**2 + 2 * l1 * lc2 * c2) + I1 + I2
+    d2 = m2 * (lc2**2 + l1 * lc2 * c2) + I2
+    phi2 = m2 * lc2 * g * jnp.cos(t1 + t2 - jnp.pi / 2)
+    phi1 = (
+        -m2 * l1 * lc2 * t2d**2 * s2
+        - 2 * m2 * l1 * lc2 * t2d * t1d * s2
+        + (m1 * lc1 + m2 * l1) * g * jnp.cos(t1 - jnp.pi / 2)
+        + phi2
+    )
+    t2dd = (
+        tau + (d2 / d1) * phi1 - m2 * l1 * lc2 * t1d**2 * s2 - phi2
+    ) / (m2 * lc2**2 + I2 - d2**2 / d1)
+    t1dd = -(d2 * t2dd + phi1) / d1
+    return (t1d, t1dd, t2d, t2dd)
+
+
+acrobot_dynamics = soa_to_aos(acrobot_derivs_soa, 4, 1)
+
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),
+    "acrobot": (acrobot_dynamics, ACROBOT_DEFAULTS, 4, 1),
 }
 
 # Named state/control components per environment — the STATE_INDICES analogue
@@ -106,10 +149,12 @@ DYNAMICS = {
 STATE_NAMES = {
     "cartpole": ["position", "positionD", "angle", "angleD"],
     "pendulum": ["angle", "angleD"],
+    "acrobot": ["theta1", "theta1D", "theta2", "theta2D"],
 }
 CONTROL_NAMES = {
     "cartpole": ["Q"],
     "pendulum": ["Q"],
+    "acrobot": ["Q"],
 }
 
 
