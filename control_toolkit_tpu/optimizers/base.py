@@ -230,6 +230,11 @@ class Optimizer:
 
         return (
             jax.default_backend() == "tpu"
+            # A sharded population can't flow through pallas_call (XLA does
+            # not auto-partition custom kernels); the fused scan path
+            # partitions fine and is used instead.  shard_map-wrapped
+            # kernels are a roadmap item.
+            and self._shard_state is None
             and isinstance(pred, ODEPredictor)
             and getattr(pred.dynamics, "soa", None) is not None
             and cf is not None
@@ -345,6 +350,9 @@ class Optimizer:
         self._shard_state = place
         if self.opt_state is not None:
             self.opt_state = place(self.opt_state)
+        # Rebuild the step: backend-specific paths (Pallas) must see the
+        # sharding decision (they are disabled under sharding).
+        self._build()
 
     @property
     def optimizer_name(self) -> str:

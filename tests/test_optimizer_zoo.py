@@ -157,3 +157,25 @@ def test_gradient_adam_moments_shift():
     assert np.allclose(np.asarray(st.adam.m)[:, -1, :], 0.0)
     assert np.allclose(np.asarray(st.adam.v)[:, -1, :], 0.0)
     assert int(st.adam.step) == 3  # gradient_steps per tick
+
+
+def test_ilqr_step_contract():
+    """iLQR is single-trajectory (K forced to 1) but honors the same
+    logging-key contract."""
+    cfg = {"seed": 3, "mpc_timestep": 0.02, "mpc_horizon": 12, "num_rollouts": 1,
+           "max_iterations": 5, "tol": 1e-7, "regularization_init": 1.0,
+           "regularization_max": 1e8, "line_search_steps": 4}
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "ilqr", "controller_logging": True},
+    )
+    ctrl.configure(optimizer_name="ilqr", optimizer_config=cfg)
+    u = ctrl.step(np.array([0.0, 0.0, 0.15, 0.0], np.float32))
+    assert ctrl.optimizer.num_rollouts == 1
+    lv = ctrl.optimizer.logging_values
+    assert lv["Q_logged"].shape == (1, 12, 1)
+    assert lv["J_logged"].shape == (1,)
+    assert lv["rollout_trajectories_logged"].shape == (1, 13, 4)
+    assert -1.0 <= float(u[0]) <= 1.0

@@ -93,3 +93,21 @@ def test_remote_timeout_falls_back_to_zero():
     ctrl.configure()
     u = ctrl.step(np.zeros(4, np.float32))
     np.testing.assert_allclose(u, np.zeros(1, np.float32))
+
+
+def test_remote_timeout_uses_fallback_controller():
+    """Dead server + configured fallback: control comes from the local
+    fallback controller chain (reference :82-89)."""
+    ctrl = RemoteController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={},
+        config={"host": "127.0.0.1", "port": 59998, "timeout_ms": 30,
+                "fallback_controller": "c", "controller_logging": False},
+    )
+    # fallback 'c' controller compiles the bundled LQR firmware
+    import control_toolkit_tpu.utils.config as cfgmod
+    ctrl.configure()
+    u = ctrl.step(np.array([0.0, 0.0, 0.2, 0.0], np.float32))
+    # LQR responds to the tilted pole — nonzero control proves the fallback ran
+    assert abs(float(np.asarray(u).reshape(-1)[0])) > 1e-3
