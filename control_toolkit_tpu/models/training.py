@@ -99,3 +99,117 @@ def fit_mlp_dynamics(
     params.update(p)
     logger.info(f"dynamics fit: final batch loss {float(loss):.3e}, normalized MSE {final:.3e}")
     return params, final
+
+
+def fit_gru_dynamics(
+    x_seqs: np.ndarray, u_seqs: np.ndarray,
+    hiddens=(32,), epochs: int = 1500, learning_rate: float = 3e-3,
+    seed: int = 0, rollout_len: int = 8,
+) -> Tuple[Dict, float]:
+    """Fit a GRU dynamics model on episode data.
+
+    x_seqs: [E, T+1, S] state episodes; u_seqs: [E, T, U] applied controls.
+    Trained on multi-step open-loop prediction (``rollout_len`` steps) so the
+    recurrence learns to carry useful state.  Returns (params, final loss).
+    """
+    E, Tp1, S = x_seqs.shape
+    U = u_seqs.shape[-1]
+    T = Tp1 - 1
+    key = make_key(seed, "fit_gru_dynamics")
+    key, sub = jax.random.split(key)
+    params = nets.gru_init(sub, S + U, list(hiddens), S)
+
+    xs = jnp.asarray(x_seqs, jnp.float32)
+    us = jnp.asarray(u_seqs, jnp.float32)
+
+    def rollout_loss(p, x0, u_traj, x_target):
+        # x0 [B,S]; u_traj [B,L,U]; x_target [B,L,S]
+        B = x0.shape[0]
+        hs = nets.gru_init_state(hiddens, B)
+
+        def body(carry, inp):
+            x, hs = carry
+            u, tgt = inp
+            out, hs = nets.gru_apply(p, jnp.concatenate([x, u], -1), hs)
+            xn = x + out
+            return (xn, hs), (xn - tgt) ** 2
+
+        (_, _), errs = jax.lax.scan(
+            body, (x0, hs),
+            (jnp.swapaxes(u_traj, 0, 1), jnp.swapaxes(x_target, 0, 1)),
+        )
+        return jnp.mean(errs)
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(p, o, x0, ut, xt):
+        loss, grads = jax.value_and_grad(rollout_loss)(p, x0, ut, xt)
+        updates, o = tx.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    L = rollout_len
+    loss = jnp.inf
+    for _ in range(epochs):
+        key, k1, k2 = jax.random.split(key, 3)
+        e = jax.random.randint(k1, (256,), 0, E)
+        t0 = jax.random.randint(k2, (256,), 0, T - L + 1)
+        x0 = xs[e, t0]
+        idx = t0[:, None] + jnp.arange(L)[None, :]
+        ut = us[e[:, None], idx]
+        xt = xs[e[:, None], idx + 1]
+        params, opt_state, loss = train_step(params, opt_state, x0, ut, xt)
+    logger.info(f"GRU dynamics fit: final rollout loss {float(loss):.3e}")
+    return params, float(loss)
+
+
+def collect_mpc_demonstrations(ctrl, env, n_episodes: int, episode_len: int,
+                               seed: int = 0):
+    """Run an MPC controller in the env, record (state, control) pairs for
+    behavior cloning (the reference trains its neural imitator on exactly
+    such logs via SI_Toolkit)."""
+    states, controls = [], []
+    for ep in range(n_episodes):
+        s, _ = env.reset(seed=seed + ep)
+        if hasattr(ctrl, "controller_reset"):
+            ctrl.controller_reset()
+        for _ in range(episode_len):
+            u = ctrl.step(s[0])
+            states.append(np.asarray(s[0]).copy())
+            controls.append(np.asarray(u).reshape(-1).copy())
+            s, *_ = env.step(u)
+    return np.stack(states), np.stack(controls)
+
+
+def fit_policy(states: np.ndarray, controls: np.ndarray, hiddens=(32, 32),
+               epochs: int = 2000, learning_rate: float = 1e-3, seed: int = 0
+               ) -> Tuple[Dict, float]:
+    """Behavior-clone a policy net u = pi(s). Returns (params, mse)."""
+    S, U = states.shape[-1], controls.shape[-1]
+    key = make_key(seed, "fit_policy")
+    key, sub = jax.random.split(key)
+    params = nets.mlp_init(sub, [S] + list(hiddens) + [U])
+    xs = jnp.asarray(states, jnp.float32)
+    ys = jnp.asarray(controls, jnp.float32)
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, xb, yb):
+        return jnp.mean((nets.mlp_apply(p, xb) - yb) ** 2)
+
+    @jax.jit
+    def train_step(p, o, xb, yb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+        updates, o = tx.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    n = xs.shape[0]
+    for _ in range(epochs):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (min(1024, n),), 0, n)
+        params, opt_state, loss = train_step(params, opt_state, xs[idx], ys[idx])
+    final = float(loss_fn(params, xs, ys))
+    logger.info(f"policy fit: full MSE {final:.3e}")
+    return params, final
