@@ -137,6 +137,13 @@ class Optimizer:
             # Keep the device array; fetch only if someone reads it.
             self.optimal_control_sequence = diag["u_nom"]
 
+        if "optimal_trajectory" in diag:
+            # Replay of the nominal plan through the predictor (reference
+            # calculate_optimal_trajectory, optimizer_mppi.py:199-202).
+            self.optimal_trajectory = np.asarray(diag["optimal_trajectory"])
+        if "summed_stage_cost" in diag:
+            self.summed_stage_cost = np.asarray(diag["summed_stage_cost"])
+
         self._post_step(s_dev, u, diag)
 
         u_host = np.asarray(u)

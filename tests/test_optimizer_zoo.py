@@ -179,3 +179,25 @@ def test_ilqr_step_contract():
     assert lv["J_logged"].shape == (1,)
     assert lv["rollout_trajectories_logged"].shape == (1, 13, 4)
     assert -1.0 <= float(u[0]) <= 1.0
+
+
+@pytest.mark.parametrize("name", ["mppi", "rpgd-tf"])
+def test_calculate_optimal_trajectory(name):
+    """The optional nominal-plan replay surfaces as optimal_trajectory
+    (reference optimizer_mppi.py:199-202, optimizer_rpgd.py:518-521)."""
+    cfg = dict(BASE)
+    cfg.update(OPTIMIZER_CONFIGS[name])
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": name, "controller_logging": False,
+                "calculate_optimal_trajectory": True},
+    )
+    ctrl.configure(optimizer_name=name, optimizer_config=cfg)
+    ctrl.step(np.array([0.0, 0.0, 0.1, 0.0], np.float32))
+    opt = ctrl.optimizer
+    assert opt.optimal_trajectory is not None
+    assert opt.optimal_trajectory.shape == (1, 13, 4)  # [1, H+1, S]
+    if name == "rpgd-tf":
+        assert opt.summed_stage_cost is not None
