@@ -79,3 +79,39 @@ class Interpolator:
         if self.period == 1:
             return y
         return jnp.einsum("...pu,ph->...hu", y, self.matrix)
+
+
+if __name__ == "__main__":
+    # Micro-benchmark, parity with the reference Interpolator __main__
+    # (/root/reference/others/Interpolator.py:109-142).
+    import argparse
+    import time
+
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--horizon", type=int, default=43)
+    ap.add_argument("--period", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=2000)
+    ap.add_argument("--inputs", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10000)
+    args = ap.parse_args()
+
+    interp = Interpolator.build(args.horizon, args.period)
+    P = interp.number_of_interpolation_inducing_points
+    y = jnp.asarray(
+        np.random.default_rng(0).normal(size=(args.batch, P, args.inputs)),
+        dtype=jnp.float32,
+    )
+    f = jax.jit(interp.interpolate)
+    jax.block_until_ready(f(y))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = f(y)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(
+        f"interpolate[{args.batch},{P},{args.inputs}]->[{args.batch},"
+        f"{args.horizon},{args.inputs}] x{args.iters}: {dt:.3f}s total, "
+        f"{dt/args.iters*1e6:.2f} us/call ({jax.default_backend()})"
+    )

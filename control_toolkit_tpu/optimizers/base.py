@@ -333,22 +333,29 @@ class Optimizer:
         return cost_fn
 
     # ---- sharding ---------------------------------------------------------
-    def plan_sharding(self, mesh, axis: str = "k") -> None:
+    def plan_sharding(self, mesh, axis: Optional[str] = None) -> None:
         """Shard the rollout population over a device mesh.
 
         Per-rollout state leaves ([K, ...]) are placed with
-        ``NamedSharding(mesh, P(axis, ...))``; XLA then partitions the jitted
-        step and inserts the ICI collectives for top-k / softmax reductions
-        (SURVEY §2 parallelism plan).
+        ``NamedSharding(mesh, P(axes, ...))``; XLA then partitions the jitted
+        step and inserts the ICI (and, for multi-slice meshes, DCN)
+        collectives for top-k / softmax reductions (SURVEY §2 plan).  For a
+        1-D mesh the population shards over its single axis; for a 2-D
+        ('slice', 'k') mesh it shards over both.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         K = self.num_rollouts
+        if axis is not None:
+            first = axis
+        else:
+            names = tuple(mesh.axis_names)
+            first = names if len(names) > 1 else names[0]
 
         def place(state):
             def leaf_sharding(x):
                 if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == K:
-                    spec = P(axis, *([None] * (x.ndim - 1)))
+                    spec = P(first, *([None] * (x.ndim - 1)))
                 else:
                     spec = P()
                 return jax.device_put(x, NamedSharding(mesh, spec))

@@ -23,6 +23,35 @@ def make_rollout_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devs), (ROLLOUT_AXIS,))
 
 
+DCN_AXIS = "slice"
+
+
+def make_multislice_mesh(
+    n_slices: int, devices: Optional[Sequence] = None
+) -> Mesh:
+    """2-D mesh ('slice', 'k') for multi-slice deployments.
+
+    The rollout population shards over BOTH axes (PartitionSpec composite
+    axis): the cross-K reductions then lower to a two-stage psum — fast
+    all-reduce over ICI inside each slice, then a small scalar combine over
+    DCN between slices.  On a single host this is exercised with virtual
+    devices; on real pods, pass the actual device list in slice-major order.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if len(devs) % n_slices != 0:
+        raise ValueError(f"{len(devs)} devices not divisible into {n_slices} slices")
+    per_slice = len(devs) // n_slices
+    arr = np.array(devs).reshape(n_slices, per_slice)
+    return Mesh(arr, (DCN_AXIS, ROLLOUT_AXIS))
+
+
+def population_spec(mesh: Mesh, ndim: int) -> P:
+    """PartitionSpec sharding axis 0 (K) over every mesh axis."""
+    axes = tuple(mesh.axis_names)
+    first = axes if len(axes) > 1 else axes[0]
+    return P(first, *([None] * (ndim - 1)))
+
+
 def rollout_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """NamedSharding placing axis 0 (K) on the mesh, rest replicated."""
     return NamedSharding(mesh, P(ROLLOUT_AXIS, *([None] * (ndim - 1))))

@@ -132,7 +132,15 @@ def main(argv=None):
     ap.add_argument("--environment", default="cartpole")
     ap.add_argument("--endpoint", default=DEFAULT_ENDPOINT)
     ap.add_argument("--gui", action="store_true", help="use the Qt picker dialog")
+    ap.add_argument("--asf-dir", default=None,
+                    help="Control_Toolkit_ASF config directory")
+    ap.add_argument("--attributes", default=None,
+                    help='initial environment attributes as JSON, e.g. {"target_position": 0.0}')
     args = ap.parse_args(argv)
+
+    if args.asf_dir:
+        from control_toolkit_tpu.utils.config import set_asf_config_dir
+        set_asf_config_dir(args.asf_dir)
 
     controller_name, optimizer_name = args.controller, args.optimizer
     if controller_name is None or args.gui:
@@ -142,7 +150,9 @@ def main(argv=None):
         )
 
     logger.info(f"controller={controller_name} optimizer={optimizer_name}")
-    ctrl = build_controller(controller_name, optimizer_name, args.environment)
+    attrs = json.loads(args.attributes) if args.attributes else None
+    ctrl = build_controller(controller_name, optimizer_name, args.environment,
+                            initial_attributes=attrs)
 
     n_states = 4 if args.environment == "cartpole" else 2
     serve(ctrl, args.endpoint, warmup_state=np.zeros(n_states, np.float32))

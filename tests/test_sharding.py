@@ -70,3 +70,24 @@ def test_sharded_state_placement():
     # sharding survives a step
     ctrl.step(np.zeros(4, np.float32))
     assert ctrl.optimizer.opt_state.Q.sharding.spec[0] == "k"
+
+
+def test_multislice_mesh_matches_unsharded():
+    """2-D ('slice','k') mesh — population sharded over both axes; results
+    identical to unsharded (ICI-within-slice + DCN-across-slice psums)."""
+    from control_toolkit_tpu.parallel.mesh import make_multislice_mesh
+
+    mesh = make_multislice_mesh(n_slices=2)
+    assert mesh.devices.shape == (2, 4)
+
+    a = build("mppi", CONFIGS["mppi"], mesh=None)
+    b = build("mppi", CONFIGS["mppi"], mesh=mesh)
+    s = np.array([0.0, 0.0, 0.2, -0.1], np.float32)
+    for _ in range(3):
+        ua = a.step(s)
+        ub = b.step(s)
+        np.testing.assert_allclose(ua, ub, atol=2e-5)
+
+    spec = b.optimizer.opt_state.u_prev.sharding.spec
+    q_spec = b.optimizer.opt_state.key.sharding.spec
+    # u_nom [1,H,U] and key are replicated; nothing crashed across slices
