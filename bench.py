@@ -84,7 +84,7 @@ def bench_ours() -> dict:
         jax.block_until_ready(us)
     device_ms = (time.perf_counter() - t0) / (reps * N) * 1e3
 
-    return {
+    result = {
         "device_step_ms": float(device_ms),
         "host_loop_p50_ms": float(np.percentile(lat_ms, 50)),
         "host_loop_p99_ms": float(np.percentile(lat_ms, 99)),
@@ -92,6 +92,37 @@ def bench_ours() -> dict:
         "backend": jax.default_backend(),
         "pallas": bool(ctrl.optimizer._can_use_pallas()),
     }
+
+    # Fully-fused mode (in-kernel sampling; the framework's max-perf path).
+    try:
+        opt.fully_fused = True
+        if opt._can_fully_fuse():
+            kernel_step, pack = opt._build_fused_mppi()
+            pvec = pack(params, jnp.zeros(1))
+            u_nom0 = jnp.zeros((H, 1), jnp.float32)
+
+            @jax.jit
+            def many_fused(un, pvec):
+                def body(un, i):
+                    un2, c = kernel_step(
+                        jnp.zeros(4), un, pvec, jnp.array([3], jnp.int32) + i
+                    )
+                    return un2, c[0]
+                return jax.lax.scan(body, un, jnp.arange(N, dtype=jnp.int32))
+
+            un, cs = many_fused(u_nom0, pvec)
+            jax.block_until_ready(cs)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                un, cs = many_fused(un, pvec)
+                jax.block_until_ready(cs)
+            result["fused_step_ms"] = float(
+                (time.perf_counter() - t0) / (reps * N) * 1e3
+            )
+    except Exception as e:  # keep the bench robust on unusual backends
+        result["fused_error"] = str(e)[:200]
+
+    return result
 
 
 def bench_tf_cpu() -> dict:
@@ -186,14 +217,20 @@ def main():
 
     ours = bench_ours()
 
+    best_ms = ours["device_step_ms"]
+    mode = "modular pallas"
+    if ours.get("fused_step_ms") and ours["fused_step_ms"] < best_ms:
+        best_ms = ours["fused_step_ms"]
+        mode = "fully-fused pallas"
+
     vs_baseline = None
     if BASELINE_CACHE.exists():
         base = json.loads(BASELINE_CACHE.read_text())
-        vs_baseline = base["p50_ms"] / ours["device_step_ms"]
+        vs_baseline = base["p50_ms"] / best_ms
 
     print(json.dumps({
-        "metric": f"controller.step device time, MPPI cartpole K={K} H={H} ({ours['backend']})",
-        "value": round(ours["device_step_ms"], 3),
+        "metric": f"controller.step device time, MPPI cartpole K={K} H={H} ({ours['backend']}, {mode})",
+        "value": round(best_ms, 3),
         "unit": "ms",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
