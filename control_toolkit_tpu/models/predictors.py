@@ -224,6 +224,14 @@ class PredictorWrapper:
             self.predictor = NeuralPredictor(
                 environment_name=environment_name, dt=dt, net_name=head, **kwargs
             )
+        elif low.startswith("sgp") or low == "gp":
+            # Sparse-GP predictor (reference style: 'SGP_30'); checkpoint path
+            # as the second spec segment: "SGP_30:/path/to/gp.npz".
+            from control_toolkit_tpu.models.gp_predictor import GPPredictor
+            ckpt = spec_parts[1] if len(spec_parts) > 1 else kwargs.pop("checkpoint", None)
+            self.predictor = GPPredictor(
+                environment_name=environment_name, dt=dt, checkpoint=ckpt, **kwargs
+            )
         elif head in registry.predictors:
             cls = registry.predictors.get(head)
             self.predictor = cls(environment_name=environment_name, dt=dt, **kwargs)
