@@ -147,10 +147,12 @@ def build_fused_mppi_step(
     def gen_delta_into(seed_ref, wk_ref, delta_ref):
         """Perturbations for this tile into VMEM scratch [U, H*R, C].
 
-        Counter base unique per (seed, tile, control dim): both passes
-        regenerate identical noise.
+        Counter base unique per (seed, GLOBAL tile, control dim): both
+        passes regenerate identical noise, and under sharding each device
+        offsets its tile ids (seed_ref[1]) so the sharded run produces
+        bitwise the same population as the single-device run.
         """
-        tile_id = pl.program_id(0).astype(jnp.uint32)
+        tile_id = (seed_ref[1] + pl.program_id(0)).astype(jnp.uint32)
         seed = seed_ref[0].astype(jnp.uint32)
         Wk = wk_ref[:, :]                                   # [H*R, P*R]
         stride = jnp.uint32(P * tile_k)
@@ -219,12 +221,19 @@ def build_fused_mppi_step(
             cols.append(out_h[:, 0])
         out_ref[0] = jnp.stack(cols, axis=-1)                       # [H, U]
 
-    def make_run(K: int):
+    def make_run(K: int, mesh=None, axis: str = "k"):
+        """K rollouts total; with ``mesh`` the population splits over its
+        ``axis`` via shard_map — each device runs its local tiles and the
+        softmax reductions ride psum/pmin collectives.  Noise counters are
+        global-tile-based, so sharded and unsharded runs are bitwise equal."""
         assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
-        n_tiles = K // tile_k
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh is not None else 1
+        assert K % (tile_k * n_dev) == 0, "K must divide evenly across devices"
+        n_tiles = K // tile_k // n_dev  # tiles per device
         Wk = jnp.asarray(Wk_np)
         eyemask = jnp.asarray(eyemask_np)
         blocksum = jnp.asarray(blocksum_np)
+        K_local = K // n_dev
 
         gs1 = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # seed, pvec, s0, unom_flat
@@ -255,18 +264,25 @@ def build_fused_mppi_step(
             scratch_shapes=[pltpu.VMEM((U, H * ROWS, C), jnp.float32)],
         )
 
-        @jax.jit
-        def step(s0, u_nom, pvec, seed):
-            """s0 [S], u_nom [H,U] -> (u_nom' [H,U], costs [K])."""
+        def local_step(s0, u_nom, pvec, seed2):
+            """One device's share: seed2 = [seed, tile_offset]."""
             costs2d = pl.pallas_call(
                 kernel1,
-                out_shape=jax.ShapeDtypeStruct((ROWS, K // ROWS), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((ROWS, K_local // ROWS), jnp.float32),
                 grid_spec=gs1,
                 interpret=interpret,
-            )(seed, pvec, s0, u_nom.reshape(-1), Wk)
+            )(seed2, pvec, s0, u_nom.reshape(-1), Wk)
 
-            rho = jnp.min(costs2d)
-            wsum = jnp.sum(jnp.exp(-(costs2d - rho) / LBD))
+            rho_l = jnp.min(costs2d)
+            if mesh is not None:
+                rho = jax.lax.pmin(rho_l, axis)
+            else:
+                rho = rho_l
+            wsum_l = jnp.sum(jnp.exp(-(costs2d - rho) / LBD))
+            if mesh is not None:
+                wsum = jax.lax.psum(wsum_l, axis)
+            else:
+                wsum = wsum_l
             red = jnp.stack([rho, wsum])
 
             partials = pl.pallas_call(
@@ -274,11 +290,36 @@ def build_fused_mppi_step(
                 out_shape=jax.ShapeDtypeStruct((n_tiles, H, U), jnp.float32),
                 grid_spec=gs2,
                 interpret=interpret,
-            )(seed, red, Wk, eyemask, blocksum, costs2d)
+            )(seed2, red, Wk, eyemask, blocksum, costs2d)
             b = jnp.sum(partials, axis=0)                      # [H, U]
+            if mesh is not None:
+                b = jax.lax.psum(b, axis)
             u_nom_new = jnp.clip(u_nom + b, low, high)
             return u_nom_new, costs2d.reshape(-1)
 
-        return step
+        if mesh is None:
+            @jax.jit
+            def step(s0, u_nom, pvec, seed):
+                seed2 = jnp.concatenate([seed.reshape(1), jnp.zeros(1, jnp.int32)])
+                return local_step(s0, u_nom, pvec, seed2)
+            return step
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        def sharded(s0, u_nom, pvec, seed):
+            off = (jax.lax.axis_index(axis) * n_tiles).astype(jnp.int32)
+            seed2 = jnp.concatenate([seed.reshape(1), off.reshape(1)])
+            return local_step(s0, u_nom, pvec, seed2)
+
+        inner = shard_map(
+            sharded, mesh=mesh,
+            in_specs=(PS(), PS(), PS(), PS()),
+            out_specs=(PS(), PS(axis)),
+            check_rep=False,
+        )
+        return jax.jit(inner)
+
+    return make_run
 
     return make_run

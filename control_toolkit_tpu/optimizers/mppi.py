@@ -172,6 +172,7 @@ class MPPIOptimizer(Optimizer):
             tile_k=tile_k or DEFAULT_TILE_K,
             interpret=interpret,
         )
+        self._last_fused_make_run = make_run  # exposed for sharded variants
         kernel_step = make_run(self.num_rollouts)
 
         import jax.numpy as jnp

@@ -89,3 +89,46 @@ def test_fused_mppi_closed_loop_stabilizes():
         u_prev = u_nom[0]
         s, *_ = env.step(np.asarray(u_prev))
     assert abs(float(s[0, 2])) < 0.2, f"fused MPPI failed to stabilize: {s[0]}"
+
+
+def test_fused_mppi_sharded_bitwise_equals_single_device():
+    """shard_map over 8 virtual devices: the sharded fused step must produce
+    BITWISE the same costs and nominal update as the single-device run
+    (global-tile-keyed noise counters + pmin/psum reductions)."""
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    K, H, tile = 1024, 20, 128
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+
+    # Build through the raw builder to control mesh/tile/interpret.
+    import numpy as _np
+    from control_toolkit_tpu.ops.pallas_mppi import build_fused_mppi_step
+
+    cf = opt.cost_function.cost_function
+    pred = opt.predictor.predictor
+    kernel_step, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+
+    # Re-make with a mesh (reuse the bound builder via the private method's
+    # internals): call the builder again with identical config.
+    make_run = opt._last_fused_make_run
+    step_sharded = make_run(K, mesh=make_rollout_mesh(), axis="k")
+
+    s0 = jnp.array([0.1, 0.0, 0.25, -0.1], jnp.float32)
+    u_nom = jnp.zeros((H, 1), jnp.float32)
+    pv = pack(params, jnp.zeros(1))
+    seed = jnp.array([11], jnp.int32)
+
+    un_a, costs_a = kernel_step(s0, u_nom, pv, seed)
+    un_b, costs_b = step_sharded(s0, u_nom, pv, seed)
+
+    # The cost vector's flattening order differs between the single-device
+    # [8, K/8] layout and the per-device concatenation; MPPI is permutation
+    # invariant, so compare as multisets and require the UPDATE to be exact.
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(costs_a)), np.sort(np.asarray(costs_b))
+    )
+    np.testing.assert_array_equal(np.asarray(un_a), np.asarray(un_b))
