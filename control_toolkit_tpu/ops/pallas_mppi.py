@@ -304,8 +304,11 @@ def build_fused_mppi_step(
                 return local_step(s0, u_nom, pvec, seed2)
             return step
 
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as PS
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
 
         def sharded(s0, u_nom, pvec, seed):
             off = (jax.lax.axis_index(axis) * n_tiles).astype(jnp.int32)
@@ -316,7 +319,7 @@ def build_fused_mppi_step(
             sharded, mesh=mesh,
             in_specs=(PS(), PS(), PS(), PS()),
             out_specs=(PS(), PS(axis)),
-            check_rep=False,
+            check_vma=False,  # pallas_call outputs carry no vma annotation
         )
         return jax.jit(inner)
 
