@@ -131,9 +131,39 @@ class MPCController(Controller):
                 u = self.optimizer.step(s, time, params=self._assemble_params())
         else:
             u = self.optimizer.step(s, time, params=self._assemble_params())
+        if self.controller_logging:
+            # Stage cost actually incurred by the applied control — fills the
+            # realized_cost_logged slot of the 7-key contract (the reference
+            # declares it but never produces it).
+            self.optimizer.logging_values["realized_cost_logged"] = (
+                self._realized_cost(s, u)
+            )
         self.update_logs(self.optimizer.logging_values)
         self.u = u
         return u
+
+    def _realized_cost(self, s, u) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_realized_cost_jit"):
+            cf = self.cost_function.cost_function
+
+            @jax.jit
+            def rc(s_, u_, u_prev, params):
+                cp = {"cost": params["cost"], "attrs": params["attrs"]}
+                return cf.stage_cost_step(s_[None], u_[None], u_prev[None], cp)[0]
+
+            self._realized_cost_jit = rc
+        u_prev = jnp.asarray(
+            np.reshape(np.asarray(self.u if np.ndim(self.u) else [self.u]), (-1,)),
+            jnp.float32,
+        )
+        out = self._realized_cost_jit(
+            jnp.asarray(s, jnp.float32), jnp.asarray(u, jnp.float32),
+            u_prev, self._assemble_params(),
+        )
+        return np.asarray(out)
 
     def controller_report(self) -> None:
         if self.latency is not None and len(self.latency):

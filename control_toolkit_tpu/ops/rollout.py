@@ -31,11 +31,16 @@ def scan_cost_rollout(
     Q: jnp.ndarray,             # [B, H, U]
     u_prev: jnp.ndarray,        # [U] or [B, U]: the actually applied control
     params: Dict,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (trajectory_cost [B], final_state [B,S]).
 
     trajectory_cost = (sum_h stage(s_h, u_h, u_{h-1}) + terminal(s_H)) / (H+1)
     with u_{-1} = u_prev (seeds the control-change penalty).
+
+    ``remat=True`` rematerializes each scan step under reverse-mode AD: the
+    backward pass recomputes per-step activations instead of storing [H]
+    residual slices — trades FLOPs for memory at large K*H.
     """
     B, H, U = Q.shape
     Q_t = jnp.swapaxes(Q, 0, 1)  # [H, B, U]
@@ -48,6 +53,9 @@ def scan_cost_rollout(
         acc = acc + stage_cost_fn(x, u, up, params)
         x = step_fn(x, u, params)
         return (x, u, acc), None
+
+    if remat:
+        body = jax.checkpoint(body)
 
     (x_final, _, acc), _ = jax.lax.scan(
         body, (s0, u_prev_b, jnp.zeros(s0.shape[0], s0.dtype)), Q_t

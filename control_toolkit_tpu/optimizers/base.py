@@ -46,6 +46,7 @@ class Optimizer:
         mpc_horizon: int = 35,
         computation_library: Any = None,  # accepted for API parity; ignored (JAX only)
         calculate_optimal_trajectory: bool = False,
+        remat: bool = False,
         **kwargs,
     ):
         self.predictor = predictor
@@ -54,6 +55,8 @@ class Optimizer:
         self.mpc_horizon = int(mpc_horizon)
         self.optimizer_logging = bool(optimizer_logging)
         self.calculate_optimal_trajectory = bool(calculate_optimal_trajectory)
+        # Rematerialize rollout steps under AD (memory vs FLOPs at big K*H).
+        self.remat = bool(remat)
 
         action_low, action_high = control_limits
         self.action_low = jnp.asarray(action_low, dtype=jnp.float32)
@@ -208,6 +211,7 @@ class Optimizer:
             lambda x, u, up, p: cf.stage_cost_step(x, u, up, cp),
             lambda x, p: cf.get_terminal_cost(x, cp),
             s_tiled, Q, u_prev, params,
+            remat=getattr(self, "remat", False),
         )
         return cost
 

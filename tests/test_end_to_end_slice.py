@@ -82,3 +82,15 @@ def test_update_attributes_changes_cost_target():
     s = np.zeros(4, dtype=np.float32)
     ctrl.step(s, updated_attributes={"target_position": 5.0})
     assert float(ctrl.variable_parameters["target_position"]) == 5.0
+
+
+def test_realized_cost_logged():
+    """The applied control's stage cost fills realized_cost_logged."""
+    ctrl = make_controller(num_rollouts=32, horizon=10, logging=True)
+    s = np.array([0.5, 0.0, 0.2, 0.0], dtype=np.float32)
+    for _ in range(3):
+        ctrl.step(s)
+    out = ctrl.get_outputs()
+    rc = out["realized_cost_logged"]
+    assert rc is not None and rc.shape == (3,)
+    assert np.all(np.isfinite(rc)) and np.all(rc > 0)  # displaced state costs

@@ -73,3 +73,17 @@ def test_fused_path_equals_trajectory_path(name):
         ua = a.step(s)
         ub = b.step(s)
         np.testing.assert_allclose(ua, ub, atol=2e-5)
+
+
+def test_remat_gradients_match():
+    """remat=True must not change gradient values (only memory profile)."""
+    from test_optimizer_zoo import make
+
+    a = make("rpgd-tf", logging=False)
+    b = make("rpgd-tf", logging=False, remat=True)
+    assert b.optimizer.remat
+    s = np.array([0.0, 0.0, 0.3, -0.1], np.float32)
+    for _ in range(3):
+        ua = a.step(s)
+        ub = b.step(s)
+        np.testing.assert_allclose(ua, ub, atol=1e-6)
