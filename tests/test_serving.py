@@ -111,3 +111,28 @@ def test_remote_timeout_uses_fallback_controller():
     u = ctrl.step(np.array([0.0, 0.0, 0.2, 0.0], np.float32))
     # LQR responds to the tilted pole — nonzero control proves the fallback ran
     assert abs(float(np.asarray(u).reshape(-1)[0])) > 1e-3
+
+
+def test_concurrent_clients_get_their_own_replies(server_thread):
+    """ROUTER identity routing: interleaved requests from two DEALER clients
+    each receive replies with their own rids."""
+    ctx = zmq.Context.instance()
+    socks = []
+    for _ in range(2):
+        s = ctx.socket(zmq.DEALER)
+        s.connect(f"tcp://127.0.0.1:{PORT}")
+        s.setsockopt(zmq.RCVTIMEO, 10000)
+        socks.append(s)
+
+    # interleave sends with disjoint rid ranges
+    for i in range(3):
+        socks[0].send_json({"rid": 100 + i, "state": [0, 0, 0.1, 0], "time": None,
+                            "updated_attributes": {}})
+        socks[1].send_json({"rid": 200 + i, "state": [0, 0, -0.1, 0], "time": None,
+                            "updated_attributes": {}})
+    rids0 = sorted(socks[0].recv_json()["rid"] for _ in range(3))
+    rids1 = sorted(socks[1].recv_json()["rid"] for _ in range(3))
+    assert rids0 == [100, 101, 102]
+    assert rids1 == [200, 201, 202]
+    for s in socks:
+        s.close(0)
