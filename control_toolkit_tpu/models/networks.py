@@ -122,8 +122,33 @@ def parse_net_name(name: str) -> Dict:
 
 
 # ------------------------------------------------ checkpoint I/O
+def _flatten_params(params: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flatten nested param dicts with '/'-joined keys (cell0/wi, ...) so
+    npz stores pure arrays — nested dicts would otherwise be pickled 0-d
+    object arrays that np.load(allow_pickle=False) refuses to read."""
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten_params(v, prefix=f"{key}/"))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten_params(flat: Dict[str, jnp.ndarray]) -> Dict:
+    nested: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = nested
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return nested
+
+
 def save_net(path, params: Dict, meta: Optional[Dict] = None) -> None:
-    flat = {k: np.asarray(v) for k, v in params.items()}
+    flat = _flatten_params(params)
     if meta:
         import json
         flat["__meta"] = np.frombuffer(
@@ -136,13 +161,13 @@ def load_net(path) -> Tuple[Dict, Dict]:
     import json
     data = np.load(path)
     meta = {}
-    params = {}
+    flat = {}
     for k in data.files:
         if k == "__meta":
             meta = json.loads(bytes(data[k]).decode("utf-8"))
         else:
-            params[k] = jnp.asarray(data[k])
-    return params, meta
+            flat[k] = jnp.asarray(data[k])
+    return _unflatten_params(flat), meta
 
 
 def quantize_params(params: Dict, total_bits: int = 16, frac_bits: int = 10) -> Dict:

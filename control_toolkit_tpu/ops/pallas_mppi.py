@@ -324,5 +324,3 @@ def build_fused_mppi_step(
         return jax.jit(inner)
 
     return make_run
-
-    return make_run

@@ -197,6 +197,10 @@ class MPPIOptimizer(Optimizer):
 
         return (
             self.fully_fused
+            # The fused kernel implements only the softmax update; the
+            # mppi-optimize Adam refinement (optim_steps > 0) needs the
+            # modular path, otherwise the refinement would silently drop.
+            and self.optim_steps == 0
             and not self.optimizer_logging
             and not self.calculate_optimal_trajectory
             and self._can_use_pallas()

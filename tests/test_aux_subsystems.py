@@ -40,6 +40,24 @@ def test_controller_checkpoint_includes_attrs(tmp_path):
     assert float(b.variable_parameters["target_position"]) == 3.0
 
 
+def test_checkpoint_rejects_structurally_different_state(tmp_path):
+    """A checkpoint from a different optimizer must not silently load into a
+    template whose leading leaves happen to share shapes (ADVICE round 1)."""
+    ckpt = tmp_path / "state.npz"
+    checkpoint.save_state(ckpt, {"a": np.zeros((3,), np.float32)})
+    with pytest.raises(ValueError, match="leaves|treedef"):
+        checkpoint.load_state(
+            ckpt,
+            {"a": np.zeros((3,), np.float32), "b": np.zeros((2,), np.float32)},
+        )
+    # Same leaf count but different key names -> treedef mismatch.
+    with pytest.raises(ValueError, match="treedef"):
+        checkpoint.load_state(ckpt, {"z": np.zeros((3,), np.float32)})
+    # Float leaf must not silently cast into an int template.
+    with pytest.raises(ValueError, match="dtype"):
+        checkpoint.load_state(ckpt, {"a": np.zeros((3,), np.int32)})
+
+
 def test_latency_tracker_percentiles():
     t = LatencyTracker()
     for v in [0.001, 0.002, 0.003, 0.010]:

@@ -1,4 +1,5 @@
 """Neural predictor: shapes, RNN state, system-id -> MPC closed loop."""
+import jax
 import numpy as np
 import pytest
 
@@ -29,6 +30,33 @@ def test_gru_predictor_update_changes_rollout():
     pred.reset_state()
     t3 = np.asarray(pred.rollout(s0, Q))
     np.testing.assert_allclose(t1, t3, atol=1e-6)
+
+
+def test_gru_checkpoint_round_trip(tmp_path):
+    """save_net/load_net must round-trip NESTED GRU params (cell dicts) —
+    regression for the pickled-object-array bug where np.load refused the
+    checkpoint entirely (ADVICE round 1)."""
+    pred = NeuralPredictor("cartpole", dt=0.02, net_name="GRU-5IN-8H1-8H2-4OUT",
+                           seed=7)
+    ckpt = tmp_path / "GRU-5IN-8H1-8H2-4OUT.npz"
+    nets.save_net(ckpt, pred.net_params, meta={"predict_delta": True})
+
+    loaded = NeuralPredictor("cartpole", dt=0.02, net_name="GRU-5IN-8H1-8H2-4OUT",
+                             path_to_models=str(tmp_path), seed=99)
+    # Identical param trees leaf-for-leaf...
+    orig_leaves = jax.tree_util.tree_leaves_with_path(pred.net_params)
+    new_leaves = jax.tree_util.tree_leaves_with_path(loaded.net_params)
+    assert len(orig_leaves) == len(new_leaves)
+    for (p0, v0), (p1, v1) in zip(orig_leaves, new_leaves):
+        assert p0 == p1
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    # ...and identical rollouts through the loaded net.
+    s0 = 0.1 * np.ones((4, 4), np.float32)
+    Q = 0.5 * np.ones((4, 6, 1), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pred.rollout(s0, Q)), np.asarray(loaded.rollout(s0, Q)),
+        atol=1e-7,
+    )
 
 
 def test_system_id_then_mpc(tmp_path):
