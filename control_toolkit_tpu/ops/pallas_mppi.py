@@ -110,8 +110,16 @@ def build_fused_mppi_step(
     assert tile_k % ROWS == 0
     C = tile_k // ROWS
     sub_dt = dt / intermediate_steps
-    low = float(np.asarray(action_low).reshape(-1)[0])
-    high = float(np.asarray(action_high).reshape(-1)[0])
+    # Per-input action bounds, baked in as static constants (control limits
+    # are construction-time config).  Scalars broadcast to all U inputs.
+    low = tuple(
+        float(v)
+        for v in np.broadcast_to(np.asarray(action_low, np.float32).reshape(-1), (U,))
+    )
+    high = tuple(
+        float(v)
+        for v in np.broadcast_to(np.asarray(action_high, np.float32).reshape(-1), (U,))
+    )
 
     # Constant operands (small, passed as VMEM inputs — Mosaic kernels can't
     # capture array constants):
@@ -182,7 +190,7 @@ def build_fused_mppi_step(
             for j in range(U):
                 d = delta_ref[j, pl.ds(h * ROWS, ROWS), :]       # [R, C]
                 un = unom_ref[h * U + j]                          # SMEM scalar
-                u = jnp.clip(un + d, low, high)
+                u = jnp.clip(un + d, low[j], high[j])
                 us.append(u)
                 dus.append(d)
             us = tuple(us)
@@ -221,13 +229,28 @@ def build_fused_mppi_step(
             cols.append(out_h[:, 0])
         out_ref[0] = jnp.stack(cols, axis=-1)                       # [H, U]
 
-    def make_run(K: int, mesh=None, axis: str = "k"):
+    def make_run(K: int, mesh=None, axis=None):
         """K rollouts total; with ``mesh`` the population splits over its
-        ``axis`` via shard_map — each device runs its local tiles and the
-        softmax reductions ride psum/pmin collectives.  Noise counters are
-        global-tile-based, so sharded and unsharded runs are bitwise equal."""
+        sharding axes via shard_map — each device runs its local tiles and
+        the softmax reductions ride psum/pmin collectives (ICI within a
+        slice; for a 2-D ('slice','k') mesh the scalar combine crosses DCN).
+        Noise counters are global-tile-based, so sharded and unsharded runs
+        are bitwise equal regardless of mesh topology.
+
+        ``axis``: mesh axis name or tuple of names to shard K over
+        (default: ALL mesh axes, in mesh order)."""
         assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
-        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh is not None else 1
+        if mesh is not None:
+            if axis is None:
+                axes = tuple(mesh.axis_names)
+            elif isinstance(axis, str):
+                axes = (axis,)
+            else:
+                axes = tuple(axis)
+            n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+        else:
+            axes = ()
+            n_dev = 1
         assert K % (tile_k * n_dev) == 0, "K must divide evenly across devices"
         n_tiles = K // tile_k // n_dev  # tiles per device
         Wk = jnp.asarray(Wk_np)
@@ -275,12 +298,12 @@ def build_fused_mppi_step(
 
             rho_l = jnp.min(costs2d)
             if mesh is not None:
-                rho = jax.lax.pmin(rho_l, axis)
+                rho = jax.lax.pmin(rho_l, axes)
             else:
                 rho = rho_l
             wsum_l = jnp.sum(jnp.exp(-(costs2d - rho) / LBD))
             if mesh is not None:
-                wsum = jax.lax.psum(wsum_l, axis)
+                wsum = jax.lax.psum(wsum_l, axes)
             else:
                 wsum = wsum_l
             red = jnp.stack([rho, wsum])
@@ -293,8 +316,10 @@ def build_fused_mppi_step(
             )(seed2, red, Wk, eyemask, blocksum, costs2d)
             b = jnp.sum(partials, axis=0)                      # [H, U]
             if mesh is not None:
-                b = jax.lax.psum(b, axis)
-            u_nom_new = jnp.clip(u_nom + b, low, high)
+                b = jax.lax.psum(b, axes)
+            u_nom_new = jnp.clip(
+                u_nom + b, jnp.asarray(low, jnp.float32), jnp.asarray(high, jnp.float32)
+            )
             return u_nom_new, costs2d.reshape(-1)
 
         if mesh is None:
@@ -311,14 +336,20 @@ def build_fused_mppi_step(
             from jax.experimental.shard_map import shard_map
 
         def sharded(s0, u_nom, pvec, seed):
-            off = (jax.lax.axis_index(axis) * n_tiles).astype(jnp.int32)
+            # Linear device index over the sharding axes (mesh-order major)
+            # so each device's global tile offset is unique and contiguous.
+            dev = jnp.zeros((), jnp.int32)
+            for a in axes:
+                dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
+            off = (dev * n_tiles).astype(jnp.int32)
             seed2 = jnp.concatenate([seed.reshape(1), off.reshape(1)])
             return local_step(s0, u_nom, pvec, seed2)
 
+        costs_spec = PS(axes if len(axes) > 1 else axes[0])
         inner = shard_map(
             sharded, mesh=mesh,
             in_specs=(PS(), PS(), PS(), PS()),
-            out_specs=(PS(), PS(axis)),
+            out_specs=(PS(), costs_spec),
             check_vma=False,  # pallas_call outputs carry no vma annotation
         )
         return jax.jit(inner)

@@ -77,6 +77,8 @@ class Optimizer:
         self._step_jit = None
         # Optional sharding plan (set via plan_sharding) applied to the state.
         self._shard_state = None
+        self._mesh = None          # jax.sharding.Mesh when sharded
+        self._shard_axes = ()      # mesh axis names K shards over
 
     # ---- lifecycle --------------------------------------------------------
     def configure(
@@ -241,17 +243,21 @@ class Optimizer:
 
         return (
             jax.default_backend() == "tpu"
-            # A sharded population can't flow through pallas_call (XLA does
-            # not auto-partition custom kernels); the fused scan path
-            # partitions fine and is used instead.  shard_map-wrapped
-            # kernels are a roadmap item.
-            and self._shard_state is None
             and isinstance(pred, ODEPredictor)
             and getattr(pred.dynamics, "soa", None) is not None
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
-            and self.num_rollouts % DEFAULT_TILE_K == 0
+            # Under sharding each device runs its LOCAL tiles through the
+            # kernel via shard_map, so the per-device shard must tile evenly.
+            and self.num_rollouts % (DEFAULT_TILE_K * self._n_shard_devices()) == 0
         )
+
+    def _n_shard_devices(self) -> int:
+        if self._mesh is None:
+            return 1
+        import numpy as np
+
+        return int(np.prod([self._mesh.shape[a] for a in self._shard_axes]))
 
     def _build_pallas_cost(self, interpret: bool = False, tile_k: int = None):
         """Bind predictor dynamics + cost function into the fused Pallas
@@ -320,6 +326,27 @@ class Optimizer:
             interpret=interpret,
         )
 
+        if self._mesh is not None:
+            # XLA does not auto-partition custom kernels, so under sharding
+            # the kernel runs per-device on the local K shard via shard_map.
+            # The cost rollout has NO cross-K reduction — each device writes
+            # its own [K_local] slice; downstream reductions (top-k, softmax)
+            # stay in XLA and lower to ICI/DCN collectives as usual.
+            from jax.sharding import PartitionSpec as PS
+            try:
+                from jax import shard_map
+            except ImportError:  # jax < 0.8
+                from jax.experimental.shard_map import shard_map
+
+            axes = self._shard_axes
+            first = axes if len(axes) > 1 else axes[0]
+            kernel = shard_map(
+                kernel, mesh=self._mesh,
+                in_specs=(PS(first, None), PS(first, None, None), PS()),
+                out_specs=PS(first),
+                check_vma=False,  # pallas_call outputs carry no vma annotation
+            )
+
         def cost_fn(s_tiled, Q, u_prev, params):
             vals = {}
             for k in dyn_keys:
@@ -351,10 +378,12 @@ class Optimizer:
 
         K = self.num_rollouts
         if axis is not None:
-            first = axis
+            axes = (axis,) if isinstance(axis, str) else tuple(axis)
         else:
-            names = tuple(mesh.axis_names)
-            first = names if len(names) > 1 else names[0]
+            axes = tuple(mesh.axis_names)
+        first = axes if len(axes) > 1 else axes[0]
+        self._mesh = mesh
+        self._shard_axes = axes
 
         def place(state):
             def leaf_sharding(x):
@@ -368,8 +397,8 @@ class Optimizer:
         self._shard_state = place
         if self.opt_state is not None:
             self.opt_state = place(self.opt_state)
-        # Rebuild the step: backend-specific paths (Pallas) must see the
-        # sharding decision (they are disabled under sharding).
+        # Rebuild the step: the Pallas paths must see the sharding decision
+        # (they run per-device on the local K shard via shard_map).
         self._build()
 
     @property

@@ -173,7 +173,14 @@ class MPPIOptimizer(Optimizer):
             interpret=interpret,
         )
         self._last_fused_make_run = make_run  # exposed for sharded variants
-        kernel_step = make_run(self.num_rollouts)
+        if self._mesh is not None:
+            # Population splits over the mesh; global-tile-keyed noise makes
+            # the sharded step bitwise equal to the single-device one.
+            kernel_step = make_run(
+                self.num_rollouts, mesh=self._mesh, axis=self._shard_axes
+            )
+        else:
+            kernel_step = make_run(self.num_rollouts)
 
         import jax.numpy as jnp
 

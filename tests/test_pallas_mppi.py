@@ -91,6 +91,106 @@ def test_fused_mppi_closed_loop_stabilizes():
     assert abs(float(s[0, 2])) < 0.2, f"fused MPPI failed to stabilize: {s[0]}"
 
 
+def test_fused_mppi_multislice_bitwise_equals_single_device():
+    """2-D ('slice','k') mesh: the fused step shards K over BOTH axes (ICI
+    within a slice, DCN scalar combine across slices) and must stay bitwise
+    equal to the single-device run."""
+    from control_toolkit_tpu.parallel.mesh import make_multislice_mesh
+
+    K, H, tile = 1024, 20, 128
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    kernel_step, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    mesh = make_multislice_mesh(2)
+    assert mesh.devices.shape == (2, 4)
+    step_sharded = opt._last_fused_make_run(K, mesh=mesh)  # axis=None -> all axes
+
+    s0 = jnp.array([0.1, 0.0, 0.25, -0.1], jnp.float32)
+    u_nom = jnp.zeros((H, 1), jnp.float32)
+    pv = pack(params, jnp.zeros(1))
+    seed = jnp.array([17], jnp.int32)
+
+    un_a, costs_a = kernel_step(s0, u_nom, pv, seed)
+    un_b, costs_b = step_sharded(s0, u_nom, pv, seed)
+    # Per-rollout costs are computed before any collective -> bitwise equal.
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(costs_a)), np.sort(np.asarray(costs_b))
+    )
+    # The nominal update crosses a hierarchical (ICI+DCN) psum whose
+    # reduction order differs from the flat single-device sum -> float32
+    # associativity noise only.
+    np.testing.assert_allclose(
+        np.asarray(un_a), np.asarray(un_b), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_fused_mppi_per_input_asymmetric_bounds():
+    """2-input system with DIFFERENT bounds per input: the in-kernel clip
+    must apply each input's own bounds (regression: element [0] was used for
+    all inputs).  The expected cost is reconstructed exactly in XLA from the
+    same counter-based noise the kernel generates."""
+    from control_toolkit_tpu.ops.interpolation import Interpolator
+    from control_toolkit_tpu.ops.pallas_mppi import (
+        ROWS, _normals, build_fused_mppi_step,
+    )
+
+    S, U, H, tile = 2, 2, 8, 64
+    K = tile  # single tile: tile_id = 0
+    interp = Interpolator.build(H, 3)
+    P = interp.number_of_interpolation_inducing_points
+    W = np.asarray(interp.matrix, np.float32)           # [P, H]
+
+    def derivs(xs, us, p):
+        return (us[0], us[1])
+
+    def stage(xs, us, prev_us, p):
+        return us[0] + us[1]
+
+    def term(xs, p):
+        return 0.0 * xs[0]
+
+    low = np.array([-0.2, -1.0], np.float32)
+    high = np.array([1.0, 0.1], np.float32)
+    stdev = 0.7
+    make_run = build_fused_mppi_step(
+        derivs, stage, term, num_states=S, num_controls=U, horizon=H,
+        num_inducing=P, interp_matrix=W, dt=0.1,
+        param_keys=("__u_prev_0", "__u_prev_1"),
+        cc_weight=0.0, R=1.0, NU=1000.0, LBD=10.0, stdev=stdev,
+        action_low=low, action_high=high, integrator="euler",
+        intermediate_steps=1, tile_k=tile, interpret=True,
+    )
+    step = make_run(K)
+    seed_val = 42
+    u_nom_new, costs = step(
+        jnp.zeros((S,), jnp.float32), jnp.zeros((H, U), jnp.float32),
+        jnp.zeros((U,), jnp.float32), jnp.array([seed_val], jnp.int32),
+    )
+
+    # Regenerate the kernel's noise and apply per-input clipping in XLA.
+    C = tile // ROWS
+    Wk = jnp.asarray(np.kron(W.T, np.eye(ROWS, dtype=np.float32)))
+    stride = P * tile
+    expected = np.zeros((ROWS, C), np.float32)
+    for j in range(U):
+        base = np.uint32((seed_val * 0x01000193 + j * stride) & 0xFFFFFFFF)
+        z = _normals(jnp.uint32(base), (P * ROWS, C)) * stdev
+        d = np.asarray(jnp.dot(Wk, z, preferred_element_type=jnp.float32))
+        for h in range(H):
+            expected += np.clip(d[h * ROWS:(h + 1) * ROWS, :], low[j], high[j])
+    expected = (expected / (H + 1)).reshape(-1)
+    np.testing.assert_allclose(np.asarray(costs), expected, rtol=1e-5, atol=1e-6)
+
+    # The nominal update also respects per-input bounds.
+    un = np.asarray(u_nom_new)
+    for j in range(U):
+        assert np.all(un[:, j] >= low[j] - 1e-6)
+        assert np.all(un[:, j] <= high[j] + 1e-6)
+
+
 def test_fused_mppi_sharded_bitwise_equals_single_device():
     """shard_map over 8 virtual devices: the sharded fused step must produce
     BITWISE the same costs and nominal update as the single-device run

@@ -47,6 +47,39 @@ def test_pallas_kernel_matches_scan(integrator):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("mesh_kind", ["1d", "multislice"])
+def test_pallas_kernel_sharded_matches_unsharded(mesh_kind):
+    """The shard_map-wrapped cost kernel on an 8-device mesh must equal the
+    unsharded kernel AND the fused-scan reference (each device runs its
+    local K tiles; no cross-K collective exists in the cost rollout)."""
+    from control_toolkit_tpu.parallel.mesh import (
+        make_multislice_mesh, make_rollout_mesh,
+    )
+
+    K, H, tile = 256, 12, 32
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    unsharded_cost = opt._build_pallas_cost(interpret=True, tile_k=tile)
+
+    mesh = make_rollout_mesh() if mesh_kind == "1d" else make_multislice_mesh(2)
+    opt.plan_sharding(mesh)
+    assert opt._mesh is mesh and opt._n_shard_devices() == 8
+    sharded_cost = opt._build_pallas_cost(interpret=True, tile_k=tile)
+
+    key = jax.random.PRNGKey(1)
+    s_tiled = jnp.tile(jnp.array([[0.1, -0.2, 0.3, 0.05]], jnp.float32), (K, 1))
+    Q = jax.random.uniform(key, (K, H, 1), minval=-1.0, maxval=1.0)
+    u_prev = jnp.array([0.25], jnp.float32)
+    params = ctrl._assemble_params()
+
+    ref = np.asarray(opt._fused_cost(s_tiled, Q, u_prev, params))
+    a = np.asarray(unsharded_cost(s_tiled, Q, u_prev, params))
+    b = np.asarray(jax.jit(sharded_cost)(s_tiled, Q, u_prev, params))
+
+    np.testing.assert_array_equal(a, b)  # same kernel math, exact
+    np.testing.assert_allclose(b, ref, rtol=3e-5, atol=1e-4)
+
+
 def test_pallas_respects_dynamic_params():
     """Changing cost weights/attrs must flow through the SMEM vector without
     rebuilding the kernel."""
