@@ -3,7 +3,8 @@
 Replaces the reference's FORCES Pro NLP path (optimizer_nlp_forces,
 /root/reference/Optimizers/optimizer_nlp_forces.py:35-399 — proprietary
 generated C solver, K forced to 1 (:61), warm start from the shifted previous
-open-loop solution (:289-296)) with an on-device iLQR solver:
+open-loop solution (:289-296)) with an on-device iLQR solver matching the
+FORCES feature set:
 
 * dynamics linearized along the current trajectory with ``jax.jacfwd``
   (exact Jacobians through the same single-step integrator the sampling
@@ -12,31 +13,44 @@ open-loop solution (:289-296)) with an on-device iLQR solver:
 * Riccati backward pass with Levenberg-Marquardt regularization,
 * forward pass with a **vmapped parallel line search** (all step sizes
   rolled out simultaneously — the TPU-native replacement for a sequential
-  Armijo loop) and box constraints enforced by clamping,
+  Armijo loop) and control box constraints enforced by clamping,
+* **state box constraints** (``state_max``, symmetric per reference
+  optimizer_nlp_forces.py:100-106 ``xmin = -xmax``, 'inf'/null = unbounded)
+  and a **terminal set** (``terminal_set_width`` box around a target on
+  ``idx_terminal_set`` state indices, reference :299-306) via an augmented
+  Lagrangian (PHR) outer loop — multipliers and penalty updated a fixed
+  number of times, the whole thing one jitted program,
+* the **control-change cost** coupling u_h with u_{h-1} (dropped in round 1)
+  included by augmenting the solver state with the previous control,
+* **solver-failure fallback** reproducing FORCES exitflag<0 semantics
+  (reference :315-342): on a non-finite solve the optimizer replays the last
+  good open-loop plan, stepping an index j through it; on recovery (or plan
+  exhaustion) it re-adopts/reinitializes,
 * warm start: accepted control trajectory shifted one step per tick.
-
-The whole solve (fixed iteration count, regularization adaptation via
-lax.cond) is ONE jitted program.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from control_toolkit_tpu.optimizers.base import Optimizer
 from control_toolkit_tpu.utils import registry
 
 
 class ILQRState(NamedTuple):
-    u_traj: jax.Array  # [H, U] current open-loop plan
-    u_prev: jax.Array  # [U]
+    u_traj: jax.Array  # [H, U] warm-start plan for the next solve
+    u_prev: jax.Array  # [U] last applied control
+    plan: jax.Array    # [H, U] last GOOD open-loop solution (failure replay)
+    j: jax.Array       # replay index into ``plan`` (0 = fresh solve adopted)
     count: jax.Array
 
 
 @registry.optimizers.register("ilqr")
 @registry.optimizers.register("nlp-ilqr")
+@registry.optimizers.register("nlp-forces")  # drop-in slot for the reference name
 class ILQROptimizer(Optimizer):
     def __init__(
         self,
@@ -46,6 +60,14 @@ class ILQROptimizer(Optimizer):
         regularization_init: float = 1.0,
         regularization_max: float = 1e8,
         line_search_steps: int = 8,
+        state_max: Optional[Sequence] = None,
+        terminal_set_width: float = 0.0,
+        idx_terminal_set: Sequence[int] = (),
+        terminal_set_center: Sequence = (),
+        al_iterations: int = 4,
+        mu_init: float = 10.0,
+        mu_growth: float = 10.0,
+        include_control_change_cost: bool = True,
         **kwargs,
     ):
         kwargs["num_rollouts"] = 1  # NLP path is single-trajectory (reference :61)
@@ -57,13 +79,35 @@ class ILQROptimizer(Optimizer):
         self.alphas = jnp.asarray(
             [0.5**i for i in range(int(line_search_steps))], jnp.float32
         )
+        # Symmetric state box (reference: xmax from config, xmin = -xmax;
+        # 'inf'/None entries unbounded).
+        if state_max is not None:
+            self.state_max = np.asarray(
+                [np.inf if v in (None, "inf") else float(v) for v in state_max],
+                np.float32,
+            )
+        else:
+            self.state_max = None
+        self.terminal_set_width = float(terminal_set_width)
+        self.idx_terminal_set = tuple(int(i) for i in idx_terminal_set)
+        # Each center entry is a float or the NAME of an environment attribute
+        # (resolved from params['attrs'] at step time, like the reference's
+        # target_function building the target from controller attributes).
+        self.terminal_set_center = tuple(terminal_set_center)
+        self.al_iterations = int(al_iterations)
+        self.mu_init = float(mu_init)
+        self.mu_growth = float(mu_growth)
+        self.include_control_change_cost = bool(include_control_change_cost)
 
     def _init_state(self, key):
         H, U = self.mpc_horizon, self.num_control_inputs
         u_mid = 0.5 * (self.action_low + self.action_high)
+        plan0 = jnp.broadcast_to(u_mid, (H, U)).astype(jnp.float32)
         return ILQRState(
-            u_traj=jnp.broadcast_to(u_mid, (H, U)).astype(jnp.float32),
+            u_traj=plan0,
             u_prev=jnp.zeros((U,), jnp.float32),
+            plan=plan0,
+            j=jnp.zeros((), jnp.int32),
             count=jnp.zeros((), jnp.int32),
         )
 
@@ -74,44 +118,114 @@ class ILQROptimizer(Optimizer):
         step = self.predictor.single_step
         alphas = self.alphas
 
-        def dyn(x, u, params):
-            # single-sample step: [S], [U] -> [S]
-            return step(x[None], u[None], params["dyn"])[0]
+        # ---- static constraint setup --------------------------------------
+        if self.state_max is not None:
+            box_idx = tuple(
+                i for i in range(min(S, len(self.state_max)))
+                if np.isfinite(self.state_max[i])
+            )
+            box_max = jnp.asarray(
+                [self.state_max[i] for i in box_idx], jnp.float32
+            )
+        else:
+            box_idx, box_max = (), jnp.zeros((0,), jnp.float32)
+        has_box = len(box_idx) > 0
+        term_idx = self.idx_terminal_set
+        has_term = self.terminal_set_width > 0.0 and len(term_idx) > 0
+        width = jnp.float32(self.terminal_set_width)
+        constrained = has_box or has_term
+        n_al = self.al_iterations if constrained else 1
+        inner_iters = max(1, -(-self.max_iterations // n_al))  # ceil div
+        n_box = 2 * len(box_idx)
+        n_term = 2 * len(term_idx)
 
-        def stage_l(x, u, params):
-            # iLQR stage cost without the cross-step control-change coupling.
+        # Solver state is augmented with the previous control so the
+        # control-change cost (a coupling between consecutive controls)
+        # stays a per-stage function the Riccati pass can expand.
+        use_ccrc = self.include_control_change_cost
+        Z = S + U if use_ccrc else S  # augmented state size
+
+        def dyn(z, u, params):
+            x = z[:S]
+            xn = step(x[None], u[None], params["dyn"])[0]
+            if use_ccrc:
+                return jnp.concatenate([xn, u])
+            return xn
+
+        def box_violation(z):
+            if not has_box:
+                return jnp.zeros((0,), jnp.float32)
+            xb = jnp.stack([z[i] for i in box_idx])
+            return jnp.concatenate([xb - box_max, -box_max - xb])
+
+        def term_violation(z, center):
+            if not has_term:
+                return jnp.zeros((0,), jnp.float32)
+            d = jnp.stack([z[i] for i in term_idx]) - center
+            return jnp.concatenate([d - width, -d - width])
+
+        def al_penalty(c, lam, mu):
+            """PHR augmented-Lagrangian term for c(x) <= 0."""
+            if c.shape[0] == 0:
+                return jnp.float32(0.0)
+            t = jnp.maximum(0.0, lam + mu * c)
+            return jnp.sum(t * t - lam * lam) / (2.0 * mu)
+
+        def stage_l(z, u, params):
             cp = {"cost": params["cost"], "attrs": params["attrs"]}
-            return cf.stage_cost_step(x[None], u[None], None, cp)[0]
+            if use_ccrc:
+                return cf.stage_cost_step(
+                    z[None, :S], u[None], z[None, S:], cp
+                )[0]
+            return cf.stage_cost_step(z[None, :S], u[None], None, cp)[0]
 
-        def term_l(x, params):
+        def term_l(z, params):
             cp = {"cost": params["cost"], "attrs": params["attrs"]}
-            return cf.get_terminal_cost(x[None], cp)[0]
+            return cf.get_terminal_cost(z[None, :S], cp)[0]
 
-        def rollout_open_loop(x0, u_traj, params):
-            def body(x, u):
-                xn = dyn(x, u, params)
-                return xn, x
-            x_final, xs = jax.lax.scan(body, x0, u_traj)
-            return jnp.concatenate([xs, x_final[None]], axis=0)  # [H+1, S]
+        def stage_l_al(z, u, lam_h, mu, params):
+            return stage_l(z, u, params) + al_penalty(box_violation(z), lam_h, mu)
 
-        def total_cost(x0, u_traj, params):
-            xs = rollout_open_loop(x0, u_traj, params)
-            stages = jax.vmap(lambda x, u: stage_l(x, u, params))(xs[:-1], u_traj)
-            return jnp.sum(stages) + term_l(xs[-1], params)
+        def term_l_al(z, lam_h, lam_t, mu, center, params):
+            c = term_l(z, params) + al_penalty(box_violation(z), lam_h, mu)
+            return c + al_penalty(term_violation(z, center), lam_t, mu)
 
-        def backward_pass(xs, us, reg, params):
-            A = jax.vmap(lambda x, u: jax.jacfwd(dyn, 0)(x, u, params))(xs[:-1], us)
-            B = jax.vmap(lambda x, u: jax.jacfwd(dyn, 1)(x, u, params))(xs[:-1], us)
-            lx = jax.vmap(lambda x, u: jax.grad(stage_l, 0)(x, u, params))(xs[:-1], us)
-            lu = jax.vmap(lambda x, u: jax.grad(stage_l, 1)(x, u, params))(xs[:-1], us)
-            lxx = jax.vmap(lambda x, u: jax.hessian(stage_l, 0)(x, u, params))(xs[:-1], us)
-            luu = jax.vmap(lambda x, u: jax.hessian(stage_l, 1)(x, u, params))(xs[:-1], us)
+        def rollout_open_loop(z0, u_traj, params):
+            def body(z, u):
+                zn = dyn(z, u, params)
+                return zn, z
+            z_final, zs = jax.lax.scan(body, z0, u_traj)
+            return jnp.concatenate([zs, z_final[None]], axis=0)  # [H+1, Z]
+
+        def total_cost_al(z0, u_traj, lam, lam_t, mu, center, params):
+            zs = rollout_open_loop(z0, u_traj, params)
+            stages = jax.vmap(
+                lambda z, u, l: stage_l_al(z, u, l, mu, params)
+            )(zs[:-1], u_traj, lam[:-1])
+            return jnp.sum(stages) + term_l_al(
+                zs[-1], lam[-1], lam_t, mu, center, params
+            )
+
+        def total_cost_true(z0, u_traj, params):
+            zs = rollout_open_loop(z0, u_traj, params)
+            stages = jax.vmap(lambda z, u: stage_l(z, u, params))(zs[:-1], u_traj)
+            return jnp.sum(stages) + term_l(zs[-1], params)
+
+        def backward_pass(zs, us, lam, lam_t, mu, center, reg, params):
+            A = jax.vmap(lambda z, u: jax.jacfwd(dyn, 0)(z, u, params))(zs[:-1], us)
+            B = jax.vmap(lambda z, u: jax.jacfwd(dyn, 1)(z, u, params))(zs[:-1], us)
+            sl = lambda z, u, l: stage_l_al(z, u, l, mu, params)
+            lx = jax.vmap(lambda z, u, l: jax.grad(sl, 0)(z, u, l))(zs[:-1], us, lam[:-1])
+            lu = jax.vmap(lambda z, u, l: jax.grad(sl, 1)(z, u, l))(zs[:-1], us, lam[:-1])
+            lxx = jax.vmap(lambda z, u, l: jax.hessian(sl, 0)(z, u, l))(zs[:-1], us, lam[:-1])
+            luu = jax.vmap(lambda z, u, l: jax.hessian(sl, 1)(z, u, l))(zs[:-1], us, lam[:-1])
             lux = jax.vmap(
-                lambda x, u: jax.jacfwd(jax.grad(stage_l, 1), 0)(x, u, params)
-            )(xs[:-1], us)
+                lambda z, u, l: jax.jacfwd(jax.grad(sl, 1), 0)(z, u, l)
+            )(zs[:-1], us, lam[:-1])
 
-            Vx = jax.grad(term_l, 0)(xs[-1], params)
-            Vxx = jax.hessian(term_l, 0)(xs[-1], params)
+            tl = lambda z: term_l_al(z, lam[-1], lam_t, mu, center, params)
+            Vx = jax.grad(tl)(zs[-1])
+            Vxx = jax.hessian(tl)(zs[-1])
 
             def bw(carry, inp):
                 Vx, Vxx = carry
@@ -134,28 +248,31 @@ class ILQROptimizer(Optimizer):
                 (A, B, lx, lu, lxx, luu, lux),
                 reverse=True,
             )
-            return ks, Ks  # [H, U], [H, U, S]
+            return ks, Ks  # [H, U], [H, U, Z]
 
-        def forward_pass(x0, xs_nom, us_nom, ks, Ks, alpha, params):
+        def forward_pass(z0, zs_nom, us_nom, ks, Ks, alpha, lam, lam_t, mu,
+                         center, params):
             def body(carry, inp):
-                x, acc = carry
-                x_nom, u_nom, k, Kg = inp
-                u = jnp.clip(u_nom + alpha * k + Kg @ (x - x_nom), low, high)
-                acc = acc + stage_l(x, u, params)
-                xn = dyn(x, u, params)
-                return (xn, acc), u
-            (x_final, acc), us = jax.lax.scan(
-                body, (x0, 0.0), (xs_nom[:-1], us_nom, ks, Ks)
+                z, acc, h = carry
+                z_nom, u_nom, k, Kg = inp
+                u = jnp.clip(u_nom + alpha * k + Kg @ (z - z_nom), low, high)
+                acc = acc + stage_l_al(z, u, lam[h], mu, params)
+                zn = dyn(z, u, params)
+                return (zn, acc, h + 1), u
+            (z_final, acc, _), us = jax.lax.scan(
+                body, (z0, 0.0, 0), (zs_nom[:-1], us_nom, ks, Ks)
             )
-            return acc + term_l(x_final, params), us
+            total = acc + term_l_al(z_final, lam[-1], lam_t, mu, center, params)
+            return total, us
 
-        def solve_iter(carry, _, x0, params):
+        def inner_iter(carry, _, z0, lam, lam_t, mu, center, params):
             us, cost, reg = carry
-            xs = rollout_open_loop(x0, us, params)
-            ks, Ks = backward_pass(xs, us, reg, params)
-            # Parallel line search over all alphas at once.
+            zs = rollout_open_loop(z0, us, params)
+            ks, Ks = backward_pass(zs, us, lam, lam_t, mu, center, reg, params)
             costs, us_cands = jax.vmap(
-                lambda a: forward_pass(x0, xs, us, ks, Ks, a, params)
+                lambda a: forward_pass(
+                    z0, zs, us, ks, Ks, a, lam, lam_t, mu, center, params
+                )
             )(alphas)
             best = jnp.argmin(costs)
             best_cost = costs[best]
@@ -170,29 +287,101 @@ class ILQROptimizer(Optimizer):
             )
             return (us_new, cost_new, reg_new), None
 
+        def solve(z0, us0, center, params):
+            """AL outer loop around the iLQR inner loop (single jit)."""
+            lam0 = jnp.zeros((H + 1, n_box), jnp.float32)
+            lam_t0 = jnp.zeros((n_term,), jnp.float32)
+
+            def al_iter(carry, _):
+                us, lam, lam_t, mu = carry
+                cost0 = total_cost_al(z0, us, lam, lam_t, mu, center, params)
+                (us, _, _), _ = jax.lax.scan(
+                    lambda c, x: inner_iter(c, x, z0, lam, lam_t, mu, center, params),
+                    (us, cost0, jnp.float32(self.reg_init)),
+                    None, length=inner_iters,
+                )
+                # First-order multiplier update along the accepted trajectory.
+                zs = rollout_open_loop(z0, us, params)
+                if has_box:
+                    c_box = jax.vmap(box_violation)(zs)          # [H+1, n_box]
+                    lam = jnp.maximum(0.0, lam + mu * c_box)
+                if has_term:
+                    lam_t = jnp.maximum(
+                        0.0, lam_t + mu * term_violation(zs[-1], center)
+                    )
+                return (us, lam, lam_t, mu * self.mu_growth), None
+
+            mu0 = jnp.float32(self.mu_init if constrained else 0.0)
+            if constrained:
+                (us, lam, lam_t, _), _ = jax.lax.scan(
+                    al_iter, (us0, lam0, lam_t0, mu0), None, length=n_al
+                )
+            else:
+                cost0 = total_cost_al(z0, us0, lam0, lam_t0, mu0, center, params)
+                (us, _, _), _ = jax.lax.scan(
+                    lambda c, x: inner_iter(
+                        c, x, z0, lam0, lam_t0, mu0, center, params
+                    ),
+                    (us0, cost0, jnp.float32(self.reg_init)),
+                    None, length=inner_iters,
+                )
+            return us
+
+        # Terminal-set center: static floats and/or attribute names resolved
+        # per step (the reference builds its target from controller attrs,
+        # optimizer_nlp_forces.py:299-306).
+        center_spec = self.terminal_set_center
+
+        def resolve_center(params):
+            if not has_term:
+                return jnp.zeros((0,), jnp.float32)
+            vals = []
+            for e in center_spec:
+                if isinstance(e, str):
+                    vals.append(jnp.asarray(params["attrs"].get(e, 0.0), jnp.float32))
+                else:
+                    vals.append(jnp.float32(e))
+            if len(vals) < len(term_idx):
+                vals += [jnp.float32(0.0)] * (len(term_idx) - len(vals))
+            return jnp.stack(vals[: len(term_idx)])
+
         def step_fn(state: ILQRState, s, params):
             x0 = s[0]
-            us0 = state.u_traj
-            cost0 = total_cost(x0, us0, params)
-            (us, cost, _), _ = jax.lax.scan(
-                lambda c, x: solve_iter(c, x, x0, params),
-                (us0, cost0, jnp.float32(self.reg_init)),
-                None, length=self.max_iterations,
-            )
+            z0 = jnp.concatenate([x0, state.u_prev]) if use_ccrc else x0
+            center = resolve_center(params)
 
-            u = us[0]
-            # Warm start: shift the accepted plan (reference :289-296).
-            us_shifted = jnp.concatenate([us[1:], us[-1:]], axis=0)
+            us = solve(z0, state.u_traj, center, params)
+            cost = total_cost_true(z0, us, params)
 
-            xs = rollout_open_loop(x0, us, params)
+            # FORCES exitflag semantics (reference :315-342): a failed solve
+            # replays the last good open-loop plan index-by-index; a good
+            # solve is adopted with the replay index reset.
+            ok = jnp.isfinite(cost) & jnp.all(jnp.isfinite(us))
+            j_new = jnp.where(ok, 0, jnp.minimum(state.j + 1, H - 1))
+            plan_new = jnp.where(ok, us, state.plan)
+            u = jnp.where(ok, us[0], state.plan[j_new])
+
+            # Warm start: shift the adopted plan; when replaying, line the
+            # remaining plan up so its next index comes first (tail-padded).
+            shift = jnp.where(ok, 1, j_new + 1)
+            idx = jnp.clip(jnp.arange(H) + shift, 0, H - 1)
+            us_shifted = plan_new[idx]
+            # Replay exhausted -> reinitialize the warm start at mid-range
+            # (the reference rebuilds its initial guess from the heuristic).
+            u_mid = jnp.broadcast_to(0.5 * (low + high), (H, U)).astype(jnp.float32)
+            us_shifted = jnp.where(j_new >= H - 1, u_mid, us_shifted)
+
+            xs = rollout_open_loop(z0, plan_new, params)[:, :S]
             diag = {
-                "Q_logged": us[None],                       # [1, H, U]
+                "Q_logged": plan_new[None],                 # [1, H, U]
                 "J_logged": (cost / (H + 1))[None],         # trajectory-mean convention
                 "rollout_trajectories_logged": xs[None],    # [1, H+1, S]
-                "u_nom": us[None],
+                "u_nom": plan_new[None],
+                "solver_ok": ok,
             }
             new_state = ILQRState(
-                u_traj=us_shifted, u_prev=u, count=state.count + 1
+                u_traj=us_shifted, u_prev=u, plan=plan_new, j=j_new,
+                count=state.count + 1,
             )
             return u, new_state, diag
 

@@ -100,6 +100,140 @@ def test_ilqr_cost_decreases_monotonically():
     assert j30 <= j2 + 1e-6
 
 
+def test_ilqr_state_box_constraint_active_at_optimum():
+    """Drive the double integrator from x=2 to 0 with a velocity bound the
+    unconstrained optimum violates; the AL solve must respect it
+    (reference FORCES state box, optimizer_nlp_forces.py:146-152)."""
+    pred = make_double_integrator(dt=0.1)
+    cost = QuadCost({"r": 0.001})  # cheap control -> aggressive unconstrained v
+    params = {"dyn": {"gain": jnp.float32(1.0)},
+              "cost": cost.current_params()["cost"], "attrs": {}}
+    s = np.array([2.0, 0.0], np.float32)
+
+    free = ILQROptimizer(
+        predictor=pred, cost_function=cost,
+        control_limits=(np.array([-50.0], np.float32), np.array([50.0], np.float32)),
+        optimizer_logging=True, seed=0, mpc_horizon=30, max_iterations=40,
+        tol=1e-9, regularization_init=1.0, regularization_max=1e8,
+        line_search_steps=8,
+    )
+    free.configure(num_states=2, num_control_inputs=1, dt=pred.dt)
+    free.step(s, params=params)
+    v_free = np.abs(free.logging_values["rollout_trajectories_logged"][0, :, 1])
+    assert v_free.max() > 0.8, "test premise: unconstrained plan must exceed bound"
+
+    vmax = 0.6
+    con = ILQROptimizer(
+        predictor=pred, cost_function=cost,
+        control_limits=(np.array([-50.0], np.float32), np.array([50.0], np.float32)),
+        optimizer_logging=True, seed=0, mpc_horizon=30, max_iterations=40,
+        tol=1e-9, regularization_init=1.0, regularization_max=1e8,
+        line_search_steps=8,
+        state_max=["inf", vmax], al_iterations=5, mu_init=10.0, mu_growth=10.0,
+    )
+    con.configure(num_states=2, num_control_inputs=1, dt=pred.dt)
+    con.step(s, params=params)
+    v_con = np.abs(con.logging_values["rollout_trajectories_logged"][0, :, 1])
+    assert v_con.max() <= vmax + 0.02, f"velocity bound violated: {v_con.max()}"
+    # the bound binds: the constrained plan rides close to it
+    assert v_con.max() > 0.5 * vmax
+
+
+def test_ilqr_terminal_set_reached():
+    """Terminal box around an attr-named target (reference :299-306): the
+    open-loop plan must end inside target +/- width."""
+    pred = make_double_integrator(dt=0.1)
+    cost = QuadCost({"r": 10.0})  # expensive control -> lazy unconstrained plan
+    params = {"dyn": {"gain": jnp.float32(1.0)},
+              "cost": cost.current_params()["cost"],
+              "attrs": {"target_position": jnp.float32(1.5)}}
+    s = np.array([0.0, 0.0], np.float32)
+
+    opt = ILQROptimizer(
+        predictor=pred, cost_function=cost,
+        control_limits=(np.array([-50.0], np.float32), np.array([50.0], np.float32)),
+        optimizer_logging=True, seed=0, mpc_horizon=25, max_iterations=40,
+        tol=1e-9, regularization_init=1.0, regularization_max=1e8,
+        line_search_steps=8,
+        terminal_set_width=0.05, idx_terminal_set=[0],
+        terminal_set_center=["target_position"],
+        al_iterations=5, mu_init=10.0, mu_growth=10.0,
+    )
+    opt.configure(num_states=2, num_control_inputs=1, dt=pred.dt)
+    opt.step(s, params=params)
+    x_final = float(opt.logging_values["rollout_trajectories_logged"][0, -1, 0])
+    assert abs(x_final - 1.5) <= 0.05 + 0.01, f"terminal set missed: {x_final}"
+
+
+def test_ilqr_solver_failure_replays_previous_plan():
+    """FORCES exitflag<0 semantics (reference :315-342): a failed solve
+    replays the last good open-loop plan index-by-index, then recovers."""
+    pred = make_double_integrator(dt=0.1)
+    cost = QuadCost()
+    opt = build_ilqr(pred, cost, H=10, iters=20)
+    good = {"dyn": {"gain": jnp.float32(1.0)},
+            "cost": cost.current_params()["cost"], "attrs": {}}
+    bad = {"dyn": {"gain": jnp.float32(np.nan)},
+           "cost": cost.current_params()["cost"], "attrs": {}}
+    s = np.array([1.0, 0.0], np.float32)
+
+    u0 = opt.step(s, params=good)
+    plan = np.asarray(opt.opt_state.plan).copy()
+    assert int(opt.opt_state.j) == 0
+
+    # Failure 1: replay plan[1]; failure 2: replay plan[2].
+    u1 = opt.step(s, params=bad)
+    assert int(opt.opt_state.j) == 1
+    np.testing.assert_allclose(u1, plan[1], atol=1e-6)
+    u2 = opt.step(s, params=bad)
+    assert int(opt.opt_state.j) == 2
+    np.testing.assert_allclose(u2, plan[2], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(opt.opt_state.plan), plan)
+
+    # Recovery: fresh solve adopted, index reset.
+    u3 = opt.step(s, params=good)
+    assert int(opt.opt_state.j) == 0
+    assert np.all(np.isfinite(u3))
+    assert not np.allclose(np.asarray(opt.opt_state.plan), plan)
+
+
+def test_ilqr_includes_control_change_cost():
+    """The NLP slot must optimize the SAME objective as the sampling
+    optimizers: with a heavy ccrc weight the plan gets smoother (round-1
+    gap: the coupling term was dropped)."""
+    from control_toolkit_tpu.costs.cartpole import CartpoleQuadraticCost
+
+    def solve_with(ccrc_weight):
+        from control_toolkit_tpu.models.dynamics import (
+            CARTPOLE_DEFAULTS, cartpole_dynamics,
+        )
+        pred = ODEPredictor(
+            dynamics=cartpole_dynamics, num_states=4, num_control_inputs=1,
+            dt=0.02, integrator="rk4", params=dict(CARTPOLE_DEFAULTS),
+        )
+        cost = CartpoleQuadraticCost({"ccrc_weight": ccrc_weight})
+        opt = ILQROptimizer(
+            predictor=pred, cost_function=cost,
+            control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+            optimizer_logging=True, seed=0, mpc_horizon=30, max_iterations=25,
+            tol=1e-9, regularization_init=1.0, regularization_max=1e8,
+            line_search_steps=8,
+        )
+        opt.configure(num_states=4, num_control_inputs=1, dt=0.02)
+        params = {"dyn": {k: jnp.float32(v) for k, v in CARTPOLE_DEFAULTS.items()},
+                  "cost": cost.current_params()["cost"],
+                  "attrs": {"target_position": jnp.float32(0.0)}}
+        opt.step(np.array([0.0, 0.0, 0.35, 0.0], np.float32), params=params)
+        plan = opt.logging_values["Q_logged"][0, :, 0]
+        return np.abs(np.diff(plan)).max()
+
+    rough = solve_with(0.0)
+    smooth = solve_with(500.0)
+    assert smooth < 0.5 * rough, (
+        f"heavy ccrc weight must smooth the plan: {smooth} vs {rough}"
+    )
+
+
 def test_ilqr_closed_loop_cartpole():
     ctrl = MPCController(
         environment_name="cartpole",
