@@ -162,27 +162,42 @@ def bench_tf_cpu() -> dict:
 
     stdev = 0.03 / np.sqrt(DT)
     LBD = 100.0
+    CC_WEIGHT, R, NU = 1.0, 1.0, 1000.0  # MPPI correction-cost constants
 
     @tf.function(jit_compile=False)
-    def mppi_step(s, u_nom, seed):
+    def mppi_step(s, u_nom, u_prev, seed):
+        """Identical math to the measured JAX path: stage cost on s_0..s_{H-1}
+        BEFORE integration, control-change cost seeded with the applied
+        control, terminal cost, mean over H+1, MPPI correction cost."""
         u_nom = tf.concat([u_nom[:, 1:, :], u_nom[:, -1:, :]], axis=1)
         eps = tf.random.stateless_normal([K, P_pts, 1], seed) * stdev
         delta_u = tf.einsum("kpu,ph->khu", eps, interp_mat)
         u_run = tf.clip_by_value(u_nom + delta_u, -1.0, 1.0)
 
         x = tf.tile(s, [K, 1])
+        prev_u = tf.tile(u_prev[None], [K, 1])
         traj_costs = tf.zeros([K])
         for h in tf.range(H):
-            x = rk4(x, u_run[:, h, :])
+            u_h = u_run[:, h, :]
             angle = x[:, 2]
             cost_h = (
                 120.0 * x[:, 0] ** 2
                 + 10000.0 * 0.25 * (1.0 - tf.cos(angle)) ** 2
                 + 10.0 * (x[:, 3] / (2 * np.pi)) ** 2
-                + tf.reduce_sum(u_run[:, h, :] ** 2, axis=1)
+                + tf.reduce_sum(u_h**2, axis=1)                      # cc term
+                + tf.reduce_sum((u_h - prev_u) ** 2, axis=1)         # ccrc term
             )
             traj_costs += cost_h
-        S = traj_costs / H
+            prev_u = u_h
+            x = rk4(x, u_h)
+        terminal = 1.0e4 * (1.0 - tf.cos(x[:, 2])) ** 2 + 10.0 * x[:, 3] ** 2
+        S = (traj_costs + terminal) / (H + 1)
+        # MPPI correction cost (reference optimizer_mppi.py:154-155).
+        S += tf.reduce_sum(
+            CC_WEIGHT * (0.5 * (1.0 - 1.0 / NU) * R * delta_u**2
+                         + R * u_run * delta_u + 0.5 * R * u_run**2),
+            axis=[1, 2],
+        )
         rho = tf.reduce_min(S)
         w = tf.exp(-(S - rho) / LBD)
         b = tf.reduce_sum(w[:, None, None] * delta_u, axis=0) / tf.reduce_sum(w)
@@ -191,13 +206,16 @@ def bench_tf_cpu() -> dict:
 
     s = tf.constant([[0.0, 0.0, 0.1, 0.0]], tf.float32)
     u_nom = tf.zeros([1, H, 1])
+    u_prev = tf.zeros([1])
     for i in range(2):  # compile + warm
-        u_nom = mppi_step(s, u_nom, tf.constant([i, 0]))
+        u_nom = mppi_step(s, u_nom, u_prev, tf.constant([i, 0]))
+        u_prev = u_nom[0, 0]
 
     lat = []
     for i in range(8):
         t0 = time.perf_counter()
-        u_nom = mppi_step(s, u_nom, tf.constant([i, 1]))
+        u_nom = mppi_step(s, u_nom, u_prev, tf.constant([i, 1]))
+        u_prev = u_nom[0, 0]
         _ = u_nom.numpy()
         lat.append(time.perf_counter() - t0)
     lat_ms = np.array(lat) * 1e3

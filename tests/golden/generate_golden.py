@@ -1,0 +1,167 @@
+"""Generate TensorFlow golden fixtures for the parity tests.
+
+Run manually in an environment with TensorFlow installed:
+
+    python tests/golden/generate_golden.py
+
+Writes ``cartpole_golden.npz`` next to this file.  The recorded arrays are
+the *reference-semantics* quantities computed by TensorFlow (the reference
+framework) on fixed inputs:
+
+  - open-loop rollout trajectory through the cartpole ODE (rk4, dt=0.02),
+  - trajectory costs (mean over H stage costs + terminal, control-change
+    term seeded with the applied control — reference
+    Cost_Functions/__init__.py:74-93) and the elite ordering,
+  - the MPPI softmax-weighted perturbation average
+    (reference optimizer_mppi.py:163-168),
+  - CEM elite refit mean/std (reference optimizer_cem_tf.py:73-78),
+  - the gradient of the trajectory cost wrt Q through the rollout,
+    per-rollout clip_by_norm over axes [1,2]
+    (reference optimizer_rpgd.py:310-315), and one keras-Adam step on Q.
+
+tests/test_tf_parity.py loads this file and asserts the JAX framework
+reproduces every quantity — TF itself is NOT needed to run the tests.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+import tensorflow as tf  # noqa: E402
+
+tf.config.set_visible_devices([], "GPU")
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE.parent.parent))
+
+from control_toolkit_tpu.costs.cartpole import CartpoleQuadraticCost  # noqa: E402
+from control_toolkit_tpu.models.dynamics import CARTPOLE_DEFAULTS  # noqa: E402
+
+DT = 0.02
+P = dict(CARTPOLE_DEFAULTS)
+W = CartpoleQuadraticCost.DEFAULTS
+TARGET = 0.2
+U_PREV = 0.1
+LBD = 100.0
+ELITE_K = 8
+LEARNING_RATE = 0.05
+GRAD_CLIP = 5.0
+
+
+def tf_dynamics(x, u):
+    pos_d = x[:, 1]
+    theta = x[:, 2]
+    theta_d = x[:, 3]
+    force = u[:, 0] * P["u_max"]
+    sin_t, cos_t = tf.sin(theta), tf.cos(theta)
+    total_m = P["m_cart"] + P["m_pole"]
+    temp = (force + P["m_pole"] * P["L"] * theta_d**2 * sin_t) / total_m
+    theta_dd = (P["g"] * sin_t - cos_t * temp) / (
+        P["L"] * (4.0 / 3.0 - P["m_pole"] * cos_t**2 / total_m)
+    )
+    pos_dd = temp - P["m_pole"] * P["L"] * theta_dd * cos_t / total_m
+    return tf.stack([pos_d, pos_dd, theta_d, theta_dd], axis=1)
+
+
+def tf_rk4(x, u):
+    k1 = tf_dynamics(x, u)
+    k2 = tf_dynamics(x + 0.5 * DT * k1, u)
+    k3 = tf_dynamics(x + 0.5 * DT * k2, u)
+    k4 = tf_dynamics(x + DT * k3, u)
+    return x + DT / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def tf_rollout(s0, Q):
+    x = tf.convert_to_tensor(s0)
+    traj = [x]
+    for h in range(Q.shape[1]):
+        x = tf_rk4(x, Q[:, h, :])
+        traj.append(x)
+    return tf.stack(traj, axis=1)
+
+
+def tf_trajectory_cost(traj, Q):
+    states = traj[:, :-1, :]
+    pos, angle, angle_d = states[:, :, 0], states[:, :, 2], states[:, :, 3]
+    dd = W["dd_weight"] * (pos - TARGET) ** 2
+    ep = W["ep_weight"] * 0.25 * (1.0 - tf.cos(angle)) ** 2
+    ekp = W["ekp_weight"] * (angle_d / (2.0 * np.pi)) ** 2
+    cc = W["cc_weight"] * W["R"] * tf.reduce_sum(Q**2, axis=-1)
+    prev = tf.concat(
+        [tf.fill((Q.shape[0], 1, Q.shape[2]), U_PREV), Q[:, :-1, :]], axis=1
+    )
+    ccrc = W["ccrc_weight"] * tf.reduce_sum((Q - prev) ** 2, axis=-1)
+    stage = dd + ep + ekp + cc + ccrc
+    t_angle = traj[:, -1, 2]
+    t_angle_d = traj[:, -1, 3]
+    terminal = 1.0e4 * (1.0 - tf.cos(t_angle)) ** 2 + 10.0 * t_angle_d**2
+    total = tf.concat([stage, terminal[:, None]], axis=1)
+    return tf.reduce_mean(total, axis=1)
+
+
+def main():
+    rng = np.random.default_rng(42)
+    K, H, U = 64, 25, 1
+    s0 = np.tile(np.array([[0.15, -0.1, 0.25, 0.3]], np.float32), (K, 1))
+    Q = rng.uniform(-1, 1, size=(K, H, U)).astype(np.float32)
+
+    traj = tf_rollout(s0, Q)
+    costs = tf_trajectory_cost(traj, tf.convert_to_tensor(Q))
+    elites = tf.argsort(costs)[:ELITE_K]
+
+    # CEM refit over the elite set (reference optimizer_cem_tf.py:73-78).
+    elite_Q = tf.gather(Q, elites)
+    cem_mean = tf.reduce_mean(elite_Q, axis=0)
+    cem_std = tf.math.reduce_std(elite_Q, axis=0)
+
+    # MPPI softmax average on synthetic costs + perturbations.
+    rng2 = np.random.default_rng(3)
+    S_costs = rng2.uniform(0, 500, size=K).astype(np.float32)
+    delta_u = rng2.normal(size=(K, H, U)).astype(np.float32)
+    St = tf.convert_to_tensor(S_costs)
+    rho = tf.reduce_min(St, axis=0)
+    w = tf.exp(-1.0 / LBD * (St - rho))
+    mppi_b = tf.reduce_sum(
+        w[:, None, None] * tf.convert_to_tensor(delta_u), axis=0
+    ) / tf.reduce_sum(w)
+
+    # Gradient of the trajectory-cost sum wrt Q through the rollout
+    # (the RPGD/CEM-grad core, reference optimizer_rpgd.py:310-315), then
+    # per-rollout clip_by_norm and one keras-Adam step.
+    Qv = tf.Variable(Q)
+    with tf.GradientTape() as tape:
+        tr = tf_rollout(s0, Qv)
+        c = tf.reduce_sum(tf_trajectory_cost(tr, Qv))
+    grad = tape.gradient(c, Qv)
+    grad_clipped = tf.clip_by_norm(grad, GRAD_CLIP, axes=[1, 2])
+    adam = tf.keras.optimizers.Adam(
+        learning_rate=LEARNING_RATE, beta_1=0.9, beta_2=0.999, epsilon=1e-8
+    )
+    adam.apply_gradients([(grad_clipped, Qv)])
+
+    out = HERE / "cartpole_golden.npz"
+    np.savez_compressed(
+        out,
+        # inputs
+        s0=s0, Q=Q, S_costs=S_costs, delta_u=delta_u,
+        target=np.float32(TARGET), u_prev=np.float32(U_PREV),
+        lbd=np.float32(LBD), elite_k=np.int32(ELITE_K),
+        learning_rate=np.float32(LEARNING_RATE),
+        grad_clip=np.float32(GRAD_CLIP), dt=np.float32(DT),
+        # recorded TF outputs
+        traj=traj.numpy(), costs=costs.numpy(), elites=elites.numpy(),
+        cem_mean=cem_mean.numpy(), cem_std=cem_std.numpy(),
+        mppi_b=mppi_b.numpy(),
+        grad=grad.numpy(), grad_clipped=grad_clipped.numpy(),
+        q_after_adam=Qv.numpy(),
+        tf_version=np.frombuffer(tf.__version__.encode(), np.uint8),
+    )
+    print(f"wrote {out} (tf {tf.__version__})")
+
+
+if __name__ == "__main__":
+    main()

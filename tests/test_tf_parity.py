@@ -1,138 +1,119 @@
-"""Numerical parity vs a TensorFlow implementation of the reference math.
+"""Numerical parity vs RECORDED TensorFlow golden fixtures.
 
 The reference is TF-based; bitwise RNG equality is impossible across
 frameworks (TF Philox vs JAX Threefry — SURVEY §7 hard part 3), so parity is
-checked on the deterministic core: identical control sequences fed through
-both frameworks' rollout + trajectory-cost + MPPI-update math must agree to
+checked on the deterministic core: identical inputs fed through both
+frameworks' rollout + trajectory-cost + optimizer-update math must agree to
 float tolerance, and elite selection must pick identical indices.
-"""
-import numpy as np
-import pytest
 
-tf = pytest.importorskip("tensorflow")
+The TF side is NOT re-derived here — tests load committed fixture arrays
+(tests/golden/cartpole_golden.npz) recorded by a real TensorFlow run
+(tests/golden/generate_golden.py), so the parity source of truth is
+independent of this repo's math and TF need not be installed to run them.
+"""
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+import pytest
 
 from control_toolkit_tpu.costs.cartpole import CartpoleQuadraticCost
-from control_toolkit_tpu.models.dynamics import CARTPOLE_DEFAULTS
 from control_toolkit_tpu.models.predictors import ODEPredictor
-from control_toolkit_tpu.ops.common import elite_indices
+from control_toolkit_tpu.ops.common import (
+    adam_init, adam_update, clip_by_norm, elite_indices,
+)
 
-DT = 0.02
-P = dict(CARTPOLE_DEFAULTS)
-W = CartpoleQuadraticCost.DEFAULTS
-
-
-def tf_dynamics(x, u):
-    pos_d = x[:, 1]
-    theta = x[:, 2]
-    theta_d = x[:, 3]
-    force = u[:, 0] * P["u_max"]
-    sin_t, cos_t = tf.sin(theta), tf.cos(theta)
-    total_m = P["m_cart"] + P["m_pole"]
-    temp = (force + P["m_pole"] * P["L"] * theta_d**2 * sin_t) / total_m
-    theta_dd = (P["g"] * sin_t - cos_t * temp) / (
-        P["L"] * (4.0 / 3.0 - P["m_pole"] * cos_t**2 / total_m)
-    )
-    pos_dd = temp - P["m_pole"] * P["L"] * theta_dd * cos_t / total_m
-    return tf.stack([pos_d, pos_dd, theta_d, theta_dd], axis=1)
-
-
-def tf_rk4(x, u):
-    k1 = tf_dynamics(x, u)
-    k2 = tf_dynamics(x + 0.5 * DT * k1, u)
-    k3 = tf_dynamics(x + 0.5 * DT * k2, u)
-    k4 = tf_dynamics(x + DT * k3, u)
-    return x + DT / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
-
-
-def tf_rollout(s0, Q):
-    """[K,S], [K,H,U] -> [K,H+1,S] — mirrors predict_core."""
-    x = tf.convert_to_tensor(s0)
-    traj = [x]
-    for h in range(Q.shape[1]):
-        x = tf_rk4(x, tf.convert_to_tensor(Q[:, h, :]))
-        traj.append(x)
-    return tf.stack(traj, axis=1)
-
-
-def tf_trajectory_cost(traj, Q, u_prev, target):
-    """Mean over H stage costs + terminal (reference semantics)."""
-    states = traj[:, :-1, :]
-    pos, angle, angle_d = states[:, :, 0], states[:, :, 2], states[:, :, 3]
-    dd = W["dd_weight"] * (pos - target) ** 2
-    ep = W["ep_weight"] * 0.25 * (1.0 - tf.cos(angle)) ** 2
-    ekp = W["ekp_weight"] * (angle_d / (2.0 * np.pi)) ** 2
-    cc = W["cc_weight"] * W["R"] * tf.reduce_sum(Q**2, axis=-1)
-    prev = tf.concat([tf.fill((Q.shape[0], 1, Q.shape[2]), u_prev), Q[:, :-1, :]], axis=1)
-    ccrc = W["ccrc_weight"] * tf.reduce_sum((Q - prev) ** 2, axis=-1)
-    stage = dd + ep + ekp + cc + ccrc
-    t_angle = traj[:, -1, 2]
-    t_angle_d = traj[:, -1, 3]
-    terminal = 1.0e4 * (1.0 - tf.cos(t_angle)) ** 2 + 10.0 * t_angle_d**2
-    total = tf.concat([stage, terminal[:, None]], axis=1)
-    return tf.reduce_mean(total, axis=1)
+GOLDEN = Path(__file__).parent / "golden" / "cartpole_golden.npz"
 
 
 @pytest.fixture(scope="module")
-def shared_inputs():
-    rng = np.random.default_rng(42)
-    K, H = 64, 25
-    s0 = np.tile(np.array([[0.15, -0.1, 0.25, 0.3]], np.float32), (K, 1))
-    Q = rng.uniform(-1, 1, size=(K, H, 1)).astype(np.float32)
-    return s0, Q
+def g():
+    assert GOLDEN.is_file(), (
+        "golden fixtures missing — run tests/golden/generate_golden.py "
+        "in a TF-equipped environment and commit the npz"
+    )
+    return np.load(GOLDEN)
 
 
-def test_rollout_parity(shared_inputs):
-    s0, Q = shared_inputs
-    pred = ODEPredictor("cartpole", dt=DT)
-    jax_traj = np.asarray(pred.rollout(jnp.asarray(s0), jnp.asarray(Q)))
-    tf_traj = tf_rollout(s0, Q).numpy()
-    np.testing.assert_allclose(jax_traj, tf_traj, rtol=2e-4, atol=2e-4)
-
-
-def test_trajectory_cost_and_elite_parity(shared_inputs):
-    s0, Q = shared_inputs
-    pred = ODEPredictor("cartpole", dt=DT)
+@pytest.fixture(scope="module")
+def cost_setup(g):
     cf = CartpoleQuadraticCost()
-    params = cf.current_params({"target_position": jnp.float32(0.2)})
-    u_prev = jnp.asarray([0.1], jnp.float32)
+    params = cf.current_params(
+        {"target_position": jnp.float32(float(g["target"]))}
+    )
+    u_prev = jnp.asarray([float(g["u_prev"])], jnp.float32)
+    return cf, params, u_prev
 
-    jax_traj = pred.rollout(jnp.asarray(s0), jnp.asarray(Q))
-    jax_cost = np.asarray(cf.get_trajectory_cost(jax_traj, jnp.asarray(Q), u_prev, params))
 
-    tf_traj = tf_rollout(s0, Q)
-    tf_cost = tf_trajectory_cost(tf_traj, tf.convert_to_tensor(Q), 0.1, 0.2).numpy()
+def test_rollout_parity(g):
+    pred = ODEPredictor("cartpole", dt=float(g["dt"]))
+    jax_traj = np.asarray(pred.rollout(jnp.asarray(g["s0"]), jnp.asarray(g["Q"])))
+    np.testing.assert_allclose(jax_traj, g["traj"], rtol=2e-4, atol=2e-4)
 
-    np.testing.assert_allclose(jax_cost, tf_cost, rtol=5e-4, atol=5e-3)
+
+def test_trajectory_cost_and_elite_parity(g, cost_setup):
+    cf, params, u_prev = cost_setup
+    pred = ODEPredictor("cartpole", dt=float(g["dt"]))
+    jax_traj = pred.rollout(jnp.asarray(g["s0"]), jnp.asarray(g["Q"]))
+    jax_cost = np.asarray(
+        cf.get_trajectory_cost(jax_traj, jnp.asarray(g["Q"]), u_prev, params)
+    )
+    np.testing.assert_allclose(jax_cost, g["costs"], rtol=5e-4, atol=5e-3)
     # Elite selection must pick the same rollouts in the same order.
-    k = 8
+    k = int(g["elite_k"])
     jax_elites = np.asarray(elite_indices(jnp.asarray(jax_cost), k))
-    tf_elites = tf.argsort(tf_cost)[:k].numpy()
-    np.testing.assert_array_equal(jax_elites, tf_elites)
+    np.testing.assert_array_equal(jax_elites, g["elites"])
 
 
-def test_mppi_update_parity(shared_inputs):
-    """Softmax-weighted average + nominal update on identical inputs."""
-    s0, Q = shared_inputs
-    K, H, U = Q.shape
-    rng = np.random.default_rng(3)
-    S_costs = rng.uniform(0, 500, size=K).astype(np.float32)
-    delta_u = rng.normal(size=(K, H, U)).astype(np.float32)
-    LBD = 100.0
+def test_cem_refit_parity(g):
+    """Elite mean/std refit (reference optimizer_cem_tf.py:73-78, TF
+    reduce_mean/reduce_std population semantics)."""
+    elite_Q = jnp.asarray(g["Q"])[jnp.asarray(g["elites"])]
+    mean = np.asarray(jnp.mean(elite_Q, axis=0))
+    std = np.asarray(jnp.std(elite_Q, axis=0))
+    np.testing.assert_allclose(mean, g["cem_mean"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(std, g["cem_std"], rtol=1e-4, atol=1e-6)
 
-    # JAX (as in MPPIOptimizer.reward_weighted_average)
-    Sj = jnp.asarray(S_costs)
-    rho = jnp.min(Sj, axis=0)
-    wj = jnp.exp(-1.0 / LBD * (Sj - rho))
-    bj = np.asarray(jnp.sum(wj[:, None, None] * jnp.asarray(delta_u), axis=0) / jnp.sum(wj))
 
-    # TF (reference optimizer_mppi.py:163-168)
-    St = tf.convert_to_tensor(S_costs)
-    rho_t = tf.reduce_min(St, axis=0)
-    wt = tf.exp(-1.0 / LBD * (St - rho_t))
-    bt = (tf.reduce_sum(wt[:, None, None] * tf.convert_to_tensor(delta_u), axis=0)
-          / tf.reduce_sum(wt)).numpy()
+def test_mppi_update_parity(g):
+    """Softmax-weighted average (reference optimizer_mppi.py:163-168)."""
+    S = jnp.asarray(g["S_costs"])
+    delta_u = jnp.asarray(g["delta_u"])
+    lbd = float(g["lbd"])
+    rho = jnp.min(S, axis=0)
+    w = jnp.exp(-1.0 / lbd * (S - rho))
+    b = np.asarray(jnp.sum(w[:, None, None] * delta_u, axis=0) / jnp.sum(w))
+    np.testing.assert_allclose(b, g["mppi_b"], rtol=1e-5, atol=1e-6)
 
-    np.testing.assert_allclose(bj, bt, rtol=1e-5, atol=1e-6)
+
+def test_gradient_clip_adam_parity(g, cost_setup):
+    """AD through the rollout + per-rollout clip_by_norm + one Adam step
+    must match TF GradientTape + tf.clip_by_norm(axes=[1,2]) + keras Adam
+    (the RPGD core, reference optimizer_rpgd.py:310-317)."""
+    cf, params, u_prev = cost_setup
+    pred = ODEPredictor("cartpole", dt=float(g["dt"]))
+    s0 = jnp.asarray(g["s0"])
+
+    def total_cost(Q):
+        traj = pred.rollout(s0, Q)
+        return jnp.sum(cf.get_trajectory_cost(traj, Q, u_prev, params))
+
+    grad = jax.grad(total_cost)(jnp.asarray(g["Q"]))
+    np.testing.assert_allclose(
+        np.asarray(grad), g["grad"], rtol=2e-3, atol=2e-3
+    )
+
+    clipped = clip_by_norm(grad, float(g["grad_clip"]), axes=(1, 2))
+    np.testing.assert_allclose(
+        np.asarray(clipped), g["grad_clipped"], rtol=2e-3, atol=2e-3
+    )
+
+    # One explicit-Adam step from zero moments == one keras-Adam step.
+    state = adam_init(g["Q"].shape)
+    state, delta = adam_update(
+        state, jnp.asarray(g["grad_clipped"]), float(g["learning_rate"]),
+        0.9, 0.999, 1e-8,
+    )
+    q_after = np.asarray(jnp.asarray(g["Q"]) - delta)
+    np.testing.assert_allclose(q_after, g["q_after_adam"], rtol=1e-4, atol=1e-5)
