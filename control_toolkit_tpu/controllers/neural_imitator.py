@@ -7,8 +7,9 @@ Capability parity with the reference controller_neural_imitator
   state indices or variable parameters, with precedence
   updated_attributes > state > variable_parameters > 0.0 (:49-62,79-106),
 * optional output clipping to [-1, 1] (:74-75),
-* hls4ml/FPGA emulation mode (:44-45,109-113) — emulated here by fixed-point
-  weight quantization,
+* hls4ml/FPGA emulation mode (:44-45,109-113) — emulated here by a full
+  fixed-point datapath (quantized weights, inputs, activations and
+  accumulators; models/networks.py *_apply_fixed),
 * recurrent (GRU) hidden-state logging for CSV export (:37-38,116-159).
 
 The evaluator is a pure-JAX network (models/networks.py) jitted once; the
@@ -72,17 +73,24 @@ class NeuralImitatorController(Controller):
 
         if self.hls4ml:
             self.params = nets.quantize_params(self.params)
-            logger.info("hls4ml mode: fixed-point-quantized weights (ap_fixed<16,6>)")
+            logger.info(
+                "hls4ml mode: fixed-point datapath (ap_fixed<16,6> weights/"
+                "activations, ap_fixed<32,12> accumulators)"
+            )
 
         self._state_index = {n: i for n, i in state_indices(self.environment_name).items()}
         self.recurrent = arch["kind"] == "gru"
         if self.recurrent:
             self._hidden = nets.gru_init_state(arch["hiddens"], 1)
-            self._apply = jax.jit(
-                lambda p, x, h: nets.gru_apply(p, x, h)
-            )
+            # hls4ml-converted models run the ENTIRE datapath in fixed point
+            # (reference controller_neural_imitator.py:109-113 evaluates an
+            # hls4ml model): emulate with quantized input/activation/
+            # accumulator forward passes, not just quantized weights.
+            gru_fwd = nets.gru_apply_fixed if self.hls4ml else nets.gru_apply
+            self._apply = jax.jit(lambda p, x, h: gru_fwd(p, x, h))
         else:
-            self._apply = jax.jit(lambda p, x: nets.mlp_apply(p, x))
+            mlp_fwd = nets.mlp_apply_fixed if self.hls4ml else nets.mlp_apply
+            self._apply = jax.jit(lambda p, x: mlp_fwd(p, x))
 
         # CSV logging of hidden states (reference :116-159).
         self.controller_data_for_csv = {}

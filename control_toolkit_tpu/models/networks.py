@@ -170,18 +170,87 @@ def load_net(path) -> Tuple[Dict, Dict]:
     return _unflatten_params(flat), meta
 
 
+def fixed_q(v: jnp.ndarray, total_bits: int = 16, frac_bits: int = 10) -> jnp.ndarray:
+    """Round-and-saturate to ap_fixed<total_bits, total_bits-frac_bits>
+    semantics (signed fixed point, round-to-nearest, saturating)."""
+    scale = float(2**frac_bits)
+    lo = -(2 ** (total_bits - 1)) / scale
+    hi = (2 ** (total_bits - 1) - 1) / scale
+    return jnp.clip(jnp.round(v * scale) / scale, lo, hi)
+
+
 def quantize_params(params: Dict, total_bits: int = 16, frac_bits: int = 10) -> Dict:
     """Fixed-point weight emulation for the hls4ml/FPGA mode
     (reference controller_neural_imitator.py:44-45,109-113): quantize every
     weight to ap_fixed<total_bits, total_bits-frac_bits> semantics."""
-    scale = float(2**frac_bits)
-    lo = -(2 ** (total_bits - 1)) / scale
-    hi = (2 ** (total_bits - 1) - 1) / scale
 
     def q(v):
         v = jnp.asarray(v)
         if v.dtype not in (jnp.float32, jnp.float64):
             return v
-        return jnp.clip(jnp.round(v * scale) / scale, lo, hi)
+        return fixed_q(v, total_bits, frac_bits)
 
     return jax.tree_util.tree_map(q, params)
+
+
+# ------------------------------------------------ hls4ml fixed-point forward
+# hls4ml-converted models compute EVERYTHING in fixed point: inputs, weights,
+# per-layer accumulators (typically a wider ap_fixed) and activation outputs.
+# These forward passes emulate that datapath: quantize the input, quantize
+# each matmul result at accumulator precision, quantize each activation
+# output back to data precision.  Weights are assumed pre-quantized via
+# quantize_params.
+
+def mlp_apply_fixed(
+    params: Dict,
+    x: jnp.ndarray,
+    activation=jnp.tanh,
+    total_bits: int = 16,
+    frac_bits: int = 10,
+    acc_total_bits: int = 32,
+    acc_frac_bits: int = 20,
+) -> jnp.ndarray:
+    q = lambda v: fixed_q(v, total_bits, frac_bits)
+    qa = lambda v: fixed_q(v, acc_total_bits, acc_frac_bits)
+    x = q(x)
+    n = sum(1 for k in params if k.startswith("w"))
+    for i in range(n):
+        acc = qa(x @ params[f"w{i}"] + params[f"b{i}"])
+        x = q(activation(acc)) if i < n - 1 else q(acc)
+    return x
+
+
+def gru_cell_apply_fixed(
+    p: Dict, x: jnp.ndarray, h: jnp.ndarray,
+    total_bits: int = 16, frac_bits: int = 10,
+    acc_total_bits: int = 32, acc_frac_bits: int = 20,
+) -> jnp.ndarray:
+    q = lambda v: fixed_q(v, total_bits, frac_bits)
+    qa = lambda v: fixed_q(v, acc_total_bits, acc_frac_bits)
+    gi = qa(x @ p["wi"] + p["bi"])
+    gh = qa(h @ p["wh"] + p["bh"])
+    H = h.shape[-1]
+    r = q(jax.nn.sigmoid(gi[..., :H] + gh[..., :H]))
+    z = q(jax.nn.sigmoid(gi[..., H:2*H] + gh[..., H:2*H]))
+    n = q(jnp.tanh(gi[..., 2*H:] + q(r * gh[..., 2*H:])))
+    return q((1.0 - z) * n + z * h)
+
+
+def gru_apply_fixed(
+    params: Dict, x: jnp.ndarray, hs: Tuple[jnp.ndarray, ...],
+    total_bits: int = 16, frac_bits: int = 10,
+    acc_total_bits: int = 32, acc_frac_bits: int = 20,
+):
+    q = lambda v: fixed_q(v, total_bits, frac_bits)
+    qa = lambda v: fixed_q(v, acc_total_bits, acc_frac_bits)
+    new_hs = []
+    inp = q(x)
+    for i in range(len(hs)):
+        h_new = gru_cell_apply_fixed(
+            params[f"cell{i}"], inp, hs[i],
+            total_bits, frac_bits, acc_total_bits, acc_frac_bits,
+        )
+        new_hs.append(h_new)
+        inp = h_new
+    out = q(qa(inp @ params["wo"] + params["bo"]))
+    return out, tuple(new_hs)

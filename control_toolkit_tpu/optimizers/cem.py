@@ -101,11 +101,14 @@ class CEMOptimizer(Optimizer):
 
         def step_fn(state: CEMState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
-            iterations = jnp.where(
-                jnp.logical_and(self.warmup, state.count == 0),
-                self.warmup_iterations,
-                self.cem_outer_it,
-            )
+            # Static trip count when warmup is off: lets XLA lower a
+            # fixed-bound loop (unrollable) instead of a while_loop.
+            if self.warmup:
+                iterations = jnp.where(
+                    state.count == 0, self.warmup_iterations, self.cem_outer_it
+                )
+            else:
+                iterations = self.cem_outer_it
 
             carry = {
                 "key": state.key,

@@ -127,11 +127,14 @@ class CEMGradBharadhwajOptimizer(Optimizer):
             elite_seed = state.dist_mue + state.stdev * jax.random.normal(
                 sub, (best_k, H, U), jnp.float32
             )
-            iterations = jnp.where(
-                jnp.logical_and(self.warmup, state.count == 0),
-                self.warmup_iterations,
-                self.cem_outer_it,
-            )
+            # Static trip count when warmup is off: lets XLA lower a
+            # fixed-bound loop (unrollable) instead of a while_loop.
+            if self.warmup:
+                iterations = jnp.where(
+                    state.count == 0, self.warmup_iterations, self.cem_outer_it
+                )
+            else:
+                iterations = self.cem_outer_it
             carry = {
                 "key": key, "adam": state.adam,
                 "mue": state.dist_mue, "std": state.stdev,

@@ -105,11 +105,14 @@ class GradientOptimizer(Optimizer):
 
         def step_fn(state: GradientState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
-            iterations = jnp.where(
-                jnp.logical_and(self.warmup, state.count == 0),
-                self.warmup_iterations,
-                self.gradient_steps,
-            )
+            # Static trip count when warmup is off: lets XLA lower a
+            # fixed-bound loop (unrollable) instead of a while_loop.
+            if self.warmup:
+                iterations = jnp.where(
+                    state.count == 0, self.warmup_iterations, self.gradient_steps
+                )
+            else:
+                iterations = self.gradient_steps
             Q, adam = jax.lax.fori_loop(
                 0, iterations,
                 lambda i, c: grad_iter(c, s_tiled, state.u_prev, params),

@@ -166,11 +166,14 @@ class RPGDOptimizer(Optimizer):
 
         def step_fn(state: RPGDState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
-            iterations = jnp.where(
-                jnp.logical_and(self.warmup, state.count == 0),
-                self.warmup_iterations,
-                self.outer_its,
-            )
+            # Static trip count when warmup is off: lets XLA lower a
+            # fixed-bound loop (unrollable) instead of a while_loop.
+            if self.warmup:
+                iterations = jnp.where(
+                    state.count == 0, self.warmup_iterations, self.outer_its
+                )
+            else:
+                iterations = self.outer_its
             Q, adam = jax.lax.fori_loop(
                 0, iterations,
                 lambda i, c: grad_iter(c, s_tiled, state.u_prev, params),

@@ -65,3 +65,31 @@ def test_hls4ml_quantization_changes_weights(tmp_path):
     # quantized weights land on the fixed-point grid
     scale = 2**10
     np.testing.assert_allclose(w_b * scale, np.round(w_b * scale), atol=1e-4)
+
+
+def test_hls4ml_full_fixed_point_datapath(tmp_path):
+    """hls4ml mode runs the WHOLE forward pass in fixed point: outputs land
+    on the ap_fixed<16,6> grid (multiples of 2^-10) and track the float
+    network closely (reference runs a true hls4ml-converted model)."""
+    a = make(tmp_path, hls4ml=False, seed=4)
+    b = make(tmp_path, hls4ml=True, seed=4)
+    b.clip_output = a.clip_output = False
+    scale = 2**10
+    for s in ([0.1, 0.0, 0.2, 0.0], [0.5, -0.3, -0.4, 0.2], [0.0, 0.0, 0.0, 0.0]):
+        s = np.array(s, np.float32)
+        uf = a.step(s)
+        uq = b.step(s)
+        # exact grid membership — activations/accumulators were quantized too
+        np.testing.assert_allclose(uq * scale, np.round(uq * scale), atol=1e-4)
+        # and the quantized net still approximates the float net
+        np.testing.assert_allclose(uq, uf, atol=0.05)
+
+
+def test_hls4ml_gru_fixed_point_hidden_state(tmp_path):
+    """Recurrent hls4ml mode: the hidden state itself stays on the grid."""
+    ctrl = make(tmp_path, net_name="GRU-4IN-8H1-1OUT", hls4ml=True, seed=5)
+    ctrl.step(np.array([0.1, 0.0, 0.2, 0.0], np.float32))
+    scale = 2**10
+    for h in ctrl._hidden:
+        h = np.asarray(h)
+        np.testing.assert_allclose(h * scale, np.round(h * scale), atol=1e-4)

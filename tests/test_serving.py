@@ -136,3 +136,34 @@ def test_concurrent_clients_get_their_own_replies(server_thread):
     assert rids1 == [200, 201, 202]
     for s in socks:
         s.close(0)
+
+
+# ---------------------------------------------------------------- GUI chooser
+def test_terminal_chooser_accepts_index_name_and_default(monkeypatch):
+    """The terminal-fallback picker (serving/gui.py): numeric index, literal
+    name, and empty input (default) must all resolve."""
+    from control_toolkit_tpu.serving import gui
+
+    answers = iter(["1", "", "mppi", "0"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+
+    controllers = ["mpc", "neural-imitator"]
+    optimizers = ["cem-tf", "mppi", "rpgd-tf"]
+    # index + default
+    c, o = gui._choose_terminal(controllers, optimizers, "mpc", "rpgd-tf")
+    assert c == "neural-imitator" and o == "rpgd-tf"
+    # literal name + index
+    c, o = gui._choose_terminal(controllers, optimizers, None, None)
+    assert c == "mppi" and o == "cem-tf"
+
+
+def test_chooser_falls_back_to_defaults_when_headless(monkeypatch):
+    """No DISPLAY and no tty -> defaults, never blocks (reference Qt dialog
+    has no headless path; ours must)."""
+    from control_toolkit_tpu.serving import gui
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.setattr("sys.platform", "linux")
+    monkeypatch.setattr("sys.stdin", type("S", (), {"isatty": staticmethod(lambda: False)})())
+    c, o = gui.choose_controller_and_optimizer()
+    assert c == "mpc" and o == "mppi"
