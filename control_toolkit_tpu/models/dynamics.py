@@ -92,8 +92,48 @@ def soa_to_aos(derivs_soa: Callable, num_states: int, num_controls: int) -> Dyna
     return f
 
 
+def _fast_variant(derivs_soa_fast, num_states, num_controls):
+    fast = soa_to_aos(derivs_soa_fast, num_states, num_controls)
+    return fast
+
+
+def cartpole_derivs_soa_fast(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
+    """Cartpole derivatives with polynomial sin/cos (ops/fastmath.py):
+    ~1e-5 trig error, 1.6x faster fully-loaded rollouts on TPU."""
+    from control_toolkit_tpu.ops.fastmath import fast_sincos
+
+    _, pos_d, theta, theta_d = xs
+    force = us[0] * p["u_max"]
+
+    m_c, m_p, L, g = p["m_cart"], p["m_pole"], p["L"], p["g"]
+    sin_t, cos_t = fast_sincos(theta)
+    total_m = m_c + m_p
+
+    temp = (force + m_p * L * theta_d**2 * sin_t - p["friction_cart"] * pos_d) / total_m
+    theta_dd = (g * sin_t - cos_t * temp - p["friction_pole"] * theta_d / (m_p * L)) / (
+        L * (4.0 / 3.0 - m_p * cos_t**2 / total_m)
+    )
+    pos_dd = temp - m_p * L * theta_dd * cos_t / total_m
+    return (pos_d, pos_dd, theta_d, theta_dd)
+
+
+def pendulum_derivs_soa_fast(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
+    from control_toolkit_tpu.ops.fastmath import fast_sin
+
+    theta, theta_d = xs
+    torque = us[0] * p["u_max"]
+    theta_dd = (
+        p["g"] / p["L"] * fast_sin(theta)
+        + torque / (p["m"] * p["L"] ** 2)
+        - p["damping"] * theta_d
+    )
+    return (theta_d, theta_dd)
+
+
 cartpole_dynamics = soa_to_aos(cartpole_derivs_soa, 4, 1)
+cartpole_dynamics.fast = _fast_variant(cartpole_derivs_soa_fast, 4, 1)
 pendulum_dynamics = soa_to_aos(pendulum_derivs_soa, 2, 1)
+pendulum_dynamics.fast = _fast_variant(pendulum_derivs_soa_fast, 2, 1)
 
 ACROBOT_DEFAULTS = {
     "m1": 1.0, "m2": 1.0,      # link masses
@@ -135,7 +175,38 @@ def acrobot_derivs_soa(xs, us, p):
     return (t1d, t1dd, t2d, t2dd)
 
 
+def acrobot_derivs_soa_fast(xs, us, p):
+    """Acrobot derivatives with polynomial trig; the phase-shifted cosines
+    become plain sines (cos(a - pi/2) == sin(a)) so the whole model needs
+    one fast_sincos and two fast_sins."""
+    from control_toolkit_tpu.ops.fastmath import fast_sin, fast_sincos
+
+    t1, t1d, t2, t2d = xs
+    tau = us[0] * p["u_max"]
+    m1, m2 = p["m1"], p["m2"]
+    l1 = p["l1"]
+    lc1, lc2 = p["lc1"], p["lc2"]
+    I1, I2, g = p["I1"], p["I2"], p["g"]
+
+    s2, c2 = fast_sincos(t2)
+    d1 = m1 * lc1**2 + m2 * (l1**2 + lc2**2 + 2 * l1 * lc2 * c2) + I1 + I2
+    d2 = m2 * (lc2**2 + l1 * lc2 * c2) + I2
+    phi2 = m2 * lc2 * g * fast_sin(t1 + t2)
+    phi1 = (
+        -m2 * l1 * lc2 * t2d**2 * s2
+        - 2 * m2 * l1 * lc2 * t2d * t1d * s2
+        + (m1 * lc1 + m2 * l1) * g * fast_sin(t1)
+        + phi2
+    )
+    t2dd = (
+        tau + (d2 / d1) * phi1 - m2 * l1 * lc2 * t1d**2 * s2 - phi2
+    ) / (m2 * lc2**2 + I2 - d2**2 / d1)
+    t1dd = -(d2 * t2dd + phi1) / d1
+    return (t1d, t1dd, t2d, t2dd)
+
+
 acrobot_dynamics = soa_to_aos(acrobot_derivs_soa, 4, 1)
+acrobot_dynamics.fast = _fast_variant(acrobot_derivs_soa_fast, 4, 1)
 
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),

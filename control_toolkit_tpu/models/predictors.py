@@ -127,6 +127,7 @@ class ODEPredictor(Predictor):
         num_states: Optional[int] = None,
         num_control_inputs: Optional[int] = None,
         params: Optional[Dict] = None,
+        fast_math: bool = False,
     ):
         if dynamics is not None:
             if num_states is None or num_control_inputs is None:
@@ -149,6 +150,19 @@ class ODEPredictor(Predictor):
                 self._defaults.update(params)
             self.num_states = n_s
             self.num_control_inputs = n_u
+        # fast_math: polynomial trig (ops/fastmath.py) in BOTH the scan and
+        # the Pallas-kernel paths so every evaluator of this predictor sees
+        # the same numerics (~1e-5 trig error, big VPU savings on TPU).
+        self.fast_math = bool(fast_math)
+        if self.fast_math:
+            fast = getattr(self.dynamics, "fast", None)
+            if fast is not None:
+                self.dynamics = fast
+            else:
+                logger.warning(
+                    "fast_math requested but dynamics has no .fast variant; "
+                    "using exact trig"
+                )
         self.dt = float(dt)
         self.integrator = integrator
         self.intermediate_steps = int(intermediate_steps)
@@ -176,8 +190,9 @@ class PredictorWrapper:
     Mirrors the reference PredictorWrapper lifecycle: constructed empty, then
     ``configure(...)`` resolves the predictor specification string.  Spec
     grammar: ``"ODE"`` / ``"ODE_v0"`` (built-in dynamics for the environment,
-    rk4), ``"ODE:euler"``, ``"ODE:rk4:2"`` (integrator / substeps), or a
-    registered custom predictor name.
+    rk4), ``"ODE:euler"``, ``"ODE:rk4:2"`` (integrator / substeps),
+    ``"ODE:rk4:1:fast"`` (polynomial trig, ops/fastmath.py), or a registered
+    custom predictor name.
     """
 
     def __init__(self):
@@ -201,13 +216,18 @@ class PredictorWrapper:
         head = spec_parts[0]
         low = head.lower()
         if head in ("ODE", "ODE_v0"):
-            integrator = spec_parts[1] if len(spec_parts) > 1 else "rk4"
-            substeps = int(spec_parts[2]) if len(spec_parts) > 2 else 1
+            # "ODE[:integrator[:substeps]][:fast]"
+            opts = list(spec_parts[1:])
+            fast_math = "fast" in opts
+            opts = [o for o in opts if o != "fast"]
+            integrator = opts[0] if len(opts) > 0 else "rk4"
+            substeps = int(opts[1]) if len(opts) > 1 else 1
             self.predictor = ODEPredictor(
                 environment_name=environment_name,
                 dt=dt,
                 integrator=integrator,
                 intermediate_steps=substeps,
+                fast_math=fast_math,
             )
         elif head == "neural" and len(spec_parts) > 1:
             # "neural:<net_name>[:<path>]"

@@ -28,6 +28,15 @@ The counter-based PRNG (splitmix32 + Box-Muller) is NOT bit-compatible
 with jax.random.normal, so this path is opt-in (MPPIOptimizer fully_fused
 flag); it is validated statistically and in closed loop
 (tests/test_pallas_mppi.py).
+
+A SEMI-FUSED mode (``make_run.external``) keeps jax.random sampling: noise
+is drawn OUTSIDE at the inducing points ([n_tiles, U, P*R, C] — 5-10x
+smaller than the [K,H,U] delta tensor) and the kernel fuses interpolation,
+clip, rollout and cost.  The weighted average runs in XLA on the
+inducing-point tensor using the linearity of interpolation
+(sum_k w_k (W eps_k) == W (sum_k w_k eps_k)), so the full-horizon
+perturbations never exist in HBM at all.  This is MPPIOptimizer's default
+fast path on TPU.
 """
 from __future__ import annotations
 
@@ -174,9 +183,9 @@ def build_fused_mppi_step(
     # ---------------- pass 1: rollout + cost -------------------------------
     # s0 and u_nom ride in SMEM (scalar prefetch): dynamic scalar reads from
     # degenerate VMEM blocks crash the Mosaic compiler.
-    def kernel1(seed_ref, pvec_ref, s0_ref, unom_ref, wk_ref, cost_ref, delta_ref):
-        p = unpack(pvec_ref)
-        gen_delta_into(seed_ref, wk_ref, delta_ref)
+    def rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref):
+        """Shared H-step rollout + stage/correction cost accumulation over a
+        [ROWS, C] tile, reading per-step perturbations from delta_ref."""
         xs = tuple(jnp.full((ROWS, C), s0_ref[i]) for i in range(S))
         prev_us = tuple(
             jnp.full((ROWS, C), p[f"__u_prev_{j}"]) for j in range(U)
@@ -207,6 +216,26 @@ def build_fused_mppi_step(
 
         xs, _, acc, corr = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc, corr))
         cost_ref[:, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1) + corr
+
+    def kernel1(seed_ref, pvec_ref, s0_ref, unom_ref, wk_ref, cost_ref, delta_ref):
+        p = unpack(pvec_ref)
+        gen_delta_into(seed_ref, wk_ref, delta_ref)
+        rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref)
+
+    # Semi-fused variant: perturbations sampled OUTSIDE with jax.random at
+    # the inducing points (bit-compatible with the modular path's RNG) and
+    # streamed in as [U, P*R, C] tiles — the kernel fuses interpolation
+    # (MXU matmul), clip, rollout and cost, so neither the [K,H,U] delta
+    # tensor nor the Q transpose ever touches HBM.
+    def kernel1_ext(pvec_ref, s0_ref, unom_ref, eps_ref, wk_ref, cost_ref,
+                    delta_ref):
+        p = unpack(pvec_ref)
+        Wk = wk_ref[:, :]
+        for j in range(U):
+            delta_ref[j] = jnp.dot(
+                Wk, eps_ref[0, j], preferred_element_type=jnp.float32
+            )
+        rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref)
 
     # ---------------- pass 2: weighted perturbation sums -------------------
     def kernel2(seed_ref, red_ref, wk_ref, eyemask_ref, blocksum_ref,
@@ -354,4 +383,75 @@ def build_fused_mppi_step(
         )
         return jax.jit(inner)
 
+    def make_cost_run(K: int, mesh=None, axis=None):
+        """Semi-fused mode: external jax.random noise at the inducing points.
+
+        Returns ``cost(s0 [S], u_nom [H,U], pvec [N], eps) -> costs2d`` where
+        ``eps`` is the PRE-SCALED perturbation tensor in tile layout
+        [n_tiles, U, P*ROWS, C] and ``costs2d`` is [ROWS, n_tiles*C]
+        (element [r, t*C + c] = rollout (t, r, c)).  The caller computes the
+        softmax weights and exploits the LINEARITY of interpolation to take
+        the weighted average over the small inducing-point tensor:
+        sum_k w_k (W eps_k) == W (sum_k w_k eps_k).
+        """
+        assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
+        if mesh is not None:
+            if axis is None:
+                axes = tuple(mesh.axis_names)
+            elif isinstance(axis, str):
+                axes = (axis,)
+            else:
+                axes = tuple(axis)
+            n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+        else:
+            axes = ()
+            n_dev = 1
+        assert K % (tile_k * n_dev) == 0, "K must divide evenly across devices"
+        n_tiles = K // tile_k // n_dev  # tiles per device
+        K_local = K // n_dev
+        Wk = jnp.asarray(Wk_np)
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # pvec, s0, unom_flat
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, U, P * ROWS, C), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H * ROWS, P * ROWS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((U, H * ROWS, C), jnp.float32)],
+        )
+
+        def local_cost(s0, u_nom, pvec, eps):
+            return pl.pallas_call(
+                kernel1_ext,
+                out_shape=jax.ShapeDtypeStruct(
+                    (ROWS, K_local // ROWS), jnp.float32
+                ),
+                grid_spec=gs,
+                interpret=interpret,
+            )(pvec, s0, u_nom.reshape(-1), eps, Wk)
+
+        if mesh is None:
+            return jax.jit(local_cost)
+
+        from jax.sharding import PartitionSpec as PS
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        first = axes if len(axes) > 1 else axes[0]
+        inner = shard_map(
+            local_cost, mesh=mesh,
+            in_specs=(PS(), PS(), PS(), PS(first, None, None, None)),
+            out_specs=PS(None, first),
+            check_vma=False,
+        )
+        return jax.jit(inner)
+
+    make_run.external = make_cost_run
     return make_run

@@ -59,6 +59,7 @@ class MPPIOptimizer(Optimizer):
         SQRTRHOINV: float = 0.03,
         period_interpolation_inducing_points: int = 10,
         fully_fused: bool = False,
+        semi_fused: bool = True,
         optim_steps: int = 0,
         mppi_LR: float = 0.02,
         adam_beta_1: float = 0.9,
@@ -80,6 +81,11 @@ class MPPIOptimizer(Optimizer):
         # equivalent to the modular path.  The default modular Pallas path
         # is the supported fast path.
         self.fully_fused = bool(fully_fused)
+        # Default TPU fast path: jax.random noise at inducing points +
+        # fused interpolation/rollout/cost kernel (ops/pallas_mppi.py
+        # make_run.external).  Set False to fall back to the modular
+        # XLA-interpolation + cost-kernel path.
+        self.semi_fused = bool(semi_fused)
         self.optim_steps = int(optim_steps)
         self.mppi_LR = float(mppi_LR)
         self.adam_beta_1 = float(adam_beta_1)
@@ -259,6 +265,89 @@ class MPPIOptimizer(Optimizer):
                 return u, MPPIState(key=key, u_nom=u_nom_new[None], u_prev=u), diag
 
             return fused_step_fn
+
+        # Semi-fused path (TPU default): jax.random noise at the inducing
+        # points, interpolation+clip+rollout+cost fused in one Pallas kernel,
+        # softmax average over the small inducing-point tensor in XLA
+        # (linearity of interpolation).  See ops/pallas_mppi.py.
+        if self.semi_fused and not self.optimizer_logging and self._can_use_pallas():
+            from control_toolkit_tpu.ops.pallas_mppi import (
+                DEFAULT_TILE_K, ROWS,
+            )
+
+            _, pack = self._build_fused_mppi()
+            if self._mesh is not None:
+                cost_kernel = self._last_fused_make_run.external(
+                    K, mesh=self._mesh, axis=self._shard_axes
+                )
+            else:
+                cost_kernel = self._last_fused_make_run.external(K)
+            T = K // DEFAULT_TILE_K
+            C = DEFAULT_TILE_K // ROWS
+            W_mat = jnp.asarray(self.interp.matrix, jnp.float32)  # [P, H]
+
+            def semi_fused_step_fn(state: MPPIState, s, params):
+                key, sample_key = jax.random.split(state.key)
+                u_nom = jnp.concatenate(
+                    [state.u_nom[:, 1:, :], state.u_nom[:, -1:, :]], axis=1
+                )
+                eps = (
+                    jax.random.normal(
+                        sample_key, (T, U, P * ROWS, C), dtype=jnp.float32
+                    ) * stdev
+                )
+                pvec = pack(params, state.u_prev)
+                costs2d = cost_kernel(s[0], u_nom[0], pvec, eps)  # [R, T*C]
+
+                rho = jnp.min(costs2d)
+                w = jnp.exp(-(costs2d - rho) * (1.0 / LBD))
+                a = jnp.sum(w)
+                # Weighted average over inducing points, then interpolate:
+                # sum_k w_k (W eps_k) == W (sum_k w_k eps_k).
+                w3 = w.reshape(ROWS, T, C)
+                eps5 = eps.reshape(T, U, P, ROWS, C)
+                ws = jnp.einsum("rtc,tuprc->up", w3, eps5) / a   # [U, P]
+                b = jnp.einsum("ph,up->hu", W_mat, ws)           # [H, U]
+                u_nom = jnp.clip(u_nom + b[None], low, high)
+
+                if self.optim_steps > 0:
+                    from control_toolkit_tpu.ops.common import (
+                        adam_init, adam_update, clip_by_norm,
+                    )
+
+                    eval_nom = (
+                        self._fused_cost if self._can_fuse_rollout()
+                        else (lambda s_, Q_, up_, p_: self._rollout_and_cost(s_, Q_, up_, p_)[0])
+                    )
+
+                    def nom_cost(un):
+                        return jnp.sum(eval_nom(s[:1], un, state.u_prev, params))
+
+                    nom_grad = jax.grad(nom_cost)
+
+                    def refine(i, carry):
+                        un, ad = carry
+                        g = clip_by_norm(nom_grad(un), self.gradmax_clip, axes=(1, 2))
+                        ad, delta = adam_update(
+                            ad, g, self.mppi_LR,
+                            self.adam_beta_1, self.adam_beta_2, self.adam_epsilon,
+                        )
+                        return jnp.clip(un - delta, low, high), ad
+
+                    u_nom, _ = jax.lax.fori_loop(
+                        0, self.optim_steps, refine,
+                        (u_nom, adam_init(u_nom.shape)),
+                    )
+
+                u = u_nom[0, 0, :]
+                diag = {"u_nom": u_nom, "J_logged": costs2d.reshape(-1)}
+                if want_opt_traj:
+                    diag["optimal_trajectory"] = self.predictor.rollout(
+                        s[:1], u_nom, params["dyn"]
+                    )
+                return u, MPPIState(key=key, u_nom=u_nom, u_prev=u), diag
+
+            return semi_fused_step_fn
 
         cost_only = None if self.optimizer_logging else self._make_cost_only()
         fuse = cost_only is not None

@@ -191,6 +191,95 @@ def test_fused_mppi_per_input_asymmetric_bounds():
         assert np.all(un[:, j] <= high[j] + 1e-6)
 
 
+def test_semi_fused_matches_modular_reference():
+    """Semi-fused kernel (external jax.random noise, in-kernel interpolation
+    + clip + rollout + cost) must match the modular XLA math on the SAME
+    noise, and the linearity-based weighted update must equal the full
+    [K,H,U] weighted average."""
+    from control_toolkit_tpu.ops.pallas_mppi import ROWS
+
+    K, H, tile = 256, 20, 128
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    _, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    cost_run = opt._last_fused_make_run.external(K)
+
+    U = 1
+    P = opt.interp.number_of_interpolation_inducing_points
+    T, C = K // tile, tile // ROWS
+    key = jax.random.PRNGKey(5)
+    eps = jax.random.normal(key, (T, U, P * ROWS, C)) * opt.SQRTRHODTINV
+
+    s0 = jnp.array([0.1, -0.05, 0.3, 0.2], jnp.float32)
+    u_nom = 0.1 * jnp.ones((H, U), jnp.float32)
+    u_prev = jnp.array([0.2], jnp.float32)
+    pv = pack(params, u_prev)
+    costs2d = np.asarray(cost_run(s0, u_nom, pv, eps))
+    assert costs2d.shape == (ROWS, T * C)
+
+    # Reference: same noise through the modular XLA path.
+    eps5 = np.asarray(eps).reshape(T, U, P, ROWS, C)
+    eps_flat = np.transpose(eps5, (0, 3, 4, 2, 1)).reshape(K, P, U)
+    delta = opt.interp.interpolate(jnp.asarray(eps_flat))           # [K, H, U]
+    u_run = jnp.clip(u_nom[None] + delta, -1.0, 1.0)
+    s_tiled = jnp.tile(s0[None], (K, 1))
+    base = opt._fused_cost(s_tiled, u_run, u_prev, params)
+    corr = jnp.sum(
+        opt.cc_weight * (0.5 * (1 - 1 / opt.NU) * opt.R * delta**2
+                         + opt.R * u_run * delta + 0.5 * opt.R * u_run**2),
+        axis=(1, 2),
+    )
+    ref = np.asarray(base + corr)                                   # flat k order
+
+    got = np.zeros(K, np.float32)
+    for t in range(T):
+        got[t * tile:(t + 1) * tile] = costs2d[:, t * C:(t + 1) * C].reshape(-1)
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-4)
+
+    # Weighted update via inducing-point linearity == full-tensor average.
+    LBD = opt.LBD
+    w_flat = np.exp(-(ref - ref.min()) / LBD)
+    b_ref = np.asarray(
+        jnp.sum(jnp.asarray(w_flat)[:, None, None] * delta, axis=0) / w_flat.sum()
+    )
+    w2d = jnp.asarray(got.reshape(T, ROWS, C).transpose(1, 0, 2))   # [R, T, C]
+    w2d = jnp.exp(-(w2d - got.min()) / LBD)
+    ws = jnp.einsum("rtc,tuprc->up", w2d, jnp.asarray(eps5)) / w_flat.sum()
+    b_lin = np.asarray(jnp.einsum("ph,up->hu", jnp.asarray(opt.interp.matrix), ws))
+    np.testing.assert_allclose(b_lin, b_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_semi_fused_sharded_matches_unsharded():
+    """The semi-fused cost kernel under shard_map (noise sampled globally in
+    XLA, tiles split across devices) must equal the single-device run."""
+    from control_toolkit_tpu.ops.pallas_mppi import ROWS
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    K, H, tile = 1024, 20, 128
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    _, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    run_a = opt._last_fused_make_run.external(K)
+    run_b = opt._last_fused_make_run.external(K, mesh=make_rollout_mesh(), axis="k")
+
+    U, P = 1, opt.interp.number_of_interpolation_inducing_points
+    T, C = K // tile, tile // ROWS
+    eps = jax.random.normal(jax.random.PRNGKey(2), (T, U, P * ROWS, C)) * 0.5
+    s0 = jnp.array([0.1, 0.0, 0.25, -0.1], jnp.float32)
+    u_nom = jnp.zeros((H, U), jnp.float32)
+    pv = pack(params, jnp.zeros(1))
+
+    a = np.asarray(run_a(s0, u_nom, pv, eps))
+    b = np.asarray(run_b(s0, u_nom, pv, eps))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_mppi_sharded_bitwise_equals_single_device():
     """shard_map over 8 virtual devices: the sharded fused step must produce
     BITWISE the same costs and nominal update as the single-device run
