@@ -230,12 +230,15 @@ class PredictorWrapper:
                 fast_math=fast_math,
             )
         elif head == "neural" and len(spec_parts) > 1:
-            # "neural:<net_name>[:<path>]"
+            # "neural:<net_name>[:<path>][:bf16]"
+            opts = list(spec_parts[2:])
+            if opts and opts[-1] in ("bf16", "bfloat16", "f32", "float32"):
+                kwargs.setdefault("compute_dtype", opts.pop())
             from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
             self.predictor = NeuralPredictor(
                 environment_name=environment_name, dt=dt,
                 net_name=spec_parts[1],
-                path_to_models=spec_parts[2] if len(spec_parts) > 2 else None,
+                path_to_models=opts[0] if opts else None,
                 **kwargs,
             )
         elif low.startswith(("gru", "lstm", "mlp")):

@@ -32,6 +32,47 @@ def test_gru_predictor_update_changes_rollout():
     np.testing.assert_allclose(t1, t3, atol=1e-6)
 
 
+def test_bf16_rollout_tracks_f32():
+    """bf16 compute (MXU-native) with f32 state residuals must track the
+    f32 rollout; trajectories stay f32 for downstream costs."""
+    f32 = NeuralPredictor("cartpole", dt=0.02, net_name="mlp-32-32", seed=11)
+    bf16 = NeuralPredictor("cartpole", dt=0.02, net_name="mlp-32-32", seed=11,
+                           compute_dtype="bf16", params=f32.net_params)
+    s0 = 0.2 * np.ones((8, 4), np.float32)
+    Q = np.linspace(-1, 1, 8 * 20).reshape(8, 20, 1).astype(np.float32)
+    # One-step prediction: bf16 matmul error only (no compounding).
+    a1 = np.asarray(f32.rollout(s0, Q[:, :1]))
+    b1 = np.asarray(bf16.rollout(s0, Q[:, :1]))
+    np.testing.assert_allclose(a1, b1, atol=7e-3)
+    # Full horizon: error compounds through the (random, chaotic) net but
+    # stays bounded; trajectories remain f32 for downstream costs.
+    a = np.asarray(f32.rollout(s0, Q))
+    b_jax = bf16.rollout(s0, Q)
+    assert b_jax.dtype == np.float32
+    b = np.asarray(b_jax)
+    np.testing.assert_allclose(a, b, atol=0.2)
+    assert not np.array_equal(a, b)
+
+    # GRU variant
+    g32 = NeuralPredictor("cartpole", dt=0.02, net_name="GRU-5IN-8H1-4OUT", seed=2)
+    gbf = NeuralPredictor("cartpole", dt=0.02, net_name="GRU-5IN-8H1-4OUT", seed=2,
+                          compute_dtype="bf16", params=g32.net_params)
+    ta = np.asarray(g32.rollout(s0, Q[:, :6]))
+    tb = np.asarray(gbf.rollout(s0, Q[:, :6]))
+    assert tb.dtype == np.float32
+    np.testing.assert_allclose(ta, tb, atol=0.1)
+
+
+def test_bf16_spec_grammar():
+    from control_toolkit_tpu.models.predictors import PredictorWrapper
+    import jax.numpy as jnp
+
+    w = PredictorWrapper()
+    w.configure(dt=0.02, predictor_specification="neural:mlp-16-16:bf16",
+                environment_name="cartpole")
+    assert w.predictor.compute_dtype == jnp.bfloat16
+
+
 def test_gru_checkpoint_round_trip(tmp_path):
     """save_net/load_net must round-trip NESTED GRU params (cell dicts) —
     regression for the pickled-object-array bug where np.load refused the
