@@ -208,10 +208,34 @@ def acrobot_derivs_soa_fast(xs, us, p):
 acrobot_dynamics = soa_to_aos(acrobot_derivs_soa, 4, 1)
 acrobot_dynamics.fast = _fast_variant(acrobot_derivs_soa_fast, 4, 1)
 
+POINTMASS_DEFAULTS = {
+    "mass": 1.0,
+    "drag": 0.2,     # linear velocity damping
+    "u_max": 5.0,    # force scale per input
+}
+
+
+def pointmass_derivs_soa(xs, us, p):
+    """Planar point mass — the framework's MULTI-INPUT model family.
+
+    xs = (x, y, vx, vy); us = (fx_cmd, fy_cmd) in [-1, 1] scaled by u_max.
+    No transcendentals, so the exact derivs double as the fast variant.
+    """
+    _, _, vx, vy = xs
+    inv_m = 1.0 / p["mass"]
+    ax = (us[0] * p["u_max"] - p["drag"] * vx) * inv_m
+    ay = (us[1] * p["u_max"] - p["drag"] * vy) * inv_m
+    return (vx, vy, ax, ay)
+
+
+pointmass_dynamics = soa_to_aos(pointmass_derivs_soa, 4, 2)
+pointmass_dynamics.fast = pointmass_dynamics
+
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),
     "acrobot": (acrobot_dynamics, ACROBOT_DEFAULTS, 4, 1),
+    "pointmass": (pointmass_dynamics, POINTMASS_DEFAULTS, 4, 2),
 }
 
 # Named state/control components per environment — the STATE_INDICES analogue
@@ -221,11 +245,13 @@ STATE_NAMES = {
     "cartpole": ["position", "positionD", "angle", "angleD"],
     "pendulum": ["angle", "angleD"],
     "acrobot": ["theta1", "theta1D", "theta2", "theta2D"],
+    "pointmass": ["x", "y", "xD", "yD"],
 }
 CONTROL_NAMES = {
     "cartpole": ["Q"],
     "pendulum": ["Q"],
     "acrobot": ["Q"],
+    "pointmass": ["Fx", "Fy"],
 }
 
 

@@ -60,6 +60,7 @@ class MPPIOptimizer(Optimizer):
         period_interpolation_inducing_points: int = 10,
         fully_fused: bool = False,
         semi_fused: bool = True,
+        bounded_update: bool = False,
         optim_steps: int = 0,
         mppi_LR: float = 0.02,
         adam_beta_1: float = 0.9,
@@ -86,6 +87,18 @@ class MPPIOptimizer(Optimizer):
         # make_run.external).  Set False to fall back to the modular
         # XLA-interpolation + cost-kernel path.
         self.semi_fused = bool(semi_fused)
+        # Reference MPPI adds the weighted average of the RAW perturbations
+        # to the nominal (optimizer_mppi.py:163-168,184-190); when sampling
+        # stdev is large relative to a tight/asymmetric action box, the
+        # clipped tail's unbounded raw deltas bias the nominal toward the
+        # near bound.  bounded_update instead sets the nominal to the
+        # weighted average of the EXECUTED (clipped) controls — a convex
+        # combination that stays strictly inside the box, replacing the
+        # unbounded raw-tail drift with a bias bounded by the sampling
+        # spread.  Opt-in because it departs from reference semantics, and
+        # it forces the scan path (interpolation linearity no longer
+        # applies).
+        self.bounded_update = bool(bounded_update)
         self.optim_steps = int(optim_steps)
         self.mppi_LR = float(mppi_LR)
         self.adam_beta_1 = float(adam_beta_1)
@@ -214,6 +227,8 @@ class MPPIOptimizer(Optimizer):
             # mppi-optimize Adam refinement (optim_steps > 0) needs the
             # modular path, otherwise the refinement would silently drop.
             and self.optim_steps == 0
+            # The fused kernels implement reference raw-delta averaging.
+            and not self.bounded_update
             and not self.optimizer_logging
             and not self.calculate_optimal_trajectory
             and self._can_use_pallas()
@@ -270,7 +285,8 @@ class MPPIOptimizer(Optimizer):
         # points, interpolation+clip+rollout+cost fused in one Pallas kernel,
         # softmax average over the small inducing-point tensor in XLA
         # (linearity of interpolation).  See ops/pallas_mppi.py.
-        if self.semi_fused and not self.optimizer_logging and self._can_use_pallas():
+        if (self.semi_fused and not self.bounded_update
+                and not self.optimizer_logging and self._can_use_pallas()):
             from control_toolkit_tpu.ops.pallas_mppi import (
                 DEFAULT_TILE_K, ROWS,
             )
@@ -376,9 +392,16 @@ class MPPIOptimizer(Optimizer):
                 )
             traj_cost = base_cost + correction_cost(u_run, delta_u)
 
-            u_nom = jnp.clip(
-                u_nom + reward_weighted_average(traj_cost, delta_u)[None], low, high
-            )
+            if self.bounded_update:
+                # Weighted average of the EXECUTED controls: a convex
+                # combination of in-box candidates, so no clipping-tail bias
+                # in either direction (see __init__ note).
+                u_nom = reward_weighted_average(traj_cost, u_run)[None]
+            else:
+                u_nom = jnp.clip(
+                    u_nom + reward_weighted_average(traj_cost, delta_u)[None],
+                    low, high,
+                )
 
             if self.optim_steps > 0:
                 # 'mppi-optimize' refinement: Adam on the nominal plan

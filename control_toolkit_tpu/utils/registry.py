@@ -91,10 +91,12 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.costs.cartpole",
         "control_toolkit_tpu.costs.pendulum",
         "control_toolkit_tpu.costs.acrobot",
+        "control_toolkit_tpu.costs.pointmass",
         "control_toolkit_tpu.models.predictors",
         "control_toolkit_tpu.environments.cartpole",
         "control_toolkit_tpu.environments.pendulum",
         "control_toolkit_tpu.environments.acrobot",
+        "control_toolkit_tpu.environments.pointmass",
     ):
         try:
             importlib.import_module(mod)
