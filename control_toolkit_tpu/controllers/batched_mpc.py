@@ -1,0 +1,155 @@
+"""Batched MPC: many independent control loops advanced by ONE jitted step.
+
+The reference serves one controller per server process; here a single chip
+serves B independent MPC sessions (robots, sim instances, clients) as one
+vmapped pure step over a stacked state pytree — the TPU-native answer to
+"production serving at scale".  Slots are fully independent: each has its
+own PRNG stream (fold_in on the slot index), warm-start state and
+environment attributes; a boolean mask freezes slots with no pending
+request, so idle sessions keep their warm start exactly.
+
+Pallas kernels are per-program (no vmap batching rule), so the optimizer is
+built with ``force_scan=True``; the scan paths batch the B*K rollouts into
+single fused XLA ops, which is exactly where the TPU wants them.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from control_toolkit_tpu.controllers.mpc import MPCController
+from control_toolkit_tpu.utils import registry
+from control_toolkit_tpu.utils.logging_util import get_logger
+
+logger = get_logger(__name__)
+
+
+@registry.controllers.register("batched-mpc")
+class BatchedMPCController(MPCController):
+    """B-slot MPC controller.
+
+    ``configure(num_slots=B, ...)`` builds one optimizer (forced to the
+    scan path) and vmaps its pure step over the slot axis.  Use
+    ``step_batch(s [B,S], mask [B], attrs_batch)``; the scalar ``step``
+    API delegates to slot 0 so the standard controller surface still works.
+    """
+
+    def configure(self, *args, num_slots: int = 1, **kwargs) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        opt_cfg = kwargs.get("optimizer_config")
+        if opt_cfg is not None:
+            opt_cfg = dict(opt_cfg)
+            opt_cfg["force_scan"] = True
+            kwargs["optimizer_config"] = opt_cfg
+        super().configure(*args, **kwargs)
+        if opt_cfg is None:
+            # configure() loaded the YAML defaults; rebuild with force_scan.
+            self.optimizer.force_scan = True
+            self.optimizer._build()
+
+        self.num_slots = int(num_slots)
+        opt = self.optimizer
+        B = self.num_slots
+
+        self._slot_keys = jnp.stack(
+            [jax.random.fold_in(opt._initial_key, i) for i in range(B)]
+        )
+        self.slot_states = jax.vmap(opt._init_state)(self._slot_keys)
+
+        step_fn = opt._make_step_fn()
+        attr_names = tuple(sorted(self.variable_parameters))
+
+        def batched(states, s, dyn, cost, attrs, mask):
+            u, new_states, _ = jax.vmap(
+                lambda st, s_, at: step_fn(
+                    st, s_, {"dyn": dyn, "cost": cost, "attrs": at}
+                ),
+                in_axes=(0, 0, {k: 0 for k in attrs}),
+            )(states, s, attrs)
+
+            def keep(new, old):
+                m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            states_out = jax.tree_util.tree_map(keep, new_states, states)
+            u = jnp.where(mask[:, None], u, 0.0)
+            return u, states_out
+
+        self._batched_jit = jax.jit(batched)
+        # Per-slot attributes, stacked [B].
+        self.slot_attrs: Dict[str, np.ndarray] = {
+            k: np.full((B,), float(np.asarray(v).reshape(-1)[0]), np.float32)
+            for k, v in self.variable_parameters.items()
+        }
+
+    # ---- slot management ---------------------------------------------------
+    def slot_key(self, i: int):
+        import jax
+        return jax.random.fold_in(self.optimizer._initial_key, i)
+
+    def reset_slot(self, i: int) -> None:
+        import jax
+        new = self.optimizer._init_state(self.slot_key(i))
+        self.slot_states = jax.tree_util.tree_map(
+            lambda full, n: full.at[i].set(n), self.slot_states, new
+        )
+
+    def update_slot_attributes(self, i: int, updated: Optional[Dict]) -> None:
+        for k, v in (updated or {}).items():
+            if k in self.slot_attrs:
+                self.slot_attrs[k][i] = float(np.asarray(v).reshape(-1)[0])
+
+    # ---- hot path ------------------------------------------------------------
+    def step_batch(
+        self,
+        s_batch: np.ndarray,                       # [B, S]
+        mask: Optional[np.ndarray] = None,         # [B] bool; default all on
+        updated_attributes: Optional[List[Optional[Dict]]] = None,  # per slot
+    ) -> np.ndarray:
+        import jax.numpy as jnp
+
+        B = self.num_slots
+        if updated_attributes:
+            for i, upd in enumerate(updated_attributes):
+                self.update_slot_attributes(i, upd)
+        if self.cost_function.update_cost_parameters_from_config():
+            self._cost_params = None
+        params = self._assemble_params()
+
+        mask_arr = (
+            jnp.ones((B,), bool) if mask is None
+            else jnp.asarray(np.asarray(mask, bool))
+        )
+        s_dev = jnp.asarray(np.asarray(s_batch, np.float32)).reshape(B, 1, -1)
+        attrs = {k: jnp.asarray(v) for k, v in self.slot_attrs.items()}
+
+        u, self.slot_states = self._batched_jit(
+            self.slot_states, s_dev, params["dyn"], params["cost"], attrs, mask_arr
+        )
+        u_host = np.asarray(u)
+        # Per-slot NaN guard (optimizer base does this host-side for the
+        # scalar path): a diverged slot commands zero and resets alone.
+        bad = ~np.all(np.isfinite(u_host), axis=-1)
+        if bad.any():
+            for i in np.nonzero(bad)[0]:
+                logger.warning(f"slot {i} produced non-finite control; resetting")
+                self.reset_slot(int(i))
+            u_host[bad] = 0.0
+        return u_host
+
+    def step(self, s, time=None, updated_attributes: Optional[Dict] = None):
+        """Scalar-controller compatibility: drive slot 0."""
+        B = self.num_slots
+        s_batch = np.zeros((B, np.asarray(s).reshape(-1).shape[0]), np.float32)
+        s_batch[0] = np.asarray(s, np.float32).reshape(-1)
+        mask = np.zeros((B,), bool)
+        mask[0] = True
+        upd = [updated_attributes] + [None] * (B - 1)
+        return self.step_batch(s_batch, mask, upd)[0]
+
+    def controller_reset(self) -> None:
+        for i in range(self.num_slots):
+            self.reset_slot(i)

@@ -47,6 +47,7 @@ class Optimizer:
         computation_library: Any = None,  # accepted for API parity; ignored (JAX only)
         calculate_optimal_trajectory: bool = False,
         remat: bool = False,
+        force_scan: bool = False,
         **kwargs,
     ):
         self.predictor = predictor
@@ -57,6 +58,9 @@ class Optimizer:
         self.calculate_optimal_trajectory = bool(calculate_optimal_trajectory)
         # Rematerialize rollout steps under AD (memory vs FLOPs at big K*H).
         self.remat = bool(remat)
+        # Force the lax.scan paths even on TPU (no Pallas kernels) — needed
+        # when the step function is vmapped (BatchedMPC serving).
+        self.force_scan = bool(force_scan)
 
         action_low, action_high = control_limits
         self.action_low = jnp.asarray(action_low, dtype=jnp.float32)
@@ -243,6 +247,7 @@ class Optimizer:
 
         return (
             jax.default_backend() == "tpu"
+            and not self.force_scan
             and isinstance(pred, ODEPredictor)
             and getattr(pred.dynamics, "soa", None) is not None
             and cf is not None

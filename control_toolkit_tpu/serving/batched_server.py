@@ -1,0 +1,132 @@
+"""Multi-client controller server with dynamic batching.
+
+Same wire protocol as serving/server.py ({rid, state, time,
+updated_attributes} -> {rid, Q}), but one BatchedMPCController serves many
+DEALER clients from a single chip: each client identity is assigned a slot,
+incoming requests are gathered for up to ``batch_window_ms`` (or until every
+known client has a pending request), then ONE vmapped step advances exactly
+the pending slots (mask) and replies fan out.  Idle slots keep their
+warm-start state frozen.
+
+The reference runs one controller per server process; this is the
+scale-serving redesign the TPU makes natural.
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import numpy as np
+
+from control_toolkit_tpu.utils.logging_util import get_logger
+
+logger = get_logger(__name__)
+
+DEFAULT_ENDPOINT = "tcp://*:5556"
+
+
+def serve_batched(
+    ctrl,
+    endpoint: str = DEFAULT_ENDPOINT,
+    batch_window_ms: float = 2.0,
+    warmup_state: Optional[np.ndarray] = None,
+    max_batches: Optional[int] = None,
+) -> None:
+    """Run the batched request loop. ``max_batches`` bounds the loop (tests).
+
+    The batch closes when every KNOWN client has a pending request or the
+    window expires; during the initial discovery burst (clients connecting
+    for the first time) a round may therefore split into two batches —
+    steady-state traffic coalesces into one batch per tick.
+    """
+    import zmq
+
+    B = ctrl.num_slots
+    if warmup_state is not None:
+        ctrl.step_batch(np.tile(np.asarray(warmup_state, np.float32), (B, 1)))
+        ctrl.controller_reset()
+        logger.info("batched controller warmed up (first compile done)")
+
+    ctx = zmq.Context.instance()
+    sock = ctx.socket(zmq.ROUTER)
+    sock.bind(endpoint)
+    logger.info(f"batched controller server on {endpoint} ({B} slots)")
+
+    slots: Dict[bytes, int] = {}          # identity -> slot
+    n_states = None
+    batches = 0
+    try:
+        while max_batches is None or batches < max_batches:
+            # Wait for the first request of a batch...
+            if not sock.poll(timeout=200):
+                continue
+            pending: Dict[int, tuple] = {}
+            deadline = batch_window_ms / 1e3
+
+            def drain_queued():
+                """Consume every message currently queued (non-blocking)."""
+                nonlocal n_states
+                while sock.poll(timeout=0):
+                    parts = sock.recv_multipart()
+                    if len(parts) == 2:
+                        identity, payload, framing3 = parts[0], parts[1], False
+                    elif len(parts) == 3 and parts[1] == b"":
+                        identity, payload, framing3 = parts[0], parts[2], True
+                    else:
+                        continue
+                    try:
+                        req = json.loads(payload.decode("utf-8"))
+                        s = np.asarray(req["state"], np.float32).reshape(-1)
+                    except Exception as e:
+                        logger.warning(f"malformed request dropped: {e}")
+                        continue
+                    if identity not in slots:
+                        if len(slots) >= B:
+                            logger.warning("no free slot; request dropped "
+                                           "(client deadline handles it)")
+                            continue
+                        slots[identity] = len(slots)
+                        logger.info(f"client {identity!r} -> slot {slots[identity]}")
+                    n_states = s.shape[0]
+                    pending[slots[identity]] = (
+                        identity, framing3, req.get("rid"), s,
+                        req.get("updated_attributes", {}) or {},
+                    )
+
+            # Gather up to batch_window_ms, closing early once every known
+            # client has a request queued.  New clients discovered during
+            # the window extend the quorum.
+            import time as _time
+            t0 = _time.perf_counter()
+            drain_queued()
+            while (_time.perf_counter() - t0) < deadline and (
+                len(pending) < len(slots) or not pending
+            ):
+                sock.poll(timeout=1)
+                drain_queued()
+            if not pending:
+                continue
+
+            s_batch = np.zeros((B, n_states), np.float32)
+            mask = np.zeros((B,), bool)
+            upds = [None] * B
+            for slot, (_, _, _, s, upd) in pending.items():
+                s_batch[slot] = s
+                mask[slot] = True
+                upds[slot] = upd
+
+            try:
+                u = ctrl.step_batch(s_batch, mask, upds)
+            except Exception as e:
+                logger.warning(f"batched step failed — no replies sent: {e}")
+                continue
+            batches += 1
+
+            for slot, (identity, framing3, rid, _, _) in pending.items():
+                reply = json.dumps(
+                    {"rid": rid, "Q": np.asarray(u[slot]).tolist()}
+                ).encode("utf-8")
+                msg = [identity, b"", reply] if framing3 else [identity, reply]
+                sock.send_multipart(msg)
+    finally:
+        sock.close(0)

@@ -84,6 +84,7 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.optimizers.rpgd",
         "control_toolkit_tpu.optimizers.ilqr",
         "control_toolkit_tpu.controllers.mpc",
+        "control_toolkit_tpu.controllers.batched_mpc",
         "control_toolkit_tpu.controllers.neural_imitator",
         "control_toolkit_tpu.controllers.remote",
         "control_toolkit_tpu.controllers.embedded",
