@@ -76,13 +76,14 @@ def _splitmix32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _normals(counter_base: jnp.ndarray, shape) -> jnp.ndarray:
-    """Box-Muller standard normals keyed by a per-element uint32 counter."""
-    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    idx = rows * jnp.uint32(shape[1]) + cols
-    bits1 = _splitmix32(counter_base + idx)
-    bits2 = _splitmix32(counter_base + idx + jnp.uint32(0x7F4A7C15))
+def _normals_from_counter(counter: jnp.ndarray) -> jnp.ndarray:
+    """Box-Muller standard normal for each uint32 counter element.
+
+    Pure elementwise function of the counter, so any subset of a kernel's
+    noise can be REGENERATED exactly in XLA from the same counters (used by
+    fused CEM to rebuild only the elite rows)."""
+    bits1 = _splitmix32(counter)
+    bits2 = _splitmix32(counter + jnp.uint32(0x7F4A7C15))
     # uint32 -> uniform via the top 24 bits; u1 in (0, 1], u2 in [0, 1).
     # Mosaic has no uint32->f32 cast: go through int32 (value < 2^24 fits).
     eight = jnp.uint32(8)
@@ -92,6 +93,14 @@ def _normals(counter_base: jnp.ndarray, shape) -> jnp.ndarray:
     u2 = i2.astype(jnp.float32) * (1.0 / 16777216.0)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
+
+
+def _normals(counter_base: jnp.ndarray, shape) -> jnp.ndarray:
+    """Box-Muller standard normals keyed by a per-element uint32 counter."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    idx = rows * jnp.uint32(shape[1]) + cols
+    return _normals_from_counter(counter_base + idx)
 
 
 def build_fused_mppi_step(

@@ -264,6 +264,74 @@ class Optimizer:
 
         return int(np.prod([self._mesh.shape[a] for a in self._shard_axes]))
 
+    def _soa_bindings(self):
+        """Common kernel-builder preamble: bind the predictor's SOA dynamics
+        and the cost function's SOA primitives, plus the packed scalar
+        parameter vector layout (dyn constants, cost weights, attrs,
+        previous control) that rides in SMEM scalar prefetch.
+
+        Returns (param_keys, pack, derivs_soa, stage_soa, terminal_soa,
+        pred).  ``stage_soa`` includes the control-change term and the
+        MAX_COST shift — i.e. reference get_stage_cost semantics."""
+        import jax.numpy as jnp
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        U = self.num_control_inputs
+
+        dyn_keys = sorted(pred.default_params())
+        cost_keys = sorted(cf.dynamic_config_keys)
+        attr_keys = sorted(getattr(cf, "attr_keys", ()))
+        param_keys = (
+            [f"d_{k}" for k in dyn_keys]
+            + [f"c_{k}" for k in cost_keys]
+            + [f"a_{k}" for k in attr_keys]
+            + [f"__u_prev_{j}" for j in range(U)]
+        )
+
+        def split_p(p):
+            dyn = {k: p[f"d_{k}"] for k in dyn_keys}
+            cp = {
+                "cost": {k: p[f"c_{k}"] for k in cost_keys},
+                "attrs": {k: p[f"a_{k}"] for k in attr_keys},
+            }
+            return dyn, cp
+
+        max_cost = cf.MAX_COST
+
+        def stage_soa(xs, us, prev_us, p):
+            _, cp = split_p(p)
+            return (
+                cf._stage_cost_core_soa(xs, us, cp)
+                + cf.control_change_cost_soa(us, prev_us, cp)
+                - max_cost
+            )
+
+        def terminal_soa(xs, p):
+            _, cp = split_p(p)
+            return cf.terminal_cost_soa(xs, cp)
+
+        def derivs(xs, us, p):
+            dyn, _ = split_p(p)
+            return pred.dynamics.soa(xs, us, dyn)
+
+        def pack(params, u_prev):
+            vals = {}
+            for k in dyn_keys:
+                vals[f"d_{k}"] = params["dyn"][k]
+            for k in cost_keys:
+                vals[f"c_{k}"] = params["cost"][k]
+            for k in attr_keys:
+                vals[f"a_{k}"] = params["attrs"].get(k, 0.0)
+            up = jnp.reshape(jnp.asarray(u_prev, jnp.float32), (-1,))
+            for j in range(U):
+                vals[f"__u_prev_{j}"] = up[j]
+            return jnp.stack(
+                [jnp.asarray(vals[k], jnp.float32) for k in param_keys]
+            )
+
+        return param_keys, pack, derivs, stage_soa, terminal_soa, pred
+
     def _build_pallas_cost(self, interpret: bool = False, tile_k: int = None):
         """Bind predictor dynamics + cost function into the fused Pallas
         rollout+cost kernel (ops/pallas_rollout.py).

@@ -48,6 +48,7 @@ class CEMOptimizer(Optimizer):
         cem_best_k: int = 40,
         warmup: bool = False,
         warmup_iterations: int = 250,
+        fully_fused: bool = False,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -57,6 +58,11 @@ class CEMOptimizer(Optimizer):
         self.cem_best_k = int(cem_best_k)
         self.warmup = bool(warmup)
         self.warmup_iterations = int(warmup_iterations)
+        # Opt-in max-perf mode: sample+rollout+cost as ONE Pallas kernel
+        # with in-kernel counter-PRNG sampling; elites regenerated in XLA
+        # from the same counters (ops/pallas_cem.py).  Counter PRNG is not
+        # bit-compatible with jax.random, hence opt-in.
+        self.fully_fused = bool(fully_fused)
 
     def _init_state(self, key):
         H, U = self.mpc_horizon, self.num_control_inputs
@@ -69,6 +75,35 @@ class CEMOptimizer(Optimizer):
             u_prev=jnp.zeros((U,), jnp.float32),
         )
 
+    def _can_fully_fuse(self) -> bool:
+        return (
+            self.fully_fused
+            and not self.optimizer_logging
+            and self._can_use_pallas()
+        )
+
+    def _build_fused_cem(self, interpret: bool = False, tile_k: int = None):
+        from control_toolkit_tpu.ops.pallas_cem import (
+            DEFAULT_TILE_K, build_fused_cem,
+        )
+
+        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        make_run, regen = build_fused_cem(
+            derivs, stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon,
+            param_keys=param_keys,
+            action_low=self.action_low, action_high=self.action_high,
+            integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tile_k or DEFAULT_TILE_K,
+            interpret=interpret,
+        )
+        return make_run(self.num_rollouts, pred.dt), regen, pack
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         low, high = self.action_low, self.action_high
@@ -77,10 +112,28 @@ class CEMOptimizer(Optimizer):
         # Logging needs the trajectories; otherwise evaluate costs through the
         # fused/Pallas path and keep the loop carry trajectory-free.
         cost_only = None if self.optimizer_logging else self._make_cost_only()
+        fused = self._build_fused_cem() if self._can_fully_fuse() else None
 
         def outer_iter(carry, s_tiled, u_prev, params):
             key, mue, std = carry["key"], carry["mue"], carry["std"]
             key, sub = jax.random.split(key)
+            if fused is not None:
+                run, regen, pack = fused
+                seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, jnp.int32)
+                seed2 = jnp.concatenate([seed, jnp.zeros(1, jnp.int32)])
+                pvec = pack(params, u_prev)
+                costs2d = run(s_tiled[0], mue[0], std[0], pvec, seed2)
+                cost = costs2d.reshape(-1)
+                idx = elite_indices(cost, best_k)
+                # Only the elite rows are ever materialized — regenerated in
+                # XLA from the kernel's noise counters, bit-exactly.
+                elite_Q = regen(seed2, idx, mue[0], std[0], K)
+                new_mue = jnp.mean(elite_Q, axis=0, keepdims=True)
+                new_std = jnp.std(elite_Q, axis=0, keepdims=True)
+                return {
+                    "key": key, "mue": new_mue, "std": new_std,
+                    "elite0": elite_Q[0], "cost": cost,
+                }
             Q = mue + jax.random.normal(sub, (K, H, U), jnp.float32) * std
             Q = jnp.clip(Q, low, high)
             if cost_only is not None:
@@ -114,10 +167,11 @@ class CEMOptimizer(Optimizer):
                 "key": state.key,
                 "mue": state.dist_mue,
                 "std": state.stdev,
-                "Q": jnp.zeros((K, H, U), jnp.float32),
                 "elite0": jnp.zeros((H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
             }
+            if fused is None:
+                carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
             if cost_only is None:
                 carry["traj"] = jnp.zeros((K, H + 1, self.num_states), jnp.float32)
             carry = jax.lax.fori_loop(
@@ -143,10 +197,11 @@ class CEMOptimizer(Optimizer):
             )
 
             diag = {
-                "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
                 "u_nom": carry["elite0"][None],
             }
+            if fused is None:
+                diag["Q_logged"] = carry["Q"]
             if cost_only is None:
                 diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMState(
