@@ -49,6 +49,62 @@ def measure_step(ctrl):
     return (time.perf_counter() - t0) / (REPS * N) * 1e3
 
 
+def build_cem(K, H, fully_fused):
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "cem-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="cem-tf", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
+        "cem_stdev_min": 0.01, "cem_best_k": 256,
+        "warmup": False, "warmup_iterations": 2, "fully_fused": fully_fused,
+    })
+    return ctrl
+
+
+def measure_batched_serving(B=32, K_per_slot=512, H=35):
+    """Steps/s for B independent MPC sessions advanced by one vmapped step
+    (the batched-serving device path, controllers/batched_mpc.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.05,
+        "period_interpolation_inducing_points": 10}, num_slots=B)
+
+    params = ctrl._assemble_params()
+    s = jnp.zeros((B, 1, 4), jnp.float32)
+    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
+    mask = jnp.ones((B,), bool)
+    fn = ctrl._batched_jit
+    states = ctrl.slot_states
+
+    N, reps = 20, 2
+    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(reps * N):
+        u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    ms = (time.perf_counter() - t0) / (reps * N) * 1e3
+    return ms
+
+
 def main():
     import jax
 
@@ -69,6 +125,19 @@ def main():
         results[f"{name}_rollouts_per_sec"] = round(K / (ms / 1e3))
         print(f"{name:22s}: {ms:7.3f} ms  ({K / (ms / 1e3) / 1e6:.0f}M rollouts/s)",
               flush=True)
+
+    for fused in (False, True):
+        name = f"cem_{'fused' if fused else 'modular'}"
+        ms = measure_step(build_cem(K, H, fused))
+        results[name] = round(ms, 3)
+        print(f"{name:22s}: {ms:7.3f} ms", flush=True)
+
+    B, Kps = 32, 512
+    ms = measure_batched_serving(B=B, K_per_slot=Kps)
+    results["batched_serving_B32_K512"] = round(ms, 3)
+    results["batched_serving_sessions_per_sec"] = round(B / (ms / 1e3))
+    print(f"batched serving B={B} K={Kps}: {ms:.3f} ms/step "
+          f"({B / (ms / 1e3):.0f} session-steps/s)", flush=True)
 
     Path(__file__).parent.joinpath("BENCH_SCALE.json").write_text(
         json.dumps(results, indent=2)
