@@ -118,6 +118,63 @@ def test_reset_slot_restores_initial_state():
         np.testing.assert_array_equal(np.asarray(b)[0], np.asarray(a)[0])
 
 
+def test_remote_controller_against_batched_server():
+    """The standard RemoteController (ZMQ DEALER, rid/timeout semantics) is
+    wire-compatible with the batched server — two remote clients close the
+    loop through their own slots."""
+    zmq = pytest.importorskip("zmq")
+    from control_toolkit_tpu.controllers.remote import RemoteController
+    from control_toolkit_tpu.serving.batched_server import serve_batched
+
+    ctrl = build_batched(2)
+    endpoint = "tcp://127.0.0.1:15587"
+    t = threading.Thread(
+        target=serve_batched,
+        kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=20.0,
+                    warmup_state=np.zeros(4, np.float32), max_batches=12),
+        daemon=True,
+    )
+    t.start()
+    time.sleep(0.3)
+
+    remotes = []
+    for i in range(2):
+        r = RemoteController(
+            environment_name="cartpole",
+            control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+            initial_environment_attributes={"target_position": 0.0},
+            config={"remote_endpoint": endpoint.replace("*", "127.0.0.1"),
+                    "timeout_ms": 5000, "controller_logging": False},
+        )
+        r.configure()
+        remotes.append(r)
+
+    try:
+        s = np.array([0.0, 0.0, 0.1, 0.0], np.float32)
+        for _ in range(5):
+            threads, out = [], [None, None]
+
+            def ask(i):
+                out[i] = remotes[i].step(
+                    s, updated_attributes={"target_position": (0.2, -0.2)[i]}
+                )
+
+            for i in range(2):
+                th = threading.Thread(target=ask, args=(i,))
+                th.start()
+                threads.append(th)
+            for th in threads:
+                th.join(timeout=10)
+            for i in range(2):
+                assert out[i] is not None and np.all(np.isfinite(out[i]))
+    finally:
+        t.join(timeout=10)
+    np.testing.assert_allclose(
+        sorted(np.asarray(ctrl.slot_attrs["target_position"]).tolist()),
+        [-0.2, 0.2], atol=1e-6,
+    )
+
+
 def test_batched_server_two_clients():
     """Two DEALER clients with different targets against one batched server:
     both get correct-rid replies from their own slots."""
