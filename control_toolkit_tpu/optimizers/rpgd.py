@@ -43,6 +43,34 @@ class RPGDState(NamedTuple):
     u_prev: jax.Array
 
 
+def shift_rows(M: jnp.ndarray) -> jnp.ndarray:
+    """Time-shift rows left along the horizon, zero-padding the tail."""
+    return jnp.concatenate([M[:, 1:, :], jnp.zeros_like(M[:, :1, :])], axis=1)
+
+
+def rpgd_resample_surgery(Qn, m, v, ages, best_idx, Qres):
+    """Population + Adam-moment surgery on a resample tick (reference
+    optimizer_rpgd.py:449-495): fresh sequences replace the non-elites
+    ([Qres, Q_keep] ordering), elite moments are gathered and time-shifted
+    left with zero tails, fresh rows get zero moments and age zero."""
+    K, H, U = Qn.shape
+    n_res = Qres.shape[0]
+    Q_keep = Qn[best_idx]
+    Q_new = jnp.concatenate([Qres, Q_keep], axis=0)
+    ages_new = jnp.concatenate(
+        [jnp.zeros((n_res,), jnp.float32), ages[best_idx]], axis=0
+    )
+    zeros_rows = jnp.zeros((n_res, H, U), jnp.float32)
+    m_new = jnp.concatenate([zeros_rows, shift_rows(m[best_idx])], axis=0)
+    v_new = jnp.concatenate([zeros_rows, shift_rows(v[best_idx])], axis=0)
+    return Q_new, m_new, v_new, ages_new
+
+
+def rpgd_keep_surgery(m, v):
+    """Non-resample tick: shift ALL moment rows left (reference :497-513)."""
+    return shift_rows(m), shift_rows(v)
+
+
 @registry.optimizers.register("rpgd-tf")
 @registry.optimizers.register("rpgd")
 @registry.optimizers.register("dist-adam-resamp2-tf")
@@ -158,12 +186,6 @@ class RPGDOptimizer(Optimizer):
             Q = jnp.clip(Q - delta, low, high)
             return Q, adam
 
-        def shift_rows(M):
-            # time-shift rows left along horizon, zero tail
-            return jnp.concatenate(
-                [M[:, 1:, :], jnp.zeros_like(M[:, :1, :])], axis=1
-            )
-
         def step_fn(state: RPGDState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
             # Static trip count when warmup is off: lets XLA lower a
@@ -199,21 +221,15 @@ class RPGDOptimizer(Optimizer):
             def resample_branch(op):
                 Qn, adam, ages = op
                 Qres = self._sample_actions(sub, K - keep_k)
-                Q_keep = Qn[best_idx]
-                Q_new = jnp.concatenate([Qres, Q_keep], axis=0)
-                ages_new = jnp.concatenate(
-                    [jnp.zeros((K - keep_k,), jnp.float32), ages[best_idx]], axis=0
+                Q_new, m_new, v_new, ages_new = rpgd_resample_surgery(
+                    Qn, adam.m, adam.v, ages, best_idx, Qres
                 )
-                # Moment surgery: keep+shift elite rows, zero fresh rows
-                # (reference :460-495).
-                zeros_rows = jnp.zeros((K - keep_k, H, U), jnp.float32)
-                m_new = jnp.concatenate([zeros_rows, shift_rows(adam.m[best_idx])], axis=0)
-                v_new = jnp.concatenate([zeros_rows, shift_rows(adam.v[best_idx])], axis=0)
                 return Q_new, AdamState(adam.step, m_new, v_new), ages_new
 
             def keep_branch(op):
                 Qn, adam, ages = op
-                return Qn, AdamState(adam.step, shift_rows(adam.m), shift_rows(adam.v)), ages
+                m_new, v_new = rpgd_keep_surgery(adam.m, adam.v)
+                return Qn, AdamState(adam.step, m_new, v_new), ages
 
             do_resample = (state.count % self.resamp_per) == 0
             Q_next, adam_next, ages = jax.lax.cond(

@@ -143,6 +143,38 @@ def main():
     )
     adam.apply_gradients([(grad_clipped, Qv)])
 
+    # RPGD resample + Adam moment surgery on fixed inputs, transcribed from
+    # the reference's eager TF weight surgery (optimizer_rpgd.py:449-513).
+    rng3 = np.random.default_rng(7)
+    Kr, keep_k = 16, 4
+    Qn = rng3.uniform(-1, 1, (Kr, H, U)).astype(np.float32)
+    m_arr = rng3.normal(size=(Kr, H, U)).astype(np.float32)
+    v_arr = np.abs(rng3.normal(size=(Kr, H, U))).astype(np.float32)
+    ages = rng3.integers(0, 20, Kr).astype(np.float32)
+    r_costs = rng3.uniform(0, 100, Kr).astype(np.float32)
+    Qres = rng3.uniform(-1, 1, (Kr - keep_k, H, U)).astype(np.float32)
+
+    best_idx = tf.argsort(tf.convert_to_tensor(r_costs))[:keep_k]
+    Qn_t = tf.convert_to_tensor(Qn)
+    Q_keep = tf.gather(Qn_t, best_idx, axis=0)
+    Q_after = tf.concat([tf.convert_to_tensor(Qres), Q_keep], 0)
+    ages_after = tf.concat(
+        [tf.zeros((Kr - keep_k,)), tf.gather(tf.convert_to_tensor(ages), best_idx, axis=0)], 0
+    )
+    wk1 = tf.concat(
+        [tf.gather(tf.convert_to_tensor(m_arr), best_idx, axis=0)[:, 1:, :],
+         tf.zeros([keep_k, 1, U])], 1,
+    )
+    wk2 = tf.concat(
+        [tf.gather(tf.convert_to_tensor(v_arr), best_idx, axis=0)[:, 1:, :],
+         tf.zeros([keep_k, 1, U])], 1,
+    )
+    m_after = tf.concat([tf.zeros([Kr - keep_k, H, U]), wk1], 0)
+    v_after = tf.concat([tf.zeros([Kr - keep_k, H, U]), wk2], 0)
+    # non-resample tick: all rows shifted
+    m_shift = tf.concat([tf.convert_to_tensor(m_arr)[:, 1:, :], tf.zeros([Kr, 1, U])], 1)
+    v_shift = tf.concat([tf.convert_to_tensor(v_arr)[:, 1:, :], tf.zeros([Kr, 1, U])], 1)
+
     out = HERE / "cartpole_golden.npz"
     np.savez_compressed(
         out,
@@ -158,6 +190,13 @@ def main():
         mppi_b=mppi_b.numpy(),
         grad=grad.numpy(), grad_clipped=grad_clipped.numpy(),
         q_after_adam=Qv.numpy(),
+        # RPGD surgery fixture
+        rpgd_Qn=Qn, rpgd_m=m_arr, rpgd_v=v_arr, rpgd_ages=ages,
+        rpgd_costs=r_costs, rpgd_Qres=Qres, rpgd_keep_k=np.int32(keep_k),
+        rpgd_best_idx=best_idx.numpy(),
+        rpgd_Q_after=Q_after.numpy(), rpgd_ages_after=ages_after.numpy(),
+        rpgd_m_after=m_after.numpy(), rpgd_v_after=v_after.numpy(),
+        rpgd_m_shift=m_shift.numpy(), rpgd_v_shift=v_shift.numpy(),
         tf_version=np.frombuffer(tf.__version__.encode(), np.uint8),
     )
     print(f"wrote {out} (tf {tf.__version__})")

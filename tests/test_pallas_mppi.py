@@ -252,11 +252,18 @@ def test_semi_fused_matches_modular_reference():
     np.testing.assert_allclose(b_lin, b_ref, rtol=1e-4, atol=1e-6)
 
 
-def test_semi_fused_sharded_matches_unsharded():
+import pytest
+
+
+@pytest.mark.parametrize("mesh_kind", ["1d", "multislice"])
+def test_semi_fused_sharded_matches_unsharded(mesh_kind):
     """The semi-fused cost kernel under shard_map (noise sampled globally in
-    XLA, tiles split across devices) must equal the single-device run."""
+    XLA, tiles split across devices — 1-D and 2-D ('slice','k') meshes)
+    must equal the single-device run."""
     from control_toolkit_tpu.ops.pallas_mppi import ROWS
-    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+    from control_toolkit_tpu.parallel.mesh import (
+        make_multislice_mesh, make_rollout_mesh,
+    )
 
     K, H, tile = 1024, 20, 128
     ctrl = make_mppi_ctrl(K, H)
@@ -266,7 +273,10 @@ def test_semi_fused_sharded_matches_unsharded():
     )
     _, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
     run_a = opt._last_fused_make_run.external(K)
-    run_b = opt._last_fused_make_run.external(K, mesh=make_rollout_mesh(), axis="k")
+    if mesh_kind == "1d":
+        run_b = opt._last_fused_make_run.external(K, mesh=make_rollout_mesh(), axis="k")
+    else:
+        run_b = opt._last_fused_make_run.external(K, mesh=make_multislice_mesh(2))
 
     U, P = 1, opt.interp.number_of_interpolation_inducing_points
     T, C = K // tile, tile // ROWS

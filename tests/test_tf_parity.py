@@ -117,3 +117,30 @@ def test_gradient_clip_adam_parity(g, cost_setup):
     )
     q_after = np.asarray(jnp.asarray(g["Q"]) - delta)
     np.testing.assert_allclose(q_after, g["q_after_adam"], rtol=1e-4, atol=1e-5)
+
+
+def test_rpgd_surgery_parity(g):
+    """Resample-tick population + Adam moment surgery must match the
+    reference's eager TF weight surgery recorded on fixed inputs
+    (optimizer_rpgd.py:449-513)."""
+    from control_toolkit_tpu.optimizers.rpgd import (
+        rpgd_keep_surgery, rpgd_resample_surgery,
+    )
+
+    best_idx = np.asarray(elite_indices(jnp.asarray(g["rpgd_costs"]),
+                                        int(g["rpgd_keep_k"])))
+    np.testing.assert_array_equal(best_idx, g["rpgd_best_idx"])
+
+    Q_new, m_new, v_new, ages_new = rpgd_resample_surgery(
+        jnp.asarray(g["rpgd_Qn"]), jnp.asarray(g["rpgd_m"]),
+        jnp.asarray(g["rpgd_v"]), jnp.asarray(g["rpgd_ages"]),
+        jnp.asarray(best_idx), jnp.asarray(g["rpgd_Qres"]),
+    )
+    np.testing.assert_array_equal(np.asarray(Q_new), g["rpgd_Q_after"])
+    np.testing.assert_array_equal(np.asarray(ages_new), g["rpgd_ages_after"])
+    np.testing.assert_array_equal(np.asarray(m_new), g["rpgd_m_after"])
+    np.testing.assert_array_equal(np.asarray(v_new), g["rpgd_v_after"])
+
+    m_s, v_s = rpgd_keep_surgery(jnp.asarray(g["rpgd_m"]), jnp.asarray(g["rpgd_v"]))
+    np.testing.assert_array_equal(np.asarray(m_s), g["rpgd_m_shift"])
+    np.testing.assert_array_equal(np.asarray(v_s), g["rpgd_v_shift"])
