@@ -46,6 +46,7 @@ class ILQRState(NamedTuple):
     plan: jax.Array    # [H, U] last GOOD open-loop solution (failure replay)
     j: jax.Array       # replay index into ``plan`` (0 = fresh solve adopted)
     count: jax.Array
+    key: jax.Array     # PRNG for multi-start initialization draws
 
 
 @registry.optimizers.register("ilqr")
@@ -68,6 +69,7 @@ class ILQROptimizer(Optimizer):
         mu_init: float = 10.0,
         mu_growth: float = 10.0,
         include_control_change_cost: bool = True,
+        n_starts: int = 1,
         **kwargs,
     ):
         kwargs["num_rollouts"] = 1  # NLP path is single-trajectory (reference :61)
@@ -98,6 +100,12 @@ class ILQROptimizer(Optimizer):
         self.mu_init = float(mu_init)
         self.mu_growth = float(mu_growth)
         self.include_control_change_cost = bool(include_control_change_cost)
+        # Multi-start: iLQR is a local method; planning problems with
+        # multiple basins (swing-up) are solved from n_starts diverse
+        # initializations as ONE vmapped batch of solves (the TPU-native
+        # robustification of the single-trajectory NLP slot) and the
+        # lowest-true-cost plan wins.
+        self.n_starts = max(1, int(n_starts))
 
     def _init_state(self, key):
         H, U = self.mpc_horizon, self.num_control_inputs
@@ -109,6 +117,7 @@ class ILQROptimizer(Optimizer):
             plan=plan0,
             j=jnp.zeros((), jnp.int32),
             count=jnp.zeros((), jnp.int32),
+            key=self._initial_key,
         )
 
     def _make_step_fn(self):
@@ -345,13 +354,39 @@ class ILQROptimizer(Optimizer):
                 vals += [jnp.float32(0.0)] * (len(term_idx) - len(vals))
             return jnp.stack(vals[: len(term_idx)])
 
+        n_starts = self.n_starts
+
         def step_fn(state: ILQRState, s, params):
             x0 = s[0]
             z0 = jnp.concatenate([x0, state.u_prev]) if use_ccrc else x0
             center = resolve_center(params)
 
-            us = solve(z0, state.u_traj, center, params)
-            cost = total_cost_true(z0, us, params)
+            if n_starts == 1:
+                us = solve(z0, state.u_traj, center, params)
+                cost = total_cost_true(z0, us, params)
+                key = state.key
+            else:
+                # Start 0 = warm start; the rest drawn uniformly in the box
+                # each tick.  All solves run as one vmapped batch.
+                key, sub = jax.random.split(state.key)
+                rand = jax.random.uniform(
+                    sub, (n_starts - 1, H, U),
+                    minval=low, maxval=high, dtype=jnp.float32,
+                )
+                us0 = jnp.concatenate([state.u_traj[None], rand], axis=0)
+                us_all = jax.vmap(
+                    lambda u0: solve(z0, u0, center, params)
+                )(us0)
+                costs_all = jax.vmap(
+                    lambda u_: total_cost_true(z0, u_, params)
+                )(us_all)
+                # non-finite solves must not win the argmin
+                costs_all = jnp.where(
+                    jnp.isfinite(costs_all), costs_all, jnp.inf
+                )
+                best = jnp.argmin(costs_all)
+                us = us_all[best]
+                cost = costs_all[best]
 
             # FORCES exitflag semantics (reference :315-342): a failed solve
             # replays the last good open-loop plan index-by-index; a good
@@ -382,6 +417,7 @@ class ILQROptimizer(Optimizer):
             new_state = ILQRState(
                 u_traj=us_shifted, u_prev=u, plan=plan_new, j=j_new,
                 count=state.count + 1,
+                key=key,
             )
             return u, new_state, diag
 

@@ -252,3 +252,41 @@ def test_ilqr_closed_loop_cartpole():
         u = ctrl.step(s[0])
         s, *_ = env.step(u)
     assert abs(float(s[0, 2])) < 0.1, f"ilqr failed to stabilize: {s[0]}"
+
+
+def test_multistart_escapes_local_minimum():
+    """iLQR is local: with a pure quadratic cost (no energy shaping) a
+    single solve from the hanging pendulum converges to the hang (u=0 is a
+    stationary point); n_starts vmapped random initializations find the
+    swing-up basin and the lowest-true-cost plan wins."""
+    from control_toolkit_tpu.environments.pendulum import PendulumEnv
+
+    def final_angle_from_top(n_starts, steps=80):
+        ctrl = MPCController(
+            "pendulum",
+            (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+            {}, config={"optimizer": "ilqr", "controller_logging": False},
+        )
+        ctrl.configure(optimizer_name="ilqr", optimizer_config={
+            "seed": 2, "mpc_timestep": 0.05, "mpc_horizon": 40,
+            "num_rollouts": 1, "max_iterations": 25, "tol": 1e-7,
+            "regularization_init": 1.0, "regularization_max": 1e8,
+            "line_search_steps": 8, "n_starts": n_starts,
+        })
+        cf = ctrl.cost_function.cost_function
+        cf.config["energy_weight"] = 0.0  # remove the shaping that rescues n=1
+        ctrl._cost_params = None
+        env = PendulumEnv(batch_size=1, dt=0.05, seed=0)
+        env.reset()
+        env.state = jnp.array([[np.pi, 0.0]], jnp.float32)  # exactly hanging
+        s = np.asarray(env.state)
+        for _ in range(steps):
+            u = ctrl.step(s[0])
+            s, *_ = env.step(u)
+        ang = float(s[0, 0]) % (2 * np.pi)
+        return min(ang, 2 * np.pi - ang)
+
+    stuck = final_angle_from_top(1)
+    solved = final_angle_from_top(6)
+    assert stuck > 2.5, f"premise: single start should stay hanging, got {stuck}"
+    assert solved < 0.15, f"multi-start failed to swing up: {solved}"
