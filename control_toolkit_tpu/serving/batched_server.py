@@ -31,6 +31,8 @@ def serve_batched(
     batch_window_ms: float = 2.0,
     warmup_state: Optional[np.ndarray] = None,
     max_batches: Optional[int] = None,
+    evict_after_s: float = 30.0,
+    report_every: int = 500,
 ) -> None:
     """Run the batched request loop. ``max_batches`` bounds the loop (tests).
 
@@ -38,8 +40,16 @@ def serve_batched(
     window expires; during the initial discovery burst (clients connecting
     for the first time) a round may therefore split into two batches —
     steady-state traffic coalesces into one batch per tick.
+
+    Slot lifecycle: when all slots are taken and a NEW identity appears,
+    the longest-silent client is evicted if it has been idle longer than
+    ``evict_after_s`` (its slot state is reset for the newcomer); otherwise
+    the request is dropped and the client's deadline handles it.  Batch
+    step-latency percentiles are logged every ``report_every`` batches.
     """
     import zmq
+
+    from control_toolkit_tpu.utils.profiling import LatencyTracker
 
     B = ctrl.num_slots
     if warmup_state is not None:
@@ -53,6 +63,8 @@ def serve_batched(
     logger.info(f"batched controller server on {endpoint} ({B} slots)")
 
     slots: Dict[bytes, int] = {}          # identity -> slot
+    last_seen: Dict[bytes, float] = {}
+    tracker = LatencyTracker()
     n_states = None
     batches = 0
     try:
@@ -82,11 +94,29 @@ def serve_batched(
                         continue
                     if identity not in slots:
                         if len(slots) >= B:
-                            logger.warning("no free slot; request dropped "
-                                           "(client deadline handles it)")
-                            continue
-                        slots[identity] = len(slots)
-                        logger.info(f"client {identity!r} -> slot {slots[identity]}")
+                            # Evict the longest-silent client if it has gone
+                            # quiet for evict_after_s; else drop the request.
+                            import time as _t
+                            stalest = min(last_seen, key=last_seen.get)
+                            if _t.perf_counter() - last_seen[stalest] > evict_after_s:
+                                freed = slots.pop(stalest)
+                                last_seen.pop(stalest, None)
+                                ctrl.reset_slot(freed)
+                                slots[identity] = freed
+                                logger.info(
+                                    f"evicted idle client {stalest!r}; "
+                                    f"slot {freed} -> {identity!r}"
+                                )
+                            else:
+                                logger.warning("no free slot; request dropped "
+                                               "(client deadline handles it)")
+                                continue
+                        else:
+                            free = sorted(set(range(B)) - set(slots.values()))[0]
+                            slots[identity] = free
+                            logger.info(f"client {identity!r} -> slot {free}")
+                    import time as _t
+                    last_seen[identity] = _t.perf_counter()
                     n_states = s.shape[0]
                     pending[slots[identity]] = (
                         identity, framing3, req.get("rid"), s,
@@ -116,11 +146,17 @@ def serve_batched(
                 upds[slot] = upd
 
             try:
-                u = ctrl.step_batch(s_batch, mask, upds)
+                with tracker.measure():
+                    u = ctrl.step_batch(s_batch, mask, upds)
             except Exception as e:
                 logger.warning(f"batched step failed — no replies sent: {e}")
                 continue
             batches += 1
+            if report_every and batches % report_every == 0:
+                logger.info(
+                    f"{batches} batches, {len(slots)}/{B} slots: "
+                    f"{tracker.report()}"
+                )
 
             for slot, (identity, framing3, rid, _, _) in pending.items():
                 reply = json.dumps(

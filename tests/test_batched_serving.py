@@ -217,3 +217,56 @@ def test_batched_server_two_clients():
         t.join(timeout=10)
     # the two identities landed on distinct slots with their own attrs
     assert sorted(np.asarray(ctrl.slot_attrs["target_position"]).tolist()) == [-0.5, 0.5]
+
+
+def test_slot_eviction_reassigns_idle_slots():
+    """B=1 server: a new client evicts the longest-silent one once it has
+    been idle past evict_after_s, and the freed slot's state is reset."""
+    zmq = pytest.importorskip("zmq")
+    from control_toolkit_tpu.serving.batched_server import serve_batched
+
+    ctrl = build_batched(1)
+    endpoint = "tcp://127.0.0.1:15588"
+    t = threading.Thread(
+        target=serve_batched,
+        kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=5.0,
+                    warmup_state=np.zeros(4, np.float32), max_batches=4,
+                    evict_after_s=0.2),
+        daemon=True,
+    )
+    t.start()
+    time.sleep(0.3)
+
+    ctx = zmq.Context.instance()
+    a = ctx.socket(zmq.DEALER); a.setsockopt(zmq.RCVTIMEO, 5000); a.connect(endpoint)
+    b = ctx.socket(zmq.DEALER); b.setsockopt(zmq.RCVTIMEO, 5000); b.connect(endpoint)
+    try:
+        a.send_json({"rid": 1, "state": [0, 0, 0.1, 0], "time": 0.0,
+                     "updated_attributes": {}})
+        assert a.recv_json()["rid"] == 1
+
+        # B arrives while A is still fresh -> dropped (no reply).
+        b.setsockopt(zmq.RCVTIMEO, 400)
+        b.send_json({"rid": 2, "state": [0, 0, 0.1, 0], "time": 0.0,
+                     "updated_attributes": {}})
+        try:
+            b.recv_json()
+            assert False, "B must get no reply while A holds the only slot"
+        except zmq.error.Again:
+            pass
+
+        time.sleep(0.4)  # A goes idle past evict_after_s
+        b.setsockopt(zmq.RCVTIMEO, 5000)
+        b.send_json({"rid": 3, "state": [0, 0, 0.1, 0], "time": 0.0,
+                     "updated_attributes": {}})
+        assert b.recv_json()["rid"] == 3
+    finally:
+        a.close(0)
+        b.close(0)
+        # unblock the server loop if it is still waiting for a batch
+        c = ctx.socket(zmq.DEALER)
+        c.connect(endpoint)
+        c.send_json({"rid": 9, "state": [0, 0, 0.1, 0], "time": 0.0,
+                     "updated_attributes": {}})
+        c.close(0)
+        t.join(timeout=10)

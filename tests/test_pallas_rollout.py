@@ -7,11 +7,19 @@ import pytest
 from control_toolkit_tpu.controllers.mpc import MPCController
 
 
-def make_mppi_ctrl(K=256, H=20):
+ENV_ATTRS = {
+    "cartpole": {"target_position": 0.3},
+    "pendulum": {},
+    "acrobot": {},
+    "pointmass": {"target_x": 0.5, "target_y": -0.5},
+}
+
+
+def make_mppi_ctrl(K=256, H=20, env="cartpole"):
     ctrl = MPCController(
-        environment_name="cartpole",
+        environment_name=env,
         control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
-        initial_environment_attributes={"target_position": 0.3},
+        initial_environment_attributes=dict(ENV_ATTRS[env]),
         config={"optimizer": "mppi", "controller_logging": False},
     )
     ctrl.configure(optimizer_name="mppi", optimizer_config={
@@ -44,6 +52,31 @@ def test_pallas_kernel_matches_scan(integrator):
     ref = opt._fused_cost(s_tiled, Q, u_prev, params)
     out = pallas_cost(s_tiled, Q, u_prev, params)
 
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("env", ["pendulum", "acrobot", "pointmass"])
+def test_pallas_kernel_matches_scan_all_envs(env):
+    """Every built-in model family flows through the cost kernel: SOA
+    dynamics + cost primitives agree with the scan path."""
+    K, H = 128, 15
+    ctrl = make_mppi_ctrl(K, H, env=env)
+    opt = ctrl.optimizer
+    S = opt.num_states
+    U = opt.num_control_inputs
+    pallas_cost = opt._build_pallas_cost(interpret=True, tile_k=64)
+
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    s_tiled = jnp.tile(
+        jax.random.uniform(k1, (1, S), minval=-0.5, maxval=0.5), (K, 1)
+    )
+    Q = jax.random.uniform(k2, (K, H, U), minval=-1.0, maxval=1.0)
+    u_prev = 0.1 * jnp.ones((U,), jnp.float32)
+    params = ctrl._assemble_params()
+
+    ref = opt._fused_cost(s_tiled, Q, u_prev, params)
+    out = pallas_cost(s_tiled, Q, u_prev, params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=1e-4)
 
 
