@@ -44,6 +44,34 @@ def _masked_moments(x, mask):
     return mean, jnp.sqrt(var)
 
 
+def gmm_cluster_refit(elite_Q, std_min):
+    """Cluster elites to the nearest of the top-2 by Frobenius distance and
+    refit both mixture components (reference optimizer_cem_gmm_tf.py:73-90):
+    elite 0 seeds cluster 0, elite 1 seeds cluster 1, ties go to cluster 0
+    (tf.argmin first-index semantics); the mixture weight is the cluster
+    fraction.  Static shapes via masked moments.
+
+    elite_Q: [k, H, U] sorted best-first. Returns (mue [2,H,U],
+    std [2,H,U], probs [2]).
+    """
+    best_k = elite_Q.shape[0]
+    d0 = jnp.sqrt(jnp.sum((elite_Q - elite_Q[0]) ** 2, axis=(1, 2)))
+    d1 = jnp.sqrt(jnp.sum((elite_Q - elite_Q[1]) ** 2, axis=(1, 2)))
+    to_c1 = d1 < d0
+    to_c1 = to_c1.at[0].set(False).at[1].set(True)
+
+    m0, s0 = _masked_moments(elite_Q, ~to_c1)
+    m1, s1 = _masked_moments(elite_Q, to_c1)
+    n0 = jnp.sum((~to_c1).astype(jnp.float32))
+    prob0 = n0 / best_k
+    mue = jnp.stack([m0, m1])
+    std = jnp.stack([
+        jnp.clip(s0, std_min, 1.0e4),
+        jnp.clip(s1, std_min, 1.0e4),
+    ])
+    return mue, std, jnp.stack([prob0, 1.0 - prob0])
+
+
 @registry.optimizers.register("cem-gmm-tf")
 @registry.optimizers.register("cem-gmm")
 class CEMGMMOptimizer(Optimizer):
@@ -101,27 +129,13 @@ class CEMGMMOptimizer(Optimizer):
             idx = elite_indices(cost, best_k)
             elite_Q = Q[idx]  # [k, H, U], best first
 
-            # Cluster elites to the nearest of the two best (reference
-            # :73-78), with static shapes: elite 0 -> cluster 0, elite 1 ->
-            # cluster 1, the rest by Frobenius distance.
-            d0 = jnp.sqrt(jnp.sum((elite_Q - elite_Q[0]) ** 2, axis=(1, 2)))
-            d1 = jnp.sqrt(jnp.sum((elite_Q - elite_Q[1]) ** 2, axis=(1, 2)))
-            to_c1 = d1 < d0
-            to_c1 = to_c1.at[0].set(False).at[1].set(True)
-
-            m0, s0 = _masked_moments(elite_Q, ~to_c1)
-            m1, s1 = _masked_moments(elite_Q, to_c1)
-            n0 = jnp.sum((~to_c1).astype(jnp.float32))
-            prob0 = n0 / best_k
+            mue, std, probs = gmm_cluster_refit(elite_Q, std_min)
 
             out = {
                 "key": key,
-                "mue": jnp.stack([m0, m1]),
-                "std": jnp.stack([
-                    jnp.clip(s0, std_min, 1.0e4),
-                    jnp.clip(s1, std_min, 1.0e4),
-                ]),
-                "probs": jnp.stack([prob0, 1.0 - prob0]),
+                "mue": mue,
+                "std": std,
+                "probs": probs,
                 "Q": Q, "elite0": elite_Q[0], "cost": cost,
             }
             if cost_only is None:

@@ -175,6 +175,29 @@ def main():
     m_shift = tf.concat([tf.convert_to_tensor(m_arr)[:, 1:, :], tf.zeros([Kr, 1, U])], 1)
     v_shift = tf.concat([tf.convert_to_tensor(v_arr)[:, 1:, :], tf.zeros([Kr, 1, U])], 1)
 
+    # CEM-GMM elite clustering + component refit, transcribed from the
+    # reference (optimizer_cem_gmm_tf.py:73-90): elite 0/1 seed the two
+    # clusters, the rest go to the Frobenius-nearest of the two, each
+    # component refits to its cluster, mixture weight = cluster fraction.
+    rng4 = np.random.default_rng(11)
+    kg = 12
+    gmm_elites = rng4.uniform(-1, 1, (kg, H, U)).astype(np.float32)
+    eQ = tf.convert_to_tensor(gmm_elites)
+    distances = tf.norm(
+        eQ[..., tf.newaxis] - tf.transpose(eQ, perm=(1, 2, 0))[tf.newaxis, ...],
+        axis=[1, 2],
+    )
+    selection = tf.argmin(distances[2:, :2], axis=1)
+    closest_1 = tf.concat([eQ[0:1], tf.boolean_mask(eQ[2:], selection == 0)], 0)
+    closest_2 = tf.concat([eQ[1:2], tf.boolean_mask(eQ[2:], selection == 1)], 0)
+    prob_1 = tf.cast(tf.shape(closest_1)[0], tf.float32) / kg
+    gmm_std_min = 0.01
+    gmm_mue = tf.stack([tf.reduce_mean(closest_1, 0), tf.reduce_mean(closest_2, 0)])
+    gmm_std = tf.stack([
+        tf.clip_by_value(tf.math.reduce_std(closest_1, 0), gmm_std_min, 1.0e4),
+        tf.clip_by_value(tf.math.reduce_std(closest_2, 0), gmm_std_min, 1.0e4),
+    ])
+
     out = HERE / "cartpole_golden.npz"
     np.savez_compressed(
         out,
@@ -197,6 +220,10 @@ def main():
         rpgd_Q_after=Q_after.numpy(), rpgd_ages_after=ages_after.numpy(),
         rpgd_m_after=m_after.numpy(), rpgd_v_after=v_after.numpy(),
         rpgd_m_shift=m_shift.numpy(), rpgd_v_shift=v_shift.numpy(),
+        # CEM-GMM clustering fixture
+        gmm_elites=gmm_elites, gmm_std_min=np.float32(gmm_std_min),
+        gmm_mue=gmm_mue.numpy(), gmm_std=gmm_std.numpy(),
+        gmm_prob1=np.float32(prob_1.numpy()),
         tf_version=np.frombuffer(tf.__version__.encode(), np.uint8),
     )
     print(f"wrote {out} (tf {tf.__version__})")

@@ -144,3 +144,17 @@ def test_rpgd_surgery_parity(g):
     m_s, v_s = rpgd_keep_surgery(jnp.asarray(g["rpgd_m"]), jnp.asarray(g["rpgd_v"]))
     np.testing.assert_array_equal(np.asarray(m_s), g["rpgd_m_shift"])
     np.testing.assert_array_equal(np.asarray(v_s), g["rpgd_v_shift"])
+
+
+def test_cem_gmm_clustering_parity(g):
+    """Elite clustering to the Frobenius-nearest of the top-2 + component
+    refit must match the reference's tfp-based path recorded on fixed
+    elites (optimizer_cem_gmm_tf.py:73-90)."""
+    from control_toolkit_tpu.optimizers.cem_gmm import gmm_cluster_refit
+
+    mue, std, probs = gmm_cluster_refit(
+        jnp.asarray(g["gmm_elites"]), float(g["gmm_std_min"])
+    )
+    np.testing.assert_allclose(np.asarray(mue), g["gmm_mue"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(std), g["gmm_std"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(probs[0]), float(g["gmm_prob1"]), atol=1e-6)
