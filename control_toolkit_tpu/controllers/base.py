@@ -68,6 +68,11 @@ class Controller(ABC):
         self.u: np.ndarray | float = 0.0
 
         self.controller_logging = bool(self.config_controller.get("controller_logging", False))
+        # Lazy logging keeps per-step diagnostics as DEVICE arrays and
+        # defers every device->host transfer to get_outputs(), so logging
+        # stops costing a [K,H+1,S] sync in the control hot loop (the
+        # reference pays that copy eagerly, optimizer_mppi.py:214-218).
+        self.logging_lazy = bool(self.config_controller.get("logging_lazy", False))
         self.save_vars = list(SAVE_VARS)
         self.logs: Dict[str, List[np.ndarray]] = {v: [] for v in self.save_vars}
         self.controller_data_for_csv: Dict = {}
@@ -100,9 +105,13 @@ class Controller(ABC):
         return self._has_optimizer
 
     def get_outputs(self) -> Dict[str, Optional[np.ndarray]]:
-        """Stack per-step logs along axis 0 (reference :159-168)."""
+        """Stack per-step logs along axis 0 (reference :159-168).
+
+        Under lazy logging this is where the deferred device->host
+        transfers happen (one batched fetch per variable).
+        """
         return {
-            name: np.stack(v, axis=0) if len(v) > 0 else None
+            name: np.stack([np.asarray(x) for x in v], axis=0) if len(v) > 0 else None
             for name, v in self.logs.items()
         }
 
@@ -112,4 +121,8 @@ class Controller(ABC):
         for name in self.save_vars:
             var = logging_values.get(name)
             if var is not None:
-                self.logs[name].append(np.asarray(var).copy())
+                if self.logging_lazy and not isinstance(var, np.ndarray):
+                    # jax arrays are immutable — safe to hold without copy.
+                    self.logs[name].append(var)
+                else:
+                    self.logs[name].append(np.asarray(var).copy())

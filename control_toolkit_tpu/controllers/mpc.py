@@ -54,6 +54,7 @@ class MPCController(Controller):
             cost_function=self.cost_function,
             control_limits=self.control_limits,
             optimizer_logging=self.controller_logging,
+            logging_lazy=self.logging_lazy,
             calculate_optimal_trajectory=self.config_controller.get(
                 "calculate_optimal_trajectory", False
             ),

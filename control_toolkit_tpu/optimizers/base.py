@@ -48,6 +48,7 @@ class Optimizer:
         calculate_optimal_trajectory: bool = False,
         remat: bool = False,
         force_scan: bool = False,
+        logging_lazy: bool = False,
         **kwargs,
     ):
         self.predictor = predictor
@@ -61,6 +62,9 @@ class Optimizer:
         # Force the lax.scan paths even on TPU (no Pallas kernels) — needed
         # when the step function is vmapped (BatchedMPC serving).
         self.force_scan = bool(force_scan)
+        # Keep per-step diagnostics as device arrays (transfer deferred to
+        # Controller.get_outputs) instead of syncing [K,H+1,S] every step.
+        self.logging_lazy = bool(logging_lazy)
 
         action_low, action_high = control_limits
         self.action_low = jnp.asarray(action_low, dtype=jnp.float32)
@@ -137,8 +141,9 @@ class Optimizer:
         self.u = u
 
         if self.optimizer_logging:
+            conv = (lambda v: v) if self.logging_lazy else np.asarray
             for key_name, val in diag.items():
-                self.logging_values[key_name] = np.asarray(val)
+                self.logging_values[key_name] = conv(val)
             self.logging_values["u_logged"] = np.asarray(u)
             if "u_nom" in diag:
                 self.optimal_control_sequence = self.logging_values.get("u_nom")

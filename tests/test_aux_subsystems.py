@@ -118,3 +118,44 @@ def test_asf_template_registers_plugins():
     ctrl.configure()
     u = ctrl.step(np.array([0.3, 0.0, 0.0, 0.0], np.float32))
     np.testing.assert_allclose(u, [-0.6], atol=1e-6)
+
+
+def test_lazy_logging_matches_eager():
+    """logging_lazy keeps per-step diagnostics as device arrays (no host
+    sync in the hot loop) but get_outputs() must equal the eager mode."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+    import jax
+
+    def run(lazy):
+        ctrl = MPCController(
+            environment_name="cartpole",
+            control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+            initial_environment_attributes={"target_position": 0.0},
+            config={"optimizer": "mppi", "controller_logging": True,
+                    "logging_lazy": lazy},
+        )
+        ctrl.configure(optimizer_name="mppi", optimizer_config={
+            "seed": 9, "mpc_timestep": 0.02, "mpc_horizon": 10,
+            "num_rollouts": 32, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+            "NU": 1000.0, "SQRTRHOINV": 0.05,
+            "period_interpolation_inducing_points": 5})
+        s = np.array([0.0, 0.0, 0.2, 0.0], np.float32)
+        for _ in range(3):
+            ctrl.step(s)
+        return ctrl
+
+    eager = run(False)
+    lazy = run(True)
+    # lazy logs hold device arrays until fetched
+    assert any(
+        not isinstance(x, np.ndarray)
+        for x in lazy.logs["rollout_trajectories_logged"]
+    )
+    out_e = eager.get_outputs()
+    out_l = lazy.get_outputs()
+    for k in out_e:
+        if out_e[k] is None:
+            assert out_l[k] is None
+        else:
+            np.testing.assert_allclose(out_l[k], out_e[k], atol=1e-7)
+            assert out_l[k].shape == out_e[k].shape
