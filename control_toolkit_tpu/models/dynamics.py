@@ -208,6 +208,52 @@ def acrobot_derivs_soa_fast(xs, us, p):
 acrobot_dynamics = soa_to_aos(acrobot_derivs_soa, 4, 1)
 acrobot_dynamics.fast = _fast_variant(acrobot_derivs_soa_fast, 4, 1)
 
+QUADROTOR2D_DEFAULTS = {
+    "m": 0.5,        # vehicle mass [kg]
+    "I": 0.01,       # pitch inertia [kg m^2]
+    "arm": 0.17,     # rotor arm [m]
+    "g": 9.81,
+    "u_max": 7.5,    # max thrust PER rotor [N] (>> m*g/2 = 2.45: agile)
+    "drag": 0.05,    # linear aero drag
+}
+
+
+def quadrotor2d_derivs_soa(xs, us, p):
+    """Planar birotor ("quadrotor in the plane").
+
+    xs = (x, z, vx, vz, theta, omega); theta = 0 is level, +x is right.
+    us = (t1_cmd, t2_cmd) in [0, 1], scaled to rotor thrusts; rotor 2 is the
+    +x side, so t2 > t1 pitches the nose down toward +x.
+    Hover: t = m*g / (2*u_max) on both rotors.
+    """
+    _, _, vx, vz, theta, omega = xs
+    t1 = us[0] * p["u_max"]
+    t2 = us[1] * p["u_max"]
+    thrust = t1 + t2
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    inv_m = 1.0 / p["m"]
+    ax = (-thrust * sin_t - p["drag"] * vx) * inv_m
+    az = (thrust * cos_t - p["drag"] * vz) * inv_m - p["g"]
+    alpha = (t2 - t1) * p["arm"] / p["I"]
+    return (vx, vz, ax, az, omega, alpha)
+
+
+def quadrotor2d_derivs_soa_fast(xs, us, p):
+    from control_toolkit_tpu.ops.fastmath import fast_sincos
+
+    _, _, vx, vz, theta, omega = xs
+    t1 = us[0] * p["u_max"]
+    t2 = us[1] * p["u_max"]
+    thrust = t1 + t2
+    sin_t, cos_t = fast_sincos(theta)
+    inv_m = 1.0 / p["m"]
+    ax = (-thrust * sin_t - p["drag"] * vx) * inv_m
+    az = (thrust * cos_t - p["drag"] * vz) * inv_m - p["g"]
+    alpha = (t2 - t1) * p["arm"] / p["I"]
+    return (vx, vz, ax, az, omega, alpha)
+
+
 POINTMASS_DEFAULTS = {
     "mass": 1.0,
     "drag": 0.2,     # linear velocity damping
@@ -231,11 +277,15 @@ def pointmass_derivs_soa(xs, us, p):
 pointmass_dynamics = soa_to_aos(pointmass_derivs_soa, 4, 2)
 pointmass_dynamics.fast = pointmass_dynamics
 
+quadrotor2d_dynamics = soa_to_aos(quadrotor2d_derivs_soa, 6, 2)
+quadrotor2d_dynamics.fast = _fast_variant(quadrotor2d_derivs_soa_fast, 6, 2)
+
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),
     "acrobot": (acrobot_dynamics, ACROBOT_DEFAULTS, 4, 1),
     "pointmass": (pointmass_dynamics, POINTMASS_DEFAULTS, 4, 2),
+    "quadrotor2d": (quadrotor2d_dynamics, QUADROTOR2D_DEFAULTS, 6, 2),
 }
 
 # Named state/control components per environment — the STATE_INDICES analogue
@@ -246,12 +296,14 @@ STATE_NAMES = {
     "pendulum": ["angle", "angleD"],
     "acrobot": ["theta1", "theta1D", "theta2", "theta2D"],
     "pointmass": ["x", "y", "xD", "yD"],
+    "quadrotor2d": ["x", "z", "xD", "zD", "theta", "thetaD"],
 }
 CONTROL_NAMES = {
     "cartpole": ["Q"],
     "pendulum": ["Q"],
     "acrobot": ["Q"],
     "pointmass": ["Fx", "Fy"],
+    "quadrotor2d": ["T1", "T2"],
 }
 
 

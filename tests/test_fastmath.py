@@ -22,7 +22,7 @@ def test_fast_trig_accuracy():
     np.testing.assert_allclose(np.asarray(fast_cos(x)), np.asarray(c))
 
 
-@pytest.mark.parametrize("env", ["cartpole", "pendulum", "acrobot"])
+@pytest.mark.parametrize("env", ["cartpole", "pendulum", "acrobot", "quadrotor2d"])
 def test_fast_rollout_tracks_exact(env):
     exact = ODEPredictor(env, dt=0.02)
     fast = ODEPredictor(env, dt=0.02, fast_math=True)
