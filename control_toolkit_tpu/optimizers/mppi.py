@@ -136,45 +136,10 @@ class MPPIOptimizer(Optimizer):
             DEFAULT_TILE_K, build_fused_mppi_step,
         )
 
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pred = getattr(self.predictor, "predictor", self.predictor)
         U = self.num_control_inputs
-
-        dyn_keys = sorted(pred.default_params())
-        cost_keys = sorted(cf.dynamic_config_keys)
-        attr_keys = sorted(getattr(cf, "attr_keys", ()))
-        param_keys = (
-            [f"d_{k}" for k in dyn_keys]
-            + [f"c_{k}" for k in cost_keys]
-            + [f"a_{k}" for k in attr_keys]
-            + [f"__u_prev_{j}" for j in range(U)]
+        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
         )
-
-        def split_p(p):
-            dyn = {k: p[f"d_{k}"] for k in dyn_keys}
-            cp = {
-                "cost": {k: p[f"c_{k}"] for k in cost_keys},
-                "attrs": {k: p[f"a_{k}"] for k in attr_keys},
-            }
-            return dyn, cp
-
-        max_cost = cf.MAX_COST
-
-        def stage_soa(xs, us, prev_us, p):
-            dyn, cp = split_p(p)
-            return (
-                cf._stage_cost_core_soa(xs, us, cp)
-                + cf.control_change_cost_soa(us, prev_us, cp)
-                - max_cost
-            )
-
-        def terminal_soa(xs, p):
-            _, cp = split_p(p)
-            return cf.terminal_cost_soa(xs, cp)
-
-        def derivs(xs, us, p):
-            dyn, _ = split_p(p)
-            return pred.dynamics.soa(xs, us, dyn)
 
         make_run = build_fused_mppi_step(
             derivs, stage_soa, terminal_soa,
@@ -200,21 +165,6 @@ class MPPIOptimizer(Optimizer):
             )
         else:
             kernel_step = make_run(self.num_rollouts)
-
-        import jax.numpy as jnp
-
-        def pack(params, u_prev):
-            vals = {}
-            for k in dyn_keys:
-                vals[f"d_{k}"] = params["dyn"][k]
-            for k in cost_keys:
-                vals[f"c_{k}"] = params["cost"][k]
-            for k in attr_keys:
-                vals[f"a_{k}"] = params["attrs"].get(k, 0.0)
-            up = jnp.reshape(jnp.asarray(u_prev, jnp.float32), (-1,))
-            for j in range(U):
-                vals[f"__u_prev_{j}"] = up[j]
-            return jnp.stack([jnp.asarray(vals[k], jnp.float32) for k in param_keys])
 
         return kernel_step, pack
 
