@@ -72,6 +72,9 @@ class Controller(ABC):
         # defers every device->host transfer to get_outputs(), so logging
         # stops costing a [K,H+1,S] sync in the control hot loop (the
         # reference pays that copy eagerly, optimizer_mppi.py:214-218).
+        # Trade-off: the buffers live in device memory until fetched — at
+        # big K call flush_logs() periodically (or get_outputs() at episode
+        # end) to move them to host before HBM fills.
         self.logging_lazy = bool(self.config_controller.get("logging_lazy", False))
         self.save_vars = list(SAVE_VARS)
         self.logs: Dict[str, List[np.ndarray]] = {v: [] for v in self.save_vars}
@@ -110,10 +113,23 @@ class Controller(ABC):
         Under lazy logging this is where the deferred device->host
         transfers happen (one batched fetch per variable).
         """
+        self.flush_logs()
         return {
-            name: np.stack([np.asarray(x) for x in v], axis=0) if len(v) > 0 else None
+            name: np.stack(v, axis=0) if len(v) > 0 else None
             for name, v in self.logs.items()
         }
+
+    def flush_logs(self) -> None:
+        """Move any device-resident log entries to host (one batched
+        jax.device_get per variable).  Call periodically during long
+        lazy-logging runs to bound device-memory growth."""
+        import jax
+
+        for name, v in self.logs.items():
+            if any(not isinstance(x, np.ndarray) for x in v):
+                self.logs[name] = [
+                    np.asarray(x) for x in jax.device_get(v)
+                ]
 
     def update_logs(self, logging_values: Dict) -> None:
         if not self.controller_logging:

@@ -60,7 +60,6 @@ class BatchedMPCController(MPCController):
         self.slot_states = jax.vmap(opt._init_state)(self._slot_keys)
 
         step_fn = opt._make_step_fn()
-        attr_names = tuple(sorted(self.variable_parameters))
 
         def batched(states, s, dyn, cost, attrs, mask):
             u, new_states, _ = jax.vmap(

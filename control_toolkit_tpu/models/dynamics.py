@@ -222,9 +222,10 @@ def quadrotor2d_derivs_soa(xs, us, p):
     """Planar birotor ("quadrotor in the plane").
 
     xs = (x, z, vx, vz, theta, omega); theta = 0 is level, +x is right.
-    us = (t1_cmd, t2_cmd) in [0, 1], scaled to rotor thrusts; rotor 2 is the
-    +x side, so t2 > t1 pitches the nose down toward +x.
-    Hover: t = m*g / (2*u_max) on both rotors.
+    us = (t1_cmd, t2_cmd) in [0, 1], scaled to rotor thrusts; t2 > t1 gives
+    positive pitch rate (theta up), and with theta > 0 the thrust vector
+    tilts toward -x (ax = -thrust*sin(theta)) — so to fly toward +x,
+    command t1 > t2.  Hover: t = m*g / (2*u_max) on both rotors.
     """
     _, _, vx, vz, theta, omega = xs
     t1 = us[0] * p["u_max"]

@@ -29,10 +29,11 @@ with jax.random.normal, so this path is opt-in (MPPIOptimizer fully_fused
 flag); it is validated statistically and in closed loop
 (tests/test_pallas_mppi.py).
 
-A SEMI-FUSED mode (``make_run.external``) keeps jax.random sampling: noise
-is drawn OUTSIDE at the inducing points ([n_tiles, U, P*R, C] — 5-10x
-smaller than the [K,H,U] delta tensor) and the kernel fuses interpolation,
-clip, rollout and cost.  The weighted average runs in XLA on the
+A SEMI-FUSED mode (``make_run.external``) keeps jax.random sampling (the
+draw uses the tile layout, so it is statistically — not bitwise — equal to
+the modular path's (K,P,U) draws): noise is drawn OUTSIDE at the inducing
+points ([n_tiles, U, P*R, C] — 5-10x smaller than the [K,H,U] delta
+tensor) and the kernel fuses interpolation, clip, rollout and cost.  The weighted average runs in XLA on the
 inducing-point tensor using the linearity of interpolation
 (sum_k w_k (W eps_k) == W (sum_k w_k eps_k)), so the full-horizon
 perturbations never exist in HBM at all.  This is MPPIOptimizer's default
@@ -232,10 +233,11 @@ def build_fused_mppi_step(
         rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref)
 
     # Semi-fused variant: perturbations sampled OUTSIDE with jax.random at
-    # the inducing points (bit-compatible with the modular path's RNG) and
-    # streamed in as [U, P*R, C] tiles — the kernel fuses interpolation
-    # (MXU matmul), clip, rollout and cost, so neither the [K,H,U] delta
-    # tensor nor the Q transpose ever touches HBM.
+    # the inducing points (same PRNG family as the modular path, but drawn
+    # in tile layout — statistically, not bitwise, equal to the modular
+    # path's (K,P,U) draws) and streamed in as [U, P*R, C] tiles — the
+    # kernel fuses interpolation (MXU matmul), clip, rollout and cost, so
+    # neither the [K,H,U] delta tensor nor the Q transpose ever touches HBM.
     def kernel1_ext(pvec_ref, s0_ref, unom_ref, eps_ref, wk_ref, cost_ref,
                     delta_ref):
         p = unpack(pvec_ref)

@@ -79,6 +79,11 @@ class CEMOptimizer(Optimizer):
         return (
             self.fully_fused
             and not self.optimizer_logging
+            # No shard_map path yet: under a mesh the plain pallas_call
+            # would run the FULL tile grid replicated on every device (8x
+            # the work for zero speedup).  Sharded CEM keeps the modular
+            # kernel, which does split across devices.
+            and self._mesh is None
             and self._can_use_pallas()
         )
 

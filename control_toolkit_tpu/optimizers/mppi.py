@@ -232,7 +232,8 @@ class MPPIOptimizer(Optimizer):
             return fused_step_fn
 
         # Semi-fused path (TPU default): jax.random noise at the inducing
-        # points, interpolation+clip+rollout+cost fused in one Pallas kernel,
+        # points (tile-layout draws — statistically, not bitwise, equal to
+        # the modular path), interp+clip+rollout+cost fused in one kernel,
         # softmax average over the small inducing-point tensor in XLA
         # (linearity of interpolation).  See ops/pallas_mppi.py.
         if (self.semi_fused and not self.bounded_update

@@ -92,6 +92,14 @@ def serve_batched(
                     except Exception as e:
                         logger.warning(f"malformed request dropped: {e}")
                         continue
+                    if n_states is not None and s.shape[0] != n_states:
+                        # One client with a wrong-length state must not be
+                        # able to crash the batch assembly for everyone.
+                        logger.warning(
+                            f"state length {s.shape[0]} != {n_states} from "
+                            f"{identity!r}; request dropped"
+                        )
+                        continue
                     if identity not in slots:
                         if len(slots) >= B:
                             # Evict the longest-silent client if it has gone
@@ -118,6 +126,15 @@ def serve_batched(
                     import time as _t
                     last_seen[identity] = _t.perf_counter()
                     n_states = s.shape[0]
+                    if slots[identity] in pending:
+                        # Lockstep request/reply contract (same as the
+                        # reference protocol): a second in-flight request
+                        # from one client supersedes the first; only the
+                        # newest rid is answered (the client's stale-rid
+                        # drop logic tolerates this).
+                        logger.debug(
+                            f"{identity!r} superseded its pending request"
+                        )
                     pending[slots[identity]] = (
                         identity, framing3, req.get("rid"), s,
                         req.get("updated_attributes", {}) or {},
