@@ -17,7 +17,9 @@ jax.config.update("jax_platforms", "cpu")  # pin CPU (see CLAUDE.md gotchas)
 
 import numpy as np  # noqa: E402
 
-sys.path.insert(0, ".")
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController  # noqa: E402
 from control_toolkit_tpu.controllers.remote import RemoteController  # noqa: E402

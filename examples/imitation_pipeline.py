@@ -3,6 +3,13 @@
 
     python examples/imitation_pipeline.py
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # demos pin CPU; see CLAUDE.md gotchas
 import tempfile
 from pathlib import Path
 

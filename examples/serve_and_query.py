@@ -3,6 +3,13 @@ with the remote controller (same wire protocol as the reference).
 
     python examples/serve_and_query.py
 """
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # demos pin CPU; see CLAUDE.md gotchas
 import threading
 import time
 

@@ -3,6 +3,13 @@
     python examples/swingup_demo.py [pendulum|cartpole|acrobot]
 """
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # demos pin CPU; see CLAUDE.md gotchas
+import sys
 
 import numpy as np
 
