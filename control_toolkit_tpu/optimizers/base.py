@@ -66,6 +66,15 @@ class Optimizer:
         # Controller.get_outputs) instead of syncing [K,H+1,S] every step.
         self.logging_lazy = bool(logging_lazy)
 
+        # A typo'd hyperparameter in config_optimizers.yml would otherwise
+        # be swallowed silently by **kwargs and the default value used.
+        unknown = set(kwargs) - {"mpc_timestep"}
+        if unknown:
+            logger.warning(
+                f"{self.__class__.__name__}: ignoring unknown config keys "
+                f"{sorted(unknown)} (check config_optimizers.yml for typos)"
+            )
+
         action_low, action_high = control_limits
         self.action_low = jnp.asarray(action_low, dtype=jnp.float32)
         self.action_high = jnp.asarray(action_high, dtype=jnp.float32)

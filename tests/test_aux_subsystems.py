@@ -159,3 +159,24 @@ def test_lazy_logging_matches_eager():
         else:
             np.testing.assert_allclose(out_l[k], out_e[k], atol=1e-7)
             assert out_l[k].shape == out_e[k].shape
+
+
+def test_unknown_optimizer_config_key_warns():
+    """A typo'd hyperparameter must be called out, not silently defaulted."""
+    import logging
+    from test_optimizer_zoo import make
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Grab()
+    pkg_logger = logging.getLogger("control_toolkit_tpu")
+    pkg_logger.addHandler(h)
+    try:
+        make("mppi", logging=False, SQRTRHOINW=0.1)  # typo'd key
+    finally:
+        pkg_logger.removeHandler(h)
+    assert any("SQRTRHOINW" in m for m in records), records
