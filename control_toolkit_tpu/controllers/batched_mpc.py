@@ -50,6 +50,12 @@ class BatchedMPCController(MPCController):
             self.optimizer.force_scan = True
             self.optimizer._build()
 
+        if getattr(self.predictor, "is_stateful", False):
+            raise ValueError(
+                "BatchedMPC does not support stateful (RNN) predictors: the "
+                "per-slot hidden-state advance (predictor.update) has no "
+                "batched path, so hidden states would silently stay frozen."
+            )
         self.num_slots = int(num_slots)
         opt = self.optimizer
         B = self.num_slots
@@ -98,8 +104,19 @@ class BatchedMPCController(MPCController):
 
     def update_slot_attributes(self, i: int, updated: Optional[Dict]) -> None:
         for k, v in (updated or {}).items():
-            if k in self.slot_attrs:
-                self.slot_attrs[k][i] = float(np.asarray(v).reshape(-1)[0])
+            if k not in self.slot_attrs:
+                logger.warning(
+                    f"slot {i}: attribute {k!r} was not configured at "
+                    "construction; ignored (batched attrs are fixed-key)"
+                )
+                continue
+            flat = np.asarray(v, np.float32).reshape(-1)
+            if flat.shape[0] != 1:
+                logger.warning(
+                    f"slot {i}: attribute {k!r} has {flat.shape[0]} elements; "
+                    "batched slots hold scalars — using element 0"
+                )
+            self.slot_attrs[k][i] = float(flat[0])
 
     # ---- hot path ------------------------------------------------------------
     def step_batch(

@@ -172,13 +172,21 @@ class CController(Controller):
         self.lib_ctypes.controller_get_input_names(buf, 1024)
         names = buf.value.decode("utf-8")
         self.input_names = names.split(",") if names else []
+        if len(self.input_names) != self.n_inputs:
+            # Name-buffer truncation or a lying spec: never hand the C side
+            # uninitialized input slots.
+            raise RuntimeError(
+                f"C controller spec mismatch: {self.n_inputs} inputs "
+                f"declared but {len(self.input_names)} names received "
+                "(name buffer truncated?)"
+            )
 
     # ---- hot path ---------------------------------------------------------
     def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
         updated_attributes = updated_attributes or {}
         self.update_attributes(updated_attributes)
 
-        arr = np.empty(self.n_inputs, dtype=np.float32)
+        arr = np.zeros(self.n_inputs, dtype=np.float32)
         for i, name in enumerate(self.input_names):
             if name == "time":
                 if time is None:
@@ -203,12 +211,17 @@ class CController(Controller):
         self.lib_ctypes.controller_init()
 
     def __del__(self):
-        lib = getattr(self, "lib_ctypes", None)
-        if lib is not None:
-            try:
+        # At interpreter shutdown module globals (shutil) may already be
+        # cleared to None — swallow everything, __del__ must never raise.
+        try:
+            lib = getattr(self, "lib_ctypes", None)
+            if lib is not None:
                 lib.controller_release()
-            except Exception:
-                pass
-        temp = getattr(self, "temp_dir", None)
-        if temp is not None:
-            shutil.rmtree(temp, ignore_errors=True)
+        except Exception:
+            pass
+        try:
+            temp = getattr(self, "temp_dir", None)
+            if temp is not None:
+                shutil.rmtree(temp, ignore_errors=True)
+        except Exception:
+            pass

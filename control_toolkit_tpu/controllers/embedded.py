@@ -84,7 +84,9 @@ class EmbeddedController(Controller):
                 f"{len(self.input_names)} inputs, {self.n_outputs} outputs"
             )
 
-        out = np.nan_to_num(np.asarray(out, np.float32), nan=0.0)
+        out = np.nan_to_num(
+            np.asarray(out, np.float32), nan=0.0, posinf=0.0, neginf=0.0
+        )
         return out[np.newaxis, np.newaxis, :]
 
     def controller_reset(self) -> None:

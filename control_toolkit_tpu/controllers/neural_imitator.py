@@ -111,6 +111,23 @@ class NeuralImitatorController(Controller):
 
     def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
         updated_attributes = updated_attributes or {}
+        if self.input_at_input:
+            # Caller passes the PRE-COMPOSED network input vector as ``s``
+            # (reference controller_neural_imitator.py:66-67).
+            x = jnp.asarray(np.asarray(s, np.float32).reshape(-1))[None]
+            out = (
+                self._apply(self.params, x, self._hidden) if self.recurrent
+                else (self._apply(self.params, x), None)
+            )
+            if self.recurrent:
+                out, self._hidden = out
+            else:
+                out = out[0]
+            u = np.asarray(out[0], np.float32)
+            if self.clip_output:
+                u = np.clip(u, -1.0, 1.0)
+            self.u = u
+            return u
         self.update_attributes(updated_attributes)
         x = jnp.asarray(self._assemble_input(np.asarray(s, np.float32), updated_attributes))[None]
 

@@ -65,7 +65,10 @@ def serve_batched(
     slots: Dict[bytes, int] = {}          # identity -> slot
     last_seen: Dict[bytes, float] = {}
     tracker = LatencyTracker()
-    n_states = None
+    # Authoritative state width from the controller itself — a client with
+    # a wrong-length state must never be able to define (and poison) it.
+    n_states = int(getattr(ctrl.optimizer, "num_states", None)
+                   or ctrl.predictor.num_states)
     batches = 0
     try:
         while max_batches is None or batches < max_batches:
@@ -92,7 +95,7 @@ def serve_batched(
                     except Exception as e:
                         logger.warning(f"malformed request dropped: {e}")
                         continue
-                    if n_states is not None and s.shape[0] != n_states:
+                    if s.shape[0] != n_states:
                         # One client with a wrong-length state must not be
                         # able to crash the batch assembly for everyone.
                         logger.warning(
@@ -125,7 +128,6 @@ def serve_batched(
                             logger.info(f"client {identity!r} -> slot {free}")
                     import time as _t
                     last_seen[identity] = _t.perf_counter()
-                    n_states = s.shape[0]
                     if slots[identity] in pending:
                         # Lockstep request/reply contract (same as the
                         # reference protocol): a second in-flight request

@@ -55,7 +55,11 @@ def _choose_qt(controllers, optimizers, default_controller, default_optimizer):
 
     if dlg.exec() != QDialog.DialogCode.Accepted:
         raise SystemExit("selection cancelled")
-    picks = [bg.checkedButton().text() for bg in groups]
+    picks = []
+    for bg in groups:
+        btn = bg.checkedButton()
+        # Nothing checked happens when the provided default matched no name.
+        picks.append(btn.text() if btn is not None else bg.buttons()[0].text())
     return picks[0], picks[1]
 
 
@@ -69,7 +73,11 @@ def _choose_terminal(controllers, optimizers, default_controller, default_optimi
         if not raw:
             return default or names[0]
         if raw.isdigit():
-            return names[int(raw)]
+            idx = int(raw)
+            if 0 <= idx < len(names):
+                return names[idx]
+            print(f"index {idx} out of range; using default")
+            return default or names[0]
         return raw
 
     c = ask("Controller", controllers, default_controller)

@@ -154,7 +154,10 @@ def main(argv=None):
     ctrl = build_controller(controller_name, optimizer_name, args.environment,
                             initial_attributes=attrs)
 
-    n_states = 4 if args.environment == "cartpole" else 2
+    n_states = getattr(getattr(ctrl, "predictor", None), "num_states", None)
+    if n_states is None:
+        from control_toolkit_tpu.models.dynamics import STATE_NAMES
+        n_states = len(STATE_NAMES.get(args.environment.lower(), [0, 0]))
     serve(ctrl, args.endpoint, warmup_state=np.zeros(n_states, np.float32))
 
 

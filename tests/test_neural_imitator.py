@@ -93,3 +93,26 @@ def test_hls4ml_gru_fixed_point_hidden_state(tmp_path):
     for h in ctrl._hidden:
         h = np.asarray(h)
         np.testing.assert_allclose(h * scale, np.round(h * scale), atol=1e-4)
+
+
+def test_input_at_input_uses_raw_vector(tmp_path):
+    """input_at_input=True: the caller passes the PRE-COMPOSED network input
+    as s (reference controller_neural_imitator.py:66-67)."""
+    import jax
+    key = jax.random.PRNGKey(7)
+    params = nets.mlp_init(key, [3, 8, 1])
+    nets.save_net(tmp_path / "mlp-8.npz", params,
+                  meta={"inputs": ["a", "b", "c"], "outputs": ["Q"],
+                        "arch": {"kind": "mlp", "hiddens": [8]}})
+    ctrl = NeuralImitatorController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={},
+        config={"net_name": "mlp-8", "path_to_models": str(tmp_path),
+                "input_at_input": True, "controller_logging": False},
+    )
+    ctrl.configure()
+    x = np.array([0.1, -0.4, 0.7], np.float32)
+    u = ctrl.step(x)
+    expected = np.clip(np.asarray(nets.mlp_apply(params, x[None]))[0], -1, 1)
+    np.testing.assert_allclose(u, expected, atol=1e-6)

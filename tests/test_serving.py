@@ -167,3 +167,14 @@ def test_chooser_falls_back_to_defaults_when_headless(monkeypatch):
     monkeypatch.setattr("sys.stdin", type("S", (), {"isatty": staticmethod(lambda: False)})())
     c, o = gui.choose_controller_and_optimizer()
     assert c == "mpc" and o == "mppi"
+
+
+def test_terminal_chooser_out_of_range_falls_back(monkeypatch):
+    from control_toolkit_tpu.serving import gui
+
+    answers = iter(["99", "1"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+    c, o = gui._choose_terminal(["mpc", "neural-imitator"],
+                                ["cem-tf", "mppi"], "mpc", None)
+    assert c == "mpc"        # out-of-range index -> default
+    assert o == "mppi"
