@@ -128,7 +128,7 @@ def bench_ours() -> dict:
     try:
         opt.fully_fused = True
         if opt._can_fully_fuse():
-            kernel_step, pack = opt._build_fused_mppi()
+            kernel_step, pack, _ = opt._build_fused_mppi()
             pvec = pack(params, jnp.zeros(1))
             u_nom0 = jnp.zeros((H, 1), jnp.float32)
 

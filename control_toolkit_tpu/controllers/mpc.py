@@ -174,3 +174,11 @@ class MPCController(Controller):
 
     def controller_reset(self) -> None:
         self.optimizer.optimizer_reset()
+        # Stateful (RNN) predictors carry a persistent hidden state that a
+        # controller reset must also clear.
+        reset = getattr(
+            getattr(self.predictor, "predictor", self.predictor),
+            "reset_state", None,
+        )
+        if reset is not None:
+            reset()

@@ -63,7 +63,8 @@ class NeuralImitatorController(Controller):
                 sizes = [len(self.input_names)] + list(arch["hiddens"]) + [len(self.output_names)]
                 self.params = nets.mlp_init(key, sizes)
             else:
-                self.params = nets.gru_init(
+                rnn_init = nets.RECURRENT_FNS[arch["kind"]][0]
+                self.params = rnn_init(
                     key, len(self.input_names), arch["hiddens"], len(self.output_names)
                 )
             logger.warning(
@@ -79,15 +80,24 @@ class NeuralImitatorController(Controller):
             )
 
         self._state_index = {n: i for n, i in state_indices(self.environment_name).items()}
-        self.recurrent = arch["kind"] == "gru"
+        self.recurrent = arch["kind"] in nets.RECURRENT_FNS
         if self.recurrent:
-            self._hidden = nets.gru_init_state(arch["hiddens"], 1)
+            _, rnn_apply, rnn_state0 = nets.RECURRENT_FNS[arch["kind"]]
+            self._rnn_state0 = rnn_state0
+            self._hidden = rnn_state0(arch["hiddens"], 1)
             # hls4ml-converted models run the ENTIRE datapath in fixed point
             # (reference controller_neural_imitator.py:109-113 evaluates an
             # hls4ml model): emulate with quantized input/activation/
             # accumulator forward passes, not just quantized weights.
-            gru_fwd = nets.gru_apply_fixed if self.hls4ml else nets.gru_apply
-            self._apply = jax.jit(lambda p, x, h: gru_fwd(p, x, h))
+            if self.hls4ml:
+                if arch["kind"] == "gru":
+                    rnn_apply = nets.gru_apply_fixed
+                else:
+                    logger.warning(
+                        "hls4ml fixed-point emulation has no LSTM datapath "
+                        "yet; evaluating the LSTM in float"
+                    )
+            self._apply = jax.jit(lambda p, x, h: rnn_apply(p, x, h))
         else:
             mlp_fwd = nets.mlp_apply_fixed if self.hls4ml else nets.mlp_apply
             self._apply = jax.jit(lambda p, x: mlp_fwd(p, x))
@@ -136,7 +146,7 @@ class NeuralImitatorController(Controller):
             for li, h in enumerate(self._hidden):
                 h_np = np.asarray(h[0])
                 for ui, val in enumerate(h_np):
-                    self.controller_data_for_csv[f"gru_{li}_state_{ui}"] = float(val)
+                    self.controller_data_for_csv[f"{self.arch['kind']}_{li}_state_{ui}"] = float(val)
         else:
             out = self._apply(self.params, x)
 
@@ -150,4 +160,4 @@ class NeuralImitatorController(Controller):
 
     def controller_reset(self) -> None:
         if self.recurrent:
-            self._hidden = nets.gru_init_state(self.arch["hiddens"], 1)
+            self._hidden = self._rnn_state0(self.arch["hiddens"], 1)

@@ -89,11 +89,15 @@ class CostFunction:
         """
         cost = self._stage_cost_core(states, inputs, params)
         if previous_input is not None:
+            U = inputs.shape[-1]
             prev = jnp.asarray(previous_input, dtype=inputs.dtype)
-            prev = jnp.broadcast_to(
-                jnp.reshape(prev, (-1,))[: inputs.shape[-1]],
-                inputs[:, :1, :].shape,
-            )
+            if prev.ndim == 2:
+                # per-rollout previous control [B, U]
+                prev = jnp.broadcast_to(prev[:, None, :], inputs[:, :1, :].shape)
+            else:
+                prev = jnp.broadcast_to(
+                    jnp.reshape(prev, (-1,))[:U], inputs[:, :1, :].shape
+                )
             shifted = jnp.concatenate([prev, inputs[:, :-1, :]], axis=1)
             cost = cost + self.control_change_cost(inputs, shifted, params)
         return cost

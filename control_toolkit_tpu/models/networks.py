@@ -101,6 +101,76 @@ def gru_init_state(hiddens: Sequence[int], batch: int) -> Tuple[jnp.ndarray, ...
     return tuple(jnp.zeros((batch, h)) for h in hiddens)
 
 
+# ---------------------------------------------------------------- LSTM
+# Per-layer state is one array [..., 2H] = concat(h, c), so the state
+# pytree stays a flat tuple of arrays (checkpointable, vmappable) exactly
+# like the GRU's.
+
+def lstm_cell_init(key: jax.Array, in_dim: int, hidden: int) -> Dict:
+    k1, k2 = jax.random.split(key)
+    scale_i = jnp.sqrt(1.0 / in_dim)
+    scale_h = jnp.sqrt(1.0 / hidden)
+    bi = jnp.zeros((4 * hidden,))
+    # Standard forget-gate bias of 1.0 (gates ordered i, f, g, o).
+    bi = bi.at[hidden:2 * hidden].set(1.0)
+    return {
+        "wi": scale_i * jax.random.normal(k1, (in_dim, 4 * hidden)),
+        "wh": scale_h * jax.random.normal(k2, (hidden, 4 * hidden)),
+        "bi": bi,
+        "bh": jnp.zeros((4 * hidden,)),
+    }
+
+
+def lstm_cell_apply(p: Dict, x: jnp.ndarray, hc: jnp.ndarray):
+    """x [..., I], hc [..., 2H] -> (h' [..., H], hc' [..., 2H])."""
+    H = hc.shape[-1] // 2
+    h, c = hc[..., :H], hc[..., H:]
+    g = x @ p["wi"] + p["bi"] + h @ p["wh"] + p["bh"]
+    i = jax.nn.sigmoid(g[..., :H])
+    f = jax.nn.sigmoid(g[..., H:2 * H])
+    gg = jnp.tanh(g[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(g[..., 3 * H:])
+    c_new = f * c + i * gg
+    h_new = o * jnp.tanh(c_new)
+    return h_new, jnp.concatenate([h_new, c_new], axis=-1)
+
+
+def lstm_init(key: jax.Array, in_dim: int, hiddens: Sequence[int], out_dim: int) -> Dict:
+    keys = jax.random.split(key, len(hiddens) + 1)
+    params: Dict = {}
+    d = in_dim
+    for i, h in enumerate(hiddens):
+        params[f"cell{i}"] = lstm_cell_init(keys[i], d, h)
+        d = h
+    scale = jnp.sqrt(1.0 / d)
+    params["wo"] = scale * jax.random.normal(keys[-1], (d, out_dim))
+    params["bo"] = jnp.zeros((out_dim,))
+    return params
+
+
+def lstm_apply(params: Dict, x: jnp.ndarray, hs: Tuple[jnp.ndarray, ...]):
+    """One step through stacked LSTM cells; hs entries are [..., 2H_i]."""
+    new_hs = []
+    inp = x
+    for i in range(len(hs)):
+        h_out, hc_new = lstm_cell_apply(params[f"cell{i}"], inp, hs[i])
+        new_hs.append(hc_new)
+        inp = h_out
+    out = inp @ params["wo"] + params["bo"]
+    return out, tuple(new_hs)
+
+
+def lstm_init_state(hiddens: Sequence[int], batch: int) -> Tuple[jnp.ndarray, ...]:
+    return tuple(jnp.zeros((batch, 2 * h)) for h in hiddens)
+
+
+RECURRENT_FNS = {
+    # kind -> (param_init, apply, init_state)
+    "gru": (gru_init, gru_apply, gru_init_state),
+    "lstm": (lstm_init, lstm_apply, lstm_init_state),
+}
+
+
 # ------------------------------------------------ architecture strings
 def parse_net_name(name: str) -> Dict:
     """Parse a reference-style network name into an architecture spec."""
@@ -113,7 +183,7 @@ def parse_net_name(name: str) -> Dict:
         out_m = re.search(r"(\d+)out", low)
         hiddens = [int(h) for h in re.findall(r"(\d+)h\d", low)]
         return {
-            "kind": "gru",
+            "kind": "lstm" if low.startswith("lstm") else "gru",
             "in_dim": int(in_m.group(1)) if in_m else None,
             "out_dim": int(out_m.group(1)) if out_m else None,
             "hiddens": hiddens or [32],

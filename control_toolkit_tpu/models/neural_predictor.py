@@ -57,7 +57,11 @@ class NeuralPredictor(Predictor):
         self.net_name = net_name
         self.predict_delta = bool(predict_delta)
         self.arch = nets.parse_net_name(net_name)
-        self.recurrent = self.arch["kind"] == "gru"
+        self.recurrent = self.arch["kind"] in nets.RECURRENT_FNS
+        if self.recurrent:
+            self._rnn_init, self._rnn_apply, self._rnn_state0 = (
+                nets.RECURRENT_FNS[self.arch["kind"]]
+            )
         # bf16 rollouts: halves the activation footprint (VMEM/HBM) for
         # big-K neural rollouts.  Measured roughly neutral on TPU v5e
         # latency at mlp-64..256 widths — XLA's default f32 matmul already
@@ -83,7 +87,7 @@ class NeuralPredictor(Predictor):
             else:
                 key = make_key(seed, "neural_predictor")
                 if self.recurrent:
-                    self.net_params = nets.gru_init(
+                    self.net_params = self._rnn_init(
                         key, in_dim, self.arch["hiddens"], self.num_states
                     )
                 else:
@@ -93,7 +97,7 @@ class NeuralPredictor(Predictor):
                     f"no checkpoint for dynamics net {net_name}; random init"
                 )
         if self.recurrent:
-            self.hidden = nets.gru_init_state(self.arch["hiddens"], 1)
+            self.hidden = self._rnn_state0(self.arch["hiddens"], 1)
 
     @property
     def is_stateful(self) -> bool:
@@ -154,10 +158,12 @@ class NeuralPredictor(Predictor):
                 hidden = tuple(h.astype(cdt) for h in hidden)
             h0 = tuple(jnp.broadcast_to(h, (B, h.shape[-1])) for h in hidden)
 
+            rnn_apply = self._rnn_apply
+
             def body(carry, u):
                 x, hs = carry
                 inp = jnp.concatenate([x, u], -1).astype(cdt)
-                out, hs = nets.gru_apply(net, inp, hs)
+                out, hs = rnn_apply(net, inp, hs)
                 out = out.astype(jnp.float32)
                 xn = x + out if self.predict_delta else out
                 return (xn, hs), xn
@@ -175,13 +181,13 @@ class NeuralPredictor(Predictor):
         p = {"net": self.net_params} if params is None else params
         x = jnp.asarray(s)[:1]
         u = jnp.asarray(Q0).reshape(1, -1)[:, : self.num_control_inputs]
-        _, self.hidden = nets.gru_apply(
+        _, self.hidden = self._rnn_apply(
             p["net"], jnp.concatenate([x, u], -1), self.hidden
         )
 
     def reset_state(self) -> None:
         if self.recurrent:
-            self.hidden = nets.gru_init_state(self.arch["hiddens"], 1)
+            self.hidden = self._rnn_state0(self.arch["hiddens"], 1)
 
     def copy(self) -> "NeuralPredictor":
         new = NeuralPredictor(
@@ -191,4 +197,9 @@ class NeuralPredictor(Predictor):
             predict_delta=self.predict_delta, params=self.net_params,
             compute_dtype="bfloat16" if self.compute_dtype == jnp.bfloat16 else "float32",
         )
+        if self.recurrent:
+            # A copy made mid-run (e.g. the optimal-trajectory replay
+            # predictor) must see the SAME accumulated hidden state, not
+            # fresh zeros.
+            new.hidden = self.hidden
         return new

@@ -249,9 +249,12 @@ class PredictorWrapper:
             )
         elif low.startswith("sgp") or low == "gp":
             # Sparse-GP predictor (reference style: 'SGP_30'); checkpoint path
-            # as the second spec segment: "SGP_30:/path/to/gp.npz".
+            # as the second spec segment: "SGP_30:/path/to/gp.npz".  The spec
+            # segment wins over a checkpoint kwarg (always popped so it can't
+            # arrive twice).
             from control_toolkit_tpu.models.gp_predictor import GPPredictor
-            ckpt = spec_parts[1] if len(spec_parts) > 1 else kwargs.pop("checkpoint", None)
+            kw_ckpt = kwargs.pop("checkpoint", None)
+            ckpt = spec_parts[1] if len(spec_parts) > 1 else kw_ckpt
             self.predictor = GPPredictor(
                 environment_name=environment_name, dt=dt, checkpoint=ckpt, **kwargs
             )

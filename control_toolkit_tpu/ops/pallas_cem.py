@@ -29,9 +29,8 @@ from control_toolkit_tpu.ops.pallas_mppi import (
     ROWS,
     _normals,
     _normals_from_counter,
-    _tadd,
-    _tscale,
 )
+from control_toolkit_tpu.ops.soa_integrators import make_soa_stepper
 
 _FNV = 0x01000193
 
@@ -79,33 +78,12 @@ def build_fused_cem(
     def unpack(pvec_ref):
         return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
 
-    def make_one_step(dt):
-        step_dt = dt / intermediate_steps
-
-        def euler(xs, us, p):
-            return _tadd(xs, _tscale(derivs_soa(xs, us, p), step_dt))
-
-        def rk4(xs, us, p):
-            k1 = derivs_soa(xs, us, p)
-            k2 = derivs_soa(_tadd(xs, _tscale(k1, 0.5 * step_dt)), us, p)
-            k3 = derivs_soa(_tadd(xs, _tscale(k2, 0.5 * step_dt)), us, p)
-            k4 = derivs_soa(_tadd(xs, _tscale(k3, step_dt)), us, p)
-            incr = _tadd(_tadd(k1, _tscale(k2, 2.0)), _tadd(_tscale(k3, 2.0), k4))
-            return _tadd(xs, _tscale(incr, step_dt / 6.0))
-
-        base = rk4 if integrator == "rk4" else euler
-
-        def one_step(xs, us, p):
-            for _ in range(intermediate_steps):
-                xs = base(xs, us, p)
-            return xs
-
-        return one_step
-
     def make_run(K: int, dt: float):
         assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
         n_tiles = K // tile_k
-        one_step = make_one_step(dt)
+        one_step = make_soa_stepper(
+            derivs_soa, integrator, dt, intermediate_steps
+        )
 
         def kernel(seed_ref, pvec_ref, s0_ref, mue_ref, std_ref, cost_ref, z_ref):
             p = unpack(pvec_ref)

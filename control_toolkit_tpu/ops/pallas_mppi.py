@@ -49,17 +49,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from control_toolkit_tpu.ops.soa_integrators import (
+    make_soa_stepper,
+    tadd as _tadd,      # re-exported: pallas_cem and tests import these
+    tscale as _tscale,
+)
+
 DEFAULT_TILE_K = 2048
 ROWS = 8  # VPU sublane count; per-tile arrays are [ROWS, tile_k // ROWS]
 _TWO_PI = 6.283185307179586
-
-
-def _tadd(a, b):
-    return tuple(x + y for x, y in zip(a, b))
-
-
-def _tscale(a, c):
-    return tuple(c * x for x in a)
 
 
 def _splitmix32(x: jnp.ndarray) -> jnp.ndarray:
@@ -128,7 +126,6 @@ def build_fused_mppi_step(
     S, U, H, P = num_states, num_controls, horizon, num_inducing
     assert tile_k % ROWS == 0
     C = tile_k // ROWS
-    sub_dt = dt / intermediate_steps
     # Per-input action bounds, baked in as static constants (control limits
     # are construction-time config).  Scalars broadcast to all U inputs.
     low = tuple(
@@ -154,22 +151,7 @@ def build_fused_mppi_step(
     def unpack(pvec_ref):
         return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
 
-    def one_step(xs, us, p):
-        def euler(xs):
-            return _tadd(xs, _tscale(derivs_soa(xs, us, p), sub_dt))
-
-        def rk4(xs):
-            k1 = derivs_soa(xs, us, p)
-            k2 = derivs_soa(_tadd(xs, _tscale(k1, 0.5 * sub_dt)), us, p)
-            k3 = derivs_soa(_tadd(xs, _tscale(k2, 0.5 * sub_dt)), us, p)
-            k4 = derivs_soa(_tadd(xs, _tscale(k3, sub_dt)), us, p)
-            incr = _tadd(_tadd(k1, _tscale(k2, 2.0)), _tadd(_tscale(k3, 2.0), k4))
-            return _tadd(xs, _tscale(incr, sub_dt / 6.0))
-
-        step = rk4 if integrator == "rk4" else euler
-        for _ in range(intermediate_steps):
-            xs = step(xs)
-        return xs
+    one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
 
     def gen_delta_into(seed_ref, wk_ref, delta_ref):
         """Perturbations for this tile into VMEM scratch [U, H*R, C].

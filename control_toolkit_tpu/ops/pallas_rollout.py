@@ -24,17 +24,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from control_toolkit_tpu.ops.soa_integrators import make_soa_stepper
+
 # Tile of rollouts processed per grid step. 2048 f32 lanes x (H*U + S) rows
 # keeps VMEM usage far under budget while saturating the VPU.
 DEFAULT_TILE_K = 2048
-
-
-def _tadd(a: Tuple, b: Tuple) -> Tuple:
-    return tuple(x + y for x, y in zip(a, b))
-
-
-def _tscale(a: Tuple, c) -> Tuple:
-    return tuple(c * x for x in a)
 
 
 def build_cost_rollout_kernel(
@@ -58,24 +52,12 @@ def build_cost_rollout_kernel(
     (the caller pads or falls back to the scan path otherwise).
     """
     S, U, H = num_states, num_controls, horizon
-    sub_dt = dt / intermediate_steps
     n_params = len(param_keys)
 
     def unpack(pvec_ref):
         return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
 
-    def euler_step(xs, us, p):
-        return _tadd(xs, _tscale(derivs_soa(xs, us, p), sub_dt))
-
-    def rk4_step(xs, us, p):
-        k1 = derivs_soa(xs, us, p)
-        k2 = derivs_soa(_tadd(xs, _tscale(k1, 0.5 * sub_dt)), us, p)
-        k3 = derivs_soa(_tadd(xs, _tscale(k2, 0.5 * sub_dt)), us, p)
-        k4 = derivs_soa(_tadd(xs, _tscale(k3, sub_dt)), us, p)
-        incr = _tadd(_tadd(k1, _tscale(k2, 2.0)), _tadd(_tscale(k3, 2.0), k4))
-        return _tadd(xs, _tscale(incr, sub_dt / 6.0))
-
-    one_step = rk4_step if integrator == "rk4" else euler_step
+    one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
 
     def kernel(pvec_ref, s0_ref, q_ref, cost_ref):
         p = unpack(pvec_ref)
@@ -90,8 +72,7 @@ def build_cost_rollout_kernel(
             u_slab = q_ref[h]                                        # [U, T]
             us = tuple(u_slab[j : j + 1, :] for j in range(U))
             acc = acc + stage_cost_soa(xs, us, prev_us, p)
-            for _ in range(intermediate_steps):
-                xs = one_step(xs, us, p)
+            xs = one_step(xs, us, p)  # stepper applies the substeps itself
             return xs, us, acc
 
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))

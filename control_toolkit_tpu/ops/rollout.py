@@ -44,9 +44,14 @@ def scan_cost_rollout(
     """
     B, H, U = Q.shape
     Q_t = jnp.swapaxes(Q, 0, 1)  # [H, B, U]
-    u_prev_b = jnp.broadcast_to(
-        jnp.reshape(jnp.asarray(u_prev, Q.dtype), (-1,))[:U], (B, U)
-    ) if u_prev is not None else jnp.zeros((B, U), Q.dtype)
+    if u_prev is None:
+        u_prev_b = jnp.zeros((B, U), Q.dtype)
+    else:
+        up = jnp.asarray(u_prev, Q.dtype)
+        if up.ndim == 2:
+            u_prev_b = jnp.broadcast_to(up, (B, U))  # per-rollout previous
+        else:
+            u_prev_b = jnp.broadcast_to(jnp.reshape(up, (-1,))[:U], (B, U))
 
     def body(carry, u):
         x, up, acc = carry

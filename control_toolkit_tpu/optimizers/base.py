@@ -167,19 +167,32 @@ class Optimizer:
         if "summed_stage_cost" in diag:
             self.summed_stage_cost = np.asarray(diag["summed_stage_cost"])
 
-        self._post_step(s_dev, u, diag)
-
         u_host = np.asarray(u)
         # NaN guard on the jitted output (SURVEY §5: the reference only
         # nan-guards the embedded path; here every optimizer output is
         # checked at the host boundary — a diverged solve commands zero).
+        # Must run BEFORE _post_step: advancing a recurrent predictor's
+        # hidden state with a NaN control would poison it permanently.
         if not np.all(np.isfinite(u_host)):
             logger.warning(
                 f"{self.__class__.__name__} produced non-finite control "
                 f"{u_host}; substituting zeros and resetting optimizer state"
             )
             self.optimizer_reset()
+            if self.predictor is not None and getattr(
+                self.predictor, "is_stateful", False
+            ):
+                reset = getattr(
+                    getattr(self.predictor, "predictor", self.predictor),
+                    "reset_state", None,
+                )
+                if reset is not None:
+                    reset()  # the hidden may already carry the divergence
             u_host = np.zeros_like(u_host)
+            u = jnp.asarray(u_host)
+            self.u = u
+
+        self._post_step(s_dev, u, diag)
         return u_host
 
     def _post_step(self, s_dev, u, diag) -> None:

@@ -128,8 +128,15 @@ class MPPIOptimizer(Optimizer):
             u_prev=jnp.zeros((self.num_control_inputs,), jnp.float32),
         )
 
-    def _build_fused_mppi(self, interpret: bool = False, tile_k: int = None):
-        """Bind dynamics + cost into the fully-fused two-pass MPPI kernel."""
+    def _build_fused_mppi(self, interpret: bool = False, tile_k: int = None,
+                          build_step: bool = True):
+        """Bind dynamics + cost into the fully-fused two-pass MPPI kernel.
+
+        Returns ``(kernel_step, pack, make_run)``; ``build_step=False``
+        skips constructing the two-pass kernel_step (the semi-fused path
+        only needs ``make_run.external``).  Legacy 2-tuple unpacking still
+        works because callers index positions 0/1.
+        """
         import numpy as np
 
         from control_toolkit_tpu.ops.pallas_mppi import (
@@ -156,17 +163,19 @@ class MPPIOptimizer(Optimizer):
             tile_k=tile_k or DEFAULT_TILE_K,
             interpret=interpret,
         )
-        self._last_fused_make_run = make_run  # exposed for sharded variants
-        if self._mesh is not None:
-            # Population splits over the mesh; global-tile-keyed noise makes
-            # the sharded step bitwise equal to the single-device one.
-            kernel_step = make_run(
-                self.num_rollouts, mesh=self._mesh, axis=self._shard_axes
-            )
-        else:
-            kernel_step = make_run(self.num_rollouts)
+        self._last_fused_make_run = make_run  # kept for test convenience
+        kernel_step = None
+        if build_step:
+            if self._mesh is not None:
+                # Population splits over the mesh; global-tile-keyed noise
+                # makes the sharded step bitwise equal to single-device.
+                kernel_step = make_run(
+                    self.num_rollouts, mesh=self._mesh, axis=self._shard_axes
+                )
+            else:
+                kernel_step = make_run(self.num_rollouts)
 
-        return kernel_step, pack
+        return kernel_step, pack, make_run
 
     def _can_fully_fuse(self) -> bool:
         from control_toolkit_tpu.ops.pallas_rollout import DEFAULT_TILE_K
@@ -215,7 +224,7 @@ class MPPIOptimizer(Optimizer):
         # On TPU with compatible models, the fused rollout+cost runs as a
         # Pallas kernel holding the integration state in VMEM.
         if self._can_fully_fuse():
-            kernel_step, pack = self._build_fused_mppi()
+            kernel_step, pack, _ = self._build_fused_mppi()
 
             def fused_step_fn(state: MPPIState, s, params):
                 key, sub = jax.random.split(state.key)
@@ -231,6 +240,37 @@ class MPPIOptimizer(Optimizer):
 
             return fused_step_fn
 
+        # Shared 'mppi-optimize' Adam refinement of the nominal plan
+        # (optim_steps > 0), used by both the semi-fused and scan paths.
+        def refine_nominal(u_nom, s, u_prev, params):
+            from control_toolkit_tpu.ops.common import (
+                adam_init, adam_update, clip_by_norm,
+            )
+
+            eval_nom = (
+                self._fused_cost if self._can_fuse_rollout()
+                else (lambda s_, Q_, up_, p_: self._rollout_and_cost(s_, Q_, up_, p_)[0])
+            )
+
+            def nom_cost(un):
+                return jnp.sum(eval_nom(s[:1], un, u_prev, params))
+
+            nom_grad = jax.grad(nom_cost)
+
+            def refine(i, carry):
+                un, ad = carry
+                g = clip_by_norm(nom_grad(un), self.gradmax_clip, axes=(1, 2))
+                ad, delta = adam_update(
+                    ad, g, self.mppi_LR,
+                    self.adam_beta_1, self.adam_beta_2, self.adam_epsilon,
+                )
+                return jnp.clip(un - delta, low, high), ad
+
+            u_nom, _ = jax.lax.fori_loop(
+                0, self.optim_steps, refine, (u_nom, adam_init(u_nom.shape))
+            )
+            return u_nom
+
         # Semi-fused path (TPU default): jax.random noise at the inducing
         # points (tile-layout draws — statistically, not bitwise, equal to
         # the modular path), interp+clip+rollout+cost fused in one kernel,
@@ -242,13 +282,13 @@ class MPPIOptimizer(Optimizer):
                 DEFAULT_TILE_K, ROWS,
             )
 
-            _, pack = self._build_fused_mppi()
+            _, pack, make_run = self._build_fused_mppi(build_step=False)
             if self._mesh is not None:
-                cost_kernel = self._last_fused_make_run.external(
+                cost_kernel = make_run.external(
                     K, mesh=self._mesh, axis=self._shard_axes
                 )
             else:
-                cost_kernel = self._last_fused_make_run.external(K)
+                cost_kernel = make_run.external(K)
             T = K // DEFAULT_TILE_K
             C = DEFAULT_TILE_K // ROWS
             W_mat = jnp.asarray(self.interp.matrix, jnp.float32)  # [P, H]
@@ -278,33 +318,7 @@ class MPPIOptimizer(Optimizer):
                 u_nom = jnp.clip(u_nom + b[None], low, high)
 
                 if self.optim_steps > 0:
-                    from control_toolkit_tpu.ops.common import (
-                        adam_init, adam_update, clip_by_norm,
-                    )
-
-                    eval_nom = (
-                        self._fused_cost if self._can_fuse_rollout()
-                        else (lambda s_, Q_, up_, p_: self._rollout_and_cost(s_, Q_, up_, p_)[0])
-                    )
-
-                    def nom_cost(un):
-                        return jnp.sum(eval_nom(s[:1], un, state.u_prev, params))
-
-                    nom_grad = jax.grad(nom_cost)
-
-                    def refine(i, carry):
-                        un, ad = carry
-                        g = clip_by_norm(nom_grad(un), self.gradmax_clip, axes=(1, 2))
-                        ad, delta = adam_update(
-                            ad, g, self.mppi_LR,
-                            self.adam_beta_1, self.adam_beta_2, self.adam_epsilon,
-                        )
-                        return jnp.clip(un - delta, low, high), ad
-
-                    u_nom, _ = jax.lax.fori_loop(
-                        0, self.optim_steps, refine,
-                        (u_nom, adam_init(u_nom.shape)),
-                    )
+                    u_nom = refine_nominal(u_nom, s, state.u_prev, params)
 
                 u = u_nom[0, 0, :]
                 diag = {"u_nom": u_nom, "J_logged": costs2d.reshape(-1)}
@@ -359,33 +373,7 @@ class MPPIOptimizer(Optimizer):
                 # through the differentiable rollout (fresh moments each
                 # tick — the refinement is a local polish of this tick's
                 # plan, warm-started by the shifted nominal itself).
-                from control_toolkit_tpu.ops.common import (
-                    adam_init, adam_update, clip_by_norm,
-                )
-
-                eval_nom = (
-                    self._fused_cost if self._can_fuse_rollout()
-                    else (lambda s_, Q_, up_, p_: self._rollout_and_cost(s_, Q_, up_, p_)[0])
-                )
-
-                def nom_cost(un):
-                    return jnp.sum(eval_nom(s[:1], un, state.u_prev, params))
-
-                nom_grad = jax.grad(nom_cost)
-
-                def refine(i, carry):
-                    un, ad = carry
-                    g = clip_by_norm(nom_grad(un), self.gradmax_clip, axes=(1, 2))
-                    ad, delta = adam_update(
-                        ad, g, self.mppi_LR,
-                        self.adam_beta_1, self.adam_beta_2, self.adam_epsilon,
-                    )
-                    return jnp.clip(un - delta, low, high), ad
-
-                u_nom, _ = jax.lax.fori_loop(
-                    0, self.optim_steps, refine,
-                    (u_nom, adam_init(u_nom.shape)),
-                )
+                u_nom = refine_nominal(u_nom, s, state.u_prev, params)
 
             u = u_nom[0, 0, :]
 

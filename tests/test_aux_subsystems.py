@@ -180,3 +180,68 @@ def test_unknown_optimizer_config_key_warns():
     finally:
         pkg_logger.removeHandler(h)
     assert any("SQRTRHOINW" in m for m in records), records
+
+
+def test_nan_guard_resets_stateful_predictor_hidden():
+    """A non-finite control must never advance a recurrent predictor's
+    hidden state (it would be NaN forever); the guard resets it instead."""
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification="neural:GRU-5IN-8H1-4OUT",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 8,
+                          "num_rollouts": 16, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 4},
+    )
+    s = np.array([0.0, 0.0, 0.1, 0.0], np.float32)
+    ctrl.step(s)  # advance hidden once, normally
+    st = ctrl.optimizer.opt_state
+    ctrl.optimizer.opt_state = st._replace(u_nom=jnp.full_like(st.u_nom, jnp.nan))
+    u = ctrl.step(s)
+    np.testing.assert_allclose(u, 0.0)
+    pred = ctrl.predictor.predictor
+    for h in pred.hidden:
+        assert np.all(np.isfinite(np.asarray(h))), "hidden poisoned by NaN step"
+    u2 = ctrl.step(s)
+    assert np.all(np.isfinite(u2))
+
+
+def test_u_prev_per_rollout_batch_semantics():
+    """u_prev may be [B,U]: each rollout's control-change penalty seeds
+    with ITS OWN previous control (was silently collapsed to row 0)."""
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.costs.cartpole import CartpoleQuadraticCost
+
+    cf = CartpoleQuadraticCost()
+    params = cf.current_params({"target_position": jnp.float32(0.0)})
+    B, H, U = 3, 4, 1
+    states = jnp.zeros((B, H + 1, 4), jnp.float32)
+    inputs = jnp.zeros((B, H, U), jnp.float32)
+    u_prev = jnp.asarray([[0.0], [1.0], [2.0]], jnp.float32)  # [B, U]
+
+    cost = np.asarray(cf.get_trajectory_cost(states, inputs, u_prev, params))
+    # ccrc = (0 - prev)^2 only at h=0; trajectory cost averages over H+1.
+    expected = np.array([0.0, 1.0, 4.0]) / (H + 1)
+    np.testing.assert_allclose(cost, expected, atol=1e-6)
+
+    # fused scan path agrees
+    from control_toolkit_tpu.ops.rollout import scan_cost_rollout
+
+    cost2, _ = scan_cost_rollout(
+        lambda x, u, p: x,
+        lambda x, u, up, p: cf.stage_cost_step(x, u, up, {"cost": params["cost"], "attrs": params["attrs"]}),
+        lambda x, p: cf.get_terminal_cost(x, {"cost": params["cost"], "attrs": params["attrs"]}),
+        jnp.zeros((B, 4)), inputs, u_prev, params,
+    )
+    np.testing.assert_allclose(np.asarray(cost2), expected, atol=1e-6)

@@ -116,3 +116,14 @@ def test_input_at_input_uses_raw_vector(tmp_path):
     u = ctrl.step(x)
     expected = np.clip(np.asarray(nets.mlp_apply(params, x[None]))[0], -1, 1)
     np.testing.assert_allclose(u, expected, atol=1e-6)
+
+
+def test_lstm_imitator_hidden_state_and_reset(tmp_path):
+    ctrl = make(tmp_path, net_name="LSTM-4IN-8H1-1OUT")
+    s = np.array([0.1, 0.0, 0.2, 0.0], np.float32)
+    u1 = ctrl.step(s)
+    u2 = ctrl.step(s)
+    assert not np.allclose(u1, u2)
+    assert any(k.startswith("lstm_0_state_") for k in ctrl.controller_data_for_csv)
+    ctrl.controller_reset()
+    np.testing.assert_allclose(u1, ctrl.step(s), atol=1e-6)

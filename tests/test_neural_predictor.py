@@ -130,3 +130,30 @@ def test_system_id_then_mpc(tmp_path):
         uc = ctrl.step(s[0])
         s, *_ = real_env.step(uc)
     assert abs(float(s[0, 2])) < 0.35, f"MPC on learned model failed: {s[0]}"
+
+
+def test_lstm_predictor_and_checkpoint_roundtrip(tmp_path):
+    """LSTM names build true LSTM cells (forget-gate-biased, (h,c) state)
+    — previously parsed silently as GRUs — and round-trip through npz."""
+    pred = NeuralPredictor("cartpole", dt=0.02, net_name="LSTM-5IN-8H1-4OUT", seed=3)
+    assert "wi" in pred.net_params["cell0"]
+    assert pred.net_params["cell0"]["wi"].shape == (5, 32)  # 4 gates x 8
+    assert pred.hidden[0].shape == (1, 16)                  # h|c concatenated
+
+    s0 = np.zeros((4, 4), np.float32)
+    Q = 0.5 * np.ones((4, 6, 1), np.float32)
+    t1 = np.asarray(pred.rollout(s0, Q))
+    assert t1.shape == (4, 7, 4)
+
+    ckpt = tmp_path / "LSTM-5IN-8H1-4OUT.npz"
+    nets.save_net(ckpt, pred.net_params, meta={"predict_delta": True})
+    loaded = NeuralPredictor("cartpole", dt=0.02, net_name="LSTM-5IN-8H1-4OUT",
+                             path_to_models=str(tmp_path), seed=99)
+    np.testing.assert_allclose(t1, np.asarray(loaded.rollout(s0, Q)), atol=1e-7)
+
+    # hidden-state advance + reset semantics match the GRU contract
+    pred.update(np.zeros((1, 4), np.float32), np.ones((1, 1, 1), np.float32))
+    t2 = np.asarray(pred.rollout(s0, Q))
+    assert not np.allclose(t1, t2)
+    pred.reset_state()
+    np.testing.assert_allclose(t1, np.asarray(pred.rollout(s0, Q)), atol=1e-6)

@@ -15,7 +15,7 @@ from test_pallas_rollout import make_mppi_ctrl
 def build(K=256, H=20, tile=128):
     ctrl = make_mppi_ctrl(K, H)
     opt = ctrl.optimizer
-    kernel_step, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    kernel_step, pack, _ = opt._build_fused_mppi(interpret=True, tile_k=tile)
     params = jax.tree_util.tree_map(
         lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
     )
@@ -103,7 +103,7 @@ def test_fused_mppi_multislice_bitwise_equals_single_device():
     params = jax.tree_util.tree_map(
         lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
     )
-    kernel_step, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    kernel_step, pack, _ = opt._build_fused_mppi(interpret=True, tile_k=tile)
     mesh = make_multislice_mesh(2)
     assert mesh.devices.shape == (2, 4)
     step_sharded = opt._last_fused_make_run(K, mesh=mesh)  # axis=None -> all axes
@@ -204,7 +204,7 @@ def test_semi_fused_matches_modular_reference():
     params = jax.tree_util.tree_map(
         lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
     )
-    _, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    _, pack, _ = opt._build_fused_mppi(interpret=True, tile_k=tile)
     cost_run = opt._last_fused_make_run.external(K)
 
     U = 1
@@ -271,7 +271,7 @@ def test_semi_fused_sharded_matches_unsharded(mesh_kind):
     params = jax.tree_util.tree_map(
         lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
     )
-    _, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    _, pack, _ = opt._build_fused_mppi(interpret=True, tile_k=tile)
     run_a = opt._last_fused_make_run.external(K)
     if mesh_kind == "1d":
         run_b = opt._last_fused_make_run.external(K, mesh=make_rollout_mesh(), axis="k")
@@ -309,7 +309,7 @@ def test_fused_mppi_sharded_bitwise_equals_single_device():
 
     cf = opt.cost_function.cost_function
     pred = opt.predictor.predictor
-    kernel_step, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    kernel_step, pack, _ = opt._build_fused_mppi(interpret=True, tile_k=tile)
 
     # Re-make with a mesh (reuse the bound builder via the private method's
     # internals): call the builder again with identical config.

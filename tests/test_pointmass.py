@@ -89,7 +89,7 @@ def test_semi_fused_two_inputs_matches_reference():
     params = jax.tree_util.tree_map(
         lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
     )
-    _, pack = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    _, pack, _ = opt._build_fused_mppi(interpret=True, tile_k=tile)
     cost_run = opt._last_fused_make_run.external(K)
 
     U, P = 2, opt.interp.number_of_interpolation_inducing_points
