@@ -33,6 +33,12 @@ class CostFunction:
     # Names of environment attributes (variable_parameters) this cost reads;
     # declared so the Pallas kernel can pack them into its scalar vector.
     attr_keys: tuple = ()
+    # Default value per attr when the host never set it.  The SINGLE source
+    # of truth for both the dict path (attrs.get in the cost code must use
+    # these values) and the packed-kernel path (Optimizer._soa_bindings
+    # fills missing attrs from here) — a mismatch makes the TPU kernel and
+    # the scan path optimize different objectives.
+    attr_defaults: dict = {}
 
     def __init__(self, config: Optional[Dict] = None):
         self.config: Dict = dict(config or {})
@@ -55,8 +61,15 @@ class CostFunction:
         raise NotImplementedError
 
     def control_change_cost_soa(self, us, prev_us, params) -> jnp.ndarray:
-        """Component-form penalty on u_h - u_{h-1}. Default 0."""
-        return jnp.zeros_like(us[0])
+        """Component-form penalty on u_h - u_{h-1}.
+
+        Default: ``ccrc_weight * sum((u - prev)^2)`` when the cost config
+        declares a ``ccrc_weight`` (the convention every built-in cost
+        shares), else zero."""
+        w = params["cost"].get("ccrc_weight")
+        if w is None:
+            return jnp.zeros_like(us[0])
+        return w * sum((u - pu) ** 2 for u, pu in zip(us, prev_us))
 
     def terminal_cost_soa(self, xs, params) -> jnp.ndarray:
         """Component-form terminal cost. Default 0 (reference :38-47)."""
@@ -91,12 +104,19 @@ class CostFunction:
         if previous_input is not None:
             U = inputs.shape[-1]
             prev = jnp.asarray(previous_input, dtype=inputs.dtype)
+            if prev.ndim == 3 and prev.shape[1] == 1:
+                prev = prev[:, 0, :]  # [B, 1, U] -> [B, U]
             if prev.ndim == 2:
                 # per-rollout previous control [B, U]
                 prev = jnp.broadcast_to(prev[:, None, :], inputs[:, :1, :].shape)
             else:
+                if prev.size != U:
+                    raise ValueError(
+                        f"previous_input must be [U], [B,U] or [B,1,U]; got "
+                        f"shape {prev.shape} for U={U}"
+                    )
                 prev = jnp.broadcast_to(
-                    jnp.reshape(prev, (-1,))[:U], inputs[:, :1, :].shape
+                    jnp.reshape(prev, (-1,)), inputs[:, :1, :].shape
                 )
             shifted = jnp.concatenate([prev, inputs[:, :-1, :]], axis=1)
             cost = cost + self.control_change_cost(inputs, shifted, params)

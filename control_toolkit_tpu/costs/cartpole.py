@@ -31,6 +31,7 @@ class CartpoleQuadraticCost(CostFunction):
         "dd_weight", "ep_weight", "ekp_weight", "cc_weight", "ccrc_weight", "R",
     )
     attr_keys = ("target_position",)
+    attr_defaults = {"target_position": 0.0}
 
     DEFAULTS = {
         "dd_weight": 120.0,
@@ -58,10 +59,6 @@ class CartpoleQuadraticCost(CostFunction):
         ekp = w["ekp_weight"] * (angle_d / (2.0 * jnp.pi)) ** 2
         cc = w["cc_weight"] * w["R"] * sum(u * u for u in us)
         return dd + ep + ekp + cc
-
-    def control_change_cost_soa(self, us, prev_us, params):
-        w = params["cost"]
-        return w["ccrc_weight"] * sum((u - pu) ** 2 for u, pu in zip(us, prev_us))
 
     def cost_components(self, states, inputs, previous_input=None, params=None):
         """Named stage-cost terms for the CostFunctionTester."""

@@ -20,6 +20,7 @@ class PointMassQuadraticCost(CostFunction):
         "pos_weight", "vel_weight", "cc_weight", "ccrc_weight", "R",
     )
     attr_keys = ("target_x", "target_y")
+    attr_defaults = {"target_x": 0.0, "target_y": 0.0}
 
     DEFAULTS = {
         "pos_weight": 20.0,
@@ -44,10 +45,6 @@ class PointMassQuadraticCost(CostFunction):
         vel = w["vel_weight"] * (vx**2 + vy**2)
         cc = w["cc_weight"] * w["R"] * sum(u * u for u in us)
         return pos + vel + cc
-
-    def control_change_cost_soa(self, us, prev_us, params):
-        w = params["cost"]
-        return w["ccrc_weight"] * sum((u - pu) ** 2 for u, pu in zip(us, prev_us))
 
     def terminal_cost_soa(self, xs, params):
         w = params["cost"]

@@ -22,6 +22,10 @@ class Quadrotor2DWaypointCost(CostFunction):
         "cc_weight", "ccrc_weight", "hover_thrust",
     )
     attr_keys = ("target_x", "target_z")
+    # target_z defaults to hover height 1.0 — consumed by BOTH the dict
+    # path (attrs.get below) and the packed kernel path (see costs/base.py
+    # attr_defaults contract).
+    attr_defaults = {"target_x": 0.0, "target_z": 1.0}
 
     DEFAULTS = {
         "pos_weight": 40.0,
@@ -52,10 +56,6 @@ class Quadrotor2DWaypointCost(CostFunction):
         cc = w["cc_weight"] * sum((u - w["hover_thrust"]) ** 2 for u in us)
         return pos + vel + tilt + rate + cc
 
-    def control_change_cost_soa(self, us, prev_us, params):
-        w = params["cost"]
-        return w["ccrc_weight"] * sum((u - pu) ** 2 for u, pu in zip(us, prev_us))
-
     def terminal_cost_soa(self, xs, params):
         w = params["cost"]
         attrs = params["attrs"]
@@ -78,6 +78,7 @@ class Quadrotor2DWaypointCost(CostFunction):
                                       + (states[..., 1] - tz) ** 2),
             "vel": w["vel_weight"] * (states[..., 2] ** 2 + states[..., 3] ** 2),
             "tilt": w["tilt_weight"] * (1.0 - jnp.cos(states[..., 4])),
+            "rate": w["rate_weight"] * states[..., 5] ** 2,
             "cc": w["cc_weight"] * jnp.sum(
                 (inputs - w["hover_thrust"]) ** 2, axis=-1
             ),

@@ -342,6 +342,8 @@ class Optimizer:
             dyn, _ = split_p(p)
             return pred.dynamics.soa(xs, us, dyn)
 
+        attr_defaults = getattr(cf, "attr_defaults", {})
+
         def pack(params, u_prev):
             vals = {}
             for k in dyn_keys:
@@ -349,8 +351,20 @@ class Optimizer:
             for k in cost_keys:
                 vals[f"c_{k}"] = params["cost"][k]
             for k in attr_keys:
-                vals[f"a_{k}"] = params["attrs"].get(k, 0.0)
-            up = jnp.reshape(jnp.asarray(u_prev, jnp.float32), (-1,))
+                # Missing attrs fall back to the COST's declared default so
+                # the kernel path optimizes the same objective as the scan
+                # path (which hits the cost code's attrs.get default).
+                vals[f"a_{k}"] = params["attrs"].get(
+                    k, attr_defaults.get(k, 0.0)
+                )
+            up = jnp.asarray(u_prev, jnp.float32)
+            if up.ndim >= 2 and up.shape[0] > 1:
+                raise ValueError(
+                    "the Pallas cost path carries u_prev in SMEM scalars and "
+                    "supports only a single shared previous control; got "
+                    f"shape {up.shape}"
+                )
+            up = jnp.reshape(up, (-1,))
             for j in range(U):
                 vals[f"__u_prev_{j}"] = up[j]
             return jnp.stack(

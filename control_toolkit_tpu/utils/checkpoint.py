@@ -27,10 +27,18 @@ def save_state(path, state: Any) -> None:
     whose leading leaves happen to share shapes) is rejected on load instead
     of silently truncating.
     """
+    import json
+
     leaves, treedef = _flatten(state)
     payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     payload["__n_leaves"] = np.asarray(len(leaves), np.int64)
-    payload["__treedef"] = np.frombuffer(str(treedef).encode("utf-8"), np.uint8)
+    # Stable structural key: OUR formatting of the leaf paths (keystr),
+    # not str(PyTreeDef) whose repr may change across JAX versions.
+    paths = [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(state)[0]
+    ]
+    payload["__paths"] = np.frombuffer(json.dumps(paths).encode("utf-8"), np.uint8)
     np.savez(path, **payload)
 
 
@@ -46,12 +54,31 @@ def load_state(path, template: Any) -> Any:
                 f"{len(t_leaves)} — refusing to load a structurally "
                 "different state"
             )
-    if "__treedef" in data.files:
-        saved_td = bytes(data["__treedef"]).decode("utf-8")
-        if saved_td != str(treedef):
+    if "__paths" in data.files:
+        import json
+
+        saved_paths = json.loads(bytes(data["__paths"]).decode("utf-8"))
+        tmpl_paths = [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]
+        ]
+        if saved_paths != tmpl_paths:
             raise ValueError(
                 "checkpoint treedef does not match template structure:\n"
-                f"  saved:    {saved_td}\n  template: {treedef}"
+                f"  saved:    {saved_paths}\n  template: {tmpl_paths}"
+            )
+    elif "__treedef" in data.files:
+        # Legacy checkpoints stored str(PyTreeDef), which has no
+        # cross-version stability guarantee: warn on mismatch and rely on
+        # the leaf count/shape/dtype checks below.
+        saved_td = bytes(data["__treedef"]).decode("utf-8")
+        if saved_td != str(treedef):
+            import warnings
+
+            warnings.warn(
+                "legacy checkpoint treedef string differs from the "
+                "template's (possibly a JAX version change); relying on "
+                "leaf count/shape/dtype checks only."
             )
     leaves = []
     for i, t_leaf in enumerate(t_leaves):
@@ -61,13 +88,11 @@ def load_state(path, template: Any) -> Any:
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != template {t_arr.shape}"
             )
-        if (
-            np.issubdtype(t_arr.dtype, np.integer)
-            and not np.issubdtype(arr.dtype, np.integer)
-        ) or (
-            np.issubdtype(t_arr.dtype, np.floating)
-            and not np.issubdtype(arr.dtype, np.floating)
-        ):
+        # Kind-compatible casts only: i<->u is fine, everything else
+        # (f->i, f->b, i->b, ...) is rejected instead of silently cast.
+        k_saved, k_tmpl = arr.dtype.kind, t_arr.dtype.kind
+        compatible = k_saved == k_tmpl or {k_saved, k_tmpl} <= {"i", "u"}
+        if not compatible:
             raise ValueError(
                 f"checkpoint leaf {i} dtype {arr.dtype} is not compatible "
                 f"with template dtype {t_arr.dtype}"
@@ -101,6 +126,8 @@ def save_controller(path, controller) -> None:
 
 
 def load_controller(path, controller) -> None:
+    if getattr(controller.optimizer, "opt_state", None) is None:
+        raise RuntimeError("controller not configured; call configure() first")
     template = {
         "opt_state": controller.optimizer.opt_state,
         "attrs": dict(controller.variable_parameters),

@@ -68,3 +68,34 @@ def test_ilqr_hover_precise():
         f"ilqr hover missed: {s[0]}"
     )
     assert abs(float(s[0, 4])) < 0.05
+
+
+def test_kernel_path_uses_declared_attr_defaults():
+    """With NO target attrs set, the packed-kernel cost path must apply the
+    cost's declared defaults (target_z = 1.0), matching the scan path —
+    previously the kernel packed 0.0 and the fused controller flew the
+    quad toward the ground while CPU tests passed."""
+    import jax.numpy as jnp
+
+    ctrl = build("mppi", {
+        "cc_weight": 1.0, "R": 1.0, "LBD": 3.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.08, "period_interpolation_inducing_points": 5,
+        "num_rollouts": 64, "mpc_horizon": 10,
+    })
+    opt = ctrl.optimizer
+    # Strip the attrs entirely: both paths must fall back to the same default.
+    params = {k: v for k, v in ctrl._assemble_params().items()}
+    params["attrs"] = {}
+
+    K, H = 64, 10
+    s_hover = jnp.tile(jnp.array([[0.0, 1.0, 0.0, 0.0, 0.0, 0.0]]), (K, 1))
+    Q = jnp.full((K, H, 2), 0.327, jnp.float32)
+    u_prev = jnp.full((2,), 0.327, jnp.float32)
+
+    scan_cost = np.asarray(opt._fused_cost(s_hover, Q, u_prev, params))
+    kernel_cost = np.asarray(
+        opt._build_pallas_cost(interpret=True, tile_k=64)(s_hover, Q, u_prev, params)
+    )
+    np.testing.assert_allclose(kernel_cost, scan_cost, rtol=3e-5, atol=1e-4)
+    # and at hover over (0, 1) the cost is tiny, not pos_weight * 1^2
+    assert kernel_cost.max() < 1.0, f"kernel path targeting the ground: {kernel_cost[:3]}"
