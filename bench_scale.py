@@ -49,7 +49,7 @@ def measure_step(ctrl):
     return (time.perf_counter() - t0) / (REPS * N) * 1e3
 
 
-def build_cem(K, H, fully_fused):
+def build_cem(K, H, fully_fused, predictor_spec="ODE"):
     from control_toolkit_tpu.controllers.mpc import MPCController
 
     ctrl = MPCController(
@@ -58,7 +58,8 @@ def build_cem(K, H, fully_fused):
         initial_environment_attributes={"target_position": 0.0},
         config={"optimizer": "cem-tf", "controller_logging": False},
     )
-    ctrl.configure(optimizer_name="cem-tf", optimizer_config={
+    ctrl.configure(optimizer_name="cem-tf", predictor_specification=predictor_spec,
+                   optimizer_config={
         "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
         "cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
         "cem_stdev_min": 0.01, "cem_best_k": 256,
@@ -126,9 +127,12 @@ def main():
         print(f"{name:22s}: {ms:7.3f} ms  ({K / (ms / 1e3) / 1e6:.0f}M rollouts/s)",
               flush=True)
 
-    for fused in (False, True):
-        name = f"cem_{'fused' if fused else 'modular'}"
-        ms = measure_step(build_cem(K, H, fused))
+    for name, fused, spec in (
+        ("cem_modular", False, "ODE"),
+        ("cem_fused", True, "ODE"),
+        ("cem_fused_fast_math", True, "ODE:rk4:1:fast"),
+    ):
+        ms = measure_step(build_cem(K, H, fused, predictor_spec=spec))
         results[name] = round(ms, 3)
         print(f"{name:22s}: {ms:7.3f} ms", flush=True)
 
