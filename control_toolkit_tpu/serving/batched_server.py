@@ -33,8 +33,11 @@ def serve_batched(
     max_batches: Optional[int] = None,
     evict_after_s: float = 30.0,
     report_every: int = 500,
+    stop_event=None,
 ) -> None:
-    """Run the batched request loop. ``max_batches`` bounds the loop (tests).
+    """Run the batched request loop.  ``max_batches`` bounds the loop and
+    ``stop_event`` (a threading.Event) requests a graceful shutdown — the
+    loop exits within ~200 ms of it being set.
 
     The batch closes when every KNOWN client has a pending request or the
     window expires; during the initial discovery burst (clients connecting
@@ -72,6 +75,9 @@ def serve_batched(
     batches = 0
     try:
         while max_batches is None or batches < max_batches:
+            if stop_event is not None and stop_event.is_set():
+                logger.info("stop requested; shutting down batched server")
+                break
             # Wait for the first request of a batch...
             if not sock.poll(timeout=200):
                 continue

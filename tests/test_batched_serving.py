@@ -128,10 +128,11 @@ def test_remote_controller_against_batched_server():
 
     ctrl = build_batched(2)
     endpoint = "tcp://127.0.0.1:15587"
+    stop = threading.Event()
     t = threading.Thread(
         target=serve_batched,
         kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=20.0,
-                    warmup_state=np.zeros(4, np.float32), max_batches=12),
+                    warmup_state=np.zeros(4, np.float32), stop_event=stop),
         daemon=True,
     )
     t.start()
@@ -143,7 +144,7 @@ def test_remote_controller_against_batched_server():
             environment_name="cartpole",
             control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
             initial_environment_attributes={"target_position": 0.0},
-            config={"remote_endpoint": endpoint.replace("*", "127.0.0.1"),
+            config={"remote_endpoint": endpoint,
                     "timeout_ms": 5000, "controller_logging": False},
         )
         r.configure()
@@ -168,7 +169,11 @@ def test_remote_controller_against_batched_server():
             for i in range(2):
                 assert out[i] is not None and np.all(np.isfinite(out[i]))
     finally:
+        for r in remotes:
+            r._sock.close(0)
+        stop.set()
         t.join(timeout=10)
+        assert not t.is_alive(), "server thread failed to shut down"
     np.testing.assert_allclose(
         sorted(np.asarray(ctrl.slot_attrs["target_position"]).tolist()),
         [-0.2, 0.2], atol=1e-6,
@@ -183,10 +188,11 @@ def test_batched_server_two_clients():
 
     ctrl = build_batched(2)
     endpoint = "tcp://127.0.0.1:15586"
+    stop = threading.Event()
     t = threading.Thread(
         target=serve_batched,
         kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=20.0,
-                    warmup_state=np.zeros(4, np.float32), max_batches=6),
+                    warmup_state=np.zeros(4, np.float32), stop_event=stop),
         daemon=True,
     )
     t.start()
@@ -214,7 +220,9 @@ def test_batched_server_two_clients():
     finally:
         for c in clients:
             c.close(0)
+        stop.set()
         t.join(timeout=10)
+        assert not t.is_alive(), "server thread failed to shut down"
     # the two identities landed on distinct slots with their own attrs
     assert sorted(np.asarray(ctrl.slot_attrs["target_position"]).tolist()) == [-0.5, 0.5]
 
@@ -227,11 +235,12 @@ def test_slot_eviction_reassigns_idle_slots():
 
     ctrl = build_batched(1)
     endpoint = "tcp://127.0.0.1:15588"
+    stop = threading.Event()
     t = threading.Thread(
         target=serve_batched,
         kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=5.0,
-                    warmup_state=np.zeros(4, np.float32), max_batches=4,
-                    evict_after_s=0.2),
+                    warmup_state=np.zeros(4, np.float32),
+                    evict_after_s=0.2, stop_event=stop),
         daemon=True,
     )
     t.start()
@@ -263,10 +272,6 @@ def test_slot_eviction_reassigns_idle_slots():
     finally:
         a.close(0)
         b.close(0)
-        # unblock the server loop if it is still waiting for a batch
-        c = ctx.socket(zmq.DEALER)
-        c.connect(endpoint)
-        c.send_json({"rid": 9, "state": [0, 0, 0.1, 0], "time": 0.0,
-                     "updated_attributes": {}})
-        c.close(0)
+        stop.set()
         t.join(timeout=10)
+        assert not t.is_alive(), "server thread failed to shut down"

@@ -101,9 +101,8 @@ def make_strong_cem(fully_fused):
 
 
 def test_fused_cem_closed_loop_stabilizes():
-    """Full fused CEM optimizer step (interpret kernels) in closed loop,
-    compared against the plain path on the same budget."""
-    final = {}
+    """Full fused CEM optimizer step (interpret kernels) stabilizes in
+    closed loop at the same budget where the plain path does."""
     for fused in (False, True):
         ctrl = make_strong_cem(fused)
         if fused:
@@ -117,7 +116,6 @@ def test_fused_cem_closed_loop_stabilizes():
         for _ in range(60):
             u = ctrl.step(s[0])
             s, *_ = env.step(u)
-        final[fused] = s[0]
         assert abs(float(s[0, 2])) < 0.45, (
             f"CEM (fused={fused}) failed to stabilize: {s[0]}"
         )

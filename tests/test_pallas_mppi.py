@@ -7,6 +7,7 @@ stabilization), not bitwise.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 from test_pallas_rollout import make_mppi_ctrl
@@ -250,9 +251,6 @@ def test_semi_fused_matches_modular_reference():
     ws = jnp.einsum("rtc,tuprc->up", w2d, jnp.asarray(eps5)) / w_flat.sum()
     b_lin = np.asarray(jnp.einsum("ph,up->hu", jnp.asarray(opt.interp.matrix), ws))
     np.testing.assert_allclose(b_lin, b_ref, rtol=1e-4, atol=1e-6)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("mesh_kind", ["1d", "multislice"])

@@ -27,7 +27,7 @@ MPPI_CFG = {"cc_weight": 1.0, "R": 1.0, "LBD": 10.0, "NU": 1000.0,
             "SQRTRHOINV": 0.1, "period_interpolation_inducing_points": 5}
 
 
-def run_closed_loop(ctrl, steps=120, target=(1.0, -0.5)):
+def run_closed_loop(ctrl, steps=120):
     env = PointMassEnv(batch_size=1, dt=0.02, seed=4)
     s, _ = env.reset()
     for _ in range(steps):

@@ -144,7 +144,7 @@ def test_terminal_chooser_accepts_index_name_and_default(monkeypatch):
     name, and empty input (default) must all resolve."""
     from control_toolkit_tpu.serving import gui
 
-    answers = iter(["1", "", "mppi", "0"])
+    answers = iter(["1", "", "neural-imitator", "0"])
     monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
 
     controllers = ["mpc", "neural-imitator"]
@@ -154,7 +154,7 @@ def test_terminal_chooser_accepts_index_name_and_default(monkeypatch):
     assert c == "neural-imitator" and o == "rpgd-tf"
     # literal name + index
     c, o = gui._choose_terminal(controllers, optimizers, None, None)
-    assert c == "mppi" and o == "cem-tf"
+    assert c == "neural-imitator" and o == "cem-tf"
 
 
 def test_chooser_falls_back_to_defaults_when_headless(monkeypatch):
