@@ -22,7 +22,9 @@ N = 20
 REPS = 2
 
 
-def measure_step(ctrl):
+def measure_step(ctrl, n1=N, n2=5 * N):
+    """Dispatch-free device time per step: two-point slope over scan
+    lengths n1/n2 (cancels the ~25 ms tunnel launch cost per program)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,20 +35,25 @@ def measure_step(ctrl):
     s_dev = jnp.zeros((1, 4), jnp.float32)
     step_fn = opt._make_step_fn()
 
-    @jax.jit
-    def many(state, s, params):
-        def body(st, _):
-            u, st2, _ = step_fn(st, s, params)
-            return st2, u
-        return jax.lax.scan(body, state, None, length=N)
+    def time_scan(n):
+        @jax.jit
+        def many(state, s, params):
+            def body(st, _):
+                u, st2, _ = step_fn(st, s, params)
+                return st2, u
+            return jax.lax.scan(body, state, None, length=n)
 
-    st, us = many(opt.opt_state, s_dev, params)
-    jax.block_until_ready(us)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        st, us = many(st, s_dev, params)
+        st, us = many(opt.opt_state, s_dev, params)
         jax.block_until_ready(us)
-    return (time.perf_counter() - t0) / (REPS * N) * 1e3
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            st, us = many(st, s_dev, params)
+            jax.block_until_ready(us)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (time_scan(n2) - time_scan(n1)) / (n2 - n1) * 1e3
 
 
 def build_cem(K, H, fully_fused, predictor_spec="ODE"):
