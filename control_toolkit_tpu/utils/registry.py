@@ -81,6 +81,7 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.optimizers.cem_grad_bharadhwaj",
         "control_toolkit_tpu.optimizers.gradient",
         "control_toolkit_tpu.optimizers.mppi",
+        "control_toolkit_tpu.optimizers.mppi_var",
         "control_toolkit_tpu.optimizers.rpgd",
         "control_toolkit_tpu.optimizers.ilqr",
         "control_toolkit_tpu.controllers.mpc",

@@ -30,6 +30,11 @@ OPTIMIZER_CONFIGS = {
                     "warmup": False, "warmup_iterations": 5},
     "mppi": {"cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
              "SQRTRHOINV": 0.03, "period_interpolation_inducing_points": 4},
+    "mppi-var-tf": {"cc_weight": 1.0, "R": 1.0, "LBD_mc": 100.0,
+                    "NU_mc": 1000.0, "SQRTRHOINV_mc": 0.03, "LR": 0.5,
+                    "STDEV_min": 0.01, "STDEV_max": 10.0,
+                    "max_grad_norm": 1000.0,
+                    "period_interpolation_inducing_points": 4},
     "rpgd-tf": {"outer_its": 2, "SAMPLING_DISTRIBUTION": "uniform",
                 "period_interpolation_inducing_points": 4,
                 "learning_rate": 0.05, "adam_beta_1": 0.9, "adam_beta_2": 0.999,
