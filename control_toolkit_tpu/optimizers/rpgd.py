@@ -97,9 +97,19 @@ class RPGDOptimizer(Optimizer):
         adam_beta_1: float = 0.9,
         adam_beta_2: float = 0.999,
         adam_epsilon: float = 1e-8,
+        maximum_entropy_alpha: float = 0.0,
         **kwargs,
     ):
         super().__init__(**kwargs)
+        # Maximum-entropy population bonus (the reference documents
+        # ``maximum_entropy_alpha`` for its rpgd-me/rpgd-ml variants,
+        # config_optimizers.yml:113-168, without shipping their code).
+        # Reconstruction: the gradient objective becomes
+        #   sum_k J_k  -  alpha * sum_{h,u} log(std_k Q[:,h,u] + eps)
+        # i.e. a differentiable Gaussian-entropy surrogate that rewards
+        # population spread, trading exploitation for sample diversity.
+        # alpha = 0 (the default) is exactly base RPGD.
+        self.maximum_entropy_alpha = float(maximum_entropy_alpha)
         self.outer_its = int(outer_its)
         self.sample_stdev = float(sample_stdev)
         self.sample_mean = float(sample_mean)
@@ -150,6 +160,13 @@ class RPGDOptimizer(Optimizer):
         Qp = jnp.clip(Qp, self.action_low, self.action_high)
         return self.interp.interpolate(Qp)
 
+    def _resample(self, key, Q, cost, n: int) -> jnp.ndarray:
+        """Source of the ``n`` fresh sequences on a resample tick.  Base
+        RPGD draws them from the configured sampling distribution; the
+        particle variant overrides this to resample from the population."""
+        del Q, cost
+        return self._sample_actions(key, n)
+
     def _init_state(self, key):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         key, sub = jax.random.split(key)
@@ -173,8 +190,16 @@ class RPGDOptimizer(Optimizer):
         cost_only = None if self.optimizer_logging else self._make_cost_only(differentiable=True)
         eval_cost = cost_only or (lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0])
 
+        alpha = self.maximum_entropy_alpha
+
         def summed_cost(Q, s_tiled, u_prev, params):
-            return jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
+            total = jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
+            if alpha > 0.0:
+                # Max-entropy bonus (see __init__): log population std per
+                # decision variable; pushes rollouts apart.
+                spread = jnp.log(jnp.std(Q, axis=0) + 1e-6)
+                total = total - alpha * jnp.sum(spread)
+            return total
 
         grad_fn = jax.grad(summed_cost)
 
@@ -220,7 +245,7 @@ class RPGDOptimizer(Optimizer):
 
             def resample_branch(op):
                 Qn, adam, ages = op
-                Qres = self._sample_actions(sub, K - keep_k)
+                Qres = self._resample(sub, Qn, cost, K - keep_k)
                 Q_new, m_new, v_new, ages_new = rpgd_resample_surgery(
                     Qn, adam.m, adam.v, ages, best_idx, Qres
                 )
@@ -260,3 +285,55 @@ class RPGDOptimizer(Optimizer):
             return u, new_state, diag
 
         return step_fn
+
+
+@registry.optimizers.register("rpgd-me-tf")
+@registry.optimizers.register("rpgd-me-param-tf")
+class RPGDMaxEntropyOptimizer(RPGDOptimizer):
+    """rpgd-me / rpgd-me-param: RPGD with the maximum-entropy population
+    bonus enabled (reconstruction of the reference's documented-but-unshipped
+    variants, config_optimizers.yml:113-145 — distinctive hyperparameter
+    ``maximum_entropy_alpha``, many outer iterations, resample every tick).
+    Same step as RPGD; only the gradient objective differs (see
+    RPGDOptimizer.__init__ on ``maximum_entropy_alpha``)."""
+
+
+@registry.optimizers.register("rpgd-ml-tf")
+class RPGDMLOptimizer(RPGDOptimizer):
+    """rpgd-ml: the reference documents this variant with a nonzero default
+    ``maximum_entropy_alpha`` (0.1) and fewer outer iterations
+    (config_optimizers.yml:150-168).  Implementation-wise identical to
+    rpgd-me with different defaults, which the config layer supplies."""
+
+
+@registry.optimizers.register("rpgd-particle-tf")
+class RPGDParticleOptimizer(RPGDOptimizer):
+    """rpgd-particle: particle-filter-style RPGD (reconstruction of the
+    documented-but-unshipped variant, config_optimizers.yml:169-186).
+
+    Instead of drawing the non-elite replacement sequences from the prior
+    sampling distribution, they are *resampled from the current population*
+    with importance weights ``softmax(-(J - min J) / particle_temperature)``
+    and jittered with ``sample_stdev`` Gaussian noise at the inducing points
+    — sequential-Monte-Carlo reweighting over plans, so probable particles
+    multiply and improbable ones die, while the elite top-k and the Adam
+    moment surgery stay exactly RPGD's.  ``particle_temperature`` is this
+    build's knob (the reference documents none)."""
+
+    def __init__(self, *, particle_temperature: float = 1.0, **kwargs):
+        kwargs.setdefault("SAMPLING_DISTRIBUTION", "uniform")
+        super().__init__(**kwargs)
+        self.particle_temperature = float(particle_temperature)
+
+    def _resample(self, key, Q, cost, n: int) -> jnp.ndarray:
+        kc, kj = jax.random.split(key)
+        logits = -(cost - jnp.min(cost)) / self.particle_temperature
+        idx = jax.random.categorical(kc, logits, shape=(n,))
+        jitter = self.sample_stdev * jax.random.normal(
+            kj,
+            (n, self.interp.number_of_interpolation_inducing_points,
+             self.num_control_inputs),
+            jnp.float32,
+        )
+        resampled = Q[idx] + self.interp.interpolate(jitter)
+        return jnp.clip(resampled, self.action_low, self.action_high)
