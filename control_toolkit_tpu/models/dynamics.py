@@ -281,12 +281,90 @@ pointmass_dynamics.fast = pointmass_dynamics
 quadrotor2d_dynamics = soa_to_aos(quadrotor2d_derivs_soa, 6, 2)
 quadrotor2d_dynamics.fast = _fast_variant(quadrotor2d_derivs_soa_fast, 6, 2)
 
+QUADROTOR3D_DEFAULTS = {
+    "m": 0.8,        # vehicle mass [kg]
+    "Ix": 0.015,     # roll inertia [kg m^2]
+    "Iy": 0.015,     # pitch inertia
+    "Iz": 0.025,     # yaw inertia
+    "arm": 0.17,     # rotor arm [m]
+    "k_yaw": 0.016,  # rotor drag torque / thrust ratio [m]
+    "g": 9.81,
+    "u_max": 4.0,    # max thrust PER rotor [N] (> m*g/4 = 1.96: agile but
+    # not so over-actuated that sampled rollouts tumble: tau_max/I ~ 45/s^2)
+    "drag": 0.1,     # linear aero drag
+}
+
+
+def _quadrotor3d_derivs(xs, us, p, sincos):
+    """Full 3-D quadrotor, plus-configuration, Euler-angle attitude.
+
+    xs = (x, y, z, vx, vy, vz, phi, theta, psi, wp, wq, wr):
+    world position, world velocity, roll/pitch/yaw (ZYX Euler; level = 0),
+    and body rates p,q,r.  us = 4 rotor thrust commands in [0, 1] scaled by
+    ``u_max``; rotors sit at +x (1), +y (2), -x (3), -y (4), alternating
+    spin, so:  roll torque  = arm*(t2 - t4),  pitch torque = arm*(t3 - t1),
+    yaw torque = k_yaw*(t1 - t2 + t3 - t4).  Hover: all t = m*g/(4*u_max).
+
+    The Euler kinematics divide by cos(theta); the secant is clamped
+    (|cos| >= 0.15) so far-tipped rollout samples stay finite — branch-free
+    selects, Pallas-kernel compatible.
+    """
+    _, _, _, vx, vy, vz, phi, theta, psi, wp, wq, wr = xs
+    t1 = us[0] * p["u_max"]
+    t2 = us[1] * p["u_max"]
+    t3 = us[2] * p["u_max"]
+    t4 = us[3] * p["u_max"]
+    thrust = t1 + t2 + t3 + t4
+
+    s_ph, c_ph = sincos(phi)
+    s_th, c_th = sincos(theta)
+    s_ps, c_ps = sincos(psi)
+
+    inv_m = 1.0 / p["m"]
+    # World-frame thrust direction = R(phi,theta,psi) @ e3 (ZYX convention).
+    ax = (thrust * (c_ph * s_th * c_ps + s_ph * s_ps) - p["drag"] * vx) * inv_m
+    ay = (thrust * (c_ph * s_th * s_ps - s_ph * c_ps) - p["drag"] * vy) * inv_m
+    az = (thrust * (c_ph * c_th) - p["drag"] * vz) * inv_m - p["g"]
+
+    # Euler-rate kinematics with clamped secant.
+    c_th_safe = jnp.where(
+        c_th >= 0.0, jnp.maximum(c_th, 0.15), jnp.minimum(c_th, -0.15)
+    )
+    tan_th = s_th / c_th_safe
+    phi_d = wp + (s_ph * wq + c_ph * wr) * tan_th
+    theta_d = c_ph * wq - s_ph * wr
+    psi_d = (s_ph * wq + c_ph * wr) / c_th_safe
+
+    tau_x = p["arm"] * (t2 - t4)
+    tau_y = p["arm"] * (t3 - t1)
+    tau_z = p["k_yaw"] * (t1 - t2 + t3 - t4)
+    wp_d = ((p["Iy"] - p["Iz"]) * wq * wr + tau_x) / p["Ix"]
+    wq_d = ((p["Iz"] - p["Ix"]) * wp * wr + tau_y) / p["Iy"]
+    wr_d = ((p["Ix"] - p["Iy"]) * wp * wq + tau_z) / p["Iz"]
+
+    return (vx, vy, vz, ax, ay, az, phi_d, theta_d, psi_d, wp_d, wq_d, wr_d)
+
+
+def quadrotor3d_derivs_soa(xs, us, p):
+    return _quadrotor3d_derivs(xs, us, p, lambda a: (jnp.sin(a), jnp.cos(a)))
+
+
+def quadrotor3d_derivs_soa_fast(xs, us, p):
+    from control_toolkit_tpu.ops.fastmath import fast_sincos
+
+    return _quadrotor3d_derivs(xs, us, p, fast_sincos)
+
+
+quadrotor3d_dynamics = soa_to_aos(quadrotor3d_derivs_soa, 12, 4)
+quadrotor3d_dynamics.fast = _fast_variant(quadrotor3d_derivs_soa_fast, 12, 4)
+
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),
     "acrobot": (acrobot_dynamics, ACROBOT_DEFAULTS, 4, 1),
     "pointmass": (pointmass_dynamics, POINTMASS_DEFAULTS, 4, 2),
     "quadrotor2d": (quadrotor2d_dynamics, QUADROTOR2D_DEFAULTS, 6, 2),
+    "quadrotor3d": (quadrotor3d_dynamics, QUADROTOR3D_DEFAULTS, 12, 4),
 }
 
 # Named state/control components per environment — the STATE_INDICES analogue
@@ -298,6 +376,8 @@ STATE_NAMES = {
     "acrobot": ["theta1", "theta1D", "theta2", "theta2D"],
     "pointmass": ["x", "y", "xD", "yD"],
     "quadrotor2d": ["x", "z", "xD", "zD", "theta", "thetaD"],
+    "quadrotor3d": ["x", "y", "z", "xD", "yD", "zD",
+                    "phi", "theta", "psi", "p", "q", "r"],
 }
 CONTROL_NAMES = {
     "cartpole": ["Q"],
@@ -305,6 +385,7 @@ CONTROL_NAMES = {
     "acrobot": ["Q"],
     "pointmass": ["Fx", "Fy"],
     "quadrotor2d": ["T1", "T2"],
+    "quadrotor3d": ["T1", "T2", "T3", "T4"],
 }
 
 

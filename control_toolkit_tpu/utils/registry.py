@@ -95,12 +95,14 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.costs.acrobot",
         "control_toolkit_tpu.costs.pointmass",
         "control_toolkit_tpu.costs.quadrotor2d",
+        "control_toolkit_tpu.costs.quadrotor3d",
         "control_toolkit_tpu.models.predictors",
         "control_toolkit_tpu.environments.cartpole",
         "control_toolkit_tpu.environments.pendulum",
         "control_toolkit_tpu.environments.acrobot",
         "control_toolkit_tpu.environments.pointmass",
         "control_toolkit_tpu.environments.quadrotor2d",
+        "control_toolkit_tpu.environments.quadrotor3d",
     ):
         try:
             importlib.import_module(mod)

@@ -13,6 +13,7 @@ ENV_ATTRS = {
     "acrobot": {},
     "pointmass": {"target_x": 0.5, "target_y": -0.5},
     "quadrotor2d": {"target_x": 0.0, "target_z": 1.0},
+    "quadrotor3d": {"target_x": 0.0, "target_y": 0.0, "target_z": 1.0},
 }
 
 
@@ -56,7 +57,9 @@ def test_pallas_kernel_matches_scan(integrator):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("env", ["pendulum", "acrobot", "pointmass", "quadrotor2d"])
+@pytest.mark.parametrize(
+    "env", ["pendulum", "acrobot", "pointmass", "quadrotor2d", "quadrotor3d"]
+)
 def test_pallas_kernel_matches_scan_all_envs(env):
     """Every built-in model family flows through the cost kernel: SOA
     dynamics + cost primitives agree with the scan path."""
