@@ -32,7 +32,7 @@ def measure_step(ctrl, n1=N, n2=5 * N):
     params = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, jnp.float32), ctrl._assemble_params()
     )
-    s_dev = jnp.zeros((1, 4), jnp.float32)
+    s_dev = jnp.zeros((1, opt.num_states), jnp.float32)
     step_fn = opt._make_step_fn()
 
     def time_scan(n):
@@ -71,6 +71,50 @@ def build_cem(K, H, fully_fused, predictor_spec="ODE"):
         "cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
         "cem_stdev_min": 0.01, "cem_best_k": 256,
         "warmup": False, "warmup_iterations": 2, "fully_fused": fully_fused,
+    })
+    return ctrl
+
+
+def build_quad3d_mppi(K, H, predictor_spec="ODE:rk4:1:fast"):
+    """12-state / 4-input semi-fused MPPI — the heavy model family."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="quadrotor3d",
+        control_limits=(np.zeros(4, np.float32), np.ones(4, np.float32)),
+        initial_environment_attributes={
+            "target_x": 0.0, "target_y": 0.0, "target_z": 1.0,
+        },
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", predictor_specification=predictor_spec,
+                   optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 3.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.08, "period_interpolation_inducing_points": 10,
+    })
+    return ctrl
+
+
+def build_rpgd(K, H, remat=False, force_scan=False):
+    """RPGD: the gradient-through-rollout path.  force_scan=True pins the
+    XLA-AD baseline; the default uses the fused Pallas gradient kernel on
+    TPU (ops/pallas_grad.py)."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="rpgd-tf", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "outer_its": 2, "SAMPLING_DISTRIBUTION": "uniform",
+        "period_interpolation_inducing_points": 10, "learning_rate": 0.05,
+        "gradmax_clip": 5, "opt_keep_k_ratio": 0.25, "resamp_per": 10,
+        "sample_stdev": 0.5, "warmup": False, "warmup_iterations": 2,
+        "remat": remat, "force_scan": force_scan,
     })
     return ctrl
 
@@ -140,6 +184,24 @@ def main():
         ("cem_fused_fast_math", True, "ODE:rk4:1:fast"),
     ):
         ms = measure_step(build_cem(K, H, fused, predictor_spec=spec))
+        results[name] = round(ms, 3)
+        print(f"{name:22s}: {ms:7.3f} ms", flush=True)
+
+    # 12-state/4-input model family at scale (semi-fused + fast-math).
+    quad_K = K // 4  # 262,144 rollouts: 4 inputs -> same sampled-noise volume
+    ms = measure_step(build_quad3d_mppi(quad_K, H))
+    results["quad3d_K262k_semi_fused_fast"] = round(ms, 3)
+    results["quad3d_rollouts_per_sec"] = round(quad_K / (ms / 1e3))
+    print(f"quad3d semi-fused fast K={quad_K}: {ms:7.3f} ms "
+          f"({quad_K / (ms / 1e3) / 1e6:.0f}M rollouts/s)", flush=True)
+
+    # Gradient path: RPGD differentiates through the rollout.  XLA-AD
+    # baseline (force_scan) vs the fused Pallas gradient kernel.
+    for name, kw in (
+        ("rpgd_grad_K16k_xla", {"force_scan": True}),
+        ("rpgd_grad_K16k_kernel", {}),
+    ):
+        ms = measure_step(build_rpgd(16384, H, **kw), n1=5, n2=25)
         results[name] = round(ms, 3)
         print(f"{name:22s}: {ms:7.3f} ms", flush=True)
 

@@ -428,6 +428,94 @@ class Optimizer:
 
         return cost_fn
 
+    def _build_pallas_grad(self, interpret: bool = False, tile_k: int = None):
+        """Bind predictor dynamics + cost into the fused gradient kernel
+        (ops/pallas_grad.py): ``fn(s_tiled, Q, u_prev, params) -> (cost [K],
+        dQ [K,H,U])`` with d(sum_k cost_k)/dQ semantics — what the
+        population gradient optimizers consume.  Same SMEM parameter packing
+        as the cost kernel (no recompiles on weight/attr changes)."""
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_grad_cost_rollout_kernel,
+            grad_tile_for,
+        )
+
+        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+
+        kernel = build_grad_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa,
+            num_states=self.num_states, num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon, dt=pred.dt,
+            param_keys=param_keys,
+            integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
+            interpret=interpret,
+        )
+
+        if self._mesh is not None:
+            # Per-device local tiles via shard_map (same reasoning as the
+            # cost kernel: no cross-K reduction inside the kernel).
+            from jax.sharding import PartitionSpec as PS
+            try:
+                from jax import shard_map
+            except ImportError:  # jax < 0.8
+                from jax.experimental.shard_map import shard_map
+
+            axes = self._shard_axes
+            first = axes if len(axes) > 1 else axes[0]
+            kernel = shard_map(
+                kernel, mesh=self._mesh,
+                in_specs=(PS(first, None), PS(first, None, None), PS()),
+                out_specs=(PS(first), PS(first, None, None)),
+                check_vma=False,
+            )
+
+        def grad_fn(s_tiled, Q, u_prev, params):
+            return kernel(s_tiled, Q, pack(params, u_prev))
+
+        return grad_fn
+
+    def _make_grad_and_cost_only(self):
+        """The gradient-path pair every AD optimizer uses:
+
+        ``grad_fn(Q, s_tiled, u_prev, params) -> d(sum_k J_k)/dQ`` and the
+        best available ``cost_only`` evaluator (or None when logging is on —
+        callers then keep the trajectory path for diagnostics).
+
+        On TPU with an eligible model the gradient comes from the fused
+        Pallas forward+backward kernel (ops/pallas_grad.py, ~4x XLA-AD at
+        K=16k); otherwise jax.grad through the fused scan."""
+        if not self.optimizer_logging and self._can_use_pallas_grad():
+            pallas_grad = self._build_pallas_grad()
+
+            def grad_fn(Q, s_tiled, u_prev, params):
+                return pallas_grad(s_tiled, Q, u_prev, params)[1]
+
+            return grad_fn, self._make_cost_only()
+
+        cost_only = (
+            None if self.optimizer_logging
+            else self._make_cost_only(differentiable=True)
+        )
+        eval_cost = cost_only or (
+            lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0]
+        )
+        grad_fn = jax.grad(
+            lambda Q, s, up, p: jnp.sum(eval_cost(s, Q, up, p))
+        )
+        return grad_fn, cost_only
+
+    def _can_use_pallas_grad(self) -> bool:
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_for
+
+        tile = grad_tile_for(self.num_states, self.mpc_horizon)
+        return (
+            self._can_use_pallas()
+            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
+        )
+
     # ---- sharding ---------------------------------------------------------
     def plan_sharding(self, mesh, axis: Optional[str] = None) -> None:
         """Shard the rollout population over a device mesh.

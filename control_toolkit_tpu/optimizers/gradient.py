@@ -87,13 +87,8 @@ class GradientOptimizer(Optimizer):
         lr, b1, b2, eps = self.learning_rate, self.adam_beta_1, self.adam_beta_2, self.adam_epsilon
         gclip = self.gradmax_clip
 
-        cost_only = None if self.optimizer_logging else self._make_cost_only(differentiable=True)
-        eval_cost = cost_only or (lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0])
-
-        def summed_cost(Q, s_tiled, u_prev, params):
-            return jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
-
-        grad_fn = jax.grad(summed_cost)
+        # Fused Pallas gradient kernel on TPU; jax.grad via scan otherwise.
+        grad_fn, cost_only = self._make_grad_and_cost_only()
 
         def grad_iter(carry, s_tiled, u_prev, params):
             Q, adam = carry

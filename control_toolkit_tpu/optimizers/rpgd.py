@@ -187,21 +187,25 @@ class RPGDOptimizer(Optimizer):
         shift = self.shift_previous
         want_opt_traj = self.calculate_optimal_trajectory
 
-        cost_only = None if self.optimizer_logging else self._make_cost_only(differentiable=True)
-        eval_cost = cost_only or (lambda s, Q, up, p: self._rollout_and_cost(s, Q, up, p)[0])
-
         alpha = self.maximum_entropy_alpha
 
-        def summed_cost(Q, s_tiled, u_prev, params):
-            total = jnp.sum(eval_cost(s_tiled, Q, u_prev, params))
-            if alpha > 0.0:
-                # Max-entropy bonus (see __init__): log population std per
-                # decision variable; pushes rollouts apart.
-                spread = jnp.log(jnp.std(Q, axis=0) + 1e-6)
-                total = total - alpha * jnp.sum(spread)
-            return total
+        def spread_penalty(Q):
+            # Max-entropy bonus (see __init__): log population std per
+            # decision variable; pushes rollouts apart.
+            return -alpha * jnp.sum(jnp.log(jnp.std(Q, axis=0) + 1e-6))
 
-        grad_fn = jax.grad(summed_cost)
+        # Best gradient path (fused Pallas forward+backward kernel on TPU,
+        # jax.grad through the fused scan otherwise); the tiny entropy
+        # penalty (if any) separates additively, so its gradient is added in
+        # XLA either way.
+        base_grad, cost_only = self._make_grad_and_cost_only()
+        if alpha > 0.0:
+            pen_grad = jax.grad(spread_penalty)
+
+            def grad_fn(Q, s_tiled, u_prev, params):
+                return base_grad(Q, s_tiled, u_prev, params) + pen_grad(Q)
+        else:
+            grad_fn = base_grad
 
         def grad_iter(carry, s_tiled, u_prev, params):
             Q, adam = carry
