@@ -34,8 +34,8 @@ class Quadrotor3DWaypointCost(CostFunction):
         "rate_weight": 0.5,
         "cc_weight": 2.0,
         "ccrc_weight": 1.0,
-        # m*g/(4*u_max) for the built-in dynamics constants
-        "hover_thrust": 0.392,
+        # m*g/(4*u_max) = 0.8*9.81/(4*4.0) for the built-in dynamics constants
+        "hover_thrust": 0.4905,
     }
 
     def __init__(self, config=None):

@@ -43,11 +43,15 @@ DEFAULT_GRAD_TILE_K = 2048
 
 def grad_tile_for(num_states: int, horizon: int) -> int:
     """Largest supported tile whose state-history scratch stays under ~4 MB
-    (leaves room for the pipelined [H,U,T] Q and dQ blocks)."""
+    (leaves room for the pipelined [H,U,T] Q and dQ blocks).  Returns 0 when
+    even the smallest tile (256 lanes) blows the budget — the caller must
+    fall back to the XLA-AD scan path rather than fail at Mosaic compile."""
     s_pad = -(-num_states // 8) * 8
     tile = DEFAULT_GRAD_TILE_K
     while tile > 256 and horizon * s_pad * tile * 4 > 4 * 2**20:
         tile //= 2
+    if horizon * s_pad * tile * 4 > 4 * 2**20:
+        return 0
     return tile
 
 

@@ -403,30 +403,36 @@ class Optimizer:
         )
 
         if self._mesh is not None:
-            # XLA does not auto-partition custom kernels, so under sharding
-            # the kernel runs per-device on the local K shard via shard_map.
-            # The cost rollout has NO cross-K reduction — each device writes
-            # its own [K_local] slice; downstream reductions (top-k, softmax)
-            # stay in XLA and lower to ICI/DCN collectives as usual.
-            from jax.sharding import PartitionSpec as PS
-            try:
-                from jax import shard_map
-            except ImportError:  # jax < 0.8
-                from jax.experimental.shard_map import shard_map
-
-            axes = self._shard_axes
-            first = axes if len(axes) > 1 else axes[0]
-            kernel = shard_map(
-                kernel, mesh=self._mesh,
-                in_specs=(PS(first, None), PS(first, None, None), PS()),
-                out_specs=PS(first),
-                check_vma=False,  # pallas_call outputs carry no vma annotation
-            )
+            kernel = self._shard_map_kernel(kernel, lambda PS, first: PS(first))
 
         def cost_fn(s_tiled, Q, u_prev, params):
             return kernel(s_tiled, Q, pack(params, u_prev))
 
         return cost_fn
+
+    def _shard_map_kernel(self, kernel, make_out_specs):
+        """Wrap a (s0, Q, pvec) Pallas kernel in shard_map over the planned
+        mesh.  XLA does not auto-partition custom kernels, so under sharding
+        each device runs its LOCAL K tiles; the rollout kernels have NO
+        cross-K reduction — downstream reductions (top-k, softmax) stay in
+        XLA and lower to ICI/DCN collectives as usual.
+
+        ``make_out_specs(PS, first) -> out_specs`` builds the output spec(s)
+        from the PartitionSpec class and the kernel's K-axis name(s)."""
+        from jax.sharding import PartitionSpec as PS
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.8
+            from jax.experimental.shard_map import shard_map
+
+        axes = self._shard_axes
+        first = axes if len(axes) > 1 else axes[0]
+        return shard_map(
+            kernel, mesh=self._mesh,
+            in_specs=(PS(first, None), PS(first, None, None), PS()),
+            out_specs=make_out_specs(PS, first),
+            check_vma=False,  # pallas_call outputs carry no vma annotation
+        )
 
     def _build_pallas_grad(self, interpret: bool = False, tile_k: int = None):
         """Bind predictor dynamics + cost into the fused gradient kernel
@@ -455,21 +461,9 @@ class Optimizer:
         )
 
         if self._mesh is not None:
-            # Per-device local tiles via shard_map (same reasoning as the
-            # cost kernel: no cross-K reduction inside the kernel).
-            from jax.sharding import PartitionSpec as PS
-            try:
-                from jax import shard_map
-            except ImportError:  # jax < 0.8
-                from jax.experimental.shard_map import shard_map
-
-            axes = self._shard_axes
-            first = axes if len(axes) > 1 else axes[0]
-            kernel = shard_map(
-                kernel, mesh=self._mesh,
-                in_specs=(PS(first, None), PS(first, None, None), PS()),
-                out_specs=(PS(first), PS(first, None, None)),
-                check_vma=False,
+            kernel = self._shard_map_kernel(
+                kernel,
+                lambda PS, first: (PS(first), PS(first, None, None)),
             )
 
         def grad_fn(s_tiled, Q, u_prev, params):
@@ -512,7 +506,8 @@ class Optimizer:
 
         tile = grad_tile_for(self.num_states, self.mpc_horizon)
         return (
-            self._can_use_pallas()
+            tile > 0  # 0 = state-history scratch cannot fit VMEM at any tile
+            and self._can_use_pallas()
             and self.num_rollouts % (tile * self._n_shard_devices()) == 0
         )
 

@@ -36,6 +36,30 @@ class MPPIState(NamedTuple):
     u_prev: jax.Array  # [U] last applied control
 
 
+def make_correction_cost(cc_weight: float, R: float, NU: float):
+    """MPPI-specific control-cost term (reference optimizer_mppi.py:154-155);
+    shared with the mppi-var variant."""
+    def correction_cost(u, delta_u):
+        return jnp.sum(
+            cc_weight
+            * (0.5 * (1.0 - 1.0 / NU) * R * delta_u**2
+               + R * u * delta_u + 0.5 * R * u**2),
+            axis=(1, 2),
+        )
+    return correction_cost
+
+
+def make_reward_weighted_average(LBD: float):
+    """Softmax over the K rollouts (reference :163-168).  With K sharded
+    over a mesh these reductions lower to ICI psums."""
+    def reward_weighted_average(S, delta_u):
+        rho = jnp.min(S, axis=0)
+        w = jnp.exp(-1.0 / LBD * (S - rho))
+        a = jnp.sum(w, axis=0)
+        return jnp.sum(w[:, None, None] * delta_u, axis=0) / a
+    return reward_weighted_average
+
+
 @registry.optimizers.register("mppi")
 @registry.optimizers.register("mppi-optimize-tf")
 class MPPIOptimizer(Optimizer):
@@ -203,21 +227,8 @@ class MPPIOptimizer(Optimizer):
         interp = self.interp
         want_opt_traj = self.calculate_optimal_trajectory
 
-        def correction_cost(u, delta_u):
-            # MPPI-specific control-cost term (reference :154-155).
-            return jnp.sum(
-                cc_weight
-                * (0.5 * (1.0 - 1.0 / NU) * R * delta_u**2 + R * u * delta_u + 0.5 * R * u**2),
-                axis=(1, 2),
-            )
-
-        def reward_weighted_average(S, delta_u):
-            # Softmax over the K rollouts (reference :163-168).  With K
-            # sharded over a mesh these reductions lower to ICI psums.
-            rho = jnp.min(S, axis=0)
-            w = jnp.exp(-1.0 / LBD * (S - rho))
-            a = jnp.sum(w, axis=0)
-            return jnp.sum(w[:, None, None] * delta_u, axis=0) / a
+        correction_cost = make_correction_cost(cc_weight, R, NU)
+        reward_weighted_average = make_reward_weighted_average(LBD)
 
         # Fused path: skip trajectory materialization when nobody reads it
         # (logging off).  Saves the [K,H+1,S] HBM round trip per step.

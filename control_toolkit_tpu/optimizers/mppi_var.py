@@ -43,6 +43,10 @@ import numpy as np
 
 from control_toolkit_tpu.ops.interpolation import Interpolator
 from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.optimizers.mppi import (
+    make_correction_cost,
+    make_reward_weighted_average,
+)
 from control_toolkit_tpu.utils import registry
 
 
@@ -103,8 +107,13 @@ class MPPIVarOptimizer(Optimizer):
             key=key,
             u_nom=u_nom,
             u_prev=jnp.zeros((self.num_control_inputs,), jnp.float32),
-            stdev=jnp.full(
-                (self.num_control_inputs,), self.SQRTRHODTINV, jnp.float32
+            # The documented [STDEV_min, STDEV_max] contract holds from the
+            # very first sample, not just after the first adaptation step.
+            stdev=jnp.clip(
+                jnp.full(
+                    (self.num_control_inputs,), self.SQRTRHODTINV, jnp.float32
+                ),
+                self.STDEV_min, self.STDEV_max,
             ),
         )
 
@@ -122,15 +131,11 @@ class MPPIVarOptimizer(Optimizer):
         cost_only = None if self.optimizer_logging else self._make_cost_only()
         fuse = cost_only is not None
 
-        def correction_cost(u, delta_u):
-            # Same structure as reference MPPI (optimizer_mppi.py:154-155),
-            # with the "mathematically correct" parameter set.
-            return jnp.sum(
-                cc_weight
-                * (0.5 * (1.0 - 1.0 / NU) * R * delta_u**2
-                   + R * u * delta_u + 0.5 * R * u**2),
-                axis=(1, 2),
-            )
+        # Same update math as MPPI's scan path (shared helpers keep the
+        # LR=0 bitwise-parity contract maintainable), with the
+        # "mathematically correct" parameter set.
+        correction_cost = make_correction_cost(cc_weight, R, NU)
+        reward_weighted_average = make_reward_weighted_average(LBD)
 
         def step_fn(state: MPPIVarState, s, params):
             key, sample_key = jax.random.split(state.key)
@@ -154,11 +159,9 @@ class MPPIVarOptimizer(Optimizer):
                 )
             S = base_cost + correction_cost(u_run, delta_u)
 
-            rho = jnp.min(S, axis=0)
-            w = jnp.exp(-1.0 / LBD * (S - rho))
-            a = jnp.sum(w, axis=0)
-            b = jnp.sum(w[:, None, None] * delta_u, axis=0) / a
-            u_nom = jnp.clip(u_nom + b[None], low, high)
+            u_nom = jnp.clip(
+                u_nom + reward_weighted_average(S, delta_u)[None], low, high
+            )
             u = u_nom[0, 0, :]
 
             # --- variance adaptation (see module docstring) -----------------

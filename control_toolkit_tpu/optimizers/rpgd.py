@@ -105,10 +105,14 @@ class RPGDOptimizer(Optimizer):
         # ``maximum_entropy_alpha`` for its rpgd-me/rpgd-ml variants,
         # config_optimizers.yml:113-168, without shipping their code).
         # Reconstruction: the gradient objective becomes
-        #   sum_k J_k  -  alpha * sum_{h,u} log(std_k Q[:,h,u] + eps)
+        #   sum_k J_k  -  alpha/2 * sum_{h,u} log(var_k Q[:,h,u] + eps)
         # i.e. a differentiable Gaussian-entropy surrogate that rewards
         # population spread, trading exploitation for sample diversity.
-        # alpha = 0 (the default) is exactly base RPGD.
+        # The eps sits INSIDE the log's variance so the gradient stays
+        # finite when a column has zero spread (all rollouts clipped to the
+        # same action bound) — d sqrt(var)/dQ at var=0 is NaN, d var/dQ is 0.
+        # alpha = 0 (the default, matching the reference template's rpgd-me
+        # entry) is exactly base RPGD.
         self.maximum_entropy_alpha = float(maximum_entropy_alpha)
         self.outer_its = int(outer_its)
         self.sample_stdev = float(sample_stdev)
@@ -190,9 +194,10 @@ class RPGDOptimizer(Optimizer):
         alpha = self.maximum_entropy_alpha
 
         def spread_penalty(Q):
-            # Max-entropy bonus (see __init__): log population std per
-            # decision variable; pushes rollouts apart.
-            return -alpha * jnp.sum(jnp.log(jnp.std(Q, axis=0) + 1e-6))
+            # Max-entropy bonus (see __init__): log population variance per
+            # decision variable; pushes rollouts apart.  log(var + eps), NOT
+            # log(std + eps): the std derivative is NaN at zero spread.
+            return -0.5 * alpha * jnp.sum(jnp.log(jnp.var(Q, axis=0) + 1e-8))
 
         # Best gradient path (fused Pallas forward+backward kernel on TPU,
         # jax.grad through the fused scan otherwise); the tiny entropy
@@ -294,12 +299,15 @@ class RPGDOptimizer(Optimizer):
 @registry.optimizers.register("rpgd-me-tf")
 @registry.optimizers.register("rpgd-me-param-tf")
 class RPGDMaxEntropyOptimizer(RPGDOptimizer):
-    """rpgd-me / rpgd-me-param: RPGD with the maximum-entropy population
-    bonus enabled (reconstruction of the reference's documented-but-unshipped
+    """rpgd-me / rpgd-me-param: RPGD with maximum-entropy population-bonus
+    SUPPORT (reconstruction of the reference's documented-but-unshipped
     variants, config_optimizers.yml:113-145 — distinctive hyperparameter
     ``maximum_entropy_alpha``, many outer iterations, resample every tick).
-    Same step as RPGD; only the gradient objective differs (see
-    RPGDOptimizer.__init__ on ``maximum_entropy_alpha``)."""
+    Note the reference template itself documents alpha 0.0 for rpgd-me (the
+    bonus off — then this IS base RPGD with the -me iteration budget) and
+    0.1 for rpgd-ml; the packaged defaults mirror those values.  Same step
+    as RPGD; only the gradient objective differs (see RPGDOptimizer.__init__
+    on ``maximum_entropy_alpha``)."""
 
 
 @registry.optimizers.register("rpgd-ml-tf")

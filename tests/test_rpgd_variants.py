@@ -85,6 +85,38 @@ def test_entropy_bonus_increases_population_spread():
     assert spreads[5.0] > spreads[0.0], spreads
 
 
+def test_entropy_gradient_finite_at_zero_spread():
+    """Zero population variance at a (h,u) column (all rollouts clipped to
+    the same bound — routine in bang-bang regimes) must NOT produce a NaN
+    entropy gradient: the penalty differentiates log(var + eps), whose
+    gradient vanishes at zero spread, not log(std + eps), whose gradient is
+    0/0 there."""
+    import jax.numpy as jnp
+
+    ctrl = make("rpgd-me-tf", maximum_entropy_alpha=2.0, resamp_per=1000)
+    opt = ctrl.optimizer
+    st = opt.opt_state
+    # Saturate the whole population at the upper bound: zero spread everywhere.
+    opt.opt_state = st._replace(Q=jnp.ones_like(st.Q))
+    s = np.array([0.0, 0.0, 0.15, 0.0], np.float32)
+    u = ctrl.step(s)
+    assert np.all(np.isfinite(u))
+    assert np.all(np.isfinite(np.asarray(opt.opt_state.Q)))
+    # The NaN guard resets state on non-finite u; count>0 proves it didn't.
+    assert int(opt.opt_state.count) == 1
+
+
+def test_grad_tile_budget_fallback():
+    """grad_tile_for halves the tile under VMEM pressure and returns 0 when
+    even the smallest tile cannot hold the state-history scratch (callers
+    then fall back to XLA AD instead of failing at Mosaic compile)."""
+    from control_toolkit_tpu.ops.pallas_grad import grad_tile_for
+
+    assert grad_tile_for(4, 50) == 2048      # cartpole: full tile
+    assert grad_tile_for(12, 50) == 1024     # quadrotor3d: halved
+    assert grad_tile_for(12, 5000) == 0      # cannot fit at any tile
+
+
 def test_particle_resample_draws_from_population():
     """With tiny jitter and temperature, the resampled rows must coincide
     with (near-copies of) low-cost population members."""
