@@ -358,6 +358,53 @@ def quadrotor3d_derivs_soa_fast(xs, us, p):
 quadrotor3d_dynamics = soa_to_aos(quadrotor3d_derivs_soa, 12, 4)
 quadrotor3d_dynamics.fast = _fast_variant(quadrotor3d_derivs_soa_fast, 12, 4)
 
+CAR_DEFAULTS = {
+    "wheelbase": 0.3,    # [m] (f1tenth-class scale)
+    # 0.6 rad -> min turn radius L/tan(0.6) = 0.44 m; agile enough that a
+    # 40-step horizon can plan the final-approach maneuver (0.4 rad's
+    # 0.71 m radius left MPPI stuck in an orbit-the-waypoint minimum).
+    "steer_max": 0.6,    # [rad] steering command scale
+    "accel_max": 4.0,    # [m/s^2] acceleration command scale
+    # accel_max = drag * v_max * (1 + (v_max/v_max)^2)  =>  terminal speed
+    # under full throttle is exactly v_max.
+    "drag": 0.4,         # velocity damping
+    "v_max": 5.0,        # speed ceiling via drag saturation [m/s]
+}
+
+
+def _car_derivs(xs, us, p, sincos):
+    """Kinematic bicycle car.
+
+    xs = (x, y, yaw, v); us = (steer_cmd, accel_cmd) in [-1, 1], scaled by
+    ``steer_max``/``accel_max``.  yawD = v * tan(steer)/wheelbase; steer is
+    bounded well inside (-pi/2, pi/2) so tan = sin/cos is safe.  Drag grows
+    quadratically near ``v_max`` to bound speeds under random sampling.
+    """
+    _, _, yaw, v = xs
+    steer = us[0] * p["steer_max"]
+    accel = us[1] * p["accel_max"]
+    s_y, c_y = sincos(yaw)
+    s_d, c_d = sincos(steer)
+    xd = v * c_y
+    yd = v * s_y
+    yawd = v * (s_d / c_d) / p["wheelbase"]
+    vd = accel - p["drag"] * v * (1.0 + (v / p["v_max"]) ** 2)
+    return (xd, yd, yawd, vd)
+
+
+def car_derivs_soa(xs, us, p):
+    return _car_derivs(xs, us, p, lambda a: (jnp.sin(a), jnp.cos(a)))
+
+
+def car_derivs_soa_fast(xs, us, p):
+    from control_toolkit_tpu.ops.fastmath import fast_sincos
+
+    return _car_derivs(xs, us, p, fast_sincos)
+
+
+car_dynamics = soa_to_aos(car_derivs_soa, 4, 2)
+car_dynamics.fast = _fast_variant(car_derivs_soa_fast, 4, 2)
+
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),
@@ -365,6 +412,7 @@ DYNAMICS = {
     "pointmass": (pointmass_dynamics, POINTMASS_DEFAULTS, 4, 2),
     "quadrotor2d": (quadrotor2d_dynamics, QUADROTOR2D_DEFAULTS, 6, 2),
     "quadrotor3d": (quadrotor3d_dynamics, QUADROTOR3D_DEFAULTS, 12, 4),
+    "car": (car_dynamics, CAR_DEFAULTS, 4, 2),
 }
 
 # Named state/control components per environment — the STATE_INDICES analogue
@@ -378,6 +426,7 @@ STATE_NAMES = {
     "quadrotor2d": ["x", "z", "xD", "zD", "theta", "thetaD"],
     "quadrotor3d": ["x", "y", "z", "xD", "yD", "zD",
                     "phi", "theta", "psi", "p", "q", "r"],
+    "car": ["x", "y", "yaw", "v"],
 }
 CONTROL_NAMES = {
     "cartpole": ["Q"],
@@ -386,6 +435,7 @@ CONTROL_NAMES = {
     "pointmass": ["Fx", "Fy"],
     "quadrotor2d": ["T1", "T2"],
     "quadrotor3d": ["T1", "T2", "T3", "T4"],
+    "car": ["steer", "accel"],
 }
 
 

@@ -96,6 +96,7 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.costs.pointmass",
         "control_toolkit_tpu.costs.quadrotor2d",
         "control_toolkit_tpu.costs.quadrotor3d",
+        "control_toolkit_tpu.costs.car",
         "control_toolkit_tpu.models.predictors",
         "control_toolkit_tpu.environments.cartpole",
         "control_toolkit_tpu.environments.pendulum",
@@ -103,6 +104,7 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.environments.pointmass",
         "control_toolkit_tpu.environments.quadrotor2d",
         "control_toolkit_tpu.environments.quadrotor3d",
+        "control_toolkit_tpu.environments.car",
     ):
         try:
             importlib.import_module(mod)

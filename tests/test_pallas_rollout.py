@@ -14,6 +14,7 @@ ENV_ATTRS = {
     "pointmass": {"target_x": 0.5, "target_y": -0.5},
     "quadrotor2d": {"target_x": 0.0, "target_z": 1.0},
     "quadrotor3d": {"target_x": 0.0, "target_y": 0.0, "target_z": 1.0},
+    "car": {"target_x": 1.0, "target_y": 0.5},
 }
 
 
@@ -58,7 +59,8 @@ def test_pallas_kernel_matches_scan(integrator):
 
 
 @pytest.mark.parametrize(
-    "env", ["pendulum", "acrobot", "pointmass", "quadrotor2d", "quadrotor3d"]
+    "env", ["pendulum", "acrobot", "pointmass", "quadrotor2d", "quadrotor3d",
+            "car"]
 )
 def test_pallas_kernel_matches_scan_all_envs(env):
     """Every built-in model family flows through the cost kernel: SOA
