@@ -10,7 +10,8 @@ the documented semantics, NOT a translation of unseen code:
 
 * the sampling stdev is a per-control-input *state variable* ``sigma`` (one
   scalar per input, initialized at ``SQRTRHOINV_mc/sqrt(dt)`` — the same
-  scaling standard MPPI applies to its fixed stdev),
+  scaling standard MPPI applies to its fixed stdev — clamped into the
+  documented bounds),
 * each tick runs a standard MPPI update (perturbations at inducing points,
   linear interpolation, correction cost with ``NU_mc``/``R``/``cc_weight``,
   softmax weights ``exp(-(S-rho)/LBD_mc)``) using the *current* sigma,
@@ -29,9 +30,12 @@ With ``LR = 0`` the sigma update is a no-op and every remaining operation is
 the reference MPPI step — verified bitwise against MPPIOptimizer's scan path
 in tests/test_mppi_var.py.
 
-TPU notes: the whole tick is one jitted pure function; cost evaluation uses
-the fused Pallas rollout+cost kernel when available (the variance gradient
-needs only the costs and the eps draws, both of which live in XLA).
+TPU notes: subclasses MPPIOptimizer, so it inherits the semi-fused execution
+mode (jax.random draws at inducing points streamed into the fused
+interp+clip+rollout+cost kernel, ops/pallas_mppi.py make_run.external); the
+per-input sigma scales the tile-layout draws in XLA and the variance
+gradient is one einsum over the same tiles.  Falls back to the scan path
+(with the Pallas cost-only kernel) exactly like MPPI.
 """
 from __future__ import annotations
 
@@ -39,11 +43,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from control_toolkit_tpu.ops.interpolation import Interpolator
-from control_toolkit_tpu.optimizers.base import Optimizer
 from control_toolkit_tpu.optimizers.mppi import (
+    MPPIOptimizer,
     make_correction_cost,
     make_reward_weighted_average,
 )
@@ -59,7 +61,7 @@ class MPPIVarState(NamedTuple):
 
 @registry.optimizers.register("mppi-var-tf")
 @registry.optimizers.register("mppi-var")
-class MPPIVarOptimizer(Optimizer):
+class MPPIVarOptimizer(MPPIOptimizer):
     def __init__(
         self,
         *,
@@ -75,28 +77,17 @@ class MPPIVarOptimizer(Optimizer):
         period_interpolation_inducing_points: int = 10,
         **kwargs,
     ):
-        super().__init__(**kwargs)
-        self.cc_weight = float(cc_weight)
-        self.R = float(R)
-        self.LBD = float(LBD_mc)
-        self.NU = float(NU_mc)
-        self._SQRTRHOINV = float(SQRTRHOINV_mc)
+        super().__init__(
+            cc_weight=cc_weight, R=R, LBD=LBD_mc, NU=NU_mc,
+            SQRTRHOINV=SQRTRHOINV_mc,
+            period_interpolation_inducing_points=period_interpolation_inducing_points,
+            fully_fused=False,  # the two-pass kernel's update is plain MPPI
+            **kwargs,
+        )
         self.LR = float(LR)
         self.STDEV_min = float(STDEV_min)
         self.STDEV_max = float(STDEV_max)
         self.max_grad_norm = float(max_grad_norm)
-        self.period_interpolation_inducing_points = int(
-            period_interpolation_inducing_points
-        )
-
-    def configure(self, num_states, num_control_inputs, dt=None, **kwargs):
-        if dt is None:
-            raise ValueError("MPPI-var requires dt (mpc_timestep)")
-        self.SQRTRHODTINV = self._SQRTRHOINV / float(np.sqrt(dt))
-        self.interp = Interpolator.build(
-            self.mpc_horizon, self.period_interpolation_inducing_points
-        )
-        super().configure(num_states, num_control_inputs, dt=dt, **kwargs)
 
     def _init_state(self, key):
         u_mid = 0.5 * (self.action_low + self.action_high)
@@ -117,25 +108,97 @@ class MPPIVarOptimizer(Optimizer):
             ),
         )
 
+    def _stdev_step(self, stdev, advantage, sq_sum, P):
+        """One clipped score-function step on sigma; LR = 0 is a no-op.
+
+        advantage: [K]; sq_sum: [K, U] = sum_p eps_raw_{kpj}^2 over the P
+        inducing points (eps_raw = standard-normal draws).
+        """
+        grad = jnp.mean(advantage[:, None] * (sq_sum - P) / stdev, axis=0)
+        gnorm = jnp.sqrt(jnp.sum(grad**2))
+        grad = grad * jnp.minimum(
+            1.0, self.max_grad_norm / jnp.maximum(gnorm, 1e-12)
+        )
+        return jnp.clip(stdev - self.LR * grad, self.STDEV_min, self.STDEV_max)
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         P = self.interp.number_of_interpolation_inducing_points
         low, high = self.action_low, self.action_high
-        cc_weight, R, LBD, NU = self.cc_weight, self.R, self.LBD, self.NU
-        LR = self.LR
-        smin, smax = self.STDEV_min, self.STDEV_max
-        gmax = self.max_grad_norm
+        LBD = self.LBD
         interp = self.interp
         want_opt_traj = self.calculate_optimal_trajectory
 
+        correction_cost = make_correction_cost(self.cc_weight, self.R, self.NU)
+        reward_weighted_average = make_reward_weighted_average(LBD)
+
+        # ---- semi-fused TPU path (mirrors MPPIOptimizer's, plus the sigma
+        # scaling of the raw draws and the variance-adaptation einsum) ------
+        if (self.semi_fused and not self.optimizer_logging
+                and not want_opt_traj and self._can_use_pallas()):
+            from control_toolkit_tpu.ops.pallas_mppi import (
+                DEFAULT_TILE_K, ROWS,
+            )
+
+            _, pack, make_run = self._build_fused_mppi(build_step=False)
+            if self._mesh is not None:
+                cost_kernel = make_run.external(
+                    K, mesh=self._mesh, axis=self._shard_axes
+                )
+            else:
+                cost_kernel = make_run.external(K)
+            T = K // DEFAULT_TILE_K
+            C = DEFAULT_TILE_K // ROWS
+            W_mat = jnp.asarray(self.interp.matrix, jnp.float32)  # [P, H]
+
+            def semi_fused_step_fn(state: MPPIVarState, s, params):
+                key, sample_key = jax.random.split(state.key)
+                u_nom = jnp.concatenate(
+                    [state.u_nom[:, 1:, :], state.u_nom[:, -1:, :]], axis=1
+                )
+                eps_raw = jax.random.normal(
+                    sample_key, (T, U, P * ROWS, C), dtype=jnp.float32
+                )
+                eps = eps_raw * state.stdev[None, :, None, None]
+                pvec = pack(params, state.u_prev)
+                costs2d = cost_kernel(s[0], u_nom[0], pvec, eps)  # [R, T*C]
+
+                rho = jnp.min(costs2d)
+                w = jnp.exp(-(costs2d - rho) * (1.0 / LBD))
+                a = jnp.sum(w)
+                w3 = w.reshape(ROWS, T, C)
+                eps5 = eps.reshape(T, U, P, ROWS, C)
+                ws = jnp.einsum("rtc,tuprc->up", w3, eps5) / a   # [U, P]
+                b = jnp.einsum("ph,up->hu", W_mat, ws)           # [H, U]
+                u_nom = jnp.clip(u_nom + b[None], low, high)
+                u = u_nom[0, 0, :]
+
+                # variance adaptation on the same tiles
+                adv3 = (costs2d - jnp.mean(costs2d)).reshape(ROWS, T, C)
+                raw5 = eps_raw.reshape(T, U, P, ROWS, C)
+                # sum_k adv_k * sum_p eps_raw^2  per input j:
+                sq = jnp.einsum("rtc,tuprc->u", adv3, raw5**2)
+                grad = (sq / K - jnp.mean(adv3) * P) / state.stdev
+                gnorm = jnp.sqrt(jnp.sum(grad**2))
+                grad = grad * jnp.minimum(
+                    1.0, self.max_grad_norm / jnp.maximum(gnorm, 1e-12)
+                )
+                stdev = jnp.clip(
+                    state.stdev - self.LR * grad,
+                    self.STDEV_min, self.STDEV_max,
+                )
+
+                diag = {"u_nom": u_nom, "stdev_logged": stdev,
+                        "J_logged": costs2d.reshape(-1)}
+                return u, MPPIVarState(
+                    key=key, u_nom=u_nom, u_prev=u, stdev=stdev
+                ), diag
+
+            return semi_fused_step_fn
+
+        # ---- scan path (CPU / logging / small K) ---------------------------
         cost_only = None if self.optimizer_logging else self._make_cost_only()
         fuse = cost_only is not None
-
-        # Same update math as MPPI's scan path (shared helpers keep the
-        # LR=0 bitwise-parity contract maintainable), with the
-        # "mathematically correct" parameter set.
-        correction_cost = make_correction_cost(cc_weight, R, NU)
-        reward_weighted_average = make_reward_weighted_average(LBD)
 
         def step_fn(state: MPPIVarState, s, params):
             key, sample_key = jax.random.split(state.key)
@@ -165,15 +228,9 @@ class MPPIVarOptimizer(Optimizer):
             u = u_nom[0, 0, :]
 
             # --- variance adaptation (see module docstring) -----------------
-            # Score-function gradient of E[S] w.r.t. sigma with the
-            # population-mean baseline; LR = 0 makes the whole block a no-op
-            # multiply, preserving paper-MPPI semantics exactly.
             advantage = S - jnp.mean(S, axis=0)                    # [K]
-            score = jnp.sum(eps**2 - 1.0, axis=1) / state.stdev    # [K, U]
-            grad = jnp.mean(advantage[:, None] * score, axis=0)    # [U]
-            gnorm = jnp.sqrt(jnp.sum(grad**2))
-            grad = grad * jnp.minimum(1.0, gmax / jnp.maximum(gnorm, 1e-12))
-            stdev = jnp.clip(state.stdev - LR * grad, smin, smax)
+            sq_sum = jnp.sum(eps**2, axis=1)                       # [K, U]
+            stdev = self._stdev_step(state.stdev, advantage, sq_sum, P)
 
             diag = {"u_nom": u_nom, "stdev_logged": stdev}
             if not fuse:

@@ -127,6 +127,43 @@ def test_closed_loop_cartpole_stabilization():
     assert sigma < sigma0, "sampling variance should shrink while regulating"
 
 
+def test_semi_fused_variance_grad_matches_flat_formula():
+    """The semi-fused path computes the sigma gradient with one einsum over
+    tile-layout draws; it must equal the scan path's flat-formula gradient
+    under the tile<->rollout index mapping (costs2d[r, t*C+c] = rollout
+    (t,r,c); eps5[t,u,p,r,c])."""
+    import jax
+    from control_toolkit_tpu.ops.pallas_mppi import ROWS
+
+    rng = np.random.default_rng(3)
+    T, C, P, U = 2, 16, 5, 3
+    K = T * ROWS * C
+    sigma = jnp.asarray(rng.uniform(0.1, 1.0, (U,)), jnp.float32)
+    eps_raw = jnp.asarray(rng.normal(size=(T, U, P * ROWS, C)), jnp.float32)
+    costs2d = jnp.asarray(rng.normal(size=(ROWS, T * C)), jnp.float32)
+
+    # tile-layout gradient (as in semi_fused_step_fn, pre-clip)
+    adv3 = (costs2d - jnp.mean(costs2d)).reshape(ROWS, T, C)
+    raw5 = eps_raw.reshape(T, U, P, ROWS, C)
+    sq = jnp.einsum("rtc,tuprc->u", adv3, raw5**2)
+    grad_tiles = (sq / K - jnp.mean(adv3) * P) / sigma
+
+    # flat formula (scan path): mean_k adv_k * (sum_p eps^2 - P) / sigma
+    eps_flat = np.transpose(np.asarray(raw5), (0, 3, 4, 2, 1)).reshape(K, P, U)
+    S_flat = np.zeros(K, np.float32)
+    c2 = np.asarray(costs2d)
+    for t in range(T):
+        for r in range(ROWS):
+            for c in range(C):
+                S_flat[(t * ROWS + r) * C + c] = c2[r, t * C + c]
+    adv = S_flat - S_flat.mean()
+    sq_sum = np.sum(eps_flat**2, axis=1)                       # [K, U]
+    grad_flat = np.mean(adv[:, None] * (sq_sum - P), axis=0) / np.asarray(sigma)
+
+    np.testing.assert_allclose(np.asarray(grad_tiles), grad_flat,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_registry_and_logging_contract():
     from control_toolkit_tpu.utils.registry import get_available_optimizer_names
 
