@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from control_toolkit_tpu.costs import obstacles as obst
 from control_toolkit_tpu.costs.base import CostFunction
 from control_toolkit_tpu.utils import registry
 
@@ -73,3 +74,36 @@ class CarWaypointCost(CostFunction):
             "steer": w["steer_weight"] * inputs[..., 0] ** 2,
             "accel": w["cc_weight"] * inputs[..., 1] ** 2,
         }
+
+
+@registry.cost_functions.register("car/obstacles")
+class CarObstacleCost(CarWaypointCost):
+    """Waypoint driving through circular obstacles — nonholonomic
+    navigation (the car must PLAN around discs it cannot sidestep);
+    penalty and attribute layout shared with pointmass/obstacles
+    (costs/obstacles.py)."""
+
+    dynamic_config_keys = (
+        CarWaypointCost.dynamic_config_keys + obst.OBSTACLE_CONFIG_KEYS
+    )
+    attr_keys = CarWaypointCost.attr_keys + obst.OBSTACLE_ATTR_KEYS
+    attr_defaults = {
+        **CarWaypointCost.attr_defaults, **obst.OBSTACLE_ATTR_DEFAULTS,
+    }
+    DEFAULTS = {**CarWaypointCost.DEFAULTS, **obst.OBSTACLE_CONFIG_DEFAULTS}
+
+    def _stage_cost_core_soa(self, xs, us, params):
+        base = super()._stage_cost_core_soa(xs, us, params)
+        return base + obst.obstacle_penalty(xs[0], xs[1], params)
+
+    def terminal_cost_soa(self, xs, params):
+        base = super().terminal_cost_soa(xs, params)
+        return base + obst.obstacle_penalty(xs[0], xs[1], params)
+
+    def cost_components(self, states, inputs, previous_input=None, params=None):
+        params = params if params is not None else self.current_params()
+        comps = super().cost_components(states, inputs, previous_input, params)
+        comps["obstacles"] = obst.obstacle_penalty(
+            states[..., 0], states[..., 1], params
+        )
+        return comps

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from control_toolkit_tpu.costs import obstacles as obst
 from control_toolkit_tpu.costs.base import CostFunction
 from control_toolkit_tpu.utils import registry
 
@@ -69,69 +70,36 @@ class PointMassQuadraticCost(CostFunction):
         }
 
 
-N_OBSTACLES = 3
-
-
 @registry.cost_functions.register("pointmass/obstacles")
 class PointMassObstacleCost(PointMassQuadraticCost):
-    """Waypoint tracking through a field of circular obstacles.
+    """Waypoint tracking through a field of circular obstacles —
+    the cost-extension pattern for navigation objectives; penalty,
+    attribute layout and kernel-eligibility rationale in
+    costs/obstacles.py (shared with car/obstacles)."""
 
-    Demonstrates the cost-extension contract for navigation-style
-    objectives: each of the ``N_OBSTACLES`` obstacles is three SCALAR
-    attributes (obs<i>_x, obs<i>_y, obs<i>_r) so positions and radii move
-    at runtime through the same attrs pipeline as targets — and, because
-    every attribute is a scalar, the cost stays eligible for the fused
-    Pallas kernels (attrs ride the SMEM parameter vector).
-
-    Penalty: smooth hinge ``obstacle_weight * max(0, 1 - d^2/r_margin^2)^2``
-    per obstacle, where r_margin = r + clearance — zero outside the margin,
-    quadratic ramp inside, C1-continuous (sampling- and gradient-optimizer
-    friendly).  Inactive obstacles: set r to 0 (margin shrinks to
-    clearance) or park them far away.
-    """
-
-    dynamic_config_keys = PointMassQuadraticCost.dynamic_config_keys + (
-        "obstacle_weight", "clearance",
+    dynamic_config_keys = (
+        PointMassQuadraticCost.dynamic_config_keys + obst.OBSTACLE_CONFIG_KEYS
     )
-    attr_keys = PointMassQuadraticCost.attr_keys + tuple(
-        f"obs{i}_{c}" for i in range(N_OBSTACLES) for c in ("x", "y", "r")
-    )
-    attr_defaults = dict(PointMassQuadraticCost.attr_defaults)
-    for _i in range(N_OBSTACLES):
-        attr_defaults.update(
-            {f"obs{_i}_x": 1e6, f"obs{_i}_y": 1e6, f"obs{_i}_r": 0.0}
-        )
-    del _i
-
-    DEFAULTS = dict(PointMassQuadraticCost.DEFAULTS)
-    DEFAULTS.update({"obstacle_weight": 200.0, "clearance": 0.15})
-
-    def _obstacle_penalty_soa(self, x, y, params):
-        w = params["cost"]
-        attrs = params["attrs"]
-        pen = 0.0
-        for i in range(N_OBSTACLES):
-            ox = attrs.get(f"obs{i}_x", jnp.float32(1e6))
-            oy = attrs.get(f"obs{i}_y", jnp.float32(1e6))
-            orr = attrs.get(f"obs{i}_r", jnp.float32(0.0))
-            margin = orr + w["clearance"]
-            d2 = (x - ox) ** 2 + (y - oy) ** 2
-            h = jnp.maximum(0.0, 1.0 - d2 / (margin * margin))
-            pen = pen + h * h
-        return w["obstacle_weight"] * pen
+    attr_keys = PointMassQuadraticCost.attr_keys + obst.OBSTACLE_ATTR_KEYS
+    attr_defaults = {
+        **PointMassQuadraticCost.attr_defaults, **obst.OBSTACLE_ATTR_DEFAULTS,
+    }
+    DEFAULTS = {
+        **PointMassQuadraticCost.DEFAULTS, **obst.OBSTACLE_CONFIG_DEFAULTS,
+    }
 
     def _stage_cost_core_soa(self, xs, us, params):
         base = super()._stage_cost_core_soa(xs, us, params)
-        return base + self._obstacle_penalty_soa(xs[0], xs[1], params)
+        return base + obst.obstacle_penalty(xs[0], xs[1], params)
 
     def terminal_cost_soa(self, xs, params):
         base = super().terminal_cost_soa(xs, params)
-        return base + self._obstacle_penalty_soa(xs[0], xs[1], params)
+        return base + obst.obstacle_penalty(xs[0], xs[1], params)
 
     def cost_components(self, states, inputs, previous_input=None, params=None):
         params = params if params is not None else self.current_params()
         comps = super().cost_components(states, inputs, previous_input, params)
-        comps["obstacles"] = self._obstacle_penalty_soa(
+        comps["obstacles"] = obst.obstacle_penalty(
             states[..., 0], states[..., 1], params
         )
         return comps

@@ -93,6 +93,49 @@ def test_kernel_matches_scan_with_obstacles():
                                rtol=3e-5, atol=1e-4)
 
 
+def test_car_navigates_around_obstacle():
+    """Nonholonomic navigation: the car must PLAN a curve around the disc
+    (it cannot strafe like the point mass)."""
+    from control_toolkit_tpu.environments.car import CarEnv
+
+    # Disc slightly off the start heading (a head-on PERFECTLY symmetric
+    # disc is a knife-edge left/right decision that stalls finite-sample
+    # MPPI — any real scene breaks that tie).
+    ctrl = MPCController(
+        environment_name="car",
+        control_limits=(np.array([-1.0, -1.0], np.float32),
+                        np.array([1.0, 1.0], np.float32)),
+        initial_environment_attributes={
+            "target_x": 2.5, "target_y": 0.0,
+            "obs0_x": 1.2, "obs0_y": 0.15, "obs0_r": 0.4,
+        },
+        config={"optimizer": "mppi", "controller_logging": False,
+                "cost_function_specification": "obstacles"},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 60,
+        "num_rollouts": 1024, "cc_weight": 1.0, "R": 1.0, "LBD": 2.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.2,
+        "period_interpolation_inducing_points": 5,
+    })
+    ctrl.cost_function.cost_function.config.update(
+        {"obstacle_weight": 400.0, "clearance": 0.2}
+    )
+    env = CarEnv(batch_size=1, dt=0.02, seed=0)
+    env.reset()
+    env.state = jnp.zeros((1, 4), jnp.float32)  # facing the obstacle
+    s = np.asarray(env.state)
+    min_d, best = np.inf, np.inf
+    for _ in range(400):
+        u = ctrl.step(s[0])
+        s, *_ = env.step(u)
+        s = np.asarray(s)
+        min_d = min(min_d, float(np.hypot(s[0, 0] - 1.2, s[0, 1] - 0.15)))
+        best = min(best, float(np.hypot(s[0, 0] - 2.5, s[0, 1])))
+    assert min_d > 0.4, f"car entered the obstacle (min distance {min_d:.3f})"
+    assert best < 0.5, f"car never reached the goal (best {best:.2f}), final {s[0]}"
+
+
 def test_cost_components_include_obstacles():
     ctrl = build()
     cf = ctrl.cost_function.cost_function
