@@ -106,6 +106,12 @@ def build_grad_cost_rollout_kernel(
             xs = one_step(xs, us, p)
             return xs, us, acc
 
+        # Loop-structure note (measured, v5e, K=16k H=50 cartpole): a fully
+        # Python-unrolled straight-line version of both sweeps ran at the
+        # same speed (1.69 vs 1.60 ms/call) with a 6-minute compile, and
+        # lax.fori_loop(unroll>1) does not lower inside pallas — the kernel
+        # is VPU-compute-bound (transposed-rk4 arithmetic), not
+        # loop-overhead-bound.  Keep the plain fori_loop.
         xs_H, _, acc = jax.lax.fori_loop(
             0, H, fwd, (xs0, u_prev0, jnp.zeros((1, tile_k), jnp.float32))
         )
