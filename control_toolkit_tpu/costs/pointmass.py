@@ -70,6 +70,76 @@ class PointMassQuadraticCost(CostFunction):
         }
 
 
+@registry.cost_functions.register("pointmass/trajectory")
+class PointMassTrajectoryCost(CostFunction):
+    """Track a TIME-VARYING reference trajectory over the horizon.
+
+    ``ref_x``/``ref_y`` are ARRAY-valued attributes of shape [H+1] (the
+    reference position at each rollout step, terminal included), updated
+    through the same ``updated_attributes`` pipeline as scalar targets —
+    parity with the reference's VariableParameters, which holds tensors.
+    Stage h tracks ref[h], the terminal state tracks ref[H], so the
+    optimizer plans along the path rather than toward one point.
+
+    Overrides ``_get_stage_cost`` directly (the time index must reach the
+    cost), which automatically excludes this cost from the fused/Pallas
+    paths via the ``supports_fused_rollout`` contract; array attributes keep
+    it on the scan path regardless (Optimizer._can_use_pallas).
+    """
+
+    dynamic_config_keys = ("pos_weight", "vel_weight", "cc_weight", "R")
+
+    DEFAULTS = {
+        "pos_weight": 20.0,
+        "vel_weight": 0.2,
+        "cc_weight": 0.1,
+        "R": 1.0,
+    }
+
+    def __init__(self, config=None):
+        merged = dict(self.DEFAULTS)
+        merged.update(config or {})
+        super().__init__(merged)
+
+    def configure(self, batch_size, horizon, **kwargs):
+        super().configure(batch_size, horizon, **kwargs)
+        # Defaults depend on the horizon: hold position at the origin.
+        self.attr_keys = ("ref_x", "ref_y")
+        self.attr_defaults = {
+            "ref_x": jnp.zeros((horizon + 1,), jnp.float32),
+            "ref_y": jnp.zeros((horizon + 1,), jnp.float32),
+        }
+
+    def _refs(self, params, H):
+        attrs = params["attrs"]
+        ref_x = jnp.asarray(
+            attrs.get("ref_x", jnp.zeros((H + 1,), jnp.float32)), jnp.float32
+        )
+        ref_y = jnp.asarray(
+            attrs.get("ref_y", jnp.zeros((H + 1,), jnp.float32)), jnp.float32
+        )
+        return ref_x, ref_y
+
+    def _get_stage_cost(self, states, inputs, previous_input, params):
+        w = params["cost"]
+        H = inputs.shape[1]
+        ref_x, ref_y = self._refs(params, H)
+        pos = w["pos_weight"] * (
+            (states[..., 0] - ref_x[:H]) ** 2 + (states[..., 1] - ref_y[:H]) ** 2
+        )
+        vel = w["vel_weight"] * (states[..., 2] ** 2 + states[..., 3] ** 2)
+        cc = w["cc_weight"] * w["R"] * jnp.sum(inputs**2, axis=-1)
+        return pos + vel + cc
+
+    def get_terminal_cost(self, terminal_states, params):
+        w = params["cost"]
+        ref_x, ref_y = self._refs(params, self.horizon or 1)
+        return 10.0 * w["pos_weight"] * (
+            (terminal_states[..., 0] - ref_x[-1]) ** 2
+            + (terminal_states[..., 1] - ref_y[-1]) ** 2
+        )
+
+
 @registry.cost_functions.register("pointmass/obstacles")
 class PointMassObstacleCost(PointMassQuadraticCost):
     """Waypoint tracking through a field of circular obstacles —

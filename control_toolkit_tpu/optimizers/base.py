@@ -279,6 +279,13 @@ class Optimizer:
             and getattr(pred.dynamics, "soa", None) is not None
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
+            # The kernels carry attributes as SMEM scalars; a cost declaring
+            # array-valued attr defaults (e.g. a reference trajectory) stays
+            # on the scan path, which handles array attrs natively.
+            and all(
+                np.ndim(v) == 0
+                for v in getattr(cf, "attr_defaults", {}).values()
+            )
             # Under sharding each device runs its LOCAL tiles through the
             # kernel via shard_map, so the per-device shard must tile evenly.
             and self.num_rollouts % (DEFAULT_TILE_K * self._n_shard_devices()) == 0
@@ -357,6 +364,14 @@ class Optimizer:
                 vals[f"a_{k}"] = params["attrs"].get(
                     k, attr_defaults.get(k, 0.0)
                 )
+            for k in attr_keys:
+                if jnp.ndim(vals[f"a_{k}"]) != 0:
+                    raise ValueError(
+                        f"attribute {k!r} is array-valued; the fused kernel "
+                        "path carries attrs as SMEM scalars. Set "
+                        "force_scan=True (the scan path supports array "
+                        "attributes) or keep this attribute scalar."
+                    )
             up = jnp.asarray(u_prev, jnp.float32)
             if up.ndim >= 2 and up.shape[0] > 1:
                 raise ValueError(
