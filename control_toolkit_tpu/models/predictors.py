@@ -229,6 +229,24 @@ class PredictorWrapper:
                 intermediate_steps=substeps,
                 fast_math=fast_math,
             )
+        elif head == "ODE+res":
+            # "ODE+res[:integrator[:substeps]][:fast]" — analytic base plus a
+            # learned next-state MLP residual (adaptive MPC;
+            # models/residual_predictor.py).  Hidden sizes via kwargs.
+            opts = list(spec_parts[1:])
+            fast_math = "fast" in opts
+            opts = [o for o in opts if o != "fast"]
+            from control_toolkit_tpu.models.residual_predictor import (
+                ResidualPredictor,
+            )
+            self.predictor = ResidualPredictor(
+                environment_name=environment_name,
+                dt=dt,
+                integrator=opts[0] if len(opts) > 0 else "rk4",
+                intermediate_steps=int(opts[1]) if len(opts) > 1 else 1,
+                fast_math=fast_math,
+                **kwargs,
+            )
         elif head == "neural" and len(spec_parts) > 1:
             # "neural:<net_name>[:<path>][:bf16]"
             opts = list(spec_parts[2:])

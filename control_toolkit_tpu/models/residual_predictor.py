@@ -1,0 +1,106 @@
+"""Residual dynamics predictor: analytic ODE base + learned MLP correction.
+
+The adaptive-MPC composition: ``x_{h+1} = ode_step(x, u) + mlp([x, u])``.
+The MLP's output layer is zero-initialized, so a fresh residual predictor is
+EXACTLY the base ODE predictor; online system identification
+(models/online_sysid.py) then fits the correction to observed transitions
+while the controller keeps running — all residual weights live in the
+``params["dyn"]`` pytree, so updating them is a jit-argument change, never a
+recompile (the same mechanism the reference reserves for cost-YAML
+hot-reload, CostFunctionUpdater.py:65-68, extended here to the model).
+
+The reference delegates model mismatch entirely to offline SI_Toolkit
+retraining; this module closes the loop online.  Not Pallas-eligible (the
+MLP lives inside the rollout); uses the fused scan path and supports AD, so
+every optimizer family (sampling and gradient) runs on top of it.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from control_toolkit_tpu.models.networks import mlp_apply, mlp_init
+from control_toolkit_tpu.models.predictors import ODEPredictor, Predictor
+from control_toolkit_tpu.utils import registry
+
+
+@registry.predictors.register("ODE+res")
+class ResidualPredictor(Predictor):
+    """ODE base + additive next-state MLP residual.
+
+    Params pytree: ``{"base": <ode constants>, "res": <mlp weights>}`` —
+    both live, per-step jit arguments.
+    """
+
+    def __init__(
+        self,
+        environment_name: str = "cartpole",
+        dt: float = 0.02,
+        integrator: str = "rk4",
+        intermediate_steps: int = 1,
+        fast_math: bool = False,
+        hiddens: Sequence[int] = (32, 32),
+        seed: int = 0,
+        base_params: Optional[Dict] = None,
+    ):
+        self.base = ODEPredictor(
+            environment_name=environment_name, dt=dt, integrator=integrator,
+            intermediate_steps=intermediate_steps, params=base_params,
+            fast_math=fast_math,
+        )
+        S, U = self.base.num_states, self.base.num_control_inputs
+        self.num_states, self.num_control_inputs = S, U
+        self.dt = self.base.dt
+        self.integrator = integrator
+        self.intermediate_steps = int(intermediate_steps)
+        self.fast_math = bool(fast_math)
+        self.hiddens = tuple(int(h) for h in hiddens)
+
+        res = mlp_init(jax.random.PRNGKey(seed), [S + U, *self.hiddens, S])
+        n_layers = len(self.hiddens)
+        # Zero output layer: residual == 0 until fitted.
+        res[f"w{n_layers}"] = jnp.zeros_like(res[f"w{n_layers}"])
+        self._res = res
+
+        base_step = self.base.single_step
+
+        def single_step(x, u, params):
+            xb = base_step(x, u, params["base"])
+            return xb + mlp_apply(params["res"], jnp.concatenate([x, u], axis=-1))
+
+        self._single_step = single_step
+
+    def set_residual(self, res: Dict) -> None:
+        """Install fitted residual weights (device or host arrays).
+
+        Callers holding an MPCController must also drop its cached dyn
+        params (``ctrl._dyn_params = None``) — OnlineSysId.apply does both.
+        """
+        self._res = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v, jnp.float32), res
+        )
+
+    def default_params(self) -> Dict:
+        return {"base": self.base.default_params(), "res": self._res}
+
+    @property
+    def single_step(self):
+        return self._single_step
+
+    def rollout(self, s0, Q, params=None):
+        p = self.default_params() if params is None else params
+        Q_t = jnp.swapaxes(Q, 0, 1)
+
+        def body(x, u):
+            x2 = self._single_step(x, u, p)
+            return x2, x2
+
+        _, traj = jax.lax.scan(body, s0, Q_t)
+        return jnp.concatenate([s0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)
+
+    def copy(self) -> "ResidualPredictor":
+        new = ResidualPredictor.__new__(ResidualPredictor)
+        new.__dict__.update(self.__dict__)
+        return new

@@ -15,6 +15,7 @@ code lowers in XLA, Pallas/Mosaic kernels, and interpret mode.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _TWO_PI = 6.283185307179586
@@ -68,3 +69,38 @@ def fast_cos(x):
     r2 = r * r
     return _COS_C[0] + r2 * (_COS_C[1] + r2 * (_COS_C[2] + r2 * (
         _COS_C[3] + r2 * (_COS_C[4] + r2 * _COS_C[5]))))
+
+
+_LN2 = 0.6931471805599453
+# Least-squares fit of log2(1+t) on [0,1) (Chebyshev nodes, degree 6):
+# max abs error 2.1e-6 in log2 => 1.5e-6 in ln — exact in the exponent, so
+# the ABSOLUTE error holds for all positive finite f32 inputs.
+_LOG2_C = (
+    2.1237408918309273e-06,
+    1.4424753148220764,
+    -0.7175578724221764,
+    0.45552708806115005,
+    -0.2746232576172888,
+    0.11929823770627786,
+    -0.02512320328611391,
+)
+
+
+def fast_log(x):
+    """Natural log via exponent extraction + mantissa polynomial.
+
+    ``ln x = ln2 * (e + log2(m))`` with ``x = m * 2^e``, ``m in [1,2)``
+    pulled out with integer bit ops (no transcendental lowering).  Finite
+    positive normal f32 only — exactly the Box-Muller use case
+    (``u in (2^-25, 1]``); denormals/zero/negative are not handled.
+    """
+    bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(x, jnp.float32), jnp.int32
+    )
+    e = jax.lax.shift_right_logical(bits, jnp.int32(23)) - jnp.int32(127)
+    m_bits = (bits & jnp.int32(0x7FFFFF)) | jnp.int32(0x3F800000)
+    m = jax.lax.bitcast_convert_type(m_bits, jnp.float32)
+    t = m - 1.0
+    p = _LOG2_C[0] + t * (_LOG2_C[1] + t * (_LOG2_C[2] + t * (
+        _LOG2_C[3] + t * (_LOG2_C[4] + t * (_LOG2_C[5] + t * _LOG2_C[6])))))
+    return _LN2 * (e.astype(jnp.float32) + p)

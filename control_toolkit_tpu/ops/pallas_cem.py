@@ -49,6 +49,7 @@ def build_fused_cem(
     intermediate_steps: int = 1,
     tile_k: int = DEFAULT_TILE_K,
     interpret: bool = False,
+    fast_sampling: bool = False,
 ):
     """Build (make_run, regen_controls).
 
@@ -93,7 +94,7 @@ def build_fused_cem(
                 base = (seed * jnp.uint32(_FNV)
                         + tile_id * jnp.uint32(stride * U)
                         + jnp.uint32(j * stride))
-                z_ref[j] = _normals(base, (H * ROWS, C))
+                z_ref[j] = _normals(base, (H * ROWS, C), fast=fast_sampling)
 
             xs = tuple(jnp.full((ROWS, C), s0_ref[i]) for i in range(S))
             prev_us = tuple(
@@ -158,7 +159,7 @@ def build_fused_cem(
         idx = ((h[None, :] * ROWS + r.astype(jnp.uint32)[:, None]) * C
                + c.astype(jnp.uint32)[:, None])                       # [k, H]
         counter = base[:, None, :] + idx[:, :, None]                  # [k, H, U]
-        z = _normals_from_counter(counter)
+        z = _normals_from_counter(counter, fast=fast_sampling)
         return jnp.clip(mue[None] + std[None] * z, low_vec, high_vec)
 
     return make_run, regen_controls

@@ -75,12 +75,24 @@ def _splitmix32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _normals_from_counter(counter: jnp.ndarray) -> jnp.ndarray:
+def _normals_from_counter(counter: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
     """Box-Muller standard normal for each uint32 counter element.
 
     Pure elementwise function of the counter, so any subset of a kernel's
     noise can be REGENERATED exactly in XLA from the same counters (used by
-    fused CEM to rebuild only the elite rows)."""
+    fused CEM to rebuild only the elite rows).
+
+    ``fast=True`` swaps the exact log/cos for the polynomial versions
+    (ops/fastmath.py, ~2e-6 log / ~1e-5 trig error — far below sampling
+    noise).  The flag must match between a kernel and its XLA regeneration:
+    builders thread one ``fast_sampling`` value into both.
+
+    Measured (v5e, fused CEM K=1M H=50): perf-NEUTRAL — replacing the whole
+    noise path with a constant fill saves only ~1.1 ms of the 8 ms pass,
+    and that remainder is the splitmix32 integer hashing (uint32 multiplies
+    on the VPU), not the log/cos this flag replaces.  Kept because it costs
+    nothing and documents the negative result; do not expect kernel-side
+    sampling wins from cheaper transcendentals."""
     bits1 = _splitmix32(counter)
     bits2 = _splitmix32(counter + jnp.uint32(0x7F4A7C15))
     # uint32 -> uniform via the top 24 bits; u1 in (0, 1], u2 in [0, 1).
@@ -90,16 +102,21 @@ def _normals_from_counter(counter: jnp.ndarray) -> jnp.ndarray:
     i2 = jax.lax.shift_right_logical(bits2, eight).astype(jnp.int32)
     u1 = (i1.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
     u2 = i2.astype(jnp.float32) * (1.0 / 16777216.0)
+    if fast:
+        from control_toolkit_tpu.ops.fastmath import fast_cos, fast_log
+
+        r = jnp.sqrt(-2.0 * fast_log(u1))
+        return r * fast_cos(_TWO_PI * u2)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
 
-def _normals(counter_base: jnp.ndarray, shape) -> jnp.ndarray:
+def _normals(counter_base: jnp.ndarray, shape, fast: bool = False) -> jnp.ndarray:
     """Box-Muller standard normals keyed by a per-element uint32 counter."""
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     idx = rows * jnp.uint32(shape[1]) + cols
-    return _normals_from_counter(counter_base + idx)
+    return _normals_from_counter(counter_base + idx, fast=fast)
 
 
 def build_fused_mppi_step(
@@ -120,6 +137,7 @@ def build_fused_mppi_step(
     intermediate_steps: int = 1,
     tile_k: int = DEFAULT_TILE_K,
     interpret: bool = False,
+    fast_sampling: bool = False,
 ):
     """Build ``make_run(K) -> step(s0 [S], u_nom [H,U], pvec [N], seed [1])
     -> (new_u_nom [H,U], costs [K])`` implementing one full MPPI update."""
@@ -169,7 +187,7 @@ def build_fused_mppi_step(
             base = (seed * jnp.uint32(0x01000193)
                     + tile_id * stride * jnp.uint32(U)
                     + jnp.uint32(j) * stride)
-            z = _normals(base, (P * ROWS, C)) * stdev       # [P*R, C]
+            z = _normals(base, (P * ROWS, C), fast=fast_sampling) * stdev  # [P*R, C]
             delta_ref[j] = jnp.dot(Wk, z, preferred_element_type=jnp.float32)
 
     # ---------------- pass 1: rollout + cost -------------------------------

@@ -106,6 +106,7 @@ class CEMOptimizer(Optimizer):
             intermediate_steps=pred.intermediate_steps,
             tile_k=tile_k or DEFAULT_TILE_K,
             interpret=interpret,
+            fast_sampling=bool(getattr(pred, "fast_math", False)),
         )
         return make_run(self.num_rollouts, pred.dt), regen, pack
 

@@ -186,6 +186,7 @@ class MPPIOptimizer(Optimizer):
             intermediate_steps=pred.intermediate_steps,
             tile_k=tile_k or DEFAULT_TILE_K,
             interpret=interpret,
+            fast_sampling=bool(getattr(pred, "fast_math", False)),
         )
         self._last_fused_make_run = make_run  # kept for test convenience
         kernel_step = None

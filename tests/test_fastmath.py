@@ -8,7 +8,41 @@ import pytest
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 from control_toolkit_tpu.models.predictors import ODEPredictor, PredictorWrapper
-from control_toolkit_tpu.ops.fastmath import fast_cos, fast_sin, fast_sincos
+from control_toolkit_tpu.ops.fastmath import (
+    fast_cos,
+    fast_log,
+    fast_sin,
+    fast_sincos,
+)
+
+
+def test_fast_log_accuracy():
+    """Bit-trick log: absolute error bound holds across the full positive
+    normal range (exponent handling is exact), incl. the Box-Muller domain
+    u in (2^-25, 1]."""
+    x = np.concatenate([
+        np.linspace(2.0**-25, 1.0, 200001),
+        np.logspace(-30, 30, 20001),
+    ]).astype(np.float32)
+    got = np.asarray(fast_log(jnp.asarray(x)))
+    ref = np.log(x.astype(np.float64))
+    # 2.1e-6 poly bound in log2 (1.5e-6 in ln) + f32 quantization of the
+    # result (one ulp of |ln x|, ~7.6e-6 at ln x = +-69).
+    bound = 5e-6 + np.float32(1.2e-7) * np.abs(ref)
+    assert np.max(np.abs(got - ref) - bound) < 0
+
+
+def test_fast_normals_track_exact():
+    """fast=True Box-Muller stays within approximation error of the exact
+    counter->normal map and keeps its moments."""
+    from control_toolkit_tpu.ops.pallas_mppi import _normals_from_counter
+
+    counters = jnp.arange(1 << 17, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    exact = np.asarray(_normals_from_counter(counters))
+    fast = np.asarray(_normals_from_counter(counters, fast=True))
+    assert np.max(np.abs(exact - fast)) < 1e-3
+    assert abs(fast.mean()) < 0.01
+    assert abs(fast.std() - 1.0) < 0.01
 
 
 def test_fast_trig_accuracy():

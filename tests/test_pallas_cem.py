@@ -3,20 +3,24 @@ cost agreement with the scan path, and closed-loop behavior."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 from control_toolkit_tpu.ops.pallas_mppi import ROWS
 
 
-def make_cem_ctrl(K=256, H=20, logging=False, fully_fused=False):
+def make_cem_ctrl(K=256, H=20, logging=False, fully_fused=False,
+                  predictor_spec="ODE"):
     ctrl = MPCController(
         environment_name="cartpole",
         control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
         initial_environment_attributes={"target_position": 0.1},
         config={"optimizer": "cem-tf", "controller_logging": logging},
     )
-    ctrl.configure(optimizer_name="cem-tf", optimizer_config={
+    ctrl.configure(optimizer_name="cem-tf",
+                   predictor_specification=predictor_spec,
+                   optimizer_config={
         "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
         "cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
         "cem_stdev_min": 0.01, "cem_best_k": 32,
@@ -25,12 +29,14 @@ def make_cem_ctrl(K=256, H=20, logging=False, fully_fused=False):
     return ctrl
 
 
-def test_fused_cem_costs_match_regenerated_controls():
+@pytest.mark.parametrize("spec", ["ODE", "ODE:rk4:1:fast"])
+def test_fused_cem_costs_match_regenerated_controls(spec):
     """Kernel costs must equal the scan-path costs of the controls
     regenerated in XLA from the SAME noise counters (the regeneration is
-    bit-exact, the rollout math agrees to float tolerance)."""
+    bit-exact, the rollout math agrees to float tolerance) — in both the
+    exact and the fast-sampling (polynomial log/cos Box-Muller) modes."""
     K, H, tile = 256, 20, 128
-    ctrl = make_cem_ctrl(K, H)
+    ctrl = make_cem_ctrl(K, H, predictor_spec=spec)
     opt = ctrl.optimizer
     run, regen, pack = opt._build_fused_cem(interpret=True, tile_k=tile)
     params = jax.tree_util.tree_map(
