@@ -75,7 +75,12 @@ class OnlineSysId:
         self._key = jax.random.PRNGKey(seed)
 
         self._tx = optax.adam(learning_rate)
-        self._opt_state = None  # lazily initialized; reset on apply
+        # Adam state persists across fit->apply->fit cycles (the weights
+        # continue from where they left off); it is DROPPED when a fit's
+        # result was discarded, so stale moments from an abandoned weight
+        # trajectory can't steer the next fit.
+        self._opt_state = None
+        self._pending = False   # last fit produced weights not yet applied
         self._fit_jit = None    # built per static step count
 
     # ---- data -------------------------------------------------------------
@@ -150,6 +155,10 @@ class OnlineSysId:
         res = jax.tree_util.tree_map(
             lambda v: jnp.asarray(v, jnp.float32), self.predictor._res
         )
+        if self._pending:
+            # The previous fit was discarded: this fit restarts from the
+            # installed weights, so its Adam moments no longer apply.
+            self._opt_state = None
         if self._opt_state is None:
             self._opt_state = self._tx.init(res)
         if self._fit_jit is None or self._fit_steps != steps:
@@ -165,6 +174,7 @@ class OnlineSysId:
             jnp.int32(self._count),
         )
         self._fitted_res = res
+        self._pending = True
         return {
             "fitted": 1.0, "count": float(self._count),
             "loss_before": float(l0), "loss_after": float(l1),
@@ -177,6 +187,7 @@ class OnlineSysId:
         if res is None:
             return
         self.predictor.set_residual(res)
+        self._pending = False
         if self.controller is not None:
             self.controller._dyn_params = None
 

@@ -105,7 +105,10 @@ def _normals_from_counter(counter: jnp.ndarray, fast: bool = False) -> jnp.ndarr
     if fast:
         from control_toolkit_tpu.ops.fastmath import fast_cos, fast_log
 
-        r = jnp.sqrt(-2.0 * fast_log(u1))
+        # fast_log(1.0) can land at +2e-6 (poly error), which would make the
+        # sqrt NaN — and u1 == 1.0 occurs at rate 2^-24 per draw, i.e. a few
+        # times per K=1M step.  Clamp the radicand at 0.
+        r = jnp.sqrt(jnp.maximum(-2.0 * fast_log(u1), 0.0))
         return r * fast_cos(_TWO_PI * u2)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)

@@ -50,6 +50,9 @@ from control_toolkit_tpu.optimizers.mppi import (
     make_reward_weighted_average,
 )
 from control_toolkit_tpu.utils import registry
+from control_toolkit_tpu.utils.logging_util import get_logger
+
+logger = get_logger(__name__)
 
 
 class MPPIVarState(NamedTuple):
@@ -77,6 +80,21 @@ class MPPIVarOptimizer(MPPIOptimizer):
         period_interpolation_inducing_points: int = 10,
         **kwargs,
     ):
+        # mppi-var's documented schema carries the MPPI knobs with the _mc
+        # suffix; plain-MPPI keys would collide with the hard-wired
+        # forwarding below (duplicate-keyword TypeError), and the fused
+        # update / Adam-refinement options don't exist in the mppi-var step
+        # paths — drop all of them loudly instead of crashing or silently
+        # accepting an inert option.
+        for k in ("LBD", "NU", "SQRTRHOINV", "fully_fused",
+                  "optim_steps", "bounded_update"):
+            if k in kwargs:
+                logger.warning(
+                    f"mppi-var ignores config key {k!r} "
+                    "(use the _mc-suffixed schema; optim_steps/bounded_update/"
+                    "fully_fused are plain-MPPI options)"
+                )
+                kwargs.pop(k)
         super().__init__(
             cc_weight=cc_weight, R=R, LBD=LBD_mc, NU=NU_mc,
             SQRTRHOINV=SQRTRHOINV_mc,
@@ -108,6 +126,17 @@ class MPPIVarOptimizer(MPPIOptimizer):
             ),
         )
 
+    def _apply_stdev_update(self, stdev, grad):
+        """Shared tail of the sigma update: norm-clip the raw gradient, take
+        the LR step, clamp into [STDEV_min, STDEV_max].  Both execution
+        modes (scan and semi-fused) MUST route through this so a change to
+        the clipping rule can never diverge between them."""
+        gnorm = jnp.sqrt(jnp.sum(grad**2))
+        grad = grad * jnp.minimum(
+            1.0, self.max_grad_norm / jnp.maximum(gnorm, 1e-12)
+        )
+        return jnp.clip(stdev - self.LR * grad, self.STDEV_min, self.STDEV_max)
+
     def _stdev_step(self, stdev, advantage, sq_sum, P):
         """One clipped score-function step on sigma; LR = 0 is a no-op.
 
@@ -115,11 +144,7 @@ class MPPIVarOptimizer(MPPIOptimizer):
         inducing points (eps_raw = standard-normal draws).
         """
         grad = jnp.mean(advantage[:, None] * (sq_sum - P) / stdev, axis=0)
-        gnorm = jnp.sqrt(jnp.sum(grad**2))
-        grad = grad * jnp.minimum(
-            1.0, self.max_grad_norm / jnp.maximum(gnorm, 1e-12)
-        )
-        return jnp.clip(stdev - self.LR * grad, self.STDEV_min, self.STDEV_max)
+        return self._apply_stdev_update(stdev, grad)
 
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
@@ -179,14 +204,7 @@ class MPPIVarOptimizer(MPPIOptimizer):
                 # sum_k adv_k * sum_p eps_raw^2  per input j:
                 sq = jnp.einsum("rtc,tuprc->u", adv3, raw5**2)
                 grad = (sq / K - jnp.mean(adv3) * P) / state.stdev
-                gnorm = jnp.sqrt(jnp.sum(grad**2))
-                grad = grad * jnp.minimum(
-                    1.0, self.max_grad_norm / jnp.maximum(gnorm, 1e-12)
-                )
-                stdev = jnp.clip(
-                    state.stdev - self.LR * grad,
-                    self.STDEV_min, self.STDEV_max,
-                )
+                stdev = self._apply_stdev_update(state.stdev, grad)
 
                 diag = {"u_nom": u_nom, "stdev_logged": stdev,
                         "J_logged": costs2d.reshape(-1)}

@@ -32,6 +32,20 @@ def test_fast_log_accuracy():
     assert np.max(np.abs(got - ref) - bound) < 0
 
 
+def test_fast_normals_finite_at_u1_equal_one():
+    """Counter 30524660 hashes to u1 == 1.0 exactly (found by search);
+    fast_log(1.0) lands at +2e-6 poly error, so without the radicand clamp
+    Box-Muller's sqrt goes NaN — at rate 2^-24 per draw, i.e. a few times
+    per K=1M fused step."""
+    from control_toolkit_tpu.ops.pallas_mppi import _normals_from_counter
+
+    c = jnp.asarray([30524660], jnp.uint32)
+    z = np.asarray(_normals_from_counter(c, fast=True))
+    assert np.isfinite(z).all()
+    np.testing.assert_allclose(z, np.asarray(_normals_from_counter(c)),
+                               atol=1e-3)
+
+
 def test_fast_normals_track_exact():
     """fast=True Box-Muller stays within approximation error of the exact
     counter->normal map and keeps its moments."""

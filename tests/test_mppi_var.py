@@ -177,3 +177,21 @@ def test_registry_and_logging_contract():
     assert "Q_logged" in lv and lv["Q_logged"].shape == (256, 25, 1)
     assert "J_logged" in lv and lv["J_logged"].shape == (256,)
     assert "stdev_logged" in lv
+
+
+def test_plain_mppi_keys_are_dropped_not_fatal():
+    """A config that reuses plain-MPPI keys (LBD/NU/SQRTRHOINV, fully_fused,
+    optim_steps, bounded_update) must not crash the constructor with a
+    duplicate-keyword TypeError, and must not silently install inert
+    options — the keys are dropped with a warning and the _mc-suffixed
+    schema wins."""
+    ctrl = make(cfg_overrides={
+        "LBD": 5.0, "NU": 3.0, "SQRTRHOINV": 0.9, "fully_fused": True,
+        "optim_steps": 3, "bounded_update": True,
+    })
+    opt = ctrl.optimizer
+    assert opt.LBD == BASE["LBD_mc"] and opt.NU == BASE["NU_mc"]
+    assert opt.optim_steps == 0 and not opt.fully_fused
+    # still steps fine
+    u = ctrl.step(np.array([0.0, 0.0, 0.2, 0.0], np.float32))
+    assert np.all(np.isfinite(np.asarray(u)))

@@ -128,3 +128,28 @@ def test_sysid_refuses_underfilled_buffer():
     sysid = OnlineSysId(predictor=pred, capacity=128, batch_size=64)
     sysid.observe(np.zeros(4), np.zeros(1), np.zeros(4))
     assert sysid.fit(steps=10) == {"fitted": 0.0, "count": 1.0}
+
+
+def test_discarded_fit_resets_adam_state():
+    """fit() without apply() abandons that weight trajectory: the next fit
+    must restart Adam from the installed weights, not carry stale moments."""
+    pred = ResidualPredictor("cartpole", dt=0.02, seed=0)
+    sysid = OnlineSysId(predictor=pred, capacity=512, batch_size=64,
+                        learning_rate=3e-3, seed=1)
+    xs, us, sn = collect_true_transitions(512)
+    for i in range(512):
+        sysid.observe(xs[i], us[i], sn[i])
+    sysid.fit(steps=50)
+    assert sysid._pending
+    st_discarded = sysid._opt_state
+    sysid.fit(steps=50)          # previous result discarded -> fresh Adam
+    assert sysid._opt_state is not st_discarded
+    sysid.apply()
+    assert not sysid._pending
+    st_applied = sysid._opt_state
+    sysid.fit(steps=50)          # applied -> moments continue
+    # Continuation means Adam was NOT re-initialized: the bias-correction
+    # counter accumulates fit2's 50 steps plus fit3's 50 (fit1's were
+    # discarded together with its state).
+    import optax
+    assert int(optax.tree_utils.tree_get(sysid._opt_state, "count")) == 100
