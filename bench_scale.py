@@ -96,7 +96,7 @@ def build_quad3d_mppi(K, H, predictor_spec="ODE:rk4:1:fast"):
     return ctrl
 
 
-def build_rpgd(K, H, remat=False, force_scan=False):
+def build_rpgd(K, H, remat=False, force_scan=False, predictor_spec="ODE"):
     """RPGD: the gradient-through-rollout path.  force_scan=True pins the
     XLA-AD baseline; the default uses the fused Pallas gradient kernel on
     TPU (ops/pallas_grad.py)."""
@@ -108,7 +108,8 @@ def build_rpgd(K, H, remat=False, force_scan=False):
         initial_environment_attributes={"target_position": 0.0},
         config={"optimizer": "rpgd-tf", "controller_logging": False},
     )
-    ctrl.configure(optimizer_name="rpgd-tf", optimizer_config={
+    ctrl.configure(optimizer_name="rpgd-tf", predictor_specification=predictor_spec,
+                   optimizer_config={
         "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
         "outer_its": 2, "SAMPLING_DISTRIBUTION": "uniform",
         "period_interpolation_inducing_points": 10, "learning_rate": 0.05,
@@ -200,6 +201,9 @@ def main():
     for name, kw in (
         ("rpgd_grad_K16k_xla", {"force_scan": True}),
         ("rpgd_grad_K16k_kernel", {}),
+        # fast-math trig in the grad kernel: modest (~12%) — the backward
+        # sweep is transposed-rk4-arithmetic-bound, not trig-bound.
+        ("rpgd_grad_K16k_kernel_fast", {"predictor_spec": "ODE:rk4:1:fast"}),
     ):
         ms = measure_step(build_rpgd(16384, H, **kw), n1=5, n2=25)
         results[name] = round(ms, 3)
