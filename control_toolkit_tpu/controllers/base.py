@@ -57,13 +57,22 @@ class Controller(ABC):
         self.control_limits = control_limits
         self.action_low, self.action_high = control_limits
 
+        # Optional device pinning (reference lib.set_device driven by the
+        # 'device' config key, Controllers/__init__.py:72-78).  None =
+        # process default.  See utils/device.py for the measured CPU/TPU
+        # selection rule.
+        from control_toolkit_tpu.utils.device import resolve_device
+        self.device = resolve_device(self.config_controller.get("device"))
+
         # Mutable named environment attributes (targets etc.) — the
         # VariableParameters analogue; values live on device, keys are stable
         # so jitted steps never retrace on updates.
-        self.variable_parameters: Dict[str, jnp.ndarray] = {
-            k: jnp.asarray(v, dtype=jnp.float32)
-            for k, v in (initial_environment_attributes or {}).items()
-        }
+        from control_toolkit_tpu.utils.device import device_scope
+        with device_scope(self.device):
+            self.variable_parameters: Dict[str, jnp.ndarray] = {
+                k: jnp.asarray(v, dtype=jnp.float32)
+                for k, v in (initial_environment_attributes or {}).items()
+            }
 
         self.u: np.ndarray | float = 0.0
 
@@ -86,8 +95,10 @@ class Controller(ABC):
     def update_attributes(self, updated_attributes: Optional[Dict]) -> None:
         if not updated_attributes:
             return
-        for k, v in updated_attributes.items():
-            self.variable_parameters[k] = jnp.asarray(v, dtype=jnp.float32)
+        from control_toolkit_tpu.utils.device import device_scope
+        with device_scope(self.device):
+            for k, v in updated_attributes.items():
+                self.variable_parameters[k] = jnp.asarray(v, dtype=jnp.float32)
 
     @abstractmethod
     def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):

@@ -60,6 +60,9 @@ class MPCController(Controller):
             ),
             **config_optimizer,
         )
+        # Device pin must be installed before optimizer.configure() below:
+        # it decides kernel eligibility and where the initial state lands.
+        self.optimizer._device = self.device
 
         dt = config_optimizer.get("mpc_timestep", 0.02)
         self.predictor.configure(
@@ -108,15 +111,18 @@ class MPCController(Controller):
         import jax
         import jax.numpy as jnp
 
-        if self._dyn_params is None or getattr(self.predictor, "is_stateful", False):
-            # Stateful (RNN) predictors re-thread their hidden state into the
-            # params every step; stateless params are cached on device.
-            self._dyn_params = jax.tree_util.tree_map(
-                lambda v: jnp.asarray(v, dtype=jnp.float32),
-                self.predictor.default_params(),
-            )
-        if self._cost_params is None:
-            self._cost_params = self.cost_function.current_params()["cost"]
+        from control_toolkit_tpu.utils.device import device_scope
+
+        with device_scope(self.device):
+            if self._dyn_params is None or getattr(self.predictor, "is_stateful", False):
+                # Stateful (RNN) predictors re-thread their hidden state into
+                # the params every step; stateless params are cached on device.
+                self._dyn_params = jax.tree_util.tree_map(
+                    lambda v: jnp.asarray(v, dtype=jnp.float32),
+                    self.predictor.default_params(),
+                )
+            if self._cost_params is None:
+                self._cost_params = self.cost_function.current_params()["cost"]
         return {
             "dyn": self._dyn_params,
             "cost": self._cost_params,
@@ -156,14 +162,17 @@ class MPCController(Controller):
                 return cf.stage_cost_step(s_[None], u_[None], u_prev[None], cp)[0]
 
             self._realized_cost_jit = rc
-        u_prev = jnp.asarray(
-            np.reshape(np.asarray(self.u if np.ndim(self.u) else [self.u]), (-1,)),
-            jnp.float32,
-        )
-        out = self._realized_cost_jit(
-            jnp.asarray(s, jnp.float32), jnp.asarray(u, jnp.float32),
-            u_prev, self._assemble_params(),
-        )
+        from control_toolkit_tpu.utils.device import device_scope
+
+        with device_scope(self.device):
+            u_prev = jnp.asarray(
+                np.reshape(np.asarray(self.u if np.ndim(self.u) else [self.u]), (-1,)),
+                jnp.float32,
+            )
+            out = self._realized_cost_jit(
+                jnp.asarray(s, jnp.float32), jnp.asarray(u, jnp.float32),
+                u_prev, self._assemble_params(),
+            )
         return np.asarray(out)
 
     def controller_report(self) -> None:

@@ -92,6 +92,10 @@ class Optimizer:
         self.optimal_control_sequence: Optional[np.ndarray] = None
 
         self._step_jit = None
+        # Optional device pin (jax.Device) — set by the owning controller
+        # from its 'device' config key BEFORE configure(); the step, state
+        # init, and param assembly all run inside jax.default_device(it).
+        self._device = None
         # Optional sharding plan (set via plan_sharding) applied to the state.
         self._shard_state = None
         self._mesh = None          # jax.sharding.Mesh when sharded
@@ -126,11 +130,14 @@ class Optimizer:
         raise NotImplementedError
 
     def optimizer_reset(self) -> None:
-        state = self._init_state(self._initial_key)
-        if self._shard_state is not None:
-            state = self._shard_state(state)
-        self.opt_state = state
-        self.u = jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
+        from control_toolkit_tpu.utils.device import device_scope
+
+        with device_scope(self._device):
+            state = self._init_state(self._initial_key)
+            if self._shard_state is not None:
+                state = self._shard_state(state)
+            self.opt_state = state
+            self.u = jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
 
     # ---- hot path ---------------------------------------------------------
     def step(self, s: np.ndarray, time=None, params: Optional[Dict] = None) -> np.ndarray:
@@ -143,10 +150,12 @@ class Optimizer:
         if self.optimizer_logging:
             self.logging_values = {"s_logged": np.asarray(s).copy()}
 
-        s_dev = jnp.atleast_2d(jnp.asarray(s, dtype=jnp.float32))
-        params = params if params is not None else self.default_params()
+        from control_toolkit_tpu.utils.device import device_scope
 
-        u, self.opt_state, diag = self._step_jit(self.opt_state, s_dev, params)
+        with device_scope(self._device):
+            s_dev = jnp.atleast_2d(jnp.asarray(s, dtype=jnp.float32))
+            params = params if params is not None else self.default_params()
+            u, self.opt_state, diag = self._step_jit(self.opt_state, s_dev, params)
         self.u = u
 
         if self.optimizer_logging:
@@ -274,6 +283,9 @@ class Optimizer:
 
         return (
             jax.default_backend() == "tpu"
+            # A controller pinned to a non-TPU device (config 'device: cpu')
+            # must take the scan paths — Mosaic kernels are TPU-only.
+            and (self._device is None or self._device.platform == "tpu")
             and not self.force_scan
             and isinstance(pred, ODEPredictor)
             and getattr(pred.dynamics, "soa", None) is not None
