@@ -120,6 +120,39 @@ def build_rpgd(K, H, remat=False, force_scan=False, predictor_spec="ODE"):
     return ctrl
 
 
+def build_ilqr(H=50, iters=30, device=None):
+    """NLP slot: single-start iLQR, optionally pinned (config 'device')."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    cfg = {"optimizer": "ilqr", "controller_logging": False}
+    if device:
+        cfg["device"] = device
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config=cfg,
+    )
+    ctrl.configure(optimizer_name="ilqr", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "max_iterations": iters, "al_iterations": 1,
+        "line_search_steps": 8, "n_starts": 1,
+    })
+    return ctrl
+
+
+def measure_host_loop(ctrl, n=20):
+    """ms/step through the full controller.step host path (the honest
+    metric for latency-bound solvers where the per-call dispatch cost is
+    part of the story; device pins change BOTH terms)."""
+    s = np.array([0.0, 0.0, 0.3, 0.0], np.float32)
+    ctrl.step(s)  # compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ctrl.step(s)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
 def measure_batched_serving(B=32, K_per_slot=512, H=35):
     """Steps/s for B independent MPC sessions advanced by one vmapped step
     (the batched-serving device path, controllers/batched_mpc.py)."""
@@ -208,6 +241,15 @@ def main():
         ms = measure_step(build_rpgd(16384, H, **kw), n1=5, n2=25)
         results[name] = round(ms, 3)
         print(f"{name:22s}: {ms:7.3f} ms", flush=True)
+
+    # NLP slot (host-loop ms/step): latency-bound solver, so the device pin
+    # (docs/TUNING.md rule 6) is the lever — CPU avoids both the tiny-op
+    # latency and the dispatch round-trip.
+    for name, dev in (("ilqr_H50_30it_hostloop_tpu", None),
+                      ("ilqr_H50_30it_hostloop_cpu_pin", "cpu")):
+        ms = measure_host_loop(build_ilqr(device=dev))
+        results[name] = round(ms, 3)
+        print(f"{name:32s}: {ms:7.3f} ms", flush=True)
 
     B, Kps = 32, 512
     ms = measure_batched_serving(B=B, K_per_slot=Kps)

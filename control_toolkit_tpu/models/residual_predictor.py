@@ -82,6 +82,30 @@ class ResidualPredictor(Predictor):
             lambda v: jnp.asarray(v, jnp.float32), res
         )
 
+    def save_residual(self, path) -> None:
+        """Persist the fitted residual weights (networks.save_net format)."""
+        from control_toolkit_tpu.models.networks import save_net
+
+        save_net(path, self._res, meta={
+            "kind": "residual", "hiddens": list(self.hiddens),
+            "num_states": self.num_states,
+            "num_control_inputs": self.num_control_inputs,
+        })
+
+    def load_residual(self, path) -> None:
+        """Load residual weights saved by save_residual.  A controller
+        holding this predictor must drop its cached dyn params afterwards
+        (``ctrl._dyn_params = None``) for the load to reach the next step."""
+        from control_toolkit_tpu.models.networks import load_net
+
+        params, meta = load_net(path)
+        if int(meta.get("num_states", self.num_states)) != self.num_states:
+            raise ValueError(
+                f"residual checkpoint is for num_states="
+                f"{meta.get('num_states')}, predictor has {self.num_states}"
+            )
+        self.set_residual(params)
+
     def default_params(self) -> Dict:
         return {"base": self.base.default_params(), "res": self._res}
 

@@ -153,3 +153,30 @@ def test_discarded_fit_resets_adam_state():
     # discarded together with its state).
     import optax
     assert int(optax.tree_utils.tree_get(sysid._opt_state, "count")) == 100
+
+
+def test_residual_checkpoint_round_trip(tmp_path):
+    """Fitted residual survives save/load into a fresh predictor; a wrong
+    state dimension is rejected."""
+    pred = ResidualPredictor("cartpole", dt=0.02, seed=0)
+    sysid = OnlineSysId(predictor=pred, capacity=512, batch_size=128,
+                        learning_rate=3e-3, seed=1)
+    xs, us, sn = collect_true_transitions(512)
+    for i in range(512):
+        sysid.observe(xs[i], us[i], sn[i])
+    sysid.fit_and_apply(steps=200)
+    path = tmp_path / "residual.npz"
+    pred.save_residual(path)
+
+    fresh = ResidualPredictor("cartpole", dt=0.02, seed=99)
+    fresh.load_residual(path)
+    x = jnp.asarray(xs[:32]); u = jnp.asarray(us[:32])
+    np.testing.assert_array_equal(
+        np.asarray(pred.single_step(x, u, pred.default_params())),
+        np.asarray(fresh.single_step(x, u, fresh.default_params())),
+    )
+
+    other = ResidualPredictor("pendulum", dt=0.02)
+    import pytest
+    with pytest.raises(ValueError, match="num_states"):
+        other.load_residual(path)
