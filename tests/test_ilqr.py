@@ -290,3 +290,105 @@ def test_multistart_escapes_local_minimum():
     solved = final_angle_from_top(6)
     assert stuck > 2.5, f"premise: single start should stay hanging, got {stuck}"
     assert solved < 0.15, f"multi-start failed to swing up: {solved}"
+
+
+def _make_cartpole_ilqr(riccati, H=30, state_max=None, al=1):
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    cfg = {
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "max_iterations": 20, "al_iterations": al, "line_search_steps": 8,
+        "n_starts": 1, "riccati": riccati,
+    }
+    if state_max is not None:
+        cfg["state_max"] = state_max
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "ilqr", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="ilqr", optimizer_config=cfg)
+    return ctrl
+
+
+def test_parallel_riccati_gains_match_sequential():
+    """The associative-scan backward pass must reproduce the sequential
+    Riccati gains exactly (fp tolerance) on IDENTICAL linearization inputs:
+    the LM regularizer folds into the stage control cost, making both the
+    DP of the same modified LQR.  (Full multi-iteration solves only agree
+    loosely — fp ordering differences compound through line-search
+    branches — so the per-pass equality is the rigorous assertion.)"""
+    import jax
+
+    ctrl = _make_cartpole_ilqr("sequential")
+    opt = ctrl.optimizer
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    seq_bw, par_bw = opt._debug_backward_pair
+    H, U = 30, 1
+    rng = np.random.default_rng(0)
+    z0 = jnp.asarray(np.array([0.15, -0.3, 0.35, 0.2, 0.0], np.float32))
+    us = jnp.asarray(rng.uniform(-0.8, 0.8, (H, U)).astype(np.float32))
+    zs = opt._debug_rollout(z0, us, params)
+    lam = jnp.zeros((H + 1, 0), jnp.float32)
+    lam_t = jnp.zeros((0,), jnp.float32)
+    center = jnp.zeros((0,), jnp.float32)
+    for reg in (1e-6, 1.0, 100.0):
+        ks1, Ks1 = seq_bw(zs, us, lam, lam_t, 0.0, center,
+                          jnp.float32(reg), params)
+        ks2, Ks2 = par_bw(zs, us, lam, lam_t, 0.0, center,
+                          jnp.float32(reg), params)
+        np.testing.assert_allclose(np.asarray(ks1), np.asarray(ks2),
+                                   rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(Ks1), np.asarray(Ks2),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_parallel_riccati_constrained_matches():
+    """Per-pass equivalence must survive the augmented-Lagrangian terms
+    (nonzero lam and mu enter the stage quadratics)."""
+    import jax
+
+    ctrl = _make_cartpole_ilqr("sequential",
+                               state_max=["inf", 1.5, "inf", "inf"], al=3)
+    opt = ctrl.optimizer
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    seq_bw, par_bw = opt._debug_backward_pair
+    H = 30
+    rng = np.random.default_rng(1)
+    z0 = jnp.asarray(np.array([0.5, 0.1, 0.3, -0.2, 0.0], np.float32))
+    us = jnp.asarray(rng.uniform(-0.8, 0.8, (H, 1)).astype(np.float32))
+    zs = opt._debug_rollout(z0, us, params)
+    lam = jnp.asarray(rng.uniform(0.0, 2.0, (H + 1, 2)).astype(np.float32))
+    lam_t = jnp.zeros((0,), jnp.float32)
+    center = jnp.zeros((0,), jnp.float32)
+    mu = jnp.float32(10.0)
+    ks1, Ks1 = seq_bw(zs, us, lam, lam_t, mu, center, jnp.float32(1.0), params)
+    ks2, Ks2 = par_bw(zs, us, lam, lam_t, mu, center, jnp.float32(1.0), params)
+    np.testing.assert_allclose(np.asarray(ks1), np.asarray(ks2),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Ks1), np.asarray(Ks2),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_parallel_riccati_closed_loop():
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+
+    ctrl = _make_cartpole_ilqr("parallel", H=40)
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=5)
+    s, _ = env.reset()
+    for _ in range(50):
+        u = ctrl.step(s[0])
+        s, *_ = env.step(u)
+    assert abs(float(s[0, 2])) < 0.4, f"pole fell: {s[0]}"
+
+
+def test_riccati_mode_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="riccati"):
+        _make_cartpole_ilqr("banana")
