@@ -67,12 +67,8 @@ class Controller(ABC):
         # Mutable named environment attributes (targets etc.) — the
         # VariableParameters analogue; values live on device, keys are stable
         # so jitted steps never retrace on updates.
-        from control_toolkit_tpu.utils.device import device_scope
-        with device_scope(self.device):
-            self.variable_parameters: Dict[str, jnp.ndarray] = {
-                k: jnp.asarray(v, dtype=jnp.float32)
-                for k, v in (initial_environment_attributes or {}).items()
-            }
+        self.variable_parameters: Dict[str, jnp.ndarray] = {}
+        self.update_attributes(initial_environment_attributes or {})
 
         self.u: np.ndarray | float = 0.0
 
@@ -98,7 +94,13 @@ class Controller(ABC):
         from control_toolkit_tpu.utils.device import device_scope
         with device_scope(self.device):
             for k, v in updated_attributes.items():
-                self.variable_parameters[k] = jnp.asarray(v, dtype=jnp.float32)
+                v = jnp.asarray(v, dtype=jnp.float32)
+                if self.device is not None:
+                    # asarray is a no-op on existing jax arrays; a pin must
+                    # move them explicitly.
+                    import jax
+                    v = jax.device_put(v, self.device)
+                self.variable_parameters[k] = v
 
     @abstractmethod
     def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):

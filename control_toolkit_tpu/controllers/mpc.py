@@ -117,12 +117,26 @@ class MPCController(Controller):
             if self._dyn_params is None or getattr(self.predictor, "is_stateful", False):
                 # Stateful (RNN) predictors re-thread their hidden state into
                 # the params every step; stateless params are cached on device.
+                # jnp.asarray is a no-op on EXISTING jax arrays (residual/NN
+                # weights, RNN hidden live on the default device), so a pin
+                # must device_put explicitly or the step would silently
+                # bounce those leaves through the interconnect every call.
+                conv = (
+                    (lambda v: jax.device_put(
+                        jnp.asarray(v, dtype=jnp.float32), self.device))
+                    if self.device is not None
+                    else (lambda v: jnp.asarray(v, dtype=jnp.float32))
+                )
                 self._dyn_params = jax.tree_util.tree_map(
-                    lambda v: jnp.asarray(v, dtype=jnp.float32),
-                    self.predictor.default_params(),
+                    conv, self.predictor.default_params()
                 )
             if self._cost_params is None:
                 self._cost_params = self.cost_function.current_params()["cost"]
+                if self.device is not None:
+                    self._cost_params = jax.tree_util.tree_map(
+                        lambda v: jax.device_put(jnp.asarray(v), self.device),
+                        self._cost_params,
+                    )
         return {
             "dyn": self._dyn_params,
             "cost": self._cost_params,

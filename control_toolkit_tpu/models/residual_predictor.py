@@ -99,11 +99,17 @@ class ResidualPredictor(Predictor):
         from control_toolkit_tpu.models.networks import load_net
 
         params, meta = load_net(path)
-        if int(meta.get("num_states", self.num_states)) != self.num_states:
-            raise ValueError(
-                f"residual checkpoint is for num_states="
-                f"{meta.get('num_states')}, predictor has {self.num_states}"
-            )
+        for field, have in (("num_states", self.num_states),
+                            ("num_control_inputs", self.num_control_inputs)):
+            if int(meta.get(field, have)) != have:
+                raise ValueError(
+                    f"residual checkpoint is for {field}="
+                    f"{meta.get(field)}, predictor has {have}"
+                )
+        # The checkpoint's weights define the architecture; adopt its hidden
+        # sizes so a later save_residual writes truthful metadata.
+        if "hiddens" in meta:
+            self.hiddens = tuple(int(h) for h in meta["hiddens"])
         self.set_residual(params)
 
     def default_params(self) -> Dict:

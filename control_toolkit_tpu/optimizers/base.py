@@ -201,7 +201,9 @@ class Optimizer:
             u = jnp.asarray(u_host)
             self.u = u
 
-        self._post_step(s_dev, u, diag)
+        # The hook runs jax work (RNN hidden advance) — keep it on the pin.
+        with device_scope(self._device):
+            self._post_step(s_dev, u, diag)
         return u_host
 
     def _post_step(self, s_dev, u, diag) -> None:

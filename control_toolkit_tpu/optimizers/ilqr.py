@@ -218,8 +218,8 @@ class ILQROptimizer(Optimizer):
             z_final, zs = jax.lax.scan(body, z0, u_traj)
             return jnp.concatenate([zs, z_final[None]], axis=0)  # [H+1, Z]
 
-        def total_cost_al(z0, u_traj, lam, lam_t, mu, center, params):
-            zs = rollout_open_loop(z0, u_traj, params)
+        def total_cost_al_from(zs, u_traj, lam, lam_t, mu, center, params):
+            """AL cost of an ALREADY-rolled trajectory (no H-scan)."""
             stages = jax.vmap(
                 lambda z, u, l: stage_l_al(z, u, l, mu, params)
             )(zs[:-1], u_traj, lam[:-1])
@@ -417,14 +417,14 @@ class ILQROptimizer(Optimizer):
             def al_iter(carry, _):
                 us, lam, lam_t, mu = carry
                 zs0 = rollout_open_loop(z0, us, params)
-                cost0 = total_cost_al(z0, us, lam, lam_t, mu, center, params)
-                (us, _, _, _), _ = jax.lax.scan(
+                cost0 = total_cost_al_from(zs0, us, lam, lam_t, mu, center, params)
+                (us, zs, _, _), _ = jax.lax.scan(
                     lambda c, x: inner_iter(c, x, z0, lam, lam_t, mu, center, params),
                     (us, zs0, cost0, jnp.float32(self.reg_init)),
                     None, length=inner_iters,
                 )
-                # First-order multiplier update along the accepted trajectory.
-                zs = rollout_open_loop(z0, us, params)
+                # First-order multiplier update along the accepted trajectory
+                # (carried out of the scan — no re-rollout).
                 if has_box:
                     c_box = jax.vmap(box_violation)(zs)          # [H+1, n_box]
                     lam = jnp.maximum(0.0, lam + mu * c_box)
@@ -441,7 +441,7 @@ class ILQROptimizer(Optimizer):
                 )
             else:
                 zs0 = rollout_open_loop(z0, us0, params)
-                cost0 = total_cost_al(z0, us0, lam0, lam_t0, mu0, center, params)
+                cost0 = total_cost_al_from(zs0, us0, lam0, lam_t0, mu0, center, params)
                 (us, _, _, _), _ = jax.lax.scan(
                     lambda c, x: inner_iter(
                         c, x, z0, lam0, lam_t0, mu0, center, params

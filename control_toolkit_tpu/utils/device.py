@@ -7,11 +7,11 @@ __init__.py:72-78).  The JAX-native equivalent: resolve the key to a
 ``jax.default_device``.
 
 Why this matters on TPU: latency-bound tiny-op programs (single-start iLQR:
-sequential H-step Riccati/rollout scans of 5x5 matrices) run ~2x FASTER on
-the host CPU device than on the accelerator (measured v5e, H=50, 30 iters:
-34 ms CPU vs 66 ms TPU), while batch work (multi-start, sampling
-optimizers) belongs on the TPU (8-start iLQR: 38 ms TPU vs 122 ms CPU).
-docs/TUNING.md carries the selection rule.
+sequential H-step line-search/rollout scans of 5x5 matrices) run ~3x faster
+pinned to the host CPU, while batch work (multi-start, sampling optimizers)
+belongs on the TPU.  docs/TUNING.md rule 6 carries the measured numbers and
+the selection rule (single source of truth — refreshed with each
+bench_scale run).
 """
 from __future__ import annotations
 
@@ -33,18 +33,21 @@ def resolve_device(spec) -> Optional[object]:
     """
     if spec in (None, "", "default"):
         return None
-    s = str(spec).strip().lower()
-    s = s.replace("/physical_device:", "").lstrip("/")
-    parts = [p for p in s.split(":") if p != ""]
-    kind = parts[0]
-    idx = int(parts[1]) if len(parts) > 1 else 0
     import jax
 
     try:
+        s = str(spec).strip().lower()
+        s = s.replace("/physical_device:", "").lstrip("/")
+        parts = [p for p in s.split(":") if p != ""]
+        kind = parts[0]
+        idx = int(parts[1]) if len(parts) > 1 else 0
         return jax.devices(kind)[idx]
-    except (RuntimeError, IndexError):
+    except (RuntimeError, IndexError, ValueError):
+        # Malformed specs fall back too — a controller must not fail to
+        # construct over a config typo (the reference's tf.device is
+        # likewise non-fatal).
         logger.warning(
-            f"device {spec!r} not available "
+            f"device {spec!r} not available or malformed "
             f"(backends: {jax.default_backend()}); using the default device"
         )
         return None

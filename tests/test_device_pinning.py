@@ -31,7 +31,7 @@ def test_resolve_device_unavailable_falls_back():
     assert resolve_device("gpu") is None
 
 
-def make_ctrl(device=None, optimizer="mppi"):
+def make_ctrl(device=None, optimizer="mppi", K=64, predictor_spec=None):
     cfg = {"optimizer": optimizer, "controller_logging": False}
     if device is not None:
         cfg["device"] = device
@@ -41,8 +41,10 @@ def make_ctrl(device=None, optimizer="mppi"):
         initial_environment_attributes={"target_position": 0.0},
         config=cfg,
     )
-    ctrl.configure(optimizer_name=optimizer, optimizer_config={
-        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 15, "num_rollouts": 64,
+    ctrl.configure(optimizer_name=optimizer,
+                   predictor_specification=predictor_spec,
+                   optimizer_config={
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 15, "num_rollouts": K,
         "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
         "SQRTRHOINV": 0.03, "period_interpolation_inducing_points": 5,
     })
@@ -50,23 +52,50 @@ def make_ctrl(device=None, optimizer="mppi"):
 
 
 def test_pinned_controller_steps_and_places_state():
+    """Pin to cpu:1 — NOT the default device (the suite's virtual mesh has 8
+    CPU devices), so a placement assertion can actually fail."""
     import jax
 
-    cpu0 = jax.devices("cpu")[0]
-    ctrl = make_ctrl(device="cpu")
-    assert ctrl.device == cpu0
-    assert ctrl.optimizer._device == cpu0
+    cpu1 = jax.devices("cpu")[1]
+    ctrl = make_ctrl(device="cpu:1")
+    assert ctrl.device == cpu1
+    assert ctrl.optimizer._device == cpu1
     u = ctrl.step(np.array([0.0, 0.0, 0.2, 0.0], np.float32))
     assert np.all(np.isfinite(np.asarray(u)))
     # state, attrs and cached params all live on the pinned device
     leaf = jax.tree_util.tree_leaves(ctrl.optimizer.opt_state)[0]
-    assert leaf.devices() == {cpu0}
-    assert ctrl.variable_parameters["target_position"].devices() == {cpu0}
-    # retargeting flows through the same placement
+    assert leaf.devices() == {cpu1}
+    assert ctrl.variable_parameters["target_position"].devices() == {cpu1}
+    for p in jax.tree_util.tree_leaves(ctrl._dyn_params):
+        assert p.devices() == {cpu1}
+    # retargeting flows through the same placement — including an attr value
+    # that arrives as a jax array already living on ANOTHER device (asarray
+    # alone would leave it there).
+    stray = jax.device_put(jnp_f32(0.4), jax.devices("cpu")[0])
     u2 = ctrl.step(np.array([0.0, 0.0, 0.2, 0.0], np.float32),
-                   updated_attributes={"target_position": 0.4})
+                   updated_attributes={"target_position": stray})
     assert np.all(np.isfinite(np.asarray(u2)))
-    assert ctrl.variable_parameters["target_position"].devices() == {cpu0}
+    assert ctrl.variable_parameters["target_position"].devices() == {cpu1}
+
+
+def jnp_f32(v):
+    import jax.numpy as jnp
+
+    return jnp.asarray(v, jnp.float32)
+
+
+def test_pinned_residual_predictor_params_move():
+    """Pre-existing jax-array predictor weights (ResidualPredictor MLP,
+    created on the default device) must be device_put onto the pin — a
+    plain asarray is a no-op on them."""
+    import jax
+
+    cpu1 = jax.devices("cpu")[1]
+    ctrl = make_ctrl(device="cpu:1", predictor_spec="ODE+res")
+    u = ctrl.step(np.array([0.0, 0.0, 0.2, 0.0], np.float32))
+    assert np.all(np.isfinite(np.asarray(u)))
+    for p in jax.tree_util.tree_leaves(ctrl._dyn_params):
+        assert p.devices() == {cpu1}
 
 
 def test_unpinned_controller_unchanged():
@@ -78,15 +107,25 @@ def test_unpinned_controller_unchanged():
 
 def test_non_tpu_pin_disables_pallas(monkeypatch):
     """A cpu-pinned optimizer must take the scan path even when the process
-    default backend is TPU (Mosaic kernels are TPU-only)."""
+    default backend is TPU (Mosaic kernels are TPU-only).  K=2048 satisfies
+    the tile-divisibility clause, so with the backend faked to 'tpu' the
+    gate is TRUE un-pinned — the cpu pin must be what flips it."""
     import jax
 
-    ctrl = make_ctrl(device="cpu")
+    ctrl = make_ctrl(device="cpu", K=2048)
     opt = ctrl.optimizer
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert not opt._can_use_pallas()
-    # same optimizer un-pinned would pass the device clause
+    # un-pinned, the gate passes (proves the test is not vacuous)
     opt._device = None
-    gate_with_default_device = opt._can_use_pallas()
+    assert opt._can_use_pallas()
     opt._device = types.SimpleNamespace(platform="tpu")
-    assert opt._can_use_pallas() == gate_with_default_device
+    assert opt._can_use_pallas()
+    # the cpu pin is the only thing that flips it
+    opt._device = ctrl.device
+    assert not opt._can_use_pallas()
+
+
+def test_malformed_device_specs_fall_back():
+    assert resolve_device("tpu:abc") is None
+    assert resolve_device("/") is None
+    assert resolve_device(":::") is None
