@@ -146,7 +146,8 @@ def measure_host_loop(ctrl, n=20):
     metric for latency-bound solvers where the per-call dispatch cost is
     part of the story; device pins change BOTH terms)."""
     s = np.array([0.0, 0.0, 0.3, 0.0], np.float32)
-    ctrl.step(s)  # compile
+    ctrl.step(s); ctrl.step(s)  # compile (2x: guards against any step-1
+    # cache-key change leaking a recompile into the timed window)
     t0 = time.perf_counter()
     for _ in range(n):
         ctrl.step(s)

@@ -136,6 +136,16 @@ class Optimizer:
             state = self._init_state(self._initial_key)
             if self._shard_state is not None:
                 state = self._shard_state(state)
+            if self._device is not None and self._shard_state is None:
+                # COMMIT the initial state to the pin (a sharded state keeps
+                # its mesh placement instead).  Arrays merely created under
+                # default_device are uncommitted, while the jitted step's
+                # outputs are committed — mixed committedness between the
+                # first and second call changes the jit cache key and
+                # forces a full recompile on step 1.
+                state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self._device), state
+                )
             self.opt_state = state
             self.u = jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
 
