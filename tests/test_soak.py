@@ -113,3 +113,61 @@ def test_soak_moving_target_reload_checkpoint_nan(tmp_path, monkeypatch):
         assert np.all(np.isfinite(u2))
     finally:
         set_asf_config_dir(None)
+
+
+def test_soak_adaptive_pinned_controller(tmp_path):
+    """Second cross-feature soak: a device-pinned (cpu:1) controller with
+    the residual predictor runs against a mismatched plant while OnlineSysId
+    fits mid-run and the target moves — placement, params-update-without-
+    recompile, and the adaptive loop must compose."""
+    import jax
+
+    from control_toolkit_tpu.models.online_sysid import OnlineSysId
+    from control_toolkit_tpu.models.predictors import ODEPredictor
+
+    cpu1 = jax.devices("cpu")[1]
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False,
+                "device": "cpu:1"},
+    )
+    ctrl.configure(optimizer_name="mppi", predictor_specification="ODE+res",
+                   optimizer_config={
+        "seed": 5, "mpc_timestep": 0.02, "mpc_horizon": 20, "num_rollouts": 128,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.03, "period_interpolation_inducing_points": 10,
+    })
+    plant = ODEPredictor("cartpole", dt=0.02, params={"m_pole": 0.4, "L": 0.6})
+    pstep, pp = plant.single_step, plant.default_params()
+    sysid = OnlineSysId(ctrl, capacity=256, batch_size=32,
+                        learning_rate=3e-3, seed=2)
+
+    s = np.array([0.0, 0.0, 0.25, 0.0], np.float32)
+    target = 0.0
+    fitted = False
+    for t in range(120):
+        if t == 30:
+            target = 0.1
+        u = np.asarray(ctrl.step(s, updated_attributes={
+            "target_position": target})).reshape(-1)
+        assert np.all(np.isfinite(u))
+        s_next = np.asarray(
+            pstep(jnp.asarray(s[None]), jnp.asarray(u[None]), pp)
+        )[0]
+        sysid.observe(s, u, s_next)
+        s = s_next
+        if t == 70:
+            diag = sysid.fit_and_apply(steps=200)
+            assert diag["fitted"] == 1.0
+            fitted = True
+            # new weights landed on the pin
+            for p in jax.tree_util.tree_leaves(ctrl._assemble_params()["dyn"]):
+                assert p.devices() == {cpu1}
+    assert fitted
+    assert sysid.one_step_mse(True) < sysid.one_step_mse(False)
+    # state still pinned after 120 mixed-feature steps
+    leaf = jax.tree_util.tree_leaves(ctrl.optimizer.opt_state)[0]
+    assert leaf.devices() == {cpu1}
+    assert np.all(np.isfinite(s))
