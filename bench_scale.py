@@ -252,12 +252,16 @@ def main():
         results[name] = round(ms, 3)
         print(f"{name:32s}: {ms:7.3f} ms", flush=True)
 
-    B, Kps = 32, 512
-    ms = measure_batched_serving(B=B, K_per_slot=Kps)
-    results["batched_serving_B32_K512"] = round(ms, 3)
-    results["batched_serving_sessions_per_sec"] = round(B / (ms / 1e3))
-    print(f"batched serving B={B} K={Kps}: {ms:.3f} ms/step "
-          f"({B / (ms / 1e3):.0f} session-steps/s)", flush=True)
+    for B in (32, 128):
+        Kps = 512
+        ms = measure_batched_serving(B=B, K_per_slot=Kps)
+        results[f"batched_serving_B{B}_K512"] = round(ms, 3)
+        results[f"batched_serving_B{B}_sessions_per_sec"] = round(B / (ms / 1e3))
+        print(f"batched serving B={B} K={Kps}: {ms:.3f} ms/step "
+              f"({B / (ms / 1e3):.0f} session-steps/s)", flush=True)
+    results["batched_serving_sessions_per_sec"] = (
+        results["batched_serving_B128_sessions_per_sec"]
+    )
 
     Path(__file__).parent.joinpath("BENCH_SCALE.json").write_text(
         json.dumps(results, indent=2)

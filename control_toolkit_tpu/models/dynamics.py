@@ -405,6 +405,64 @@ def car_derivs_soa_fast(xs, us, p):
 car_dynamics = soa_to_aos(car_derivs_soa, 4, 2)
 car_dynamics.fast = _fast_variant(car_derivs_soa_fast, 4, 2)
 
+ARM2_DEFAULTS = {
+    "m1": 1.0, "m2": 1.0,      # link masses
+    "l1": 0.5, "l2": 0.5,      # link lengths
+    "lc1": 0.25, "lc2": 0.25,  # centers of mass
+    "I1": 0.05, "I2": 0.05,    # link inertias about their CoM
+    "g": 9.81,
+    "b": 0.08,                 # viscous joint damping
+    "u_max": 8.0,              # torque scale per joint [Nm]
+}
+
+
+def _arm2_derivs(xs, us, p, sincos):
+    t1, t1d, t2, t2d = xs
+    tau1 = us[0] * p["u_max"]
+    tau2 = us[1] * p["u_max"]
+    m1, m2 = p["m1"], p["m2"]
+    l1 = p["l1"]
+    lc1, lc2 = p["lc1"], p["lc2"]
+    I1, I2, g, b = p["I1"], p["I2"], p["g"], p["b"]
+
+    s2, c2 = sincos(t2)
+    s1, _ = sincos(t1)
+    s12, _ = sincos(t1 + t2)
+
+    # Standard two-link manipulator M(q) qdd + C(q,qd) qd + G(q) = tau,
+    # hanging-down zero convention (theta1 = 0 -> link 1 straight down).
+    h = m2 * l1 * lc2
+    M11 = m1 * lc1**2 + m2 * (l1**2 + lc2**2 + 2 * l1 * lc2 * c2) + I1 + I2
+    M12 = m2 * (lc2**2 + l1 * lc2 * c2) + I2
+    M22 = m2 * lc2**2 + I2
+    g1 = (m1 * lc1 + m2 * l1) * g * s1 + m2 * lc2 * g * s12
+    g2 = m2 * lc2 * g * s12
+    r1 = tau1 + h * s2 * (t2d**2 + 2.0 * t1d * t2d) - g1 - b * t1d
+    r2 = tau2 - h * s2 * t1d**2 - g2 - b * t2d
+    det = M11 * M22 - M12 * M12
+    t1dd = (M22 * r1 - M12 * r2) / det
+    t2dd = (M11 * r2 - M12 * r1) / det
+    return (t1d, t1dd, t2d, t2dd)
+
+
+def arm2_derivs_soa(xs, us, p):
+    """Two-link planar manipulator, BOTH joints torque-actuated (the
+    fully-actuated sibling of the acrobot; same Spong-style equations with
+    a torque vector and viscous damping)."""
+    return _arm2_derivs(
+        xs, us, p, lambda a: (jnp.sin(a), jnp.cos(a))
+    )
+
+
+def arm2_derivs_soa_fast(xs, us, p):
+    from control_toolkit_tpu.ops.fastmath import fast_sincos
+
+    return _arm2_derivs(xs, us, p, fast_sincos)
+
+
+arm2_dynamics = soa_to_aos(arm2_derivs_soa, 4, 2)
+arm2_dynamics.fast = _fast_variant(arm2_derivs_soa_fast, 4, 2)
+
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),
@@ -413,6 +471,7 @@ DYNAMICS = {
     "quadrotor2d": (quadrotor2d_dynamics, QUADROTOR2D_DEFAULTS, 6, 2),
     "quadrotor3d": (quadrotor3d_dynamics, QUADROTOR3D_DEFAULTS, 12, 4),
     "car": (car_dynamics, CAR_DEFAULTS, 4, 2),
+    "arm2": (arm2_dynamics, ARM2_DEFAULTS, 4, 2),
 }
 
 # Named state/control components per environment — the STATE_INDICES analogue
@@ -427,6 +486,7 @@ STATE_NAMES = {
     "quadrotor3d": ["x", "y", "z", "xD", "yD", "zD",
                     "phi", "theta", "psi", "p", "q", "r"],
     "car": ["x", "y", "yaw", "v"],
+    "arm2": ["theta1", "theta1D", "theta2", "theta2D"],
 }
 CONTROL_NAMES = {
     "cartpole": ["Q"],
@@ -436,6 +496,7 @@ CONTROL_NAMES = {
     "quadrotor2d": ["T1", "T2"],
     "quadrotor3d": ["T1", "T2", "T3", "T4"],
     "car": ["steer", "accel"],
+    "arm2": ["tau1", "tau2"],
 }
 
 

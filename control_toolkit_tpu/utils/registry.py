@@ -97,6 +97,7 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.costs.quadrotor2d",
         "control_toolkit_tpu.costs.quadrotor3d",
         "control_toolkit_tpu.costs.car",
+        "control_toolkit_tpu.costs.arm2",
         "control_toolkit_tpu.models.predictors",
         "control_toolkit_tpu.environments.cartpole",
         "control_toolkit_tpu.environments.pendulum",
@@ -105,6 +106,7 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.environments.quadrotor2d",
         "control_toolkit_tpu.environments.quadrotor3d",
         "control_toolkit_tpu.environments.car",
+        "control_toolkit_tpu.environments.arm2",
     ):
         try:
             importlib.import_module(mod)
