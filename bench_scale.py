@@ -259,9 +259,9 @@ def main():
         results[f"batched_serving_B{B}_sessions_per_sec"] = round(B / (ms / 1e3))
         print(f"batched serving B={B} K={Kps}: {ms:.3f} ms/step "
               f"({B / (ms / 1e3):.0f} session-steps/s)", flush=True)
-    results["batched_serving_sessions_per_sec"] = (
-        results["batched_serving_B128_sessions_per_sec"]
-    )
+    # (per-B rates live under batched_serving_B{32,128}_sessions_per_sec;
+    # no aggregate alias — a silent definition change would read as a
+    # same-config jump in the artifact diff)
 
     Path(__file__).parent.joinpath("BENCH_SCALE.json").write_text(
         json.dumps(results, indent=2)

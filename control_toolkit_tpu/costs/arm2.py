@@ -34,8 +34,13 @@ class Arm2ReachCost(CostFunction):
         "cc_weight": 0.05,
         "ccrc_weight": 0.05,
         "R": 1.0,
-        # link lengths ride in the cost config so the kinematics stay in
-        # sync with the dynamics params (same defaults as ARM2_DEFAULTS)
+        # Link lengths for the cost's forward kinematics.  They default to
+        # ARM2_DEFAULTS but are an INDEPENDENT copy (costs see only cost
+        # config + attrs, by design — the kernels' SMEM param packing keys
+        # the two namespaces separately): if you override the dynamics
+        # l1/l2 (predictor/env params), set the same values here or the
+        # optimizer will score a phantom arm.  Both are live jit args, so
+        # changing them never recompiles.
         "l1": 0.5,
         "l2": 0.5,
     }
@@ -46,9 +51,9 @@ class Arm2ReachCost(CostFunction):
         super().__init__(merged)
 
     def _ee(self, t1, t2, w):
-        x = w["l1"] * jnp.sin(t1) + w["l2"] * jnp.sin(t1 + t2)
-        y = -w["l1"] * jnp.cos(t1) - w["l2"] * jnp.cos(t1 + t2)
-        return x, y
+        from control_toolkit_tpu.models.dynamics import arm2_end_effector
+
+        return arm2_end_effector(t1, t2, w["l1"], w["l2"])
 
     def _stage_cost_core_soa(self, xs, us, params):
         w = params["cost"]

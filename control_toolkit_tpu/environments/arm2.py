@@ -12,7 +12,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from control_toolkit_tpu.environments.base import EnvironmentBatched
-from control_toolkit_tpu.models.dynamics import ARM2_DEFAULTS, arm2_dynamics
+from control_toolkit_tpu.models.dynamics import (
+    ARM2_DEFAULTS,
+    arm2_dynamics,
+    arm2_end_effector,
+)
 from control_toolkit_tpu.models.predictors import rk4_step
 from control_toolkit_tpu.utils import registry
 
@@ -36,11 +40,10 @@ class Arm2Env(EnvironmentBatched):
         return rk4_step(arm2_dynamics, state, action, dt, self.params)
 
     def end_effector(self, state):
-        t1, t2 = state[..., 0], state[..., 2]
-        l1, l2 = self.params["l1"], self.params["l2"]
-        x = l1 * jnp.sin(t1) + l2 * jnp.sin(t1 + t2)
-        y = -l1 * jnp.cos(t1) - l2 * jnp.cos(t1 + t2)
-        return x, y
+        return arm2_end_effector(
+            state[..., 0], state[..., 2],
+            self.params["l1"], self.params["l2"],
+        )
 
     def get_reward(self, state, action):
         x, y = self.end_effector(state)

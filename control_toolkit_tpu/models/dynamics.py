@@ -463,6 +463,16 @@ def arm2_derivs_soa_fast(xs, us, p):
 arm2_dynamics = soa_to_aos(arm2_derivs_soa, 4, 2)
 arm2_dynamics.fast = _fast_variant(arm2_derivs_soa_fast, 4, 2)
 
+
+def arm2_end_effector(t1, t2, l1, l2):
+    """Fingertip position of the two-link arm (hanging-down zero
+    convention: t1 = t2 = 0 -> (0, -(l1+l2))).  The single FK expression
+    shared by the environment reward and the reaching cost so the two can
+    never measure different fingertips."""
+    x = l1 * jnp.sin(t1) + l2 * jnp.sin(t1 + t2)
+    y = -l1 * jnp.cos(t1) - l2 * jnp.cos(t1 + t2)
+    return x, y
+
 DYNAMICS = {
     "cartpole": (cartpole_dynamics, CARTPOLE_DEFAULTS, 4, 1),
     "pendulum": (pendulum_dynamics, PENDULUM_DEFAULTS, 2, 1),

@@ -129,24 +129,29 @@ class Optimizer:
     def _init_state(self, key: jax.Array):
         raise NotImplementedError
 
+    def place_state(self, state):
+        """Apply this optimizer's placement plan to a state pytree: the
+        sharding plan when one exists, else COMMIT to the device pin.
+
+        Must be used for EVERY opt_state assignment (reset and checkpoint
+        restore): arrays merely created under default_device are
+        uncommitted, while the jitted step's outputs are committed — mixed
+        committedness between the first and second call changes the jit
+        cache key and forces a full recompile on step 1.
+        """
+        if self._shard_state is not None:
+            return self._shard_state(state)
+        if self._device is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._device), state
+            )
+        return state
+
     def optimizer_reset(self) -> None:
         from control_toolkit_tpu.utils.device import device_scope
 
         with device_scope(self._device):
-            state = self._init_state(self._initial_key)
-            if self._shard_state is not None:
-                state = self._shard_state(state)
-            if self._device is not None and self._shard_state is None:
-                # COMMIT the initial state to the pin (a sharded state keeps
-                # its mesh placement instead).  Arrays merely created under
-                # default_device are uncommitted, while the jitted step's
-                # outputs are committed — mixed committedness between the
-                # first and second call changes the jit cache key and
-                # forces a full recompile on step 1.
-                state = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, self._device), state
-                )
-            self.opt_state = state
+            self.opt_state = self.place_state(self._init_state(self._initial_key))
             self.u = jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
 
     # ---- hot path ---------------------------------------------------------

@@ -110,10 +110,12 @@ def save_optimizer(path, optimizer) -> None:
 def load_optimizer(path, optimizer) -> None:
     if optimizer.opt_state is None:
         raise RuntimeError("optimizer not configured; call configure() first")
-    state = load_state(path, optimizer.opt_state)
-    if optimizer._shard_state is not None:
-        state = optimizer._shard_state(state)
-    optimizer.opt_state = state
+    # place_state applies the sharding plan OR commits to the device pin —
+    # restoring uncommitted leaves into a pinned controller would flip the
+    # jit cache key on the second post-resume step (full recompile).
+    optimizer.opt_state = optimizer.place_state(
+        load_state(path, optimizer.opt_state)
+    )
 
 
 def save_controller(path, controller) -> None:
@@ -133,5 +135,8 @@ def load_controller(path, controller) -> None:
         "attrs": dict(controller.variable_parameters),
     }
     payload = load_state(path, template)
-    controller.optimizer.opt_state = payload["opt_state"]
-    controller.variable_parameters.update(payload["attrs"])
+    controller.optimizer.opt_state = controller.optimizer.place_state(
+        payload["opt_state"]
+    )
+    # route through update_attributes: it owns device-pin placement
+    controller.update_attributes(payload["attrs"])

@@ -129,3 +129,43 @@ def test_malformed_device_specs_fall_back():
     assert resolve_device("tpu:abc") is None
     assert resolve_device("/") is None
     assert resolve_device(":::") is None
+
+
+def test_pinned_controller_compiles_once():
+    """The initial state must be COMMITTED to the pin: uncommitted leaves
+    would flip the jit cache key between step 0 (uncommitted inputs) and
+    step 1 (the jitted step's committed outputs) and force a full recompile
+    — the regression behind the phantom ~200 ms/step bench artifact."""
+    ctrl = make_ctrl(device="cpu:1")
+    s = np.array([0.0, 0.0, 0.2, 0.0], np.float32)
+    for _ in range(3):
+        ctrl.step(s)
+    assert ctrl.optimizer._step_jit._cache_size() == 1, (
+        "device-pinned controller recompiled after the first step"
+    )
+
+
+def test_pinned_checkpoint_resume_compiles_once(tmp_path):
+    """Checkpoint restore must apply the same placement plan (place_state):
+    resuming a pinned controller from uncommitted loaded leaves would pay
+    the same one-time recompile."""
+    from control_toolkit_tpu.utils import checkpoint
+
+    ctrl = make_ctrl(device="cpu:1")
+    s = np.array([0.0, 0.0, 0.2, 0.0], np.float32)
+    ctrl.step(s)
+    path = tmp_path / "ckpt.npz"
+    checkpoint.save_controller(path, ctrl)
+
+    fresh = make_ctrl(device="cpu:1")
+    checkpoint.load_controller(path, fresh)
+    import jax
+
+    cpu1 = jax.devices("cpu")[1]
+    for leaf in jax.tree_util.tree_leaves(fresh.optimizer.opt_state):
+        assert leaf.devices() == {cpu1}
+    for _ in range(3):
+        fresh.step(s)
+    assert fresh.optimizer._step_jit._cache_size() == 1, (
+        "checkpoint resume on a pinned controller recompiled after step 1"
+    )
