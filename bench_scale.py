@@ -96,6 +96,27 @@ def build_quad3d_mppi(K, H, predictor_spec="ODE:rk4:1:fast"):
     return ctrl
 
 
+def build_arm2_mppi(K, H, predictor_spec="ODE:rk4:1:fast"):
+    """2-input manipulator with the nonconvex end-effector reaching cost
+    (forward-kinematics trig inside the stage cost)."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="arm2",
+        control_limits=(np.array([-1.0, -1.0], np.float32),
+                        np.array([1.0, 1.0], np.float32)),
+        initial_environment_attributes={"target_x": 0.6, "target_y": 0.4},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", predictor_specification=predictor_spec,
+                   optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 3.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.25, "period_interpolation_inducing_points": 10,
+    })
+    return ctrl
+
+
 def build_rpgd(K, H, remat=False, force_scan=False, predictor_spec="ODE"):
     """RPGD: the gradient-through-rollout path.  force_scan=True pins the
     XLA-AD baseline; the default uses the fused Pallas gradient kernel on
@@ -229,6 +250,14 @@ def main():
     results["quad3d_rollouts_per_sec"] = round(quad_K / (ms / 1e3))
     print(f"quad3d semi-fused fast K={quad_K}: {ms:7.3f} ms "
           f"({quad_K / (ms / 1e3) / 1e6:.0f}M rollouts/s)", flush=True)
+
+    # Trig-heavy 2-input manipulator at scale (semi-fused + fast-math).
+    arm_K = 1 << 18
+    ms = measure_step(build_arm2_mppi(arm_K, H), n1=5, n2=25)
+    results["arm2_K262k_semi_fused_fast"] = round(ms, 3)
+    results["arm2_rollouts_per_sec"] = round(arm_K / (ms / 1e3))
+    print(f"arm2 semi-fused fast K={arm_K}: {ms:7.3f} ms "
+          f"({arm_K / (ms / 1e3) / 1e6:.0f}M rollouts/s)", flush=True)
 
     # Gradient path: RPGD differentiates through the rollout.  XLA-AD
     # baseline (force_scan) vs the fused Pallas gradient kernel.
