@@ -178,3 +178,20 @@ def test_terminal_chooser_out_of_range_falls_back(monkeypatch):
                                 ["cem-tf", "mppi"], "mpc", None)
     assert c == "mpc"        # out-of-range index -> default
     assert o == "mppi"
+
+
+def test_reference_readme_client_snippet(server_thread):
+    """The EXACT client from the reference README (README.md:138-146): a
+    REQ socket with a STRING rid and no updated_attributes — wire
+    compatibility means that snippet works against this server verbatim
+    (string rid echoed untouched, REQ's strict framing accepted)."""
+    ctx = zmq.Context.instance()
+    socket = ctx.socket(zmq.REQ)
+    socket.setsockopt(zmq.RCVTIMEO, 10000)
+    socket.connect(f"tcp://127.0.0.1:{PORT}")
+    socket.send_json({"rid": "1", "state": [0.1, 0.2, 0.0, 0.0], "time": 0.0})
+    resp = socket.recv_json()
+    assert resp["rid"] == "1"
+    control = np.asarray(resp["Q"], np.float32)
+    assert np.all(np.isfinite(control))
+    socket.close(0)
