@@ -1,0 +1,60 @@
+"""Multi-process (simulated multi-host) SPMD execution.
+
+VERDICT r2 item 1: the virtual single-process mesh covers SPMD *logic* but
+not the distributed runtime.  Here N OS processes each own M virtual CPU
+devices, `jax.distributed.initialize` builds the global mesh, and the
+sharded MPPI + RPGD steps run with gloo cross-process collectives.  The
+result must equal the single-process 8-device run (same global mesh shape)
+— the multi-controller model promises the SPMD program is identical.
+
+Reference has no distributed compute at all (SURVEY §5) — this is
+north-star coverage (BASELINE.md scale-out), not parity.
+"""
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.parallel.launch import (
+    MULTIHOST_CONFIG,
+    launch_workers,
+    run_sharded_trace,
+)
+
+pytestmark = pytest.mark.slow
+
+STEPS = 3
+
+
+@pytest.fixture(scope="module")
+def multiproc_traces():
+    # 2 processes x 4 devices = one global 8-device ('k',) mesh.
+    return launch_workers(num_processes=2, local_devices=4, steps=STEPS)
+
+
+def test_cross_process_consistency(multiproc_traces):
+    """Every process computes the same global program -> identical traces."""
+    a, b = multiproc_traces
+    assert set(a) == {"mppi", "rpgd-tf"}
+    for name in a:
+        np.testing.assert_array_equal(a[name], b[name])
+
+
+@pytest.mark.parametrize("name", ["mppi", "rpgd-tf"])
+def test_matches_single_process(multiproc_traces, name):
+    """2-proc x 4-dev == 1-proc x 8-dev to 2e-5 (same global mesh shape,
+    so the SPMD partitioning is identical; only the runtime differs)."""
+    import jax
+
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    mesh = make_rollout_mesh(jax.devices())  # conftest: 8 virtual devices
+    single = run_sharded_trace(name, mesh, STEPS)
+    multi = multiproc_traces[0][name]
+    np.testing.assert_allclose(multi, single, atol=2e-5, rtol=0)
+
+
+def test_worker_sees_global_mesh(multiproc_traces):
+    """Traces exist and have the right shape [steps, U]."""
+    for proc in multiproc_traces:
+        for name, tr in proc.items():
+            assert tr.shape == (STEPS, 1)
+            assert np.all(np.isfinite(tr))
