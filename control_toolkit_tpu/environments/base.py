@@ -30,7 +30,35 @@ class EnvironmentBatched:
         self._key = make_key(seed, context=self.__class__.__name__)
         self.actuator_noise = float(actuator_noise)
         self.state: Optional[jnp.ndarray] = None
+        self._predictor = None
         self._step_jit = jax.jit(self._step_impl)
+
+    # ---- predictor attachment ---------------------------------------------
+    # Reference parity: /root/reference/others/environment.py:20-33 — an
+    # environment can roll with a LEARNED predictor in place of its true
+    # dynamics (e.g. to evaluate a trained model closed-loop).  The setter
+    # re-jits the step so the predictor path is traced in; the predictor's
+    # parameters remain a jit ARGUMENT (re-read every step), so an online-
+    # sysid update to the model is picked up without recompiling.
+    @property
+    def predictor(self):
+        if self._predictor is None:
+            raise ValueError("Predictor not set for this environment yet")
+        return self._predictor
+
+    @predictor.setter
+    def predictor(self, p) -> None:
+        self._predictor = p
+        self._step_jit = jax.jit(self._step_impl)
+
+    def _dynamics_step(self, state, action, pred_params):
+        if self._predictor is None:
+            return self.step_dynamics(state, action, self.dt)
+        single = getattr(self._predictor, "single_step", None)
+        if single is not None:
+            return single(state, action, pred_params)
+        # Horizon-1 predict: [B,1,U] -> [B,2,S], take the advanced state.
+        return self._predictor.predict_core(state, action[:, None, :], pred_params)[:, 1]
 
     # ---- to implement ------------------------------------------------------
     def step_dynamics(self, state: jnp.ndarray, action: jnp.ndarray, dt: float) -> jnp.ndarray:
@@ -54,11 +82,11 @@ class EnvironmentBatched:
         self.state = self._sample_initial_state(sub)
         return np.asarray(self.state), {}
 
-    def _step_impl(self, state, action, key):
+    def _step_impl(self, state, action, key, pred_params):
         if self.actuator_noise > 0.0:
             action = action + self.actuator_noise * jax.random.normal(key, action.shape)
         action = jnp.clip(action, jnp.asarray(self.action_low), jnp.asarray(self.action_high))
-        next_state = self.step_dynamics(state, action, self.dt)
+        next_state = self._dynamics_step(state, action, pred_params)
         reward = self.get_reward(next_state, action)
         terminated = self.is_done(next_state)
         return next_state, reward, terminated
@@ -66,7 +94,10 @@ class EnvironmentBatched:
     def step(self, action) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, Dict]:
         action = self._expand_batch(jnp.asarray(action, jnp.float32), self.num_actions)
         self._key, sub = jax.random.split(self._key)
-        self.state, reward, terminated = self._step_jit(self.state, action, sub)
+        pred_params = (
+            self._predictor.default_params() if self._predictor is not None else {}
+        )
+        self.state, reward, terminated = self._step_jit(self.state, action, sub, pred_params)
         truncated = jnp.zeros_like(terminated)
         return (
             np.asarray(self.state),

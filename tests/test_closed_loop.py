@@ -1,0 +1,110 @@
+"""On-device closed-loop harness (evaluation/closed_loop.py).
+
+The whole controller+plant loop runs as ONE jitted lax.scan — checked here
+against the eager Python loop (same optimizer step function, same plant
+step) and used as the fast stabilization bench (VERDICT r2 item 3).
+"""
+import jax
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.controllers.mpc import MPCController
+from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+from control_toolkit_tpu.environments.pendulum import PendulumEnv
+from control_toolkit_tpu.evaluation import ClosedLoop
+
+MPPI_CFG = {
+    "seed": 5, "mpc_timestep": 0.02, "mpc_horizon": 15, "num_rollouts": 128,
+    "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+    "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 5,
+}
+
+
+def _mppi_controller(env_name="cartpole", **overrides):
+    cfg = dict(MPPI_CFG, **overrides)
+    ctrl = MPCController(
+        environment_name=env_name,
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config=cfg)
+    return ctrl
+
+
+def test_fused_loop_matches_python_loop():
+    """One-program scan == eager per-tick loop (same step fn, no noise)."""
+    T = 12
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=3)
+    s0 = np.array([0.0, 0.0, 0.15, 0.0], np.float32)
+
+    # Eager loop: optimizer.step + pure plant advance (no actuator noise).
+    ctrl = _mppi_controller()
+    s = s0.copy()
+    eager_states, eager_controls = [], []
+    for _ in range(T):
+        u = ctrl.step(s)
+        eager_states.append(s.copy())
+        eager_controls.append(np.asarray(u).reshape(-1))
+        u_clipped = np.clip(u, -1.0, 1.0)
+        s = np.asarray(
+            env.step_dynamics(s[None, :], u_clipped[None, :], env.dt)
+        )[0]
+
+    ctrl2 = _mppi_controller()
+    loop = ClosedLoop(ctrl2, env)
+    out = loop.run(s0, ticks=T)
+
+    np.testing.assert_allclose(
+        out["states"], np.stack(eager_states), atol=1e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        out["controls"], np.stack(eager_controls), atol=1e-5, rtol=0
+    )
+
+
+def test_single_program_launch():
+    """The episode really is one device program: the jitted entry compiles
+    once and re-runs for a second episode without retracing."""
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    ctrl = _mppi_controller()
+    loop = ClosedLoop(ctrl, env)
+    s0 = np.array([0.0, 0.0, 0.1, 0.0], np.float32)
+    loop.run(s0, ticks=8)
+    loop.run(s0, ticks=8, reset=False)
+    assert loop._run_device._cache_size() == 1
+
+
+def test_stabilizes_cartpole():
+    """Zoo check via the fast harness: MPPI holds the pole upright."""
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=1)
+    ctrl = _mppi_controller(
+        mpc_horizon=25, num_rollouts=512, SQRTRHOINV=0.03, seed=7,
+    )
+    loop = ClosedLoop(ctrl, env)
+    s0, _ = env.reset()
+    out = loop.run(s0[0], ticks=80)
+    assert abs(out["final_state"][2]) < 0.15, out["final_state"]
+    assert np.all(np.isfinite(out["states"]))
+
+
+def test_actuator_noise_and_state_threading():
+    """Noise draws differ across episodes; optimizer state persists when
+    reset=False (warm start carries over)."""
+    env = PendulumEnv(batch_size=1, dt=0.02, seed=2)
+    ctrl = _mppi_controller("pendulum")
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.05, noise_seed=4)
+    s0 = np.array([np.pi * 0.9, 0.0], np.float32)
+    a = loop.run(s0, ticks=10)
+    b = loop.run(s0, ticks=10)  # fresh reset, different noise keys
+    assert not np.allclose(a["controls"], b["controls"])
+    assert np.all(np.isfinite(a["states"])) and np.all(np.isfinite(b["states"]))
+
+
+def test_rejects_stateful_predictor():
+    from types import SimpleNamespace
+
+    ctrl = _mppi_controller()
+    ctrl.optimizer.predictor = SimpleNamespace(is_stateful=True)  # fake RNN
+    with pytest.raises(ValueError, match="stateless"):
+        ClosedLoop(ctrl, CartpoleEnv(batch_size=1, dt=0.02))
