@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: fused rollout + cost for LEARNED (MLP) dynamics.
+
+The reference's flagship predictor is a trained network (SI_Toolkit GRU/MLP
+names in Control_Toolkit_ASF_Template/config_controllers.yml:8).  The XLA
+scan path evaluates it as H sequential matmuls whose [K, hidden]
+activations round-trip HBM every layer of every horizon step — at K=262k,
+H=50, a 32x32 net that is ~2 GB of traffic per optimizer iteration, all
+bandwidth-bound.  This kernel keeps a TILE_K-rollout slice of the
+recurrence entirely in VMEM: per step it evaluates the MLP on the MXU in
+transposed form and accrues the stage cost on the VPU, writing only the
+final [K] cost vector to HBM.
+
+Layout: identical to ops/pallas_rollout.py — state components are SOA rows
+[1, TILE_K] (lanes = rollouts), so the cost function's ``*_soa`` primitives
+are reused unchanged.  The network runs on stacked rows: activations are
+[feat, TILE_K] with weights pre-transposed host-side to [out, in], making
+each layer one MXU ``dot_general`` with the full lane dimension utilized
+(the feature dim underfills MXU rows at width<128 — still a ~10x win over
+the HBM-bound scan because the traffic disappears, not because the MXU is
+full; see docs/KERNELS.md roofline).
+
+Weights ride as whole-array VMEM operands (constant index_map — resident
+across grid steps, ~KBs for the net sizes the reference names); scalar cost
+params/attrs/u_prev ride in SMEM scalar prefetch exactly like the ODE
+kernel, so weight UPDATES (online sysid, checkpoint swap) and cost
+hot-reloads never recompile.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_NEURAL_TILE_K = 2048
+
+
+def mlp_layer_count(net: Dict) -> int:
+    return sum(1 for k in net if k.startswith("w"))
+
+
+def flatten_mlp_weights(net: Dict) -> List[jnp.ndarray]:
+    """Order the MLP parameter dict into the kernel's operand list:
+    [w0^T [out,in], b0 [out,1], w1^T, b1, ...,
+     (norm_in_mean [in,1], norm_in_std), (norm_out_mean [out,1], norm_out_std)]
+    Norm entries appear only when present in the dict (trained checkpoints
+    carry them; random inits don't)."""
+    ops: List[jnp.ndarray] = []
+    n = mlp_layer_count(net)
+    for i in range(n):
+        ops.append(jnp.asarray(net[f"w{i}"], jnp.float32).T)
+        ops.append(jnp.reshape(jnp.asarray(net[f"b{i}"], jnp.float32), (-1, 1)))
+    if "norm_in_mean" in net:
+        ops.append(jnp.reshape(jnp.asarray(net["norm_in_mean"], jnp.float32), (-1, 1)))
+        ops.append(jnp.reshape(jnp.asarray(net["norm_in_std"], jnp.float32), (-1, 1)))
+    if "norm_out_mean" in net:
+        ops.append(jnp.reshape(jnp.asarray(net["norm_out_mean"], jnp.float32), (-1, 1)))
+        ops.append(jnp.reshape(jnp.asarray(net["norm_out_std"], jnp.float32), (-1, 1)))
+    return ops
+
+
+def build_neural_cost_rollout_kernel(
+    stage_cost_soa: Callable,     # (xs, us, prev_us, p) -> [1, T]
+    terminal_cost_soa: Callable,  # (xs, p) -> [1, T]
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    param_keys: Sequence[str],    # packed scalar params (cost/attrs/u_prev)
+    n_layers: int,
+    predict_delta: bool = True,
+    has_norm_in: bool = False,
+    has_norm_out: bool = False,
+    activation: Callable = jnp.tanh,
+    tile_k: int = DEFAULT_NEURAL_TILE_K,
+    interpret: bool = False,
+):
+    """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N], *weights) -> cost [K]`` for
+    an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
+
+    ``weights`` is the ``flatten_mlp_weights`` operand list.  Semantics match
+    NeuralPredictor.single_step (models/neural_predictor.py) composed with
+    the reference trajectory-cost reduction (mean over H stage + terminal).
+    """
+    S, U, H = num_states, num_controls, horizon
+    n_w = 2 * n_layers + (2 if has_norm_in else 0) + (2 if has_norm_out else 0)
+
+    def unpack(pvec_ref):
+        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
+
+    def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        w_refs = rest[:n_w]
+        cost_ref = rest[n_w]
+        p = unpack(pvec_ref)
+
+        idx = 2 * n_layers
+        norm_in = w_refs[idx : idx + 2] if has_norm_in else None
+        idx += 2 if has_norm_in else 0
+        norm_out = w_refs[idx : idx + 2] if has_norm_out else None
+
+        xs = tuple(s0_ref[i : i + 1, :] for i in range(S))
+        prev_us = tuple(
+            jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+        )
+        acc = jnp.zeros((1, tile_k), jnp.float32)
+
+        def net_step(xs, us):
+            a = jnp.concatenate(xs + us, axis=0)          # [S+U, T]
+            if norm_in is not None:
+                a = (a - norm_in[0][:]) / norm_in[1][:]
+            for i in range(n_layers):
+                w = w_refs[2 * i][:]                       # [out, in]
+                b = w_refs[2 * i + 1][:]                   # [out, 1]
+                a = jax.lax.dot_general(
+                    w, a, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + b
+                if i < n_layers - 1:
+                    a = activation(a)
+            if norm_out is not None:
+                a = a * norm_out[1][:] + norm_out[0][:]
+            if predict_delta:
+                return tuple(xs[i] + a[i : i + 1, :] for i in range(S))
+            return tuple(a[i : i + 1, :] for i in range(S))
+
+        def body(h, carry):
+            xs, prev_us, acc = carry
+            u_slab = q_ref[h]                              # [U, T]
+            us = tuple(u_slab[j : j + 1, :] for j in range(U))
+            acc = acc + stage_cost_soa(xs, us, prev_us, p)
+            xs = net_step(xs, us)
+            return xs, us, acc
+
+        xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
+        cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+
+    @jax.jit
+    def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
+            *weights: jnp.ndarray) -> jnp.ndarray:
+        K = s0.shape[0]
+        assert K % tile_k == 0, f"K={K} not divisible by tile_k={tile_k}"
+        assert len(weights) == n_w, (len(weights), n_w)
+        n_tiles = K // tile_k
+        s0_t = s0.T                        # [S, K]
+        q_t = jnp.transpose(Q, (1, 2, 0))  # [H, U, K]
+
+        w_specs = [
+            pl.BlockSpec(
+                w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
+                memory_space=pltpu.VMEM,
+            )
+            for w in weights
+        ]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((S, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ] + w_specs,
+            out_specs=pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
+                                   memory_space=pltpu.VMEM),
+        )
+        cost = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+            grid_spec=gs,
+            interpret=interpret,
+        )(pvec, s0_t, q_t, *weights)
+        return cost[0]
+
+    return run

@@ -285,6 +285,8 @@ class Optimizer:
         """
         if not differentiable and self._can_use_pallas():
             return self._build_pallas_cost()
+        if not differentiable and self._can_use_pallas_neural():
+            return self._build_pallas_neural_cost()
         if self._can_fuse_rollout():
             return self._fused_cost
         return None
@@ -327,7 +329,7 @@ class Optimizer:
 
         return int(np.prod([self._mesh.shape[a] for a in self._shard_axes]))
 
-    def _soa_bindings(self):
+    def _soa_bindings(self, include_dyn: bool = True):
         """Common kernel-builder preamble: bind the predictor's SOA dynamics
         and the cost function's SOA primitives, plus the packed scalar
         parameter vector layout (dyn constants, cost weights, attrs,
@@ -335,14 +337,19 @@ class Optimizer:
 
         Returns (param_keys, pack, derivs_soa, stage_soa, terminal_soa,
         pred).  ``stage_soa`` includes the control-change term and the
-        MAX_COST shift — i.e. reference get_stage_cost semantics."""
+        MAX_COST shift — i.e. reference get_stage_cost semantics.
+
+        ``include_dyn=False`` omits the dynamics constants from the packed
+        vector (and returns ``derivs_soa=None``) — used by the neural kernel,
+        whose dynamics parameters are weight ARRAYS passed as VMEM operands,
+        not SMEM scalars."""
         import jax.numpy as jnp
 
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         pred = getattr(self.predictor, "predictor", self.predictor)
         U = self.num_control_inputs
 
-        dyn_keys = sorted(pred.default_params())
+        dyn_keys = sorted(pred.default_params()) if include_dyn else []
         cost_keys = sorted(cf.dynamic_config_keys)
         attr_keys = sorted(getattr(cf, "attr_keys", ()))
         param_keys = (
@@ -377,6 +384,9 @@ class Optimizer:
         def derivs(xs, us, p):
             dyn, _ = split_p(p)
             return pred.dynamics.soa(xs, us, dyn)
+
+        if not include_dyn:
+            derivs = None
 
         attr_defaults = getattr(cf, "attr_defaults", {})
 
@@ -454,15 +464,17 @@ class Optimizer:
 
         return cost_fn
 
-    def _shard_map_kernel(self, kernel, make_out_specs):
-        """Wrap a (s0, Q, pvec) Pallas kernel in shard_map over the planned
-        mesh.  XLA does not auto-partition custom kernels, so under sharding
-        each device runs its LOCAL K tiles; the rollout kernels have NO
-        cross-K reduction — downstream reductions (top-k, softmax) stay in
-        XLA and lower to ICI/DCN collectives as usual.
+    def _shard_map_kernel(self, kernel, make_out_specs, n_replicated_extra: int = 0):
+        """Wrap a (s0, Q, pvec, *extra) Pallas kernel in shard_map over the
+        planned mesh.  XLA does not auto-partition custom kernels, so under
+        sharding each device runs its LOCAL K tiles; the rollout kernels
+        have NO cross-K reduction — downstream reductions (top-k, softmax)
+        stay in XLA and lower to ICI/DCN collectives as usual.
 
         ``make_out_specs(PS, first) -> out_specs`` builds the output spec(s)
-        from the PartitionSpec class and the kernel's K-axis name(s)."""
+        from the PartitionSpec class and the kernel's K-axis name(s).
+        ``n_replicated_extra`` extends in_specs with fully-replicated entries
+        (the neural kernel's weight operands)."""
         from jax.sharding import PartitionSpec as PS
         try:
             from jax import shard_map
@@ -473,7 +485,8 @@ class Optimizer:
         first = axes if len(axes) > 1 else axes[0]
         return shard_map(
             kernel, mesh=self._mesh,
-            in_specs=(PS(first, None), PS(first, None, None), PS()),
+            in_specs=(PS(first, None), PS(first, None, None), PS())
+            + (PS(),) * n_replicated_extra,
             out_specs=make_out_specs(PS, first),
             check_vma=False,  # pallas_call outputs carry no vma annotation
         )
@@ -514,6 +527,78 @@ class Optimizer:
             return kernel(s_tiled, Q, pack(params, u_prev))
 
         return grad_fn
+
+    # ---- Pallas fused NEURAL-dynamics kernel ------------------------------
+    def _can_use_pallas_neural(self, tile_k: int = None) -> bool:
+        """Kernel eligibility for MLP learned-dynamics rollouts
+        (ops/pallas_neural.py): TPU backend, non-recurrent NeuralPredictor,
+        SOA-capable cost with scalar attrs, shard-even K."""
+        import jax
+
+        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.ops.pallas_neural import DEFAULT_NEURAL_TILE_K
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        tile = tile_k or DEFAULT_NEURAL_TILE_K
+        return (
+            jax.default_backend() == "tpu"
+            and (self._device is None or self._device.platform == "tpu")
+            and not self.force_scan
+            and isinstance(pred, NeuralPredictor)
+            and not pred.recurrent
+            and cf is not None
+            and getattr(cf, "supports_fused_rollout", False)
+            and all(
+                np.ndim(v) == 0
+                for v in getattr(cf, "attr_defaults", {}).values()
+            )
+            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
+        )
+
+    def _build_pallas_neural_cost(self, interpret: bool = False, tile_k: int = None):
+        """Bind an MLP NeuralPredictor + cost function into the fused neural
+        rollout+cost kernel.  Same contract as ``_build_pallas_cost``:
+        ``cost_fn(s_tiled, Q, u_prev, params) -> [K]``; net weights flow as
+        VMEM array operands read from ``params['dyn']['net']`` every call —
+        online-sysid updates and checkpoint swaps need no recompile."""
+        from control_toolkit_tpu.ops.pallas_neural import (
+            DEFAULT_NEURAL_TILE_K,
+            build_neural_cost_rollout_kernel,
+            flatten_mlp_weights,
+            mlp_layer_count,
+        )
+
+        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        net = pred.net_params
+        n_layers = mlp_layer_count(net)
+        n_w = len(flatten_mlp_weights(net))
+
+        kernel = build_neural_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=self.num_states, num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon,
+            param_keys=param_keys,
+            n_layers=n_layers,
+            predict_delta=pred.predict_delta,
+            has_norm_in="norm_in_mean" in net,
+            has_norm_out="norm_out_mean" in net,
+            tile_k=tile_k or DEFAULT_NEURAL_TILE_K,
+            interpret=interpret,
+        )
+
+        if self._mesh is not None:
+            kernel = self._shard_map_kernel(
+                kernel, lambda PS, first: PS(first), n_replicated_extra=n_w
+            )
+
+        def cost_fn(s_tiled, Q, u_prev, params):
+            weights = flatten_mlp_weights(params["dyn"]["net"])
+            return kernel(s_tiled, Q, pack(params, u_prev), *weights)
+
+        return cost_fn
 
     def _make_grad_and_cost_only(self):
         """The gradient-path pair every AD optimizer uses:
