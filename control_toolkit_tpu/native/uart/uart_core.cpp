@@ -21,6 +21,7 @@
 #include <fcntl.h>
 #include <poll.h>
 #include <termios.h>
+#include <time.h>
 #include <unistd.h>
 
 namespace {
@@ -105,6 +106,48 @@ int write_all(Uart* u, const uint8_t* buf, int n) {
   return sent;
 }
 
+int64_t now_ms() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return static_cast<int64_t>(ts.tv_sec) * 1000 + ts.tv_nsec / 1000000;
+}
+
+// Sliding-window framed-reply scanner — the reference's _receive_reply
+// resync loop (controller_embedded.py:289-333): accumulate bytes, search
+// for SOF, check the declared packet length, verify CRC-8, and DROP ONE
+// BYTE on any mismatch.  This is what makes the protocol survive a noisy
+// line: garbage preambles, truncated frames, and corrupted CRCs are
+// skipped until a valid frame of the expected type aligns.
+bool receive_frame(Uart* u, uint8_t expected_type, int cmd_len,
+                   int timeout_ms, uint8_t* frame_out) {
+  std::vector<uint8_t> buf;
+  const int64_t deadline = now_ms() + timeout_ms;
+  while (true) {
+    // Scan whatever is buffered for an aligned valid frame.
+    while (static_cast<int>(buf.size()) >= cmd_len) {
+      if (buf[0] != SERIAL_SOF || buf[2] != cmd_len ||
+          buf[cmd_len - 1] != crc8(buf.data(), cmd_len - 1) ||
+          buf[1] != expected_type) {
+        buf.erase(buf.begin());
+        continue;
+      }
+      memcpy(frame_out, buf.data(), cmd_len);
+      return true;
+    }
+    const int64_t remaining = deadline - now_ms();
+    if (remaining <= 0) return false;
+    struct pollfd pfd = {u->fd, POLLIN, 0};
+    if (poll(&pfd, 1, static_cast<int>(remaining)) <= 0) return false;
+    uint8_t tmp[256];
+    ssize_t r = read(u->fd, tmp, sizeof(tmp));
+    if (r <= 0) {
+      if (r < 0 && (errno == EAGAIN || errno == EINTR)) continue;
+      return false;
+    }
+    buf.insert(buf.end(), tmp, tmp + r);
+  }
+}
+
 void drain_input(Uart* u) {
   uint8_t tmp[256];
   while (true) {
@@ -179,15 +222,16 @@ void ctt_uart_close(void* h) {
   delete u;
 }
 
-// Returns 1 on pong, 0 on timeout/garbage.
+// Returns 1 on pong, 0 on timeout.  Resyncs through line noise: garbage
+// preambles, wrong-length frames and CRC-corrupted pongs are skipped by
+// the sliding-window scanner (reference _receive_reply semantics).
 int ctt_uart_ping(void* h, int timeout_ms) {
   auto* u = static_cast<Uart*>(h);
   uint8_t msg[4] = {SERIAL_SOF, MSG_TYPE_PING, 4, 0};
   msg[3] = crc8(msg, 3);
   if (write_all(u, msg, 4) != 4) return 0;
   uint8_t resp[4];
-  if (read_exact(u, resp, 4, timeout_ms) != 4) return 0;
-  return (resp[0] == SERIAL_SOF && resp[1] == MSG_TYPE_PING && resp[2] == 4) ? 1 : 0;
+  return receive_frame(u, MSG_TYPE_PING, 4, timeout_ms, resp) ? 1 : 0;
 }
 
 // GET_SPEC handshake with retries.  names_buf receives a comma-separated

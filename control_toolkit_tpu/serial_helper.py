@@ -24,16 +24,22 @@ BOARD_DESCRIPTORS = {
     "zynq": ["Digilent", "Zynq", "FT2232"],
 }
 
+# Filesystem roots — module constants so tests can point them at a fake
+# tree (no hardware, no sudo).
+DEV_DIR = "/dev"
+BY_ID_DIR = "/dev/serial/by-id"
+SYSFS_LATENCY_FMT = "/sys/bus/usb-serial/devices/{dev}/latency_timer"
+
 
 def list_serial_ports() -> List[str]:
     """Enumerate candidate serial devices, stable by-id paths first."""
     ports: List[str] = []
-    by_id = Path("/dev/serial/by-id")
+    by_id = Path(BY_ID_DIR)
     if by_id.is_dir():
         ports += sorted(str(p) for p in by_id.iterdir())
     for pattern in ("ttyUSB", "ttyACM"):
         ports += sorted(
-            f"/dev/{d}" for d in os.listdir("/dev") if d.startswith(pattern)
+            f"{DEV_DIR}/{d}" for d in os.listdir(DEV_DIR) if d.startswith(pattern)
         )
     return ports
 
@@ -69,7 +75,7 @@ def set_ftdi_latency_timer(serial_port: str, latency_ms: int = 1) -> None:
     logged, not fatal.
     """
     dev = os.path.basename(os.path.realpath(serial_port))
-    sysfs = Path(f"/sys/bus/usb-serial/devices/{dev}/latency_timer")
+    sysfs = Path(SYSFS_LATENCY_FMT.format(dev=dev))
     if not sysfs.exists():
         logger.debug(f"{sysfs} not present (not an FTDI device?); skipping")
         return

@@ -40,7 +40,12 @@ def build_controller(
     control_limits=(-1.0, 1.0),
     initial_attributes: Optional[Dict] = None,
     optimizer_config: Optional[Dict] = None,
+    mesh=None,
 ):
+    """``mesh``: shard the served optimizer's rollout population over a
+    device mesh (BASELINE.md scale-out: ZMQ serving in front of a
+    mesh-sharded K — the server loop is mesh-agnostic, the jitted step's
+    collectives ride ICI/DCN underneath it)."""
     ControllerClass = import_controller_by_name(controller_name)
     low, high = control_limits
     ctrl = ControllerClass(
@@ -52,7 +57,10 @@ def build_controller(
         initial_environment_attributes=dict(initial_attributes or DEFAULT_ATTRIBUTES),
     )
     if ctrl.has_optimizer:
-        ctrl.configure(optimizer_name=optimizer_name, optimizer_config=optimizer_config)
+        kw = {"optimizer_name": optimizer_name, "optimizer_config": optimizer_config}
+        if mesh is not None:
+            kw["mesh"] = mesh
+        ctrl.configure(**kw)
     else:
         ctrl.configure()
     return ctrl
