@@ -82,6 +82,12 @@ class MPCController(Controller):
             variable_parameters=self.variable_parameters,
         )
 
+        # Costs that mirror dynamics geometry (e.g. arm2 FK link lengths)
+        # reconcile with the predictor's parameters before the step compiles.
+        self.cost_function.cost_function.sync_with_dynamics(
+            self.predictor.default_params()
+        )
+
         self.optimizer.configure(
             dt=dt,
             predictor_specification=predictor_specification,
@@ -127,9 +133,22 @@ class MPCController(Controller):
                     if self.device is not None
                     else (lambda v: jnp.asarray(v, dtype=jnp.float32))
                 )
-                self._dyn_params = jax.tree_util.tree_map(
-                    conv, self.predictor.default_params()
-                )
+                fresh = self.predictor.default_params()
+                if (
+                    self._dyn_params is not None
+                    and isinstance(fresh, dict) and "hidden" in fresh
+                ):
+                    # Stateful re-assembly: only the hidden-state leaves
+                    # changed since last step — re-place just those instead
+                    # of tree_map+device_put over the whole weight tree
+                    # every control tick (ADVICE r2).
+                    placed = dict(self._dyn_params)
+                    placed["hidden"] = jax.tree_util.tree_map(
+                        conv, fresh["hidden"]
+                    )
+                    self._dyn_params = placed
+                else:
+                    self._dyn_params = jax.tree_util.tree_map(conv, fresh)
             if self._cost_params is None:
                 self._cost_params = self.cost_function.current_params()["cost"]
                 if self.device is not None:

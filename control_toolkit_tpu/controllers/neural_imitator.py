@@ -90,13 +90,10 @@ class NeuralImitatorController(Controller):
             # hls4ml model): emulate with quantized input/activation/
             # accumulator forward passes, not just quantized weights.
             if self.hls4ml:
-                if arch["kind"] == "gru":
-                    rnn_apply = nets.gru_apply_fixed
-                else:
-                    logger.warning(
-                        "hls4ml fixed-point emulation has no LSTM datapath "
-                        "yet; evaluating the LSTM in float"
-                    )
+                rnn_apply = (
+                    nets.gru_apply_fixed if arch["kind"] == "gru"
+                    else nets.lstm_apply_fixed
+                )
             self._apply = jax.jit(lambda p, x, h: rnn_apply(p, x, h))
         else:
             mlp_fwd = nets.mlp_apply_fixed if self.hls4ml else nets.mlp_apply

@@ -50,6 +50,11 @@ class CostFunction:
         self.batch_size = batch_size
         self.horizon = horizon
 
+    def sync_with_dynamics(self, dyn_params: Dict) -> None:
+        """Optional hook: reconcile cost-side copies of dynamics geometry
+        with the predictor's parameters (called by MPCController.configure
+        after both sides exist).  Default: nothing shared."""
+
     # ---- pure cost API ----------------------------------------------------
     # Subclasses implement the struct-of-arrays primitives (xs/us are tuples
     # of same-shaped component arrays), which unlock both the fused scan

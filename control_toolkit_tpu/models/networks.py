@@ -306,6 +306,53 @@ def gru_cell_apply_fixed(
     return q((1.0 - z) * n + z * h)
 
 
+def lstm_cell_apply_fixed(
+    p: Dict, x: jnp.ndarray, hc: jnp.ndarray,
+    total_bits: int = 16, frac_bits: int = 10,
+    acc_total_bits: int = 32, acc_frac_bits: int = 20,
+):
+    """hls4ml ap_fixed datapath for one LSTM cell (mirrors
+    gru_cell_apply_fixed): gate pre-activations quantized at accumulator
+    precision, gate outputs and both states at data precision.  The cell
+    state c is kept at data precision after every update — the FPGA stores
+    it in the same ap_fixed type as h."""
+    q = lambda v: fixed_q(v, total_bits, frac_bits)
+    qa = lambda v: fixed_q(v, acc_total_bits, acc_frac_bits)
+    H = hc.shape[-1] // 2
+    h, c = hc[..., :H], hc[..., H:]
+    g = qa(x @ p["wi"] + p["bi"]) + qa(h @ p["wh"] + p["bh"])
+    i = q(jax.nn.sigmoid(g[..., :H]))
+    f = q(jax.nn.sigmoid(g[..., H:2 * H]))
+    gg = q(jnp.tanh(g[..., 2 * H:3 * H]))
+    o = q(jax.nn.sigmoid(g[..., 3 * H:]))
+    c_new = q(q(f * c) + q(i * gg))
+    h_new = q(o * jnp.tanh(c_new))
+    return h_new, jnp.concatenate([h_new, c_new], axis=-1)
+
+
+def lstm_apply_fixed(
+    params: Dict, x: jnp.ndarray, hs: Tuple[jnp.ndarray, ...],
+    total_bits: int = 16, frac_bits: int = 10,
+    acc_total_bits: int = 32, acc_frac_bits: int = 20,
+):
+    """Fixed-point stacked-LSTM forward (hls4ml emulation; reference
+    evaluates whatever hls4ml model is loaded,
+    controller_neural_imitator.py:109-113)."""
+    q = lambda v: fixed_q(v, total_bits, frac_bits)
+    qa = lambda v: fixed_q(v, acc_total_bits, acc_frac_bits)
+    new_hs = []
+    inp = q(x)
+    for i in range(len(hs)):
+        h_out, hc_new = lstm_cell_apply_fixed(
+            params[f"cell{i}"], inp, hs[i],
+            total_bits, frac_bits, acc_total_bits, acc_frac_bits,
+        )
+        new_hs.append(hc_new)
+        inp = h_out
+    out = q(qa(inp @ params["wo"] + params["bo"]))
+    return out, tuple(new_hs)
+
+
 def gru_apply_fixed(
     params: Dict, x: jnp.ndarray, hs: Tuple[jnp.ndarray, ...],
     total_bits: int = 16, frac_bits: int = 10,

@@ -152,7 +152,12 @@ class Optimizer:
 
         with device_scope(self._device):
             self.opt_state = self.place_state(self._init_state(self._initial_key))
-            self.u = jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
+            # self.u goes through place_state too: if any path feeds it back
+            # as a jit input, a committed-vs-uncommitted flip would change
+            # the jit cache key (ADVICE r2).
+            self.u = self.place_state(
+                jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
+            )
 
     # ---- hot path ---------------------------------------------------------
     def step(self, s: np.ndarray, time=None, params: Optional[Dict] = None) -> np.ndarray:

@@ -171,3 +171,42 @@ def test_kernel_path_matches_scan():
     cost_kernel = k(s_tiled, Q, pack(params, u_prev))
     np.testing.assert_allclose(np.asarray(cost_kernel), np.asarray(cost_scan),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_cost_fk_seeds_from_dynamics():
+    """ADVICE r2: the cost's FK link lengths follow the dynamics unless
+    explicitly overridden — and an explicit mismatch warns loudly."""
+    import logging
+
+    # Unset in cost config -> seeded from the predictor's dynamics params.
+    ctrl = build("mppi", {"num_rollouts": 64, "mpc_horizon": 10,
+                          "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+                          "NU": 1000.0, "SQRTRHOINV": 0.1,
+                          "period_interpolation_inducing_points": 5})
+    pred = ctrl.predictor.predictor
+    pred._defaults["l1"] = 0.7  # pretend a customized arm
+    cf = ctrl.cost_function.cost_function
+    cf.sync_with_dynamics(pred.default_params())
+    assert float(cf.config["l1"]) == 0.7
+
+    # Explicit cost-side value that disagrees with dynamics -> warning.
+    # (The package logger doesn't propagate, so capture with our own
+    # handler instead of caplog.)
+    from control_toolkit_tpu.costs.arm2 import Arm2ReachCost
+
+    records = []
+
+    class _Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    grab = _Grab(level=logging.WARNING)
+    logging.getLogger("control_toolkit_tpu.costs.arm2").addHandler(grab)
+    try:
+        cf2 = Arm2ReachCost(config={"l1": 0.3})
+        cf2.sync_with_dynamics({"l1": 0.5, "l2": 0.5})
+    finally:
+        logging.getLogger("control_toolkit_tpu.costs.arm2").removeHandler(grab)
+    assert any("different arm" in m for m in records)
+    assert float(cf2.config["l1"]) == 0.3  # explicit value respected
+    assert float(cf2.config["l2"]) == 0.5  # unset value still seeded
