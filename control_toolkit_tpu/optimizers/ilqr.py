@@ -71,6 +71,7 @@ class ILQROptimizer(Optimizer):
         include_control_change_cost: bool = True,
         n_starts: int = 1,
         riccati: str = "sequential",
+        initial_guess_policy=None,
         **kwargs,
     ):
         kwargs["num_rollouts"] = 1  # NLP path is single-trajectory (reference :61)
@@ -118,6 +119,12 @@ class ILQROptimizer(Optimizer):
         if riccati not in ("sequential", "parallel"):
             raise ValueError(f"riccati must be sequential|parallel, got {riccati!r}")
         self.riccati = riccati
+        # Heuristic-policy initial guess (reference FORCES
+        # initial_trajectory_guess, optimizer_nlp_forces.py:261-279): a pure
+        # fn (x [S], params) -> u [U] rolled through the dynamics to build
+        # the first plan, the post-replay reinitialization, and (with
+        # n_starts > 1) one extra start.  None keeps the mid-range default.
+        self.initial_guess_policy = initial_guess_policy
 
     def _init_state(self, key):
         H, U = self.mpc_horizon, self.num_control_inputs
@@ -231,6 +238,24 @@ class ILQROptimizer(Optimizer):
             zs = rollout_open_loop(z0, u_traj, params)
             stages = jax.vmap(lambda z, u: stage_l(z, u, params))(zs[:-1], u_traj)
             return jnp.sum(stages) + term_l(zs[-1], params)
+
+        guess_policy = self.initial_guess_policy
+
+        def policy_guess(z0, params):
+            """Roll the heuristic policy through the dynamics to build an
+            initial plan (reference initial_trajectory_guess,
+            optimizer_nlp_forces.py:261-279)."""
+            def body(z, _):
+                u = jnp.clip(
+                    jnp.reshape(
+                        jnp.asarray(guess_policy(z[:S], params), jnp.float32),
+                        (U,),
+                    ),
+                    low, high,
+                )
+                return dyn(z, u, params), u
+            _, us = jax.lax.scan(body, z0, None, length=H)
+            return us
 
         def linearize(zs, us, lam, lam_t, mu, center, params):
             """Stage-wise quadratic model along the trajectory (all vmapped,
@@ -476,19 +501,34 @@ class ILQROptimizer(Optimizer):
             z0 = jnp.concatenate([x0, state.u_prev]) if use_ccrc else x0
             center = resolve_center(params)
 
+            # Heuristic-policy warm start: on the very first tick the stored
+            # plan is the uninformative mid-range default — replace it with
+            # the policy rollout (reference builds x0 from the heuristic
+            # whenever no previous solution exists, :289-296).
+            u_warm = state.u_traj
+            if guess_policy is not None:
+                u_warm = jnp.where(
+                    state.count == 0, policy_guess(z0, params), u_warm
+                )
+
             if n_starts == 1:
-                us = solve(z0, state.u_traj, center, params)
+                us = solve(z0, u_warm, center, params)
                 cost = total_cost_true(z0, us, params)
                 key = state.key
             else:
-                # Start 0 = warm start; the rest drawn uniformly in the box
-                # each tick.  All solves run as one vmapped batch.
+                # Start 0 = warm start (+ policy-guess start when a policy
+                # is configured); the rest drawn uniformly in the box each
+                # tick.  All solves run as one vmapped batch.
                 key, sub = jax.random.split(state.key)
+                n_rand = n_starts - (2 if guess_policy is not None else 1)
                 rand = jax.random.uniform(
-                    sub, (n_starts - 1, H, U),
+                    sub, (max(n_rand, 0), H, U),
                     minval=low, maxval=high, dtype=jnp.float32,
                 )
-                us0 = jnp.concatenate([state.u_traj[None], rand], axis=0)
+                heads = [u_warm[None]]
+                if guess_policy is not None and n_starts > 1:
+                    heads.append(policy_guess(z0, params)[None])
+                us0 = jnp.concatenate(heads + [rand], axis=0)[:n_starts]
                 us_all = jax.vmap(
                     lambda u0: solve(z0, u0, center, params)
                 )(us0)
@@ -516,10 +556,16 @@ class ILQROptimizer(Optimizer):
             shift = jnp.where(ok, 1, j_new + 1)
             idx = jnp.clip(jnp.arange(H) + shift, 0, H - 1)
             us_shifted = plan_new[idx]
-            # Replay exhausted -> reinitialize the warm start at mid-range
-            # (the reference rebuilds its initial guess from the heuristic).
-            u_mid = jnp.broadcast_to(0.5 * (low + high), (H, U)).astype(jnp.float32)
-            us_shifted = jnp.where(j_new >= H - 1, u_mid, us_shifted)
+            # Replay exhausted -> reinitialize the warm start from the
+            # heuristic policy when configured (the reference rebuilds its
+            # initial guess from the heuristic), else at mid-range.
+            if guess_policy is not None:
+                reinit = policy_guess(z0, params)
+            else:
+                reinit = jnp.broadcast_to(
+                    0.5 * (low + high), (H, U)
+                ).astype(jnp.float32)
+            us_shifted = jnp.where(j_new >= H - 1, reinit, us_shifted)
 
             xs = rollout_open_loop(z0, plan_new, params)[:, :S]
             diag = {

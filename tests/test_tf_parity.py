@@ -158,3 +158,59 @@ def test_cem_gmm_clustering_parity(g):
     np.testing.assert_allclose(np.asarray(mue), g["gmm_mue"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(std), g["gmm_std"], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(float(probs[0]), float(g["gmm_prob1"]), atol=1e-6)
+
+
+# ---------------------------------------------------------- closed loop
+CL_GOLDEN = Path(__file__).parent / "golden" / "cartpole_closed_loop_golden.npz"
+
+
+def test_closed_loop_trace_parity():
+    """T-step closed-loop MPPI vs the recorded TF loop (SURVEY §7 hard
+    part 3): identical injected noise -> the full loop composition (shift ->
+    interpolate -> rollout+cost+correction -> softmax update -> plant
+    advance) must reproduce the TF state/control trace."""
+    from control_toolkit_tpu.ops.interpolation import Interpolator
+    from control_toolkit_tpu.optimizers.mppi import (
+        make_correction_cost, make_reward_weighted_average,
+    )
+
+    assert CL_GOLDEN.is_file(), (
+        "closed-loop golden missing — run "
+        "tests/golden/generate_closed_loop_golden.py with TF and commit"
+    )
+    g = np.load(CL_GOLDEN)
+    eps = jnp.asarray(g["eps"])                      # [T, K, P, U]
+    T, K, P, U = eps.shape
+    H = int(g["horizon"])
+    dt = float(g["dt"])
+
+    pred = ODEPredictor("cartpole", dt=dt)
+    cf = CartpoleQuadraticCost()
+    params = cf.current_params({"target_position": jnp.float32(float(g["target"]))})
+    interp = Interpolator.build(H, int(g["period"]))
+    correction = make_correction_cost(float(g["cc_weight"]), float(g["R"]),
+                                      float(g["NU"]))
+    rwa = make_reward_weighted_average(float(g["lbd"]))
+
+    s = jnp.asarray(g["s0"])
+    u_nom = jnp.zeros((H, U), jnp.float32)
+    u_prev = jnp.zeros((U,), jnp.float32)
+    states, controls = [], []
+    for t in range(T):
+        u_nom = jnp.concatenate([u_nom[1:], u_nom[-1:]], axis=0)
+        delta = interp.interpolate(eps[t])           # [K, H, U]
+        u_run = jnp.clip(u_nom[None] + delta, -1.0, 1.0)
+        traj = pred.rollout(jnp.tile(s[None], (K, 1)), u_run)
+        total = cf.get_trajectory_cost(traj, u_run, u_prev, params) \
+            + correction(u_run, delta)
+        u_nom = jnp.clip(u_nom + rwa(total, delta), -1.0, 1.0)
+        u = u_nom[0]
+        states.append(np.asarray(s))
+        controls.append(np.asarray(u))
+        s = pred.rollout(s[None], u[None, None, :])[0, 1]
+        u_prev = u
+
+    np.testing.assert_allclose(np.stack(states), g["states"],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.stack(controls), g["controls"],
+                               rtol=2e-3, atol=2e-3)
