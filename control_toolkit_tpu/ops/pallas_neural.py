@@ -136,6 +136,12 @@ def build_neural_cost_rollout_kernel(
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
 
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret)
+
+
+def _make_runner(kernel, S, U, H, n_w, tile_k, interpret):
+    """Shared pallas_call wrapper: fn(s0 [K,S], Q [K,H,U], pvec, *ops)."""
+
     @jax.jit
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
             *weights: jnp.ndarray) -> jnp.ndarray:
@@ -174,3 +180,143 @@ def build_neural_cost_rollout_kernel(
         return cost[0]
 
     return run
+
+
+# ----------------------------------------------------- recurrent dynamics
+def flatten_rnn_weights(net: Dict, hidden, kind: str) -> List[jnp.ndarray]:
+    """Operand list for the recurrent kernel: per cell (wi^T, bi, wh^T, bh),
+    then (wo^T, bo), then the CURRENT per-layer hidden state as columns.
+    The hidden operands are the live batch-1 hidden (advanced host-side by
+    predictor.update each tick) — operands, not trace-time constants, so the
+    recurrence sees the real state without recompiling."""
+    ops: List[jnp.ndarray] = []
+    n_cells = sum(1 for k in net if k.startswith("cell"))
+    for i in range(n_cells):
+        c = net[f"cell{i}"]
+        ops.append(jnp.asarray(c["wi"], jnp.float32).T)
+        ops.append(jnp.reshape(jnp.asarray(c["bi"], jnp.float32), (-1, 1)))
+        ops.append(jnp.asarray(c["wh"], jnp.float32).T)
+        ops.append(jnp.reshape(jnp.asarray(c["bh"], jnp.float32), (-1, 1)))
+    ops.append(jnp.asarray(net["wo"], jnp.float32).T)
+    ops.append(jnp.reshape(jnp.asarray(net["bo"], jnp.float32), (-1, 1)))
+    for h in hidden:  # per-layer [1, Hd] (GRU) or [1, 2Hd] (LSTM)
+        ops.append(jnp.reshape(jnp.asarray(h, jnp.float32), (-1, 1)))
+    return ops
+
+
+def build_recurrent_cost_rollout_kernel(
+    stage_cost_soa: Callable,
+    terminal_cost_soa: Callable,
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    param_keys: Sequence[str],
+    hiddens: Sequence[int],     # per-layer hidden sizes
+    kind: str,                  # "gru" | "lstm"
+    predict_delta: bool = True,
+    tile_k: int = DEFAULT_NEURAL_TILE_K,
+    interpret: bool = False,
+):
+    """Fused rollout+cost for stacked GRU/LSTM next-state models.
+
+    Semantics match NeuralPredictor.rollout's recurrent branch
+    (models/neural_predictor.py): per horizon step the [x,u] input runs
+    through the stacked cells, the output head produces the delta (or
+    absolute) next state, and the per-layer hidden state — initialized from
+    the predictor's live batch-1 hidden, broadcast across the tile — stays
+    entirely in VMEM registers across the horizon loop.  The XLA scan path
+    round-trips [K, 3H] gate tensors through HBM every step; here only Q in
+    and cost out touch HBM.
+    """
+    S, U, H = num_states, num_controls, horizon
+    n_cells = len(hiddens)
+    if kind not in ("gru", "lstm"):
+        raise ValueError(f"kind must be gru|lstm, got {kind!r}")
+    n_w = 4 * n_cells + 2 + n_cells  # cell mats + head + hidden columns
+
+    def unpack(pvec_ref):
+        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
+
+    def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        w_refs = rest[:n_w]
+        cost_ref = rest[n_w]
+        p = unpack(pvec_ref)
+
+        head_wo = w_refs[4 * n_cells][:]       # [S, d_last]
+        head_bo = w_refs[4 * n_cells + 1][:]   # [S, 1]
+        h0_refs = w_refs[4 * n_cells + 2:]
+
+        xs = tuple(s0_ref[i : i + 1, :] for i in range(S))
+        prev_us = tuple(
+            jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+        )
+        # Broadcast the batch-1 hidden columns across the tile.
+        hs = tuple(
+            jnp.broadcast_to(h0_refs[i][:], (h0_refs[i].shape[0], tile_k))
+            for i in range(n_cells)
+        )
+        acc = jnp.zeros((1, tile_k), jnp.float32)
+
+        def cell(i, inp, state):
+            wi = w_refs[4 * i][:]       # [G*Hd, in]
+            bi = w_refs[4 * i + 1][:]   # [G*Hd, 1]
+            wh = w_refs[4 * i + 2][:]   # [G*Hd, Hd]
+            bh = w_refs[4 * i + 3][:]   # [G*Hd, 1]
+            Hd = hiddens[i]
+            if kind == "gru":
+                h = state
+                gi = jax.lax.dot_general(
+                    wi, inp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + bi
+                gh = jax.lax.dot_general(
+                    wh, h, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + bh
+                r = jax.nn.sigmoid(gi[:Hd] + gh[:Hd])
+                z = jax.nn.sigmoid(gi[Hd:2 * Hd] + gh[Hd:2 * Hd])
+                n = jnp.tanh(gi[2 * Hd:] + r * gh[2 * Hd:])
+                h_new = (1.0 - z) * n + z * h
+                return h_new, h_new
+            else:
+                h, c = state[:Hd], state[Hd:]
+                g = (
+                    jax.lax.dot_general(
+                        wi, inp, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + bi
+                    + jax.lax.dot_general(
+                        wh, h, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + bh
+                )
+                i_g = jax.nn.sigmoid(g[:Hd])
+                f_g = jax.nn.sigmoid(g[Hd:2 * Hd])
+                g_g = jnp.tanh(g[2 * Hd:3 * Hd])
+                o_g = jax.nn.sigmoid(g[3 * Hd:])
+                c_new = f_g * c + i_g * g_g
+                h_new = o_g * jnp.tanh(c_new)
+                return h_new, jnp.concatenate([h_new, c_new], axis=0)
+
+        def body(h, carry):
+            xs, hs, prev_us, acc = carry
+            u_slab = q_ref[h]
+            us = tuple(u_slab[j : j + 1, :] for j in range(U))
+            acc = acc + stage_cost_soa(xs, us, prev_us, p)
+
+            inp = jnp.concatenate(xs + us, axis=0)   # [S+U, T]
+            new_hs = []
+            for i in range(n_cells):
+                inp, st = cell(i, inp, hs[i])
+                new_hs.append(st)
+            out = jax.lax.dot_general(
+                head_wo, inp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + head_bo
+            if predict_delta:
+                xs = tuple(xs[i] + out[i : i + 1, :] for i in range(S))
+            else:
+                xs = tuple(out[i : i + 1, :] for i in range(S))
+            return xs, tuple(new_hs), us, acc
+
+        xs, _, _, acc = jax.lax.fori_loop(
+            0, H, body, (xs, hs, prev_us, acc)
+        )
+        cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret)

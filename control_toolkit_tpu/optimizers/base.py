@@ -535,10 +535,12 @@ class Optimizer:
 
     # ---- Pallas fused NEURAL-dynamics kernel ------------------------------
     def _can_use_pallas_neural(self, tile_k: int = None) -> bool:
-        """Kernel eligibility for MLP learned-dynamics rollouts
-        (ops/pallas_neural.py): TPU backend, non-recurrent NeuralPredictor,
-        SOA-capable cost with scalar attrs, shard-even K."""
+        """Kernel eligibility for learned-dynamics rollouts
+        (ops/pallas_neural.py): TPU backend, MLP or stacked-GRU/LSTM
+        NeuralPredictor in f32, SOA-capable cost with scalar attrs,
+        shard-even K."""
         import jax
+        import jax.numpy as jnp
 
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
         from control_toolkit_tpu.ops.pallas_neural import DEFAULT_NEURAL_TILE_K
@@ -551,7 +553,9 @@ class Optimizer:
             and (self._device is None or self._device.platform == "tpu")
             and not self.force_scan
             and isinstance(pred, NeuralPredictor)
-            and not pred.recurrent
+            # The kernels compute in f32; a bf16-mode predictor keeps the
+            # scan path so kernel and scan never disagree numerically.
+            and pred.compute_dtype == jnp.float32
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
             and all(
@@ -562,15 +566,19 @@ class Optimizer:
         )
 
     def _build_pallas_neural_cost(self, interpret: bool = False, tile_k: int = None):
-        """Bind an MLP NeuralPredictor + cost function into the fused neural
-        rollout+cost kernel.  Same contract as ``_build_pallas_cost``:
-        ``cost_fn(s_tiled, Q, u_prev, params) -> [K]``; net weights flow as
-        VMEM array operands read from ``params['dyn']['net']`` every call —
-        online-sysid updates and checkpoint swaps need no recompile."""
+        """Bind a NeuralPredictor (MLP or stacked GRU/LSTM) + cost function
+        into the fused neural rollout+cost kernel.  Same contract as
+        ``_build_pallas_cost``: ``cost_fn(s_tiled, Q, u_prev, params) ->
+        [K]``; net weights (and, for recurrent nets, the live hidden state)
+        flow as VMEM array operands read from ``params['dyn']`` every call —
+        online-sysid updates, checkpoint swaps and hidden advances need no
+        recompile."""
         from control_toolkit_tpu.ops.pallas_neural import (
             DEFAULT_NEURAL_TILE_K,
             build_neural_cost_rollout_kernel,
+            build_recurrent_cost_rollout_kernel,
             flatten_mlp_weights,
+            flatten_rnn_weights,
             mlp_layer_count,
         )
 
@@ -578,21 +586,44 @@ class Optimizer:
             include_dyn=False
         )
         net = pred.net_params
-        n_layers = mlp_layer_count(net)
-        n_w = len(flatten_mlp_weights(net))
+        tk = tile_k or DEFAULT_NEURAL_TILE_K
 
-        kernel = build_neural_cost_rollout_kernel(
-            stage_soa, terminal_soa,
-            num_states=self.num_states, num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon,
-            param_keys=param_keys,
-            n_layers=n_layers,
-            predict_delta=pred.predict_delta,
-            has_norm_in="norm_in_mean" in net,
-            has_norm_out="norm_out_mean" in net,
-            tile_k=tile_k or DEFAULT_NEURAL_TILE_K,
-            interpret=interpret,
-        )
+        if pred.recurrent:
+            kind = pred.arch["kind"]
+            kernel = build_recurrent_cost_rollout_kernel(
+                stage_soa, terminal_soa,
+                num_states=self.num_states,
+                num_controls=self.num_control_inputs,
+                horizon=self.mpc_horizon,
+                param_keys=param_keys,
+                hiddens=tuple(pred.arch["hiddens"]),
+                kind=kind,
+                predict_delta=pred.predict_delta,
+                tile_k=tk, interpret=interpret,
+            )
+            n_w = len(flatten_rnn_weights(net, pred.hidden, kind))
+
+            def flatten(params):
+                return flatten_rnn_weights(
+                    params["dyn"]["net"], params["dyn"]["hidden"], kind
+                )
+        else:
+            kernel = build_neural_cost_rollout_kernel(
+                stage_soa, terminal_soa,
+                num_states=self.num_states,
+                num_controls=self.num_control_inputs,
+                horizon=self.mpc_horizon,
+                param_keys=param_keys,
+                n_layers=mlp_layer_count(net),
+                predict_delta=pred.predict_delta,
+                has_norm_in="norm_in_mean" in net,
+                has_norm_out="norm_out_mean" in net,
+                tile_k=tk, interpret=interpret,
+            )
+            n_w = len(flatten_mlp_weights(net))
+
+            def flatten(params):
+                return flatten_mlp_weights(params["dyn"]["net"])
 
         if self._mesh is not None:
             kernel = self._shard_map_kernel(
@@ -600,8 +631,7 @@ class Optimizer:
             )
 
         def cost_fn(s_tiled, Q, u_prev, params):
-            weights = flatten_mlp_weights(params["dyn"]["net"])
-            return kernel(s_tiled, Q, pack(params, u_prev), *weights)
+            return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
 
         return cost_fn
 

@@ -121,3 +121,50 @@ def test_weight_update_flows_without_rebuild():
     ref2 = opt._fused_cost(s_tiled, Q, u_prev, params2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=3e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("net,kind", [
+    ("GRU-5IN-16H1-4OUT", "gru"),
+    ("LSTM-5IN-16H1-4OUT", "lstm"),
+    ("GRU-5IN-16H1-16H2-4OUT", "gru"),
+])
+def test_recurrent_kernel_matches_rollout(net, kind):
+    """Stacked-GRU/LSTM fused kernel vs the scan rollout + trajectory cost,
+    including a non-zero live hidden state threaded as an operand."""
+    K, H = 128, 12
+    ctrl = make_neural_mppi(K, H, net=net)
+    opt = ctrl.optimizer
+    pred = opt.predictor.predictor
+    assert pred.recurrent and pred.arch["kind"] == kind
+
+    # advance the persistent hidden so the kernel must honor a real state
+    pred.update(jnp.array([[0.1, -0.2, 0.3, 0.05]], jnp.float32),
+                jnp.array([[[0.4]]], jnp.float32))
+
+    kernel_cost = opt._build_pallas_neural_cost(interpret=True, tile_k=64)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=6)
+    ref = opt._rollout_and_cost(s_tiled, Q, u_prev, params)[0]
+    out = kernel_cost(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_recurrent_kernel_hidden_is_operand():
+    """Advancing the hidden between calls changes the kernel's output with
+    no rebuild (live-state operand, not a trace-time constant)."""
+    K, H = 128, 10
+    ctrl = make_neural_mppi(K, H, net="GRU-5IN-16H1-4OUT")
+    opt = ctrl.optimizer
+    pred = opt.predictor.predictor
+    kernel_cost = opt._build_pallas_neural_cost(interpret=True, tile_k=64)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=1)
+    out1 = kernel_cost(s_tiled, Q, u_prev, params)
+    for _ in range(3):
+        pred.update(jnp.array([[0.5, 0.1, -0.4, 0.2]], jnp.float32),
+                    jnp.array([[[0.9]]], jnp.float32))
+    params2 = ctrl._assemble_params()
+    out2 = kernel_cost(s_tiled, Q, u_prev, params2)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    ref2 = opt._rollout_and_cost(s_tiled, Q, u_prev, params2)[0]
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
