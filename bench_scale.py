@@ -340,7 +340,11 @@ def main():
         ("neural_mlp32_K262k_scan", 1 << 18, {"force_scan": True}),
         ("neural_mlp32_K262k_kernel", 1 << 18, {}),
         ("neural_mlp64x64_K262k_kernel", 1 << 18, {"net": "mlp-64-64"}),
-        ("neural_gru32_K16k_scan", 16384, {"net": "GRU-5IN-32H1-4OUT"}),
+        ("neural_gru32_K16k_scan", 16384,
+         {"net": "GRU-5IN-32H1-4OUT", "force_scan": True}),
+        ("neural_gru32_K16k_kernel", 16384, {"net": "GRU-5IN-32H1-4OUT"}),
+        ("neural_gru32_K262k_kernel", 1 << 18, {"net": "GRU-5IN-32H1-4OUT"}),
+        ("neural_lstm32_K16k_kernel", 16384, {"net": "LSTM-5IN-32H1-4OUT"}),
     ):
         try:
             ms = measure_step(build_neural_mppi(Kn, H, **kw), n1=5, n2=25)

@@ -139,6 +139,11 @@ def _worker_main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--local-devices", type=int, default=4)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--optimizers", type=str, default="mppi,rpgd-tf")
+    p.add_argument("--mesh", type=str, default="1d", choices=["1d", "slice"],
+                   help="'1d' = one global ('k',) axis; 'slice' = 2-D "
+                        "('slice','k') with one slice per PROCESS — the "
+                        "multi-slice DCN topology (cross-slice collectives "
+                        "cross the process boundary)")
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args(argv)
 
@@ -148,13 +153,22 @@ def _worker_main(argv: Optional[List[str]] = None) -> None:
     )
     import jax
 
-    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+    from control_toolkit_tpu.parallel.mesh import (
+        make_multislice_mesh,
+        make_rollout_mesh,
+    )
 
     n_global = args.num_processes * args.local_devices
     devs = jax.devices()
     assert len(devs) == n_global, f"expected {n_global} global devices, got {len(devs)}"
     assert len(jax.local_devices()) == args.local_devices
-    mesh = make_rollout_mesh(devs)
+    if args.mesh == "slice":
+        # jax.devices() is process-major, so slicing by process puts each
+        # slice's ICI axis inside a process and the 'slice' axis across the
+        # process (= DCN) boundary.
+        mesh = make_multislice_mesh(args.num_processes, devs)
+    else:
+        mesh = make_rollout_mesh(devs)
 
     out = {}
     for name in args.optimizers.split(","):
@@ -184,6 +198,7 @@ def launch_workers(
     local_devices: int = 4,
     steps: int = 3,
     optimizers: str = "mppi,rpgd-tf",
+    mesh: str = "1d",
     timeout: float = 900.0,
 ) -> List[Dict[str, np.ndarray]]:
     """Spawn ``num_processes`` worker processes forming one global mesh of
@@ -215,6 +230,7 @@ def launch_workers(
                         "--local-devices", str(local_devices),
                         "--steps", str(steps),
                         "--optimizers", optimizers,
+                        "--mesh", mesh,
                         "--out", out,
                     ],
                     env=env,

@@ -1,6 +1,7 @@
 """iLQR optimizer tests: LQR agreement on a linear system + closed loop."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.costs.base import CostFunction
@@ -312,6 +313,7 @@ def _make_cartpole_ilqr(riccati, H=30, state_max=None, al=1):
     return ctrl
 
 
+@pytest.mark.slow
 def test_parallel_riccati_gains_match_sequential():
     """The associative-scan backward pass must reproduce the sequential
     Riccati gains exactly (fp tolerance) on IDENTICAL linearization inputs:
@@ -346,6 +348,7 @@ def test_parallel_riccati_gains_match_sequential():
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_parallel_riccati_constrained_matches():
     """Per-pass equivalence must survive the augmented-Lagrangian terms
     (nonzero lam and mu enter the stage quadratics)."""
@@ -375,6 +378,7 @@ def test_parallel_riccati_constrained_matches():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_parallel_riccati_closed_loop():
     from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 

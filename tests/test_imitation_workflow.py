@@ -5,6 +5,7 @@ This is the reference's production pipeline (MPC generates data, SI_Toolkit
 trains a net, controller_neural_imitator serves it) entirely in-tree.
 """
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.controllers.neural_imitator import NeuralImitatorController
@@ -15,6 +16,8 @@ from control_toolkit_tpu.models.training import (
     fit_gru_dynamics,
     fit_policy,
 )
+
+pytestmark = pytest.mark.slow  # multi-minute training pipeline; slow tier
 
 
 def test_clone_mpc_into_neural_imitator(tmp_path):

@@ -58,3 +58,20 @@ def test_worker_sees_global_mesh(multiproc_traces):
         for name, tr in proc.items():
             assert tr.shape == (STEPS, 1)
             assert np.all(np.isfinite(tr))
+
+
+def test_multislice_mesh_across_processes():
+    """2-D ('slice','k') mesh with one slice per PROCESS: cross-slice
+    collectives cross the process (DCN-analog) boundary.  Result equals the
+    single-process multislice run on the same global mesh shape."""
+    import jax
+
+    from control_toolkit_tpu.parallel.mesh import make_multislice_mesh
+
+    multi = launch_workers(num_processes=2, local_devices=4, steps=2,
+                           optimizers="mppi", mesh="slice")
+    np.testing.assert_array_equal(multi[0]["mppi"], multi[1]["mppi"])
+
+    mesh = make_multislice_mesh(2, jax.devices())  # single-process, 2x4
+    single = run_sharded_trace("mppi", mesh, 2)
+    np.testing.assert_allclose(multi[0]["mppi"], single, atol=2e-5, rtol=0)

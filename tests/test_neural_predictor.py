@@ -100,6 +100,7 @@ def test_gru_checkpoint_round_trip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_system_id_then_mpc(tmp_path):
     """Fit an MLP dynamics model on random cartpole transitions, then run
     MPPI against the LEARNED model in the real env closed loop."""

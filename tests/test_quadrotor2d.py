@@ -2,6 +2,7 @@
 iLQR hover, energy sanity."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.environments.quadrotor2d import Quadrotor2DEnv
@@ -55,6 +56,7 @@ def test_mppi_waypoint_tracking():
     assert abs(float(s[0, 4])) < 0.4, f"excessive tilt: {s[0]}"
 
 
+@pytest.mark.slow
 def test_ilqr_hover_precise():
     ctrl = build("ilqr", {"num_rollouts": 1, "max_iterations": 20, "tol": 1e-7,
                           "regularization_init": 1.0, "regularization_max": 1e8,

@@ -3,6 +3,7 @@ built-in model family.  Hover equilibrium, waypoint MPC, iLQR hover,
 fast-math agreement."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.environments.quadrotor3d import Quadrotor3DEnv
@@ -82,6 +83,7 @@ def test_mppi_waypoint_tracking_3d():
     )
 
 
+@pytest.mark.slow
 def test_ilqr_hover_precise():
     ctrl = build("ilqr", {"num_rollouts": 1, "max_iterations": 20, "tol": 1e-7,
                           "regularization_init": 1.0, "regularization_max": 1e8,

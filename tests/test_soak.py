@@ -7,10 +7,13 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 from control_toolkit_tpu.utils import checkpoint
+
+pytestmark = pytest.mark.slow  # long-running soak tier (VERDICT r2 weak #5)
 
 
 def test_soak_moving_target_reload_checkpoint_nan(tmp_path, monkeypatch):
