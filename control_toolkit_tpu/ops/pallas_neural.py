@@ -35,7 +35,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_NEURAL_TILE_K = 2048
+DEFAULT_NEURAL_TILE_K = 8192
+_MIN_NEURAL_TILE_K = 2048
+
+
+def neural_tile_for(K: int, n_shard_devices: int = 1) -> int:
+    """Largest eligible tile for a (possibly sharded) population.
+
+    Measured (v5e, mlp-32-32, K=262k, H=50): the kernel is per-step
+    DEPENDENCY-bound — each horizon step is a handful of microsecond-scale
+    matmuls, so fewer/larger grid tiles amortize the serial chain: tile
+    2048 → 3.54 ms, 4096 → 2.34, 8192 → 2.11, 16384 → 2.20 (VMEM pressure
+    turns it around).  8192 is the sweet spot; fall back by halving until
+    the per-device shard tiles evenly.  Returns 0 if even the minimum tile
+    doesn't divide (caller keeps the scan path)."""
+    per_dev = K // max(1, n_shard_devices)
+    tile = DEFAULT_NEURAL_TILE_K
+    while tile >= _MIN_NEURAL_TILE_K:
+        if per_dev % tile == 0 and K % (tile * max(1, n_shard_devices)) == 0:
+            return tile
+        tile //= 2
+    return 0
 
 
 def mlp_layer_count(net: Dict) -> int:
@@ -76,6 +96,7 @@ def build_neural_cost_rollout_kernel(
     activation: Callable = jnp.tanh,
     tile_k: int = DEFAULT_NEURAL_TILE_K,
     interpret: bool = False,
+    mxu_bf16: bool = False,
 ):
     """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N], *weights) -> cost [K]`` for
     an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
@@ -113,8 +134,14 @@ def build_neural_cost_rollout_kernel(
             for i in range(n_layers):
                 w = w_refs[2 * i][:]                       # [out, in]
                 b = w_refs[2 * i + 1][:]                   # [out, 1]
+                lhs, rhs = w, a
+                if mxu_bf16:
+                    # bf16 operands, f32 accumulation: one MXU pass instead
+                    # of the f32 multi-pass — pays when matmul-issue-bound.
+                    lhs = lhs.astype(jnp.bfloat16)
+                    rhs = rhs.astype(jnp.bfloat16)
                 a = jax.lax.dot_general(
-                    w, a, (((1,), (0,)), ((), ())),
+                    lhs, rhs, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + b
                 if i < n_layers - 1:

@@ -543,12 +543,16 @@ class Optimizer:
         import jax.numpy as jnp
 
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-        from control_toolkit_tpu.ops.pallas_neural import DEFAULT_NEURAL_TILE_K
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
 
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         pred = getattr(self.predictor, "predictor", self.predictor)
-        tile = tile_k or DEFAULT_NEURAL_TILE_K
+        tile = tile_k or neural_tile_for(
+            self.num_rollouts, self._n_shard_devices()
+        )
         return (
+            tile > 0
+            and
             jax.default_backend() == "tpu"
             and (self._device is None or self._device.platform == "tpu")
             and not self.force_scan
@@ -574,19 +578,21 @@ class Optimizer:
         online-sysid updates, checkpoint swaps and hidden advances need no
         recompile."""
         from control_toolkit_tpu.ops.pallas_neural import (
-            DEFAULT_NEURAL_TILE_K,
             build_neural_cost_rollout_kernel,
             build_recurrent_cost_rollout_kernel,
             flatten_mlp_weights,
             flatten_rnn_weights,
             mlp_layer_count,
+            neural_tile_for,
         )
 
         param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
             include_dyn=False
         )
         net = pred.net_params
-        tk = tile_k or DEFAULT_NEURAL_TILE_K
+        tk = tile_k or neural_tile_for(
+            self.num_rollouts, self._n_shard_devices()
+        )
 
         if pred.recurrent:
             kind = pred.arch["kind"]
