@@ -135,14 +135,20 @@ def bench_ours() -> dict:
         env = CartpoleEnv(batch_size=1, dt=DT, seed=0)
         loop = ClosedLoop(ctrl, env)
         s0 = jnp.asarray([0.0, 0.0, 0.1, 0.0], jnp.float32)
+        # Pre-split the noise keys OUTSIDE the timed region (CLAUDE.md
+        # measurement rule: no PRNG/host dispatches inside the lambda).
+        keys_by_ticks = {
+            n: jax.random.split(jax.random.PRNGKey(0), n) for n in (N1, N2)
+        }
 
         def time_loop(ticks, reps=3):
-            out = loop.run_device(opt.opt_state, s0, params, ticks)
+            keys = keys_by_ticks[ticks]
+            out = loop._run_device(opt.opt_state, s0, params, keys, ticks)
             jax.block_until_ready(out[1])
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                out = loop.run_device(opt.opt_state, s0, params, ticks)
+                out = loop._run_device(opt.opt_state, s0, params, keys, ticks)
                 jax.block_until_ready(out[1])
                 best = min(best, time.perf_counter() - t0)
             return best

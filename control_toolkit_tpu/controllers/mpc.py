@@ -99,6 +99,7 @@ class MPCController(Controller):
             self.optimizer.plan_sharding(mesh)
 
         self._dyn_params = None
+        self._dyn_net_raw = None
         self._cost_params = None
         self.controller_data_for_csv = self.cost_function.cost_function.logged_attributes
 
@@ -134,9 +135,23 @@ class MPCController(Controller):
                     else (lambda v: jnp.asarray(v, dtype=jnp.float32))
                 )
                 fresh = self.predictor.default_params()
+                fresh_net_leaves = (
+                    jax.tree_util.tree_leaves(fresh["net"])
+                    if isinstance(fresh, dict) and "net" in fresh else None
+                )
                 if (
                     self._dyn_params is not None
                     and isinstance(fresh, dict) and "hidden" in fresh
+                    # Fast path ONLY while the weight leaves are the same
+                    # objects we placed last tick — a checkpoint swap or
+                    # in-place weight update must take the full re-place
+                    # below or the jitted step would keep stale weights.
+                    and self._dyn_net_raw is not None
+                    and len(self._dyn_net_raw) == len(fresh_net_leaves)
+                    and all(
+                        a is b for a, b in
+                        zip(self._dyn_net_raw, fresh_net_leaves)
+                    )
                 ):
                     # Stateful re-assembly: only the hidden-state leaves
                     # changed since last step — re-place just those instead
@@ -149,6 +164,7 @@ class MPCController(Controller):
                     self._dyn_params = placed
                 else:
                     self._dyn_params = jax.tree_util.tree_map(conv, fresh)
+                    self._dyn_net_raw = fresh_net_leaves
             if self._cost_params is None:
                 self._cost_params = self.cost_function.current_params()["cost"]
                 if self.device is not None:

@@ -97,7 +97,24 @@ class EnvironmentBatched:
         pred_params = (
             self._predictor.default_params() if self._predictor is not None else {}
         )
+        prev_state = self.state
         self.state, reward, terminated = self._step_jit(self.state, action, sub, pred_params)
+        if self._predictor is not None and getattr(
+            self._predictor, "is_stateful", False
+        ):
+            # Recurrent learned plant: advance the predictor's persistent
+            # hidden with the applied control so the env really recurs
+            # (otherwise every step would re-roll from the same hidden).
+            if self.batch_size == 1:
+                self._predictor.update(prev_state[:1], action[:1, None, :])
+            else:
+                import warnings
+
+                warnings.warn(
+                    "stateful predictor attached to a batch>1 environment: "
+                    "the batch-1 hidden cannot track multiple plants; "
+                    "hidden state NOT advanced", stacklevel=2,
+                )
         truncated = jnp.zeros_like(terminated)
         return (
             np.asarray(self.state),

@@ -36,8 +36,12 @@ class ClosedLoop:
     slope — see bench.py's dispatch-free measurement rule).
     """
 
-    def __init__(self, controller, env, actuator_noise: float = 0.0,
+    def __init__(self, controller, env, actuator_noise: Optional[float] = None,
                  noise_seed: int = 0):
+        # Default to the ENVIRONMENT's own actuator noise so the fused loop
+        # replicates `env.step` semantics unless explicitly overridden.
+        if actuator_noise is None:
+            actuator_noise = getattr(env, "actuator_noise", 0.0)
         opt = controller.optimizer
         if opt.predictor is not None and getattr(opt.predictor, "is_stateful", False):
             raise ValueError(

@@ -11,6 +11,7 @@
 // Exposed as a C ABI for ctypes binding.  Works over a real termios serial
 // device or any file descriptor (pty fakes in tests).
 
+#include <algorithm>
 #include <cerrno>
 #include <cstdint>
 #include <cstdio>
@@ -56,6 +57,10 @@ struct Uart {
   int pending_version = 0;
   int pending_n_outputs = 0;
   std::string pending_names;  // comma separated
+  // Bytes read past a matched frame by the resync scanner — consumed by
+  // subsequent reads before touching the fd (a pipelined reply must not
+  // be lost when the scanner over-reads).
+  std::vector<uint8_t> backlog;
 };
 
 speed_t baud_to_speed(int baud) {
@@ -77,8 +82,15 @@ speed_t baud_to_speed(int baud) {
 }
 
 // Read exactly n bytes with a millisecond deadline; returns bytes read.
+// Backlog bytes (over-read by the frame scanner) are consumed first.
 int read_exact(Uart* u, uint8_t* buf, int n, int timeout_ms) {
   int got = 0;
+  if (!u->backlog.empty()) {
+    int take = std::min<int>(n, static_cast<int>(u->backlog.size()));
+    memcpy(buf, u->backlog.data(), take);
+    u->backlog.erase(u->backlog.begin(), u->backlog.begin() + take);
+    got = take;
+  }
   while (got < n) {
     struct pollfd pfd = {u->fd, POLLIN, 0};
     int pr = poll(&pfd, 1, timeout_ms);
@@ -120,7 +132,9 @@ int64_t now_ms() {
 // skipped until a valid frame of the expected type aligns.
 bool receive_frame(Uart* u, uint8_t expected_type, int cmd_len,
                    int timeout_ms, uint8_t* frame_out) {
+  // Start from any bytes a previous scan over-read.
   std::vector<uint8_t> buf;
+  buf.swap(u->backlog);
   const int64_t deadline = now_ms() + timeout_ms;
   while (true) {
     // Scan whatever is buffered for an aligned valid frame.
@@ -132,23 +146,29 @@ bool receive_frame(Uart* u, uint8_t expected_type, int cmd_len,
         continue;
       }
       memcpy(frame_out, buf.data(), cmd_len);
+      // Preserve the tail — it may be the head of a pipelined reply.
+      u->backlog.assign(buf.begin() + cmd_len, buf.end());
       return true;
     }
     const int64_t remaining = deadline - now_ms();
-    if (remaining <= 0) return false;
+    if (remaining <= 0) break;
     struct pollfd pfd = {u->fd, POLLIN, 0};
-    if (poll(&pfd, 1, static_cast<int>(remaining)) <= 0) return false;
+    if (poll(&pfd, 1, static_cast<int>(remaining)) <= 0) break;
     uint8_t tmp[256];
     ssize_t r = read(u->fd, tmp, sizeof(tmp));
     if (r <= 0) {
       if (r < 0 && (errno == EAGAIN || errno == EINTR)) continue;
-      return false;
+      break;
     }
     buf.insert(buf.end(), tmp, tmp + r);
   }
+  // Timed out: keep what we saw (a partial frame may complete later).
+  u->backlog = std::move(buf);
+  return false;
 }
 
 void drain_input(Uart* u) {
+  u->backlog.clear();
   uint8_t tmp[256];
   while (true) {
     struct pollfd pfd = {u->fd, POLLIN, 0};

@@ -210,7 +210,7 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret):
 
 
 # ----------------------------------------------------- recurrent dynamics
-def flatten_rnn_weights(net: Dict, hidden, kind: str) -> List[jnp.ndarray]:
+def flatten_rnn_weights(net: Dict, hidden) -> List[jnp.ndarray]:
     """Operand list for the recurrent kernel: per cell (wi^T, bi, wh^T, bh),
     then (wo^T, bo), then the CURRENT per-layer hidden state as columns.
     The hidden operands are the live batch-1 hidden (advanced host-side by

@@ -607,11 +607,11 @@ class Optimizer:
                 predict_delta=pred.predict_delta,
                 tile_k=tk, interpret=interpret,
             )
-            n_w = len(flatten_rnn_weights(net, pred.hidden, kind))
+            n_w = len(flatten_rnn_weights(net, pred.hidden))
 
             def flatten(params):
                 return flatten_rnn_weights(
-                    params["dyn"]["net"], params["dyn"]["hidden"], kind
+                    params["dyn"]["net"], params["dyn"]["hidden"]
                 )
         else:
             kernel = build_neural_cost_rollout_kernel(

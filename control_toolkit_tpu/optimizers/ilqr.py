@@ -504,11 +504,14 @@ class ILQROptimizer(Optimizer):
             # Heuristic-policy warm start: on the very first tick the stored
             # plan is the uninformative mid-range default — replace it with
             # the policy rollout (reference builds x0 from the heuristic
-            # whenever no previous solution exists, :289-296).
+            # whenever no previous solution exists, :289-296).  lax.cond so
+            # the H-scan policy rollout only RUNS on the ticks that need it.
             u_warm = state.u_traj
             if guess_policy is not None:
-                u_warm = jnp.where(
-                    state.count == 0, policy_guess(z0, params), u_warm
+                u_warm = jax.lax.cond(
+                    state.count == 0,
+                    lambda: policy_guess(z0, params),
+                    lambda: state.u_traj,
                 )
 
             if n_starts == 1:
@@ -559,13 +562,18 @@ class ILQROptimizer(Optimizer):
             # Replay exhausted -> reinitialize the warm start from the
             # heuristic policy when configured (the reference rebuilds its
             # initial guess from the heuristic), else at mid-range.
+            u_mid = jnp.broadcast_to(
+                0.5 * (low + high), (H, U)
+            ).astype(jnp.float32)
             if guess_policy is not None:
-                reinit = policy_guess(z0, params)
+                us_shifted = jax.lax.cond(
+                    j_new >= H - 1,
+                    lambda us: policy_guess(z0, params),
+                    lambda us: us,
+                    us_shifted,
+                )
             else:
-                reinit = jnp.broadcast_to(
-                    0.5 * (low + high), (H, U)
-                ).astype(jnp.float32)
-            us_shifted = jnp.where(j_new >= H - 1, reinit, us_shifted)
+                us_shifted = jnp.where(j_new >= H - 1, u_mid, us_shifted)
 
             xs = rollout_open_loop(z0, plan_new, params)[:, :S]
             diag = {

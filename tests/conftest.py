@@ -14,9 +14,24 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 assert jax.default_backend() == "cpu", "tests must not grab the real TPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip the slow tier unless the user passed an explicit -m expression.
+
+    A skip marker (rather than addopts deselection) keeps directly-targeted
+    slow files/node-ids collectable: they report as skipped with a reason
+    instead of 'no tests ran' + exit code 5."""
+    if config.option.markexpr:
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -180,3 +180,24 @@ def test_ftdi_latency_timer_missing_sysfs_is_noop(fake_tree):
     tty = dev / "ttyACM0"
     tty.touch()
     serial_helper.set_ftdi_latency_timer(str(tty), 1)  # must not raise
+
+
+def test_pipelined_reply_after_pong_not_lost():
+    """Review r3 regression: bytes the resync scanner over-reads past the
+    matched frame must survive for the next read (pipelined replies)."""
+    import struct
+
+    master, slave = os.openpty()
+    import tty
+    tty.setraw(master); tty.setraw(slave)
+    iface = UartInterface()
+    iface.open_fd(slave)
+    pong = bytes([SOF, MSG_PING, 4])
+    pong += bytes([py_crc8(pong)])
+    payload = struct.pack("<f", 0.625)
+    # One contiguous write: pong immediately followed by an output frame.
+    os.write(master, pong + payload)
+    assert iface.ping(timeout_s=2.0)
+    out = iface.receive_controller_output(1, timeout_s=1.0)
+    np.testing.assert_allclose(out, [0.625], rtol=1e-6)
+    os.close(master)
