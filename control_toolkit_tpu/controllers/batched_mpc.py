@@ -40,15 +40,29 @@ class BatchedMPCController(MPCController):
         import jax.numpy as jnp
 
         opt_cfg = kwargs.get("optimizer_config")
-        if opt_cfg is not None:
-            opt_cfg = dict(opt_cfg)
-            opt_cfg["force_scan"] = True
-            kwargs["optimizer_config"] = opt_cfg
-        super().configure(*args, **kwargs)
         if opt_cfg is None:
-            # configure() loaded the YAML defaults; rebuild with force_scan.
-            self.optimizer.force_scan = True
-            self.optimizer._build()
+            # Load the YAML defaults HERE so force_scan is set before the
+            # first build (otherwise a Pallas-eligible step is compiled and
+            # immediately discarded by a rebuild).
+            from control_toolkit_tpu.utils.config import load_optimizer_config
+
+            name = (
+                kwargs.get("optimizer_name")
+                or (args[0] if args else None)
+                or str(self.config_controller["optimizer"])
+            )
+            opt_cfg = load_optimizer_config(name)
+        opt_cfg = dict(opt_cfg)
+        opt_cfg["force_scan"] = True
+        kwargs["optimizer_config"] = opt_cfg
+        super().configure(*args, **kwargs)
+        if opt_cfg.get("warmup"):
+            logger.warning(
+                "warmup=true in batched mode: a single freshly-reset slot "
+                "drags EVERY slot through warmup_iterations (the vmapped "
+                "loop runs to the max per-slot trip count) — expect "
+                "whole-batch latency spikes after slot resets"
+            )
 
         if getattr(self.predictor, "is_stateful", False):
             raise ValueError(
@@ -129,7 +143,12 @@ class BatchedMPCController(MPCController):
 
         B = self.num_slots
         if updated_attributes:
-            for i, upd in enumerate(updated_attributes):
+            if len(updated_attributes) > B:
+                logger.warning(
+                    f"step_batch got {len(updated_attributes)} attribute "
+                    f"entries for {B} slots; extras ignored"
+                )
+            for i, upd in enumerate(updated_attributes[:B]):
                 self.update_slot_attributes(i, upd)
         if self.cost_function.update_cost_parameters_from_config():
             self._cost_params = None
@@ -167,5 +186,8 @@ class BatchedMPCController(MPCController):
         return self.step_batch(s_batch, mask, upd)[0]
 
     def controller_reset(self) -> None:
-        for i in range(self.num_slots):
-            self.reset_slot(i)
+        # One vmapped init (same path as configure) instead of B sequential
+        # whole-tree .at[i].set copies.
+        import jax
+
+        self.slot_states = jax.vmap(self.optimizer._init_state)(self._slot_keys)

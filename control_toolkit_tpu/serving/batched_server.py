@@ -1,7 +1,9 @@
 """Multi-client controller server with dynamic batching.
 
 Same wire protocol as serving/server.py ({rid, state, time,
-updated_attributes} -> {rid, Q}), but one BatchedMPCController serves many
+updated_attributes} -> {rid, Q} — ``time`` is accepted for wire parity and,
+exactly like the scalar server's ``ctrl.step(s, t)``, not consumed by any
+shipped optimizer), but one BatchedMPCController serves many
 DEALER clients from a single chip: each client identity is assigned a slot,
 incoming requests are gathered for up to ``batch_window_ms`` (or until every
 known client has a pending request), then ONE vmapped step advances exactly
@@ -14,7 +16,10 @@ scale-serving redesign the TPU makes natural.
 from __future__ import annotations
 
 import json
+import time
 from typing import Dict, Optional
+
+from control_toolkit_tpu.serving.framing import parse_dealer_frames
 
 import numpy as np
 
@@ -86,15 +91,11 @@ def serve_batched(
 
             def drain_queued():
                 """Consume every message currently queued (non-blocking)."""
-                nonlocal n_states
                 while sock.poll(timeout=0):
-                    parts = sock.recv_multipart()
-                    if len(parts) == 2:
-                        identity, payload, framing3 = parts[0], parts[1], False
-                    elif len(parts) == 3 and parts[1] == b"":
-                        identity, payload, framing3 = parts[0], parts[2], True
-                    else:
+                    framed = parse_dealer_frames(sock.recv_multipart())
+                    if framed is None:
                         continue
+                    identity, payload, framing3 = framed
                     try:
                         req = json.loads(payload.decode("utf-8"))
                         s = np.asarray(req["state"], np.float32).reshape(-1)
@@ -113,9 +114,8 @@ def serve_batched(
                         if len(slots) >= B:
                             # Evict the longest-silent client if it has gone
                             # quiet for evict_after_s; else drop the request.
-                            import time as _t
                             stalest = min(last_seen, key=last_seen.get)
-                            if _t.perf_counter() - last_seen[stalest] > evict_after_s:
+                            if time.perf_counter() - last_seen[stalest] > evict_after_s:
                                 freed = slots.pop(stalest)
                                 last_seen.pop(stalest, None)
                                 ctrl.reset_slot(freed)
@@ -132,8 +132,7 @@ def serve_batched(
                             free = sorted(set(range(B)) - set(slots.values()))[0]
                             slots[identity] = free
                             logger.info(f"client {identity!r} -> slot {free}")
-                    import time as _t
-                    last_seen[identity] = _t.perf_counter()
+                    last_seen[identity] = time.perf_counter()
                     if slots[identity] in pending:
                         # Lockstep request/reply contract (same as the
                         # reference protocol): a second in-flight request
@@ -151,10 +150,9 @@ def serve_batched(
             # Gather up to batch_window_ms, closing early once every known
             # client has a request queued.  New clients discovered during
             # the window extend the quorum.
-            import time as _time
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             drain_queued()
-            while (_time.perf_counter() - t0) < deadline and (
+            while (time.perf_counter() - t0) < deadline and (
                 len(pending) < len(slots) or not pending
             ):
                 sock.poll(timeout=1)

@@ -12,10 +12,13 @@ import os
 import sys
 from typing import Optional, Tuple
 
+from control_toolkit_tpu.utils.logging_util import get_logger
 from control_toolkit_tpu.utils.registry import (
     get_available_controller_names,
     get_available_optimizer_names,
 )
+
+logger = get_logger(__name__)
 
 
 def _choose_qt(controllers, optimizers, default_controller, default_optimizer):
@@ -97,8 +100,11 @@ def choose_controller_and_optimizer(
     if os.environ.get("DISPLAY") or sys.platform == "darwin":
         try:
             return _choose_qt(controllers, optimizers, default_controller, default_optimizer)
-        except ImportError:
-            pass
+        except Exception as e:
+            # Not just ImportError: a stale $DISPLAY with PyQt6 installed
+            # raises Qt platform/display errors — degrade to the terminal
+            # and defaults fallbacks instead of killing server startup.
+            logger.warning(f"Qt picker unavailable ({e!r}); falling back")
     if sys.stdin.isatty():
         return _choose_terminal(controllers, optimizers, default_controller, default_optimizer)
     return default_controller, default_optimizer

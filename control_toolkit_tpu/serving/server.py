@@ -20,6 +20,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from control_toolkit_tpu.serving.framing import parse_dealer_frames
 from control_toolkit_tpu.utils.logging_util import get_logger
 from control_toolkit_tpu.utils.registry import import_controller_by_name
 
@@ -93,16 +94,10 @@ def serve(
     served = 0
     try:
         while max_requests is None or served < max_requests:
-            parts = sock.recv_multipart()
-            # DEALER framing: [identity, payload] or [identity, b"", payload]
-            if len(parts) == 2:
-                identity, payload = parts
-                framing3 = False
-            elif len(parts) == 3 and parts[1] == b"":
-                identity, _, payload = parts
-                framing3 = True
-            else:
+            framed = parse_dealer_frames(sock.recv_multipart())
+            if framed is None:
                 continue
+            identity, payload, framing3 = framed
 
             served += 1
             try:
@@ -165,8 +160,22 @@ def main(argv=None):
     n_states = getattr(getattr(ctrl, "predictor", None), "num_states", None)
     if n_states is None:
         from control_toolkit_tpu.models.dynamics import STATE_NAMES
-        n_states = len(STATE_NAMES.get(args.environment.lower(), [0, 0]))
-    serve(ctrl, args.endpoint, warmup_state=np.zeros(n_states, np.float32))
+        names = STATE_NAMES.get(args.environment.lower())
+        n_states = len(names) if names else None
+    if n_states is None:
+        # Unknown state width (custom env, predictor-less controller):
+        # skip warmup rather than crash on a guessed-length state — the
+        # first real request pays the compile instead.
+        logger.warning(
+            f"cannot infer state width for {args.environment!r}; "
+            "skipping warmup compile"
+        )
+    serve(
+        ctrl, args.endpoint,
+        warmup_state=(
+            np.zeros(n_states, np.float32) if n_states is not None else None
+        ),
+    )
 
 
 if __name__ == "__main__":

@@ -275,3 +275,27 @@ def test_slot_eviction_reassigns_idle_slots():
         stop.set()
         t.join(timeout=10)
         assert not t.is_alive(), "server thread failed to shut down"
+
+
+def test_step_batch_tolerates_oversized_attr_list():
+    """Review r3: more attr entries than slots must warn-and-truncate, not
+    IndexError mid-update."""
+    ctrl = build_batched(2)
+    s = np.zeros((2, 4), np.float32)
+    upds = [{"target_position": 0.1}] * 5  # 5 entries, 2 slots
+    u = ctrl.step_batch(s, None, upds)
+    assert u.shape[0] == 2 and np.all(np.isfinite(u))
+    assert float(ctrl.slot_attrs["target_position"][0]) == np.float32(0.1)
+
+
+def test_controller_reset_restores_initial_slot_states():
+    """Vmapped reset == the configure-time init (same fold_in keys)."""
+    import jax
+
+    ctrl = build_batched(3)
+    init = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), ctrl.slot_states)
+    ctrl.step_batch(np.zeros((3, 4), np.float32))
+    ctrl.controller_reset()
+    after = jax.tree_util.tree_map(np.asarray, ctrl.slot_states)
+    for a, b in zip(jax.tree_util.tree_leaves(init), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)

@@ -55,3 +55,27 @@ def test_env_rolls_with_attached_predictor():
     for _ in range(5):
         s_div, *_ = env_div.step(u)
     assert not np.allclose(s_div, s_true, atol=1e-4)
+
+
+def test_stateful_predictor_recurs_through_env_steps():
+    """Review r3: an attached GRU predictor must advance its hidden with
+    each applied control — same state+action twice must NOT produce the
+    same next state (the plant recurs)."""
+    pw = PredictorWrapper()
+    pw.configure(batch_size=1, horizon=5, dt=0.02,
+                 predictor_specification="GRU-5IN-8H1-4OUT",
+                 environment_name="cartpole")
+    assert pw.is_stateful
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    env.state = np.array([[0.0, 0.0, 0.1, 0.0]], np.float32)
+    env.predictor = pw
+    u = np.array([[0.3]], np.float32)
+
+    s1, *_ = env.step(u)
+    h1 = np.asarray(pw.predictor.hidden[0]).copy()
+    env.state = np.array([[0.0, 0.0, 0.1, 0.0]], np.float32)  # same state
+    s2, *_ = env.step(u)
+    h2 = np.asarray(pw.predictor.hidden[0]).copy()
+    assert not np.allclose(h1, h2), "hidden not advanced by env.step"
+    assert not np.allclose(s1, s2), "recurrence invisible in the dynamics"
