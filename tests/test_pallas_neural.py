@@ -168,3 +168,24 @@ def test_recurrent_kernel_hidden_is_operand():
     ref2 = opt._rollout_and_cost(s_tiled, Q, u_prev, params2)[0]
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_recurrent_kernel_sharded():
+    """GRU kernel under shard_map: population sharded, weights AND live
+    hidden replicated; equals unsharded."""
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    K, H = 512, 8
+    mesh = make_rollout_mesh(jax.devices())
+    ctrl = make_neural_mppi(K, H, net="GRU-5IN-16H1-4OUT", mesh=mesh)
+    opt = ctrl.optimizer
+    kernel_cost = opt._build_pallas_neural_cost(interpret=True, tile_k=64)
+
+    ctrl_ref = make_neural_mppi(K, H, net="GRU-5IN-16H1-4OUT")
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=3)
+    ref = ctrl_ref.optimizer._rollout_and_cost(
+        s_tiled, Q, u_prev, ctrl_ref._assemble_params()
+    )[0]
+    out = kernel_cost(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
