@@ -214,3 +214,66 @@ def test_closed_loop_trace_parity():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.stack(controls), g["controls"],
                                rtol=2e-3, atol=2e-3)
+
+
+# ------------------------------------------------------- Keras net parity
+NET_GOLDEN = Path(__file__).parent / "golden" / "net_golden.npz"
+
+
+def test_gru_cell_matches_keras():
+    """Our GRU cell computes the SAME function as the reference's Keras GRU
+    (reset_after=True v2 semantics — gate order remapped in the fixture)."""
+    from control_toolkit_tpu.models import networks as nets
+
+    g = np.load(NET_GOLDEN)
+    params = {"cell0": {k: jnp.asarray(g[f"gru_{k}"]) for k in
+                        ("wi", "wh", "bi", "bh")},
+              "wo": jnp.eye(g["gru_wh"].shape[0], dtype=jnp.float32),
+              "bo": jnp.zeros((g["gru_wh"].shape[0],), jnp.float32)}
+    x_seq = jnp.asarray(g["x_seq"])          # [B, T, I]
+    B, T, _ = x_seq.shape
+    H = g["gru_wh"].shape[0]
+    hs = (jnp.zeros((B, H), jnp.float32),)
+    outs = []
+    for t in range(T):
+        h, hs = nets.gru_apply(params, x_seq[:, t, :], hs)
+        outs.append(h)
+    ours = np.stack([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(ours, g["gru_h_seq"], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hs[0]), g["gru_h_last"],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_lstm_cell_matches_keras():
+    from control_toolkit_tpu.models import networks as nets
+
+    g = np.load(NET_GOLDEN)
+    H = g["lstm_wh"].shape[0]
+    params = {"cell0": {k: jnp.asarray(g[f"lstm_{k}"]) for k in
+                        ("wi", "wh", "bi", "bh")},
+              "wo": jnp.eye(H, dtype=jnp.float32),
+              "bo": jnp.zeros((H,), jnp.float32)}
+    x_seq = jnp.asarray(g["x_seq"])
+    B, T, _ = x_seq.shape
+    hs = (jnp.zeros((B, 2 * H), jnp.float32),)
+    outs = []
+    for t in range(T):
+        h, hs = nets.lstm_apply(params, x_seq[:, t, :], hs)
+        outs.append(h)
+    ours = np.stack([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(ours, g["lstm_h_seq"], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hs[0][:, :H]), g["lstm_h_last"],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hs[0][:, H:]), g["lstm_c_last"],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mlp_matches_keras_dense():
+    from control_toolkit_tpu.models import networks as nets
+
+    g = np.load(NET_GOLDEN)
+    params = {k[len("mlp_"):]: jnp.asarray(g[k]) for k in g.files
+              if k.startswith("mlp_")}
+    out = nets.mlp_apply(params, jnp.asarray(g["x_flat"]))
+    np.testing.assert_allclose(np.asarray(out), g["mlp_out"],
+                               rtol=2e-5, atol=2e-5)
