@@ -28,10 +28,10 @@ class AcrobotSwingupCost(CostFunction):
         "l2": 1.0,
     }
 
+    mirrored_dynamics_keys = ("l1", "l2")
+
     def __init__(self, config=None):
-        merged = dict(self.DEFAULTS)
-        merged.update(config or {})
-        super().__init__(merged)
+        super().__init__(self._init_merged(config))
 
     def _stage_cost_core_soa(self, xs, us, params):
         w = params["cost"]

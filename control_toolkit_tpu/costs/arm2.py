@@ -45,35 +45,12 @@ class Arm2ReachCost(CostFunction):
         "l2": 0.5,
     }
 
+    # FK link lengths mirror the dynamics (base sync_with_dynamics seeds
+    # unset values from the predictor and warns on explicit mismatches).
+    mirrored_dynamics_keys = ("l1", "l2")
+
     def __init__(self, config=None):
-        merged = dict(self.DEFAULTS)
-        merged.update(config or {})
-        self._explicit_keys = set(config or {})
-        super().__init__(merged)
-
-    def sync_with_dynamics(self, dyn_params) -> None:
-        """Keep the cost-side FK geometry consistent with the dynamics
-        (ADVICE r2): link lengths the user did NOT set explicitly are
-        seeded from the predictor's l1/l2; explicitly-set values that
-        disagree with the dynamics get a loud warning (the optimizer would
-        score a phantom arm)."""
-        from control_toolkit_tpu.utils.logging_util import get_logger
-
-        logger = get_logger(__name__)
-        for k in ("l1", "l2"):
-            if k not in dyn_params:
-                continue
-            dyn_v = float(dyn_params[k])
-            if k in self._explicit_keys:
-                if abs(float(self.config[k]) - dyn_v) > 1e-9:
-                    logger.warning(
-                        f"arm2 cost {k}={self.config[k]} differs from the "
-                        f"dynamics {k}={dyn_v}: the cost's forward "
-                        "kinematics will score a different arm than the "
-                        "rollouts simulate"
-                    )
-            else:
-                self.config[k] = dyn_v
+        super().__init__(self._init_merged(config))
 
     def _ee(self, t1, t2, w):
         from control_toolkit_tpu.models.dynamics import arm2_end_effector

@@ -17,7 +17,7 @@ etc.) arrive in the same way under ``params['attrs']``.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -50,10 +50,49 @@ class CostFunction:
         self.batch_size = batch_size
         self.horizon = horizon
 
+    # Cost-config keys that MIRROR dynamics constants (FK link lengths,
+    # masses for energy shaping, ...).  Subclasses declare them; configure
+    # then seeds unset values from the predictor and warns on explicit
+    # mismatches — the optimizer must never score a phantom mechanism.
+    mirrored_dynamics_keys: Tuple[str, ...] = ()
+
+    def _init_merged(self, config: Optional[Dict]) -> Dict:
+        """DEFAULTS+config merge that also records which keys the USER set
+        explicitly (needed by sync_with_dynamics' seed-vs-warn decision)."""
+        merged = dict(getattr(self, "DEFAULTS", {}))
+        merged.update(config or {})
+        self._explicit_keys = set(config or {})
+        return merged
+
     def sync_with_dynamics(self, dyn_params: Dict) -> None:
-        """Optional hook: reconcile cost-side copies of dynamics geometry
-        with the predictor's parameters (called by MPCController.configure
-        after both sides exist).  Default: nothing shared."""
+        """Reconcile cost-side copies of dynamics constants with the
+        predictor's parameters (called by MPCController.configure after
+        both sides exist): keys in ``mirrored_dynamics_keys`` the user did
+        NOT set explicitly are seeded from the dynamics; explicitly-set
+        values that disagree get a loud warning."""
+        if not self.mirrored_dynamics_keys or not isinstance(dyn_params, dict):
+            return
+        # Residual predictors ('ODE+res') nest the ODE constants: look there.
+        if "base" in dyn_params and isinstance(dyn_params["base"], dict):
+            dyn_params = dyn_params["base"]
+        from control_toolkit_tpu.utils.logging_util import get_logger
+
+        logger = get_logger(type(self).__module__)
+        explicit = getattr(self, "_explicit_keys", set())
+        for k in self.mirrored_dynamics_keys:
+            if k not in dyn_params:
+                continue
+            dyn_v = float(dyn_params[k])
+            if k in explicit:
+                if abs(float(self.config[k]) - dyn_v) > 1e-9:
+                    logger.warning(
+                        f"{type(self).__name__}: cost {k}={self.config[k]} "
+                        f"differs from the dynamics {k}={dyn_v} — the cost "
+                        "will score a different mechanism than the rollouts "
+                        "simulate"
+                    )
+            else:
+                self.config[k] = dyn_v
 
     # ---- pure cost API ----------------------------------------------------
     # Subclasses implement the struct-of-arrays primitives (xs/us are tuples

@@ -34,10 +34,10 @@ class PendulumQuadraticCost(CostFunction):
         "g": 9.81,
     }
 
+    mirrored_dynamics_keys = ("m", "L", "g")
+
     def __init__(self, config=None):
-        merged = dict(self.DEFAULTS)
-        merged.update(config or {})
-        super().__init__(merged)
+        super().__init__(self._init_merged(config))
 
     def _stage_cost_core_soa(self, xs, us, params):
         w = params["cost"]

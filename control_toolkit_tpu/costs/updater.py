@@ -31,7 +31,10 @@ class CostFunctionUpdater:
     POLL_INTERVAL_S = 0.25
 
     def __init__(self, cost_function, environment_name: str, cost_function_name: str, config_path: Path):
-        self.cost_function = cost_function
+        # ALL cost functions bound to this watcher get updated on reload
+        # (multiple live controllers can watch the same (path, env, name) —
+        # rebinding to only the newest would silently orphan the others).
+        self.cost_functions = [cost_function]
         self.environment_name = environment_name
         self.cost_function_name = cost_function_name
         self.config_path = Path(config_path)
@@ -49,8 +52,8 @@ class CostFunctionUpdater:
         with _watchers_lock:
             if key not in _watchers:
                 _watchers[key] = cls(cost_function, environment_name, cost_function_name, Path(config_path))
-            else:
-                _watchers[key].cost_function = cost_function
+            elif not any(cf is cost_function for cf in _watchers[key].cost_functions):
+                _watchers[key].cost_functions.append(cost_function)
             return _watchers[key]
 
     def _stat_mtime(self) -> Optional[float]:
@@ -75,10 +78,11 @@ class CostFunctionUpdater:
         except Exception as e:  # malformed mid-write YAML: retry on next poll
             logger.warning(f"cost config reload failed ({e}); keeping old params")
             return
-        self.cost_function.config.update(new_cfg)
-        # Single-writer flag read by the control loop at the next step
-        # (reference CostFunctionUpdater.py:68 / cost_function_wrapper.py:71-74).
-        self.cost_function.reload_cost_parameters_from_config_flag = True
+        for cf in self.cost_functions:
+            cf.config.update(new_cfg)
+            # Single-writer flag read by each control loop at its next step
+            # (reference CostFunctionUpdater.py:68 / cost_function_wrapper.py:71-74).
+            cf.reload_cost_parameters_from_config_flag = True
         logger.info(f"hot-reloaded cost parameters from {self.config_path}")
 
     def stop(self) -> None:

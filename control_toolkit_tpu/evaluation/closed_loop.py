@@ -88,8 +88,10 @@ class ClosedLoop:
 
     def run_device(self, opt_state, s0, params, ticks: int):
         """Raw device program (for slope benchmarking): one launch, ``ticks``
-        control steps.  Noise keys are derived host-side per call."""
-        keys = jax.random.split(self._noise_key, ticks)
+        control steps.  Advances the noise key per call (like ``run``) so
+        successive episodes draw independent actuator noise."""
+        self._noise_key, sub = jax.random.split(self._noise_key)
+        keys = jax.random.split(sub, ticks)
         return self._run_device(opt_state, s0, params, keys, ticks)
 
     def run(self, s0: np.ndarray, ticks: int, reset: bool = True

@@ -44,7 +44,10 @@ PENDULUM_DEFAULTS = {
 }
 
 
-def cartpole_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
+# Exact and fast-math variants share ONE body parameterized on the trig
+# implementation (the _derivs(..., sincos) pattern used throughout this
+# file) — a physics fix can never drift between the two paths.
+def _cartpole_derivs(xs: Tuple, us: Tuple, p: Dict, sincos) -> Tuple:
     """Cart-pole ODE in component form (pole balancing upward at angle=0).
 
     Standard underactuated cart-pole equations of motion.
@@ -54,8 +57,7 @@ def cartpole_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
     force = us[0] * p["u_max"]
 
     m_c, m_p, L, g = p["m_cart"], p["m_pole"], p["L"], p["g"]
-    sin_t = jnp.sin(theta)
-    cos_t = jnp.cos(theta)
+    sin_t, cos_t = sincos(theta)
     total_m = m_c + m_p
 
     temp = (force + m_p * L * theta_d**2 * sin_t - p["friction_cart"] * pos_d) / total_m
@@ -66,16 +68,24 @@ def cartpole_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
     return (pos_d, pos_dd, theta_d, theta_dd)
 
 
-def pendulum_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
+def cartpole_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
+    return _cartpole_derivs(xs, us, p, lambda a: (jnp.sin(a), jnp.cos(a)))
+
+
+def _pendulum_derivs(xs: Tuple, us: Tuple, p: Dict, sin) -> Tuple:
     """Inverted pendulum ODE; angle = 0 is upright, torque-actuated."""
     theta, theta_d = xs
     torque = us[0] * p["u_max"]
     theta_dd = (
-        p["g"] / p["L"] * jnp.sin(theta)
+        p["g"] / p["L"] * sin(theta)
         + torque / (p["m"] * p["L"] ** 2)
         - p["damping"] * theta_d
     )
     return (theta_d, theta_dd)
+
+
+def pendulum_derivs_soa(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
+    return _pendulum_derivs(xs, us, p, jnp.sin)
 
 
 def soa_to_aos(derivs_soa: Callable, num_states: int, num_controls: int) -> DynamicsFn:
@@ -98,36 +108,17 @@ def _fast_variant(derivs_soa_fast, num_states, num_controls):
 
 
 def cartpole_derivs_soa_fast(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
-    """Cartpole derivatives with polynomial sin/cos (ops/fastmath.py):
-    ~1e-5 trig error, 1.6x faster fully-loaded rollouts on TPU."""
+    """Polynomial sin/cos (ops/fastmath.py): ~1e-5 trig error, 1.6x faster
+    fully-loaded rollouts on TPU."""
     from control_toolkit_tpu.ops.fastmath import fast_sincos
 
-    _, pos_d, theta, theta_d = xs
-    force = us[0] * p["u_max"]
-
-    m_c, m_p, L, g = p["m_cart"], p["m_pole"], p["L"], p["g"]
-    sin_t, cos_t = fast_sincos(theta)
-    total_m = m_c + m_p
-
-    temp = (force + m_p * L * theta_d**2 * sin_t - p["friction_cart"] * pos_d) / total_m
-    theta_dd = (g * sin_t - cos_t * temp - p["friction_pole"] * theta_d / (m_p * L)) / (
-        L * (4.0 / 3.0 - m_p * cos_t**2 / total_m)
-    )
-    pos_dd = temp - m_p * L * theta_dd * cos_t / total_m
-    return (pos_d, pos_dd, theta_d, theta_dd)
+    return _cartpole_derivs(xs, us, p, fast_sincos)
 
 
 def pendulum_derivs_soa_fast(xs: Tuple, us: Tuple, p: Dict) -> Tuple:
     from control_toolkit_tpu.ops.fastmath import fast_sin
 
-    theta, theta_d = xs
-    torque = us[0] * p["u_max"]
-    theta_dd = (
-        p["g"] / p["L"] * fast_sin(theta)
-        + torque / (p["m"] * p["L"] ** 2)
-        - p["damping"] * theta_d
-    )
-    return (theta_d, theta_dd)
+    return _pendulum_derivs(xs, us, p, fast_sin)
 
 
 cartpole_dynamics = soa_to_aos(cartpole_derivs_soa, 4, 1)
@@ -145,10 +136,12 @@ ACROBOT_DEFAULTS = {
 }
 
 
-def acrobot_derivs_soa(xs, us, p):
+def _acrobot_derivs(xs, us, p, sin, sincos):
     """Acrobot (two-link pendulum actuated at the elbow), Spong dynamics.
 
     xs = (theta1, theta1D, theta2, theta2D); theta1 = 0 is hanging down.
+    The gravity phases use cos(a - pi/2) == sin(a) (exact identity), so
+    both trig variants need one sincos and two sins.
     """
     t1, t1d, t2, t2d = xs
     tau = us[0] * p["u_max"]
@@ -157,15 +150,14 @@ def acrobot_derivs_soa(xs, us, p):
     lc1, lc2 = p["lc1"], p["lc2"]
     I1, I2, g = p["I1"], p["I2"], p["g"]
 
-    c2 = jnp.cos(t2)
-    s2 = jnp.sin(t2)
+    s2, c2 = sincos(t2)
     d1 = m1 * lc1**2 + m2 * (l1**2 + lc2**2 + 2 * l1 * lc2 * c2) + I1 + I2
     d2 = m2 * (lc2**2 + l1 * lc2 * c2) + I2
-    phi2 = m2 * lc2 * g * jnp.cos(t1 + t2 - jnp.pi / 2)
+    phi2 = m2 * lc2 * g * sin(t1 + t2)
     phi1 = (
         -m2 * l1 * lc2 * t2d**2 * s2
         - 2 * m2 * l1 * lc2 * t2d * t1d * s2
-        + (m1 * lc1 + m2 * l1) * g * jnp.cos(t1 - jnp.pi / 2)
+        + (m1 * lc1 + m2 * l1) * g * sin(t1)
         + phi2
     )
     t2dd = (
@@ -173,36 +165,18 @@ def acrobot_derivs_soa(xs, us, p):
     ) / (m2 * lc2**2 + I2 - d2**2 / d1)
     t1dd = -(d2 * t2dd + phi1) / d1
     return (t1d, t1dd, t2d, t2dd)
+
+
+def acrobot_derivs_soa(xs, us, p):
+    return _acrobot_derivs(
+        xs, us, p, jnp.sin, lambda a: (jnp.sin(a), jnp.cos(a))
+    )
 
 
 def acrobot_derivs_soa_fast(xs, us, p):
-    """Acrobot derivatives with polynomial trig; the phase-shifted cosines
-    become plain sines (cos(a - pi/2) == sin(a)) so the whole model needs
-    one fast_sincos and two fast_sins."""
     from control_toolkit_tpu.ops.fastmath import fast_sin, fast_sincos
 
-    t1, t1d, t2, t2d = xs
-    tau = us[0] * p["u_max"]
-    m1, m2 = p["m1"], p["m2"]
-    l1 = p["l1"]
-    lc1, lc2 = p["lc1"], p["lc2"]
-    I1, I2, g = p["I1"], p["I2"], p["g"]
-
-    s2, c2 = fast_sincos(t2)
-    d1 = m1 * lc1**2 + m2 * (l1**2 + lc2**2 + 2 * l1 * lc2 * c2) + I1 + I2
-    d2 = m2 * (lc2**2 + l1 * lc2 * c2) + I2
-    phi2 = m2 * lc2 * g * fast_sin(t1 + t2)
-    phi1 = (
-        -m2 * l1 * lc2 * t2d**2 * s2
-        - 2 * m2 * l1 * lc2 * t2d * t1d * s2
-        + (m1 * lc1 + m2 * l1) * g * fast_sin(t1)
-        + phi2
-    )
-    t2dd = (
-        tau + (d2 / d1) * phi1 - m2 * l1 * lc2 * t1d**2 * s2 - phi2
-    ) / (m2 * lc2**2 + I2 - d2**2 / d1)
-    t1dd = -(d2 * t2dd + phi1) / d1
-    return (t1d, t1dd, t2d, t2dd)
+    return _acrobot_derivs(xs, us, p, fast_sin, fast_sincos)
 
 
 acrobot_dynamics = soa_to_aos(acrobot_derivs_soa, 4, 1)
@@ -218,7 +192,7 @@ QUADROTOR2D_DEFAULTS = {
 }
 
 
-def quadrotor2d_derivs_soa(xs, us, p):
+def _quadrotor2d_derivs(xs, us, p, sincos):
     """Planar birotor ("quadrotor in the plane").
 
     xs = (x, z, vx, vz, theta, omega); theta = 0 is level, +x is right.
@@ -231,28 +205,22 @@ def quadrotor2d_derivs_soa(xs, us, p):
     t1 = us[0] * p["u_max"]
     t2 = us[1] * p["u_max"]
     thrust = t1 + t2
-    sin_t = jnp.sin(theta)
-    cos_t = jnp.cos(theta)
+    sin_t, cos_t = sincos(theta)
     inv_m = 1.0 / p["m"]
     ax = (-thrust * sin_t - p["drag"] * vx) * inv_m
     az = (thrust * cos_t - p["drag"] * vz) * inv_m - p["g"]
     alpha = (t2 - t1) * p["arm"] / p["I"]
     return (vx, vz, ax, az, omega, alpha)
+
+
+def quadrotor2d_derivs_soa(xs, us, p):
+    return _quadrotor2d_derivs(xs, us, p, lambda a: (jnp.sin(a), jnp.cos(a)))
 
 
 def quadrotor2d_derivs_soa_fast(xs, us, p):
     from control_toolkit_tpu.ops.fastmath import fast_sincos
 
-    _, _, vx, vz, theta, omega = xs
-    t1 = us[0] * p["u_max"]
-    t2 = us[1] * p["u_max"]
-    thrust = t1 + t2
-    sin_t, cos_t = fast_sincos(theta)
-    inv_m = 1.0 / p["m"]
-    ax = (-thrust * sin_t - p["drag"] * vx) * inv_m
-    az = (thrust * cos_t - p["drag"] * vz) * inv_m - p["g"]
-    alpha = (t2 - t1) * p["arm"] / p["I"]
-    return (vx, vz, ax, az, omega, alpha)
+    return _quadrotor2d_derivs(xs, us, p, fast_sincos)
 
 
 POINTMASS_DEFAULTS = {

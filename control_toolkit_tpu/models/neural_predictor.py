@@ -150,7 +150,12 @@ class NeuralPredictor(Predictor):
             _, traj = jax.lax.scan(body, s0, Q_t)
         else:
             B = s0.shape[0]
-            hidden = p.get("hidden", self.hidden)
+            # The hidden MUST arrive through params (p["hidden"]): falling
+            # back to self.hidden here would freeze the live state at trace
+            # time under jit (CLAUDE.md invariant; the GRU regression).  A
+            # KeyError is the correct loud failure for a malformed params
+            # dict.
+            hidden = p["hidden"]
             cdt = self.compute_dtype
             net = p["net"]
             if cdt != jnp.float32:

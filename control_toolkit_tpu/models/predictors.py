@@ -260,10 +260,17 @@ class PredictorWrapper:
                 **kwargs,
             )
         elif low.startswith(("gru", "lstm", "mlp")):
-            # Bare network name (reference style: 'GRU-6IN-32H1-32H2-5OUT-0').
+            # Bare network name (reference style: 'GRU-6IN-32H1-32H2-5OUT-0')
+            # with the same optional segments as the 'neural:' form
+            # ('<net>[:<path>][:bf16]') — options must not be silently
+            # dropped.
+            opts = list(spec_parts[1:])
+            if opts and opts[-1] in ("bf16", "bfloat16", "f32", "float32"):
+                kwargs.setdefault("compute_dtype", opts.pop())
             from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
             self.predictor = NeuralPredictor(
-                environment_name=environment_name, dt=dt, net_name=head, **kwargs
+                environment_name=environment_name, dt=dt, net_name=head,
+                path_to_models=opts[0] if opts else None, **kwargs
             )
         elif low.startswith("sgp") or low == "gp":
             # Sparse-GP predictor (reference style: 'SGP_30'); checkpoint path

@@ -240,15 +240,34 @@ def launch_workers(
             )
         results = []
         failed = []
-        for pid, proc in enumerate(procs):
-            try:
-                stdout, _ = proc.communicate(timeout=timeout)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                raise RuntimeError(f"multihost worker {pid} timed out")
-            if proc.returncode != 0:
-                failed.append((pid, stdout.decode(errors="replace")[-4000:]))
+        # Reap against a SHARED deadline, polling all workers: one crashed
+        # worker must surface its real log immediately (the survivors block
+        # in jax.distributed.initialize waiting for it) instead of masking
+        # it behind a full-timeout "timed out" on a different worker.
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        live = dict(enumerate(procs))
+        while live and _time.monotonic() < deadline:
+            for pid in list(live):
+                if live[pid].poll() is not None:
+                    proc = live.pop(pid)
+                    out = proc.stdout.read().decode(errors="replace")
+                    if proc.returncode != 0:
+                        failed.append((pid, out[-4000:]))
+            if failed:
+                break
+            if live:
+                _time.sleep(0.2)
+        for pid, proc in live.items():
+            proc.kill()
+            out = proc.stdout.read().decode(errors="replace")
+            failed.append((
+                pid,
+                ("killed: "
+                 + ("peer worker failed" if failed else "timeout")
+                 + "\n" + out[-2000:]),
+            ))
         if failed:
             msgs = "\n".join(f"--- worker {pid} ---\n{log}" for pid, log in failed)
             raise RuntimeError(f"multihost workers failed:\n{msgs}")

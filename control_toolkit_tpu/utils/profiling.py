@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import time
+from collections import deque
 from typing import Dict, Optional
 
 import numpy as np
@@ -20,7 +21,9 @@ class LatencyTracker:
 
     def __init__(self, capacity: int = 10000):
         self.capacity = int(capacity)
-        self._samples = []
+        # deque(maxlen): O(1) eviction — a full list's pop(0) would shift
+        # 10k entries inside the very hot path being measured.
+        self._samples = deque(maxlen=self.capacity)
 
     @contextlib.contextmanager
     def measure(self):
@@ -31,8 +34,6 @@ class LatencyTracker:
             self.record(time.perf_counter() - t0)
 
     def record(self, seconds: float) -> None:
-        if len(self._samples) >= self.capacity:
-            self._samples.pop(0)
         self._samples.append(seconds)
 
     def __len__(self) -> int:
@@ -62,11 +63,11 @@ class LatencyTracker:
         )
 
     def reset(self) -> None:
-        self._samples = []
+        self._samples.clear()
 
 
 @contextlib.contextmanager
-def xla_trace(log_dir: str, host_tracer_level: int = 2):
+def xla_trace(log_dir: str):
     """Capture a jax.profiler trace (open in TensorBoard or Perfetto)."""
     import jax
 

@@ -207,6 +207,6 @@ def test_cost_fk_seeds_from_dynamics():
         cf2.sync_with_dynamics({"l1": 0.5, "l2": 0.5})
     finally:
         logging.getLogger("control_toolkit_tpu.costs.arm2").removeHandler(grab)
-    assert any("different arm" in m for m in records)
+    assert any("different mechanism" in m for m in records)
     assert float(cf2.config["l1"]) == 0.3  # explicit value respected
     assert float(cf2.config["l2"]) == 0.5  # unset value still seeded
