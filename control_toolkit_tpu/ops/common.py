@@ -56,7 +56,16 @@ def adam_update(
     beta_2: float = 0.999,
     epsilon: float = 1e-8,
 ) -> Tuple[AdamState, jnp.ndarray]:
-    """One Adam step (Keras semantics: eps added outside the sqrt).
+    """One Adam step with TF/Keras semantics, EXACTLY as the reference's
+    tf.keras.optimizers.Adam applies it:
+
+        lr_t  = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        delta = lr_t * m / (sqrt(v) + eps)
+
+    i.e. epsilon is added to the UN-bias-corrected sqrt(v) — not the
+    Algorithm-1 form ``m_hat / (sqrt(v_hat) + eps)``, whose effective
+    epsilon differs by sqrt(1 - b2^t) (~31x at t=1 for b2=0.999) and
+    diverges from Keras whenever sqrt(v) is comparable to eps.
 
     Returns (new_state, delta) with delta to be *subtracted* from params.
     """
@@ -64,9 +73,8 @@ def adam_update(
     m = beta_1 * state.m + (1.0 - beta_1) * grad
     v = beta_2 * state.v + (1.0 - beta_2) * grad * grad
     t = step.astype(jnp.float32)
-    m_hat = m / (1.0 - beta_1**t)
-    v_hat = v / (1.0 - beta_2**t)
-    delta = lr * m_hat / (jnp.sqrt(v_hat) + epsilon)
+    lr_t = lr * jnp.sqrt(1.0 - beta_2**t) / (1.0 - beta_1**t)
+    delta = lr_t * m / (jnp.sqrt(v) + epsilon)
     return AdamState(step=step, m=m, v=v), delta
 
 

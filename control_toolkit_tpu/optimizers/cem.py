@@ -56,6 +56,14 @@ class CEMOptimizer(Optimizer):
         self.cem_initial_action_stdev = float(cem_initial_action_stdev)
         self.cem_stdev_min = float(cem_stdev_min)
         self.cem_best_k = int(cem_best_k)
+        if self.cem_best_k > self.num_rollouts:
+            # Fail loudly at construction, not inside lax.top_k at trace
+            # time (the reference default best_k=40 pairs with K=200; the
+            # base-class default K=32 would otherwise explode on step 1).
+            raise ValueError(
+                f"cem_best_k={self.cem_best_k} exceeds num_rollouts="
+                f"{self.num_rollouts}"
+            )
         self.warmup = bool(warmup)
         self.warmup_iterations = int(warmup_iterations)
         # Opt-in max-perf mode: sample+rollout+cost as ONE Pallas kernel
@@ -119,6 +127,10 @@ class CEMOptimizer(Optimizer):
         # fused/Pallas path and keep the loop carry trajectory-free.
         cost_only = None if self.optimizer_logging else self._make_cost_only()
         fused = self._build_fused_cem() if self._can_fully_fuse() else None
+        # The [K,H,U] population rides the loop carry / diag ONLY when
+        # logging wants it — with logging off that's ~200 MB of pure HBM
+        # output traffic per step at K=262k (MPPI gates identically).
+        want_Q = self.optimizer_logging and fused is None
 
         def outer_iter(carry, s_tiled, u_prev, params):
             key, mue, std = carry["key"], carry["mue"], carry["std"]
@@ -152,8 +164,10 @@ class CEMOptimizer(Optimizer):
             new_std = jnp.std(elite_Q, axis=0, keepdims=True)
             out = {
                 "key": key, "mue": new_mue, "std": new_std,
-                "Q": Q, "elite0": elite_Q[0], "cost": cost,
+                "elite0": elite_Q[0], "cost": cost,
             }
+            if want_Q:
+                out["Q"] = Q
             if cost_only is None:
                 out["traj"] = traj
             return out
@@ -176,7 +190,7 @@ class CEMOptimizer(Optimizer):
                 "elite0": jnp.zeros((H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
             }
-            if fused is None:
+            if want_Q:
                 carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
             if cost_only is None:
                 carry["traj"] = jnp.zeros((K, H + 1, self.num_states), jnp.float32)
@@ -206,7 +220,7 @@ class CEMOptimizer(Optimizer):
                 "J_logged": carry["cost"],
                 "u_nom": carry["elite0"][None],
             }
-            if fused is None:
+            if want_Q:
                 diag["Q_logged"] = carry["Q"]
             if cost_only is None:
                 diag["rollout_trajectories_logged"] = carry["traj"]

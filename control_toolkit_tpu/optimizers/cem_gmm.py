@@ -110,6 +110,8 @@ class CEMGMMOptimizer(Optimizer):
         best_k = self.cem_best_k
         std_min = self.cem_stdev_min
         cost_only = None if self.optimizer_logging else self._make_cost_only()
+        # [K,H,U] population in carry/diag only when logging reads it.
+        want_Q = self.optimizer_logging
 
         def outer_iter(carry, s_tiled, u_prev, params):
             key, k_comp, k_norm = jax.random.split(carry["key"], 3)
@@ -136,8 +138,10 @@ class CEMGMMOptimizer(Optimizer):
                 "mue": mue,
                 "std": std,
                 "probs": probs,
-                "Q": Q, "elite0": elite_Q[0], "cost": cost,
+                "elite0": elite_Q[0], "cost": cost,
             }
+            if want_Q:
+                out["Q"] = Q
             if cost_only is None:
                 out["traj"] = traj
             return out
@@ -147,10 +151,11 @@ class CEMGMMOptimizer(Optimizer):
             carry = {
                 "key": state.key, "mue": state.comp_mue, "std": state.comp_std,
                 "probs": state.mix_probs,
-                "Q": jnp.zeros((K, H, U), jnp.float32),
                 "elite0": jnp.zeros((H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
             }
+            if want_Q:
+                carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
             if cost_only is None:
                 carry["traj"] = jnp.zeros((K, H + 1, S), jnp.float32)
             carry = jax.lax.fori_loop(
@@ -166,10 +171,11 @@ class CEMGMMOptimizer(Optimizer):
             std = jnp.concatenate([carry["std"][:, 1:, :], carry["std"][:, -1:, :]], axis=1)
 
             diag = {
-                "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
                 "u_nom": carry["elite0"][None],
             }
+            if want_Q:
+                diag["Q_logged"] = carry["Q"]
             if cost_only is None:
                 diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMGMMState(

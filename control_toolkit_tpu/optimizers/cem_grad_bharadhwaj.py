@@ -54,6 +54,14 @@ class CEMGradBharadhwajOptimizer(Optimizer):
         self.cem_initial_action_stdev = float(cem_initial_action_stdev)
         self.cem_stdev_min = float(cem_stdev_min)
         self.cem_best_k = int(cem_best_k)
+        if self.cem_best_k > self.num_rollouts:
+            # Fail loudly at construction, not inside lax.top_k at trace
+            # time (the reference default best_k=40 pairs with K=200; the
+            # base-class default K=32 would otherwise explode on step 1).
+            raise ValueError(
+                f"cem_best_k={self.cem_best_k} exceeds num_rollouts="
+                f"{self.num_rollouts}"
+            )
         self.learning_rate = float(learning_rate)
         self.adam_beta_1 = float(adam_beta_1)
         self.adam_beta_2 = float(adam_beta_2)
@@ -85,6 +93,8 @@ class CEMGradBharadhwajOptimizer(Optimizer):
 
         # Fused Pallas gradient kernel on TPU; jax.grad via scan otherwise.
         grad_fn, cost_only = self._make_grad_and_cost_only()
+        # [K,H,U] population in carry/diag only when logging reads it.
+        want_Q = self.optimizer_logging
 
         def outer_iter(carry, s_tiled, u_prev, params):
             key, sub = jax.random.split(carry["key"])
@@ -109,8 +119,10 @@ class CEMGradBharadhwajOptimizer(Optimizer):
                 "key": key, "adam": adam,
                 "mue": jnp.mean(elite_Q, axis=0, keepdims=True),
                 "std": jnp.std(elite_Q, axis=0, keepdims=True),
-                "elite_Q": elite_Q, "Q": Qn, "cost": cost,
+                "elite_Q": elite_Q, "cost": cost,
             }
+            if want_Q:
+                out["Q"] = Qn
             if cost_only is None:
                 out["traj"] = traj
             return out
@@ -134,9 +146,10 @@ class CEMGradBharadhwajOptimizer(Optimizer):
                 "key": key, "adam": state.adam,
                 "mue": state.dist_mue, "std": state.stdev,
                 "elite_Q": elite_seed,
-                "Q": jnp.zeros((K, H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
             }
+            if want_Q:
+                carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
             if cost_only is None:
                 carry["traj"] = jnp.zeros((K, H + 1, S), jnp.float32)
             carry = jax.lax.fori_loop(
@@ -161,10 +174,11 @@ class CEMGradBharadhwajOptimizer(Optimizer):
             )
 
             diag = {
-                "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
                 "u_nom": carry["elite_Q"][:1],
             }
+            if want_Q:
+                diag["Q_logged"] = carry["Q"]
             if cost_only is None:
                 diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMGradState(

@@ -40,6 +40,14 @@ class CEMNaiveGradOptimizer(Optimizer):
         self.cem_initial_action_stdev = float(cem_initial_action_stdev)
         self.cem_stdev_min = float(cem_stdev_min)
         self.cem_best_k = int(cem_best_k)
+        if self.cem_best_k > self.num_rollouts:
+            # Fail loudly at construction, not inside lax.top_k at trace
+            # time (the reference default best_k=40 pairs with K=200; the
+            # base-class default K=32 would otherwise explode on step 1).
+            raise ValueError(
+                f"cem_best_k={self.cem_best_k} exceeds num_rollouts="
+                f"{self.num_rollouts}"
+            )
         self.learning_rate = float(learning_rate)
         self.gradmax_clip = float(gradmax_clip)
 
@@ -62,6 +70,8 @@ class CEMNaiveGradOptimizer(Optimizer):
         u_mid = 0.5 * (self.action_low + self.action_high)
         # Fused Pallas gradient kernel on TPU; jax.grad via scan otherwise.
         grad_fn, cost_only = self._make_grad_and_cost_only()
+        # [K,H,U] population in carry/diag only when logging reads it.
+        want_Q = self.optimizer_logging
 
         def outer_iter(carry, s_tiled, u_prev, params):
             key, sub = jax.random.split(carry["key"])
@@ -81,8 +91,10 @@ class CEMNaiveGradOptimizer(Optimizer):
                 "key": key,
                 "mue": jnp.mean(elite_Q, axis=0, keepdims=True),
                 "std": jnp.std(elite_Q, axis=0, keepdims=True),
-                "Q": Qn, "cost": cost,
+                "cost": cost,
             }
+            if want_Q:
+                out["Q"] = Qn
             if cost_only is None:
                 out["traj"] = traj
             return out
@@ -91,9 +103,10 @@ class CEMNaiveGradOptimizer(Optimizer):
             s_tiled = jnp.tile(s[:1], (K, 1))
             carry = {
                 "key": state.key, "mue": state.dist_mue, "std": state.stdev,
-                "Q": jnp.zeros((K, H, U), jnp.float32),
                 "cost": jnp.zeros((K,), jnp.float32),
             }
+            if want_Q:
+                carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
             if cost_only is None:
                 carry["traj"] = jnp.zeros((K, H + 1, self.num_states), jnp.float32)
             carry = jax.lax.fori_loop(
@@ -118,10 +131,11 @@ class CEMNaiveGradOptimizer(Optimizer):
             )
 
             diag = {
-                "Q_logged": carry["Q"],
                 "J_logged": carry["cost"],
                 "u_nom": carry["mue"],
             }
+            if want_Q:
+                diag["Q_logged"] = carry["Q"]
             if cost_only is None:
                 diag["rollout_trajectories_logged"] = carry["traj"]
             new_state = CEMState(

@@ -132,10 +132,11 @@ class GradientOptimizer(Optimizer):
             adam = shift_adam_moments(adam)
 
             diag = {
-                "Q_logged": Q,
                 "J_logged": cost,
                 "u_nom": Q[best][None],
             }
+            if self.optimizer_logging:
+                diag["Q_logged"] = Q
             if traj is not None:
                 diag["rollout_trajectories_logged"] = traj
             new_state = GradientState(

@@ -523,15 +523,24 @@ class ILQROptimizer(Optimizer):
                 # is configured); the rest drawn uniformly in the box each
                 # tick.  All solves run as one vmapped batch.
                 key, sub = jax.random.split(state.key)
-                n_rand = n_starts - (2 if guess_policy is not None else 1)
+                n_extra = 2 if guess_policy is not None else 1
+                # Draw one spare row: on tick 0 the warm start IS the policy
+                # guess, so the dedicated policy start would be a duplicate
+                # — substitute a random draw there to keep the starts diverse
+                # exactly when diversity matters most (no warm start yet).
                 rand = jax.random.uniform(
-                    sub, (max(n_rand, 0), H, U),
+                    sub, (max(n_starts - n_extra, 0) + 1, H, U),
                     minval=low, maxval=high, dtype=jnp.float32,
                 )
                 heads = [u_warm[None]]
                 if guess_policy is not None and n_starts > 1:
-                    heads.append(policy_guess(z0, params)[None])
-                us0 = jnp.concatenate(heads + [rand], axis=0)[:n_starts]
+                    heads.append(
+                        jnp.where(
+                            state.count == 0, rand[-1],
+                            policy_guess(z0, params),
+                        )[None]
+                    )
+                us0 = jnp.concatenate(heads + [rand[:-1]], axis=0)[:n_starts]
                 us_all = jax.vmap(
                     lambda u0: solve(z0, u0, center, params)
                 )(us0)
@@ -559,26 +568,56 @@ class ILQROptimizer(Optimizer):
             shift = jnp.where(ok, 1, j_new + 1)
             idx = jnp.clip(jnp.arange(H) + shift, 0, H - 1)
             us_shifted = plan_new[idx]
-            # Replay exhausted -> reinitialize the warm start from the
-            # heuristic policy when configured (the reference rebuilds its
-            # initial guess from the heuristic), else at mid-range.
             u_mid = jnp.broadcast_to(
                 0.5 * (low + high), (H, U)
             ).astype(jnp.float32)
             if guess_policy is not None:
+                # Reference semantics (optimizer_nlp_forces.py:289-296): the
+                # next warm start is the REMAINING open-loop solution
+                # extended by heuristic-policy rollouts — not last-action
+                # repeats.  One H-scan, run only on failure ticks (cond).
+                n_valid = H - shift  # entries of us_shifted still from plan
+
+                def extend_tail(us):
+                    def body(z, i):
+                        u_i = jnp.where(
+                            i < n_valid, us[i],
+                            jnp.clip(
+                                jnp.reshape(
+                                    jnp.asarray(
+                                        guess_policy(z[:S], params),
+                                        jnp.float32,
+                                    ), (U,),
+                                ),
+                                low, high,
+                            ),
+                        )
+                        return dyn(z, u_i, params), u_i
+                    _, us2 = jax.lax.scan(body, z0, jnp.arange(H))
+                    return us2
+
                 us_shifted = jax.lax.cond(
-                    j_new >= H - 1,
-                    lambda us: policy_guess(z0, params),
-                    lambda us: us,
-                    us_shifted,
+                    ok, lambda us: us, extend_tail, us_shifted
                 )
             else:
                 us_shifted = jnp.where(j_new >= H - 1, u_mid, us_shifted)
 
-            xs = rollout_open_loop(z0, plan_new, params)[:, :S]
+            zs_plan = rollout_open_loop(z0, plan_new, params)
+            xs = zs_plan[:, :S]
+            # J_logged reports the cost of the plan actually APPLIED: on a
+            # failed solve that is the replayed plan, not the rejected
+            # solve's inf/NaN (computed from the zs_plan rollout already
+            # needed for the trajectory diag).
+            plan_stages = jax.vmap(
+                lambda z, u_: stage_l(z, u_, params)
+            )(zs_plan[:-1], plan_new)
+            cost_applied = jnp.where(
+                ok, cost,
+                jnp.sum(plan_stages) + term_l(zs_plan[-1], params),
+            )
             diag = {
                 "Q_logged": plan_new[None],                 # [1, H, U]
-                "J_logged": (cost / (H + 1))[None],         # trajectory-mean convention
+                "J_logged": (cost_applied / (H + 1))[None], # trajectory-mean convention
                 "rollout_trajectories_logged": xs[None],    # [1, H+1, S]
                 "u_nom": plan_new[None],
                 "solver_ok": ok,

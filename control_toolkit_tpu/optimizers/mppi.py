@@ -49,6 +49,33 @@ def make_correction_cost(cc_weight: float, R: float, NU: float):
     return correction_cost
 
 
+def make_semi_fused_update(cost_kernel, pack, W_mat, LBD, low, high,
+                           ROWS, T, C, P, U):
+    """The semi-fused MPPI nominal update shared by MPPI and mppi-var:
+    run the fused interp+rollout+cost kernel on tile-layout perturbations,
+    softmax-weight them, average at the INDUCING points (linearity of
+    interpolation), interpolate once, clip.  Returns (u_nom_new, costs2d).
+
+    One definition on purpose: mppi-var's semi-fused path differs only in
+    how eps is scaled (per-input sigma) and in its extra adaptation step —
+    the update body itself must never be able to drift between the two
+    optimizers (see ops/pallas_mppi.py for the layout algebra)."""
+    def update(s, u_nom, u_prev, params, eps):
+        pvec = pack(params, u_prev)
+        costs2d = cost_kernel(s[0], u_nom[0], pvec, eps)     # [R, T*C]
+        rho = jnp.min(costs2d)
+        w = jnp.exp(-(costs2d - rho) * (1.0 / LBD))
+        a = jnp.sum(w)
+        # Weighted average over inducing points, then interpolate:
+        # sum_k w_k (W eps_k) == W (sum_k w_k eps_k).
+        w3 = w.reshape(ROWS, T, C)
+        eps5 = eps.reshape(T, U, P, ROWS, C)
+        ws = jnp.einsum("rtc,tuprc->up", w3, eps5) / a       # [U, P]
+        b = jnp.einsum("ph,up->hu", W_mat, ws)               # [H, U]
+        return jnp.clip(u_nom + b[None], low, high), costs2d
+    return update
+
+
 def make_reward_weighted_average(LBD: float):
     """Softmax over the K rollouts (reference :163-168).  With K sharded
     over a mesh these reductions lower to ICI psums."""
@@ -203,7 +230,10 @@ class MPPIOptimizer(Optimizer):
         return kernel_step, pack, make_run
 
     def _can_fully_fuse(self) -> bool:
-        from control_toolkit_tpu.ops.pallas_rollout import DEFAULT_TILE_K
+        # The eligibility gate must use the SAME tile constant the fused
+        # MPPI kernels are built with (pallas_mppi's, not pallas_rollout's
+        # — they are independent knobs that merely happen to agree today).
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K
 
         return (
             self.fully_fused
@@ -304,6 +334,9 @@ class MPPIOptimizer(Optimizer):
             T = K // DEFAULT_TILE_K
             C = DEFAULT_TILE_K // ROWS
             W_mat = jnp.asarray(self.interp.matrix, jnp.float32)  # [P, H]
+            sf_update = make_semi_fused_update(
+                cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U
+            )
 
             def semi_fused_step_fn(state: MPPIState, s, params):
                 key, sample_key = jax.random.split(state.key)
@@ -315,19 +348,7 @@ class MPPIOptimizer(Optimizer):
                         sample_key, (T, U, P * ROWS, C), dtype=jnp.float32
                     ) * stdev
                 )
-                pvec = pack(params, state.u_prev)
-                costs2d = cost_kernel(s[0], u_nom[0], pvec, eps)  # [R, T*C]
-
-                rho = jnp.min(costs2d)
-                w = jnp.exp(-(costs2d - rho) * (1.0 / LBD))
-                a = jnp.sum(w)
-                # Weighted average over inducing points, then interpolate:
-                # sum_k w_k (W eps_k) == W (sum_k w_k eps_k).
-                w3 = w.reshape(ROWS, T, C)
-                eps5 = eps.reshape(T, U, P, ROWS, C)
-                ws = jnp.einsum("rtc,tuprc->up", w3, eps5) / a   # [U, P]
-                b = jnp.einsum("ph,up->hu", W_mat, ws)           # [H, U]
-                u_nom = jnp.clip(u_nom + b[None], low, high)
+                u_nom, costs2d = sf_update(s, u_nom, state.u_prev, params, eps)
 
                 if self.optim_steps > 0:
                     u_nom = refine_nominal(u_nom, s, state.u_prev, params)

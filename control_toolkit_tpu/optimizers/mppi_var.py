@@ -175,6 +175,12 @@ class MPPIVarOptimizer(MPPIOptimizer):
             T = K // DEFAULT_TILE_K
             C = DEFAULT_TILE_K // ROWS
             W_mat = jnp.asarray(self.interp.matrix, jnp.float32)  # [P, H]
+            from control_toolkit_tpu.optimizers.mppi import (
+                make_semi_fused_update,
+            )
+            sf_update = make_semi_fused_update(
+                cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U
+            )
 
             def semi_fused_step_fn(state: MPPIVarState, s, params):
                 key, sample_key = jax.random.split(state.key)
@@ -185,17 +191,9 @@ class MPPIVarOptimizer(MPPIOptimizer):
                     sample_key, (T, U, P * ROWS, C), dtype=jnp.float32
                 )
                 eps = eps_raw * state.stdev[None, :, None, None]
-                pvec = pack(params, state.u_prev)
-                costs2d = cost_kernel(s[0], u_nom[0], pvec, eps)  # [R, T*C]
-
-                rho = jnp.min(costs2d)
-                w = jnp.exp(-(costs2d - rho) * (1.0 / LBD))
-                a = jnp.sum(w)
-                w3 = w.reshape(ROWS, T, C)
-                eps5 = eps.reshape(T, U, P, ROWS, C)
-                ws = jnp.einsum("rtc,tuprc->up", w3, eps5) / a   # [U, P]
-                b = jnp.einsum("ph,up->hu", W_mat, ws)           # [H, U]
-                u_nom = jnp.clip(u_nom + b[None], low, high)
+                # Shared MPPI update body (optimizers/mppi.py) — only the
+                # sigma scaling above and the adaptation below are ours.
+                u_nom, costs2d = sf_update(s, u_nom, state.u_prev, params, eps)
                 u = u_nom[0, 0, :]
 
                 # variance adaptation on the same tiles
