@@ -11,6 +11,13 @@ request, so idle sessions keep their warm start exactly.
 Pallas kernels are per-program (no vmap batching rule), so the optimizer is
 built with ``force_scan=True``; the scan paths batch the B*K rollouts into
 single fused XLA ops, which is exactly where the TPU wants them.
+
+Stateful (RNN) predictors are supported: each slot carries its own hidden
+state (stacked ``[B, 1, Hi]`` leaves), threaded through the vmapped step as
+params and advanced with the applied control by one batched ``rnn_apply``
+inside the same program — the batched analogue of the reference's
+``predictor.update`` (optimizer_mppi.py:195-197).  Masked-off slots keep
+their hidden bit-exactly; a slot reset zeroes its hidden alone.
 """
 from __future__ import annotations
 
@@ -64,12 +71,6 @@ class BatchedMPCController(MPCController):
                 "whole-batch latency spikes after slot resets"
             )
 
-        if getattr(self.predictor, "is_stateful", False):
-            raise ValueError(
-                "BatchedMPC does not support stateful (RNN) predictors: the "
-                "per-slot hidden-state advance (predictor.update) has no "
-                "batched path, so hidden states would silently stay frozen."
-            )
         self.num_slots = int(num_slots)
         opt = self.optimizer
         B = self.num_slots
@@ -81,21 +82,69 @@ class BatchedMPCController(MPCController):
 
         step_fn = opt._make_step_fn()
 
-        def batched(states, s, dyn, cost, attrs, mask):
-            u, new_states, _ = jax.vmap(
-                lambda st, s_, at: step_fn(
-                    st, s_, {"dyn": dyn, "cost": cost, "attrs": at}
-                ),
-                in_axes=(0, 0, {k: 0 for k in attrs}),
-            )(states, s, attrs)
+        self._stateful = bool(getattr(self.predictor, "is_stateful", False))
+        if self._stateful:
+            # Per-slot RNN hidden, stacked [B, 1, Hi] per leaf: each slot's
+            # step sees the reference batch-1 hidden under vmap, and the
+            # advance-with-applied-control (reference predictor.update,
+            # optimizer_mppi.py:195-197) runs as ONE batched rnn_apply over
+            # the B slots inside the same jitted program — the scalar path
+            # does this host-side in Optimizer._post_step.
+            pred = self.predictor.predictor
+            self._rnn_apply_fn = pred._rnn_apply
+            self._rnn_state0_fn = pred._rnn_state0
+            self._rnn_hiddens = tuple(pred.arch["hiddens"])
+            zero = self._rnn_state0_fn(self._rnn_hiddens, 1)
+            self.slot_hidden = tuple(
+                jnp.tile(jnp.asarray(h)[None], (B, 1, 1)) for h in zero
+            )
+            rnn_apply = self._rnn_apply_fn
 
-            def keep(new, old):
-                m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
-                return jnp.where(m, new, old)
+            def batched(states, s, dyn, cost, attrs, mask, hidden):
+                def one(st, s_, at, h):
+                    d = dict(dyn)
+                    d["hidden"] = h
+                    return step_fn(st, s_, {"dyn": d, "cost": cost, "attrs": at})
 
-            states_out = jax.tree_util.tree_map(keep, new_states, states)
-            u = jnp.where(mask[:, None], u, 0.0)
-            return u, states_out
+                u, new_states, _ = jax.vmap(
+                    one, in_axes=(0, 0, {k: 0 for k in attrs}, 0)
+                )(states, s, attrs, hidden)
+
+                def keep(new, old):
+                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                states_out = jax.tree_util.tree_map(keep, new_states, states)
+                # Hidden advance with the applied control; frozen slots keep
+                # their hidden bit-exactly (same mask discipline as states).
+                inp = jnp.concatenate([s[:, 0, :], u], axis=-1)
+                _, h_new = rnn_apply(
+                    dyn["net"], inp, tuple(h[:, 0, :] for h in hidden)
+                )
+                hidden_out = tuple(
+                    jnp.where(mask[:, None, None], hn[:, None, :], h)
+                    for hn, h in zip(h_new, hidden)
+                )
+                u = jnp.where(mask[:, None], u, 0.0)
+                return u, states_out, hidden_out
+
+        else:
+
+            def batched(states, s, dyn, cost, attrs, mask):
+                u, new_states, _ = jax.vmap(
+                    lambda st, s_, at: step_fn(
+                        st, s_, {"dyn": dyn, "cost": cost, "attrs": at}
+                    ),
+                    in_axes=(0, 0, {k: 0 for k in attrs}),
+                )(states, s, attrs)
+
+                def keep(new, old):
+                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                states_out = jax.tree_util.tree_map(keep, new_states, states)
+                u = jnp.where(mask[:, None], u, 0.0)
+                return u, states_out
 
         self._batched_jit = jax.jit(batched)
         # Per-slot attributes, stacked [B].
@@ -115,6 +164,13 @@ class BatchedMPCController(MPCController):
         self.slot_states = jax.tree_util.tree_map(
             lambda full, n: full.at[i].set(n), self.slot_states, new
         )
+        if getattr(self, "_stateful", False):
+            # The slot's hidden may carry the divergence (or a stale
+            # session) — zero it like the scalar path's reset_state().
+            zero = self._rnn_state0_fn(self._rnn_hiddens, 1)
+            self.slot_hidden = tuple(
+                h.at[i].set(z) for h, z in zip(self.slot_hidden, zero)
+            )
 
     def update_slot_attributes(self, i: int, updated: Optional[Dict]) -> None:
         for k, v in (updated or {}).items():
@@ -161,9 +217,19 @@ class BatchedMPCController(MPCController):
         s_dev = jnp.asarray(np.asarray(s_batch, np.float32)).reshape(B, 1, -1)
         attrs = {k: jnp.asarray(v) for k, v in self.slot_attrs.items()}
 
-        u, self.slot_states = self._batched_jit(
-            self.slot_states, s_dev, params["dyn"], params["cost"], attrs, mask_arr
-        )
+        if self._stateful:
+            # The assembled dyn carries the predictor's own batch-1 hidden
+            # (scalar-path plumbing); the batched truth lives in slot_hidden.
+            dyn = {k: v for k, v in params["dyn"].items() if k != "hidden"}
+            u, self.slot_states, self.slot_hidden = self._batched_jit(
+                self.slot_states, s_dev, dyn, params["cost"], attrs, mask_arr,
+                self.slot_hidden,
+            )
+        else:
+            u, self.slot_states = self._batched_jit(
+                self.slot_states, s_dev, params["dyn"], params["cost"], attrs,
+                mask_arr,
+            )
         u_host = np.asarray(u)
         # Per-slot NaN guard (optimizer base does this host-side for the
         # scalar path): a diverged slot commands zero and resets alone.
@@ -189,5 +255,12 @@ class BatchedMPCController(MPCController):
         # One vmapped init (same path as configure) instead of B sequential
         # whole-tree .at[i].set copies.
         import jax
+        import jax.numpy as jnp
 
         self.slot_states = jax.vmap(self.optimizer._init_state)(self._slot_keys)
+        if getattr(self, "_stateful", False):
+            zero = self._rnn_state0_fn(self._rnn_hiddens, 1)
+            self.slot_hidden = tuple(
+                jnp.tile(jnp.asarray(h)[None], (self.num_slots, 1, 1))
+                for h in zero
+            )
