@@ -10,12 +10,16 @@ optimizer step, plant advance, realized stage cost — into one jitted
 is real device time, and the same harness doubles as a fast eval bench for
 zoo tests (VERDICT r2 item 3).
 
-Restrictions (by construction, not policy):
-- the optimizer must expose the pure ``step(state, s, params)`` contract
-  (every optimizer in this framework does);
-- the predictor must be stateless (RNN hidden advance is a host-side hook,
-  ``Optimizer._post_step``; threading it through the scan is possible but
-  out of scope while no stateful family needs closed-loop eval).
+Stateful (RNN) predictors are supported: the hidden state joins the scan
+carry, the per-tick advance with the applied control (reference
+``predictor.update``, optimizer_mppi.py:195-197) runs inside the loop body,
+and the final hidden is written back to the predictor after the episode.
+
+``run_batch`` vmaps the whole episode over N initial conditions — N
+independent optimizer states (per-episode PRNG streams) advanced through T
+ticks in ONE program launch.  That is the TPU-native Monte-Carlo eval
+sweep: robustness statistics over initial-condition distributions cost one
+dispatch instead of N*T.
 """
 from __future__ import annotations
 
@@ -43,16 +47,18 @@ class ClosedLoop:
         if actuator_noise is None:
             actuator_noise = getattr(env, "actuator_noise", 0.0)
         opt = controller.optimizer
-        if opt.predictor is not None and getattr(opt.predictor, "is_stateful", False):
-            raise ValueError(
-                "ClosedLoop supports stateless predictors only (RNN hidden "
-                "advance is a host-side hook; run the Python loop instead)"
-            )
         self.controller = controller
         self.optimizer = opt
         self.env = env
         self.actuator_noise = float(actuator_noise)
         self._noise_key = jax.random.PRNGKey(noise_seed)
+        self._stateful = bool(
+            opt.predictor is not None
+            and getattr(opt.predictor, "is_stateful", False)
+        )
+        rnn_apply = (
+            controller.predictor.predictor._rnn_apply if self._stateful else None
+        )
 
         step_fn = opt._make_step_fn()
         cf = controller.cost_function.cost_function
@@ -61,12 +67,27 @@ class ClosedLoop:
         a_low = jnp.asarray(env.action_low, jnp.float32)
         a_high = jnp.asarray(env.action_high, jnp.float32)
         noise_scale = self.actuator_noise
+        stateful = self._stateful
 
-        @partial(jax.jit, static_argnames=("ticks",))
-        def run_device(opt_state, s0, params, noise_keys, ticks: int):
+        def episode(opt_state, s0, params, noise_keys, ticks: int):
+            # Un-jitted core: jitted directly for single episodes, vmapped
+            # under one jit for Monte-Carlo sweeps.  The RNN hidden (if any)
+            # enters through params["dyn"]["hidden"] — the same contract the
+            # per-tick step obeys — and is threaded through the carry.
             def body(carry, key):
-                opt_state, s, u_prev = carry
-                u, opt_state, _ = step_fn(opt_state, s[None, :], params)
+                opt_state, s, u_prev, hidden = carry
+                if stateful:
+                    dyn = dict(params["dyn"])
+                    dyn["hidden"] = hidden
+                    p = {**params, "dyn": dyn}
+                else:
+                    p = params
+                u, opt_state, _ = step_fn(opt_state, s[None, :], p)
+                if stateful:
+                    # Advance with the COMMANDED control (pre actuator
+                    # noise), matching the scalar _post_step hook.
+                    inp = jnp.concatenate([s[None, :], u[None, :]], axis=-1)
+                    _, hidden = rnn_apply(params["dyn"]["net"], inp, hidden)
                 u_applied = u
                 if noise_scale > 0.0:
                     u_applied = u + noise_scale * jax.random.normal(key, u.shape)
@@ -76,15 +97,25 @@ class ClosedLoop:
                     {"cost": params["cost"], "attrs": params["attrs"]},
                 )[0]
                 s_next = env_step(s[None, :], u_applied[None, :], env_dt)[0]
-                return (opt_state, s_next, u_applied), (s, u_applied, stage)
+                return (opt_state, s_next, u_applied, hidden), (s, u_applied, stage)
 
             u0 = jnp.zeros((opt.num_control_inputs,), jnp.float32)
-            (opt_state, sT, _), (ss, us, stage) = jax.lax.scan(
-                body, (opt_state, s0, u0), noise_keys, length=ticks
+            h0 = params["dyn"]["hidden"] if stateful else ()
+            (opt_state, sT, _, hT), (ss, us, stage) = jax.lax.scan(
+                body, (opt_state, s0, u0, h0), noise_keys, length=ticks
             )
-            return opt_state, sT, ss, us, stage
+            return opt_state, sT, ss, us, stage, hT
 
-        self._run_device = run_device
+        self._episode = episode
+        self._run_device = partial(jax.jit, static_argnames=("ticks",))(episode)
+
+        @partial(jax.jit, static_argnames=("ticks",))
+        def run_batch_device(opt_states, s0s, params, noise_keys, ticks: int):
+            return jax.vmap(
+                lambda st, s0, nk: episode(st, s0, params, nk, ticks)
+            )(opt_states, s0s, noise_keys)
+
+        self._run_batch_device = run_batch_device
 
     def run_device(self, opt_state, s0, params, ticks: int):
         """Raw device program (for slope benchmarking): one launch, ``ticks``
@@ -100,14 +131,21 @@ class ClosedLoop:
         'stage_costs' [T], 'final_state' [S], 'mean_cost' scalar}."""
         if reset:
             self.optimizer.optimizer_reset()
+            if self._stateful:
+                self.controller.predictor.predictor.reset_state()
         self._noise_key, sub = jax.random.split(self._noise_key)
         keys = jax.random.split(sub, ticks)
         params = self.controller._assemble_params()
         s0 = jnp.asarray(np.reshape(s0, (-1,)), jnp.float32)
-        opt_state, sT, ss, us, stage = self._run_device(
+        opt_state, sT, ss, us, stage, hT = self._run_device(
             self.optimizer.opt_state, s0, params, keys, ticks
         )
         self.optimizer.opt_state = opt_state
+        if self._stateful:
+            # The episode advanced the hidden T times on device; hand the
+            # final hidden back so a follow-up per-tick loop (or another
+            # episode with reset=False) continues from where this one ended.
+            self.controller.predictor.predictor.hidden = hT
         return {
             "states": np.asarray(ss),
             "controls": np.asarray(us),
@@ -115,3 +153,48 @@ class ClosedLoop:
             "final_state": np.asarray(sT),
             "mean_cost": float(np.mean(np.asarray(stage))),
         }
+
+    def run_batch(self, s0_batch: np.ndarray, ticks: int,
+                  return_trajectories: bool = False) -> Dict[str, np.ndarray]:
+        """Monte-Carlo sweep: N independent episodes in ONE program launch.
+
+        Each episode gets a fresh optimizer state on its own PRNG stream
+        (fold_in on the episode index — the same per-instance keying as
+        BatchedMPC slots) and an independent actuator-noise stream; the
+        controller's own live state is untouched.  Stateful predictors
+        start every episode from the CURRENT hidden in the assembled params
+        (zeros after a reset) and evolve it per-episode inside the program.
+
+        Returns {'mean_costs' [N], 'stage_costs' [N,T], 'final_states'
+        [N,S], 'final_hidden' (stateful only)}, plus 'states' [N,T,S] /
+        'controls' [N,T,U] when ``return_trajectories`` (off by default —
+        at large N the trajectories dominate the device->host copy).
+        """
+        opt = self.optimizer
+        s0s = jnp.asarray(np.asarray(s0_batch, np.float32))
+        if s0s.ndim != 2:
+            raise ValueError(f"s0_batch must be [N, S], got {s0s.shape}")
+        N = s0s.shape[0]
+        ep_keys = jnp.stack(
+            [jax.random.fold_in(opt._initial_key, i) for i in range(N)]
+        )
+        opt_states = jax.vmap(opt._init_state)(ep_keys)
+        self._noise_key, sub = jax.random.split(self._noise_key)
+        noise_keys = jax.random.split(sub, N * ticks).reshape(
+            (N, ticks) + sub.shape
+        )
+        params = self.controller._assemble_params()
+        _, sT, ss, us, stage, hT = self._run_batch_device(
+            opt_states, s0s, params, noise_keys, ticks
+        )
+        out = {
+            "mean_costs": np.asarray(jnp.mean(stage, axis=1)),
+            "stage_costs": np.asarray(stage),
+            "final_states": np.asarray(sT),
+        }
+        if self._stateful:
+            out["final_hidden"] = tuple(np.asarray(h) for h in hT)
+        if return_trajectories:
+            out["states"] = np.asarray(ss)
+            out["controls"] = np.asarray(us)
+        return out
