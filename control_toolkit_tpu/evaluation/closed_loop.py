@@ -155,7 +155,8 @@ class ClosedLoop:
         }
 
     def run_batch(self, s0_batch: np.ndarray, ticks: int,
-                  return_trajectories: bool = False) -> Dict[str, np.ndarray]:
+                  return_trajectories: bool = False,
+                  mesh=None) -> Dict[str, np.ndarray]:
         """Monte-Carlo sweep: N independent episodes in ONE program launch.
 
         Each episode gets a fresh optimizer state on its own PRNG stream
@@ -164,6 +165,11 @@ class ClosedLoop:
         controller's own live state is untouched.  Stateful predictors
         start every episode from the CURRENT hidden in the assembled params
         (zeros after a reset) and evolve it per-episode inside the program.
+
+        With ``mesh``, the episode axis shards over every mesh axis
+        (episodes are embarrassingly parallel — no cross-episode
+        collectives, so the SPMD program is pure per-chip work); N must be
+        divisible by the mesh device count.
 
         Returns {'mean_costs' [N], 'stage_costs' [N,T], 'final_states'
         [N,S], 'final_hidden' (stateful only)}, plus 'states' [N,T,S] /
@@ -184,6 +190,30 @@ class ClosedLoop:
             (N, ticks) + sub.shape
         )
         params = self.controller._assemble_params()
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from control_toolkit_tpu.parallel.mesh import (
+                population_spec, replicated,
+            )
+
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if N % n_dev != 0:
+                raise ValueError(
+                    f"N={N} episodes not divisible over {n_dev} mesh devices"
+                )
+
+            def shard(x):
+                return jax.device_put(
+                    x, NamedSharding(mesh, population_spec(mesh, jnp.ndim(x)))
+                )
+
+            opt_states = jax.tree_util.tree_map(shard, opt_states)
+            s0s, noise_keys = shard(s0s), shard(noise_keys)
+            rep = replicated(mesh)
+            params = jax.tree_util.tree_map(
+                lambda v: jax.device_put(jnp.asarray(v), rep), params
+            )
         _, sT, ss, us, stage, hT = self._run_batch_device(
             opt_states, s0s, params, noise_keys, ticks
         )

@@ -91,3 +91,31 @@ def test_multislice_mesh_matches_unsharded():
     spec = b.optimizer.opt_state.u_prev.sharding.spec
     q_spec = b.optimizer.opt_state.key.sharding.spec
     # u_nom [1,H,U] and key are replicated; nothing crashed across slices
+
+
+def test_sharded_monte_carlo_sweep_matches_unsharded():
+    """Episode-axis sharding of ClosedLoop.run_batch: N episodes over the
+    8-device mesh == unsharded to float tolerance (zero actuator noise, so
+    the draw streams are irrelevant)."""
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    ctrl = build("mppi", CONFIGS["mppi"], K=32, H=8)
+    loop = ClosedLoop(ctrl, env)
+    s0s = np.stack([
+        np.array([0.0, 0.0, 0.04 * i - 0.3, 0.0], np.float32)
+        for i in range(16)
+    ])
+    base = loop.run_batch(s0s, ticks=6)
+    mesh = make_rollout_mesh()
+    sharded = loop.run_batch(s0s, ticks=6, mesh=mesh)
+    np.testing.assert_allclose(
+        sharded["stage_costs"], base["stage_costs"], atol=2e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        sharded["final_states"], base["final_states"], atol=2e-5, rtol=0
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        loop.run_batch(s0s[:6], ticks=4, mesh=mesh)
