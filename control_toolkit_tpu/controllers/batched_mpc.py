@@ -81,6 +81,7 @@ class BatchedMPCController(MPCController):
         self.slot_states = jax.vmap(opt._init_state)(self._slot_keys)
 
         step_fn = opt._make_step_fn()
+        self._kernel_path = False
 
         self._stateful = bool(getattr(self.predictor, "is_stateful", False))
         if self._stateful:
@@ -128,6 +129,31 @@ class BatchedMPCController(MPCController):
                 u = jnp.where(mask[:, None], u, 0.0)
                 return u, states_out, hidden_out
 
+        elif self._batched_kernel_eligible():
+            # Fast path: ALL B sessions' rollouts pack into ONE columnwise
+            # Pallas launch (per-session context as VMEM rows, per-session
+            # softmax in XLA) instead of a vmapped per-session step — the
+            # vmap path lowers to B small sampling/interp/reduction ops that
+            # the TPU executes poorly.  Per-session PRNG streams are kept,
+            # so a session's results don't depend on B.
+            kstep, _ = opt._make_batched_semi_fused_step(B)
+            logger.info(
+                f"batched-mpc: columnwise kernel path engaged "
+                f"(B={B} x K={opt.num_rollouts} in one launch)"
+            )
+            self._kernel_path = True
+
+            def batched(states, s, dyn, cost, attrs, mask):
+                u, new_states, _ = kstep(states, s, dyn, cost, attrs)
+
+                def keep(new, old):
+                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                states_out = jax.tree_util.tree_map(keep, new_states, states)
+                u = jnp.where(mask[:, None], u, 0.0)
+                return u, states_out
+
         else:
 
             def batched(states, s, dyn, cost, attrs, mask):
@@ -152,6 +178,28 @@ class BatchedMPCController(MPCController):
             k: np.full((B,), float(np.asarray(v).reshape(-1)[0]), np.float32)
             for k, v in self.variable_parameters.items()
         }
+
+    def _batched_kernel_eligible(self) -> bool:
+        """Columnwise-kernel eligibility: plain semi-fused MPPI over an SOA
+        ODE model on TPU, no mesh (the batched kernel is single-chip), and
+        the B*K population packs into whole tiles with whole-column
+        sessions."""
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+        opt = self.optimizer
+        return (
+            type(opt) is MPPIOptimizer  # variants scale eps differently
+            and opt.semi_fused
+            and not opt.bounded_update
+            and opt.optim_steps == 0
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and opt._pallas_compatible_model()
+            and opt.num_rollouts % ROWS == 0
+            and (self.num_slots * opt.num_rollouts) % DEFAULT_TILE_K == 0
+        )
 
     # ---- slot management ---------------------------------------------------
     def slot_key(self, i: int):

@@ -172,6 +172,13 @@ def build_fused_mppi_step(
     def unpack(pvec_ref):
         return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
 
+    # Split for the columnwise (batched-session) kernel: attrs and u_prev
+    # vary per MPC session, dynamics/cost constants are shared.  The naming
+    # convention is Optimizer._soa_bindings' ("a_<attr>", "__u_prev_<j>").
+    _SLOT_PREFIXES = ("a_", "__u_prev_")
+    shared_keys = [k for k in param_keys if not k.startswith(_SLOT_PREFIXES)]
+    slot_keys = [k for k in param_keys if k.startswith(_SLOT_PREFIXES)]
+
     one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
 
     def gen_delta_into(seed_ref, wk_ref, delta_ref):
@@ -250,6 +257,60 @@ def build_fused_mppi_step(
                 Wk, eps_ref[0, j], preferred_element_type=jnp.float32
             )
         rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref)
+
+    # Columnwise-context variant (batched sessions): initial state, nominal
+    # plan, attrs and u_prev vary PER ROLLOUT COLUMN (each lane column of a
+    # tile holds ROWS rollouts of ONE session), arriving as small VMEM row
+    # operands instead of SMEM scalars.  One launch then evaluates many
+    # independent MPC sessions packed along the lane axis — the kernel
+    # itself is session-agnostic; the caller lays sessions out contiguously
+    # along the global column order and reduces per session outside.
+    def kernel1_cols(pvec_ref, s0_ref, unom_ref, pslot_ref, eps_ref, wk_ref,
+                     cost_ref, delta_ref):
+        # The per-column operands use None-dim BlockSpecs, so refs arrive
+        # with the tile dim already dropped: s0 [S, C], unom [U*H, C],
+        # pslot [n_sk, C], eps [U, P*ROWS, C].
+        p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
+        pslot = pslot_ref[:, :]                             # [n_sk, C]
+        for i, k in enumerate(slot_keys):
+            p[k] = pslot[i:i + 1, :]                        # [1, C] rows
+        Wk = wk_ref[:, :]
+        for j in range(U):
+            delta_ref[j] = jnp.dot(
+                Wk, eps_ref[j], preferred_element_type=jnp.float32
+            )
+        s0 = s0_ref[:, :]                                   # [S, C]
+        xs = tuple(
+            jnp.broadcast_to(s0[i:i + 1, :], (ROWS, C)) for i in range(S)
+        )
+        prev_us = tuple(
+            jnp.broadcast_to(p[f"__u_prev_{j}"], (ROWS, C)) for j in range(U)
+        )
+        acc = jnp.zeros((ROWS, C), jnp.float32)
+        corr = jnp.zeros((ROWS, C), jnp.float32)
+
+        def body(h, carry):
+            xs, prev_us, acc, corr = carry
+            us, dus = [], []
+            for j in range(U):
+                d = delta_ref[j, pl.ds(h * ROWS, ROWS), :]  # [R, C]
+                un = unom_ref[pl.ds(j * H + h, 1), :]       # [1, C] row
+                u = jnp.clip(un + d, low[j], high[j])
+                us.append(u)
+                dus.append(d)
+            us = tuple(us)
+            acc = acc + stage_cost_soa(xs, us, prev_us, p)
+            for j in range(U):
+                corr = corr + cc_weight * (
+                    0.5 * (1.0 - 1.0 / NU) * R * dus[j] * dus[j]
+                    + R * us[j] * dus[j]
+                    + 0.5 * R * us[j] * us[j]
+                )
+            xs = one_step(xs, us, p)
+            return xs, us, acc, corr
+
+        xs, _, acc, corr = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc, corr))
+        cost_ref[:, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1) + corr
 
     # ---------------- pass 2: weighted perturbation sums -------------------
     def kernel2(seed_ref, red_ref, wk_ref, eyemask_ref, blocksum_ref,
@@ -467,5 +528,55 @@ def build_fused_mppi_step(
         )
         return jax.jit(inner)
 
+    def make_cost_run_cols(K: int):
+        """Columnwise semi-fused cost kernel over K total rollouts.
+
+        Returns ``cost(pvec [N_shared], s0_cols [T,S,C], unom_cols
+        [T,U*H,C], pslot_cols [T,n_sk,C], eps [T,U,P*ROWS,C]) -> costs2d
+        [ROWS, T*C]``.  ``unom_cols`` rows are ordered ``j*H + h``;
+        ``pslot_cols`` rows follow ``slot_keys`` (exposed as
+        ``make_run.slot_keys``).  All per-column operands are tiny relative
+        to eps (they repeat each session's scalars over its K/ROWS
+        columns), so the batched launch stays bandwidth-dominated by the
+        same tensors as the single-session kernel."""
+        assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
+        n_tiles = K // tile_k
+        n_sk = len(slot_keys)
+        assert shared_keys, "columnwise kernel expects >=1 shared param"
+        Wk = jnp.asarray(Wk_np)
+
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # shared pvec
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((None, S, C), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, U * H, C), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, n_sk, C), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, U, P * ROWS, C), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H * ROWS, P * ROWS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((U, H * ROWS, C), jnp.float32)],
+        )
+
+        def cost_cols(pvec, s0_cols, unom_cols, pslot_cols, eps):
+            return pl.pallas_call(
+                kernel1_cols,
+                out_shape=jax.ShapeDtypeStruct((ROWS, K // ROWS), jnp.float32),
+                grid_spec=gs,
+                interpret=interpret,
+            )(pvec, s0_cols, unom_cols, pslot_cols, eps, Wk)
+
+        return jax.jit(cost_cols)
+
     make_run.external = make_cost_run
+    make_run.cols = make_cost_run_cols
+    make_run.shared_keys = shared_keys
+    make_run.slot_keys = slot_keys
     return make_run

@@ -297,20 +297,22 @@ class Optimizer:
         return None
 
     # ---- Pallas fused kernel ---------------------------------------------
-    def _can_use_pallas(self) -> bool:
+    def _pallas_compatible_model(self) -> bool:
+        """Backend + model/cost eligibility for the fused SOA kernels,
+        independent of population-size divisibility and the force_scan
+        override (callers with different tiling geometries — e.g. the
+        batched-session kernel — add their own divisibility checks)."""
         import jax
 
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         pred = getattr(self.predictor, "predictor", self.predictor)
         from control_toolkit_tpu.models.predictors import ODEPredictor
-        from control_toolkit_tpu.ops.pallas_rollout import DEFAULT_TILE_K
 
         return (
             jax.default_backend() == "tpu"
             # A controller pinned to a non-TPU device (config 'device: cpu')
             # must take the scan paths — Mosaic kernels are TPU-only.
             and (self._device is None or self._device.platform == "tpu")
-            and not self.force_scan
             and isinstance(pred, ODEPredictor)
             and getattr(pred.dynamics, "soa", None) is not None
             and cf is not None
@@ -322,6 +324,14 @@ class Optimizer:
                 np.ndim(v) == 0
                 for v in getattr(cf, "attr_defaults", {}).values()
             )
+        )
+
+    def _can_use_pallas(self) -> bool:
+        from control_toolkit_tpu.ops.pallas_rollout import DEFAULT_TILE_K
+
+        return (
+            not self.force_scan
+            and self._pallas_compatible_model()
             # Under sharding each device runs its LOCAL tiles through the
             # kernel via shard_map, so the per-device shard must tile evenly.
             and self.num_rollouts % (DEFAULT_TILE_K * self._n_shard_devices()) == 0

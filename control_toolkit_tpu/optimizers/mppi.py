@@ -249,6 +249,123 @@ class MPPIOptimizer(Optimizer):
             and self.num_rollouts % DEFAULT_TILE_K == 0
         )
 
+    def _make_batched_semi_fused_step(self, num_slots: int,
+                                      interpret: bool = False,
+                                      tile_k: int = None):
+        """B-session semi-fused MPPI step for BatchedMPC (kernel path).
+
+        All B sessions' rollouts pack into ONE columnwise kernel launch
+        (ops/pallas_mppi.py make_run.cols): session b occupies lane columns
+        [b*K/8, (b+1)*K/8) of the global tile order, its per-session
+        context (initial state, shifted nominal, attrs, u_prev) rides as
+        VMEM rows, and the softmax reduction + inducing-point weighted
+        average run per session in XLA on the reshaped column blocks.
+        Per-session PRNG streams are preserved: session b's perturbations
+        are drawn from ITS MPPIState key, so results don't depend on B.
+
+        Returns ``(step, update_from_eps)`` where ``step(states, s, dyn,
+        cost, attrs) -> (u [B,U], states', costs [B,K])`` over the stacked
+        (vmap-layout) MPPIState, and ``update_from_eps`` exposes the
+        deterministic part for testing with injected noise."""
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+
+        tile = tile_k or DEFAULT_TILE_K
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        P = self.interp.number_of_interpolation_inducing_points
+        if K % ROWS != 0 or (B * K) % tile != 0:
+            raise ValueError(
+                f"batched kernel path needs K % {ROWS} == 0 and "
+                f"B*K % {tile} == 0; got B={B}, K={K}"
+            )
+        cps = K // ROWS            # lane columns per session
+        T = (B * K) // tile        # tiles
+        C = tile // ROWS           # columns per tile
+
+        _, _, make_run = self._build_fused_mppi(
+            build_step=False, interpret=interpret, tile_k=tile
+        )
+        cost_cols = make_run.cols(B * K)
+        shared_keys, slot_keys = make_run.shared_keys, make_run.slot_keys
+        W_mat = jnp.asarray(self.interp.matrix, jnp.float32)   # [P, H]
+        low, high = self.action_low, self.action_high
+        LBD, stdev = self.LBD, self.SQRTRHODTINV
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        attr_defaults = dict(getattr(cf, "attr_defaults", {}))
+
+        def expand_cols(vals):      # [B, n] -> [T, n, C] per-column rows
+            n = vals.shape[1]
+            cols = jnp.repeat(vals, cps, axis=0)               # [B*cps, n]
+            return cols.reshape(T, C, n).transpose(0, 2, 1)
+
+        def update_from_eps(states, s, dyn, cost, attrs, eps):
+            unom_b = jnp.concatenate(
+                [states.u_nom[:, 0, 1:, :], states.u_nom[:, 0, -1:, :]],
+                axis=1,
+            )                                                   # [B, H, U]
+            vals = []
+            for k in shared_keys:
+                src = dyn[k[2:]] if k.startswith("d_") else cost[k[2:]]
+                vals.append(jnp.asarray(src, jnp.float32))
+            pvec = jnp.stack(vals)
+            rows = []
+            for k in slot_keys:
+                if k.startswith("a_"):
+                    name = k[2:]
+                    v = attrs.get(name)
+                    if v is None:
+                        v = jnp.full(
+                            (B,), float(attr_defaults.get(name, 0.0)),
+                            jnp.float32,
+                        )
+                    rows.append(jnp.asarray(v, jnp.float32).reshape(B))
+                else:                                   # __u_prev_<j>
+                    rows.append(states.u_prev[:, int(k.rsplit("_", 1)[1])])
+            pslot_cols = expand_cols(jnp.stack(rows, axis=1))   # [T, n_sk, C]
+            s0_cols = expand_cols(s[:, 0, :])                   # [T, S, C]
+            unom_cols = expand_cols(
+                unom_b.transpose(0, 2, 1).reshape(B, U * H)     # j*H + h order
+            )
+            costs2d = cost_cols(pvec, s0_cols, unom_cols, pslot_cols, eps)
+            w3 = costs2d.reshape(ROWS, B, cps)
+            rho = jnp.min(w3, axis=(0, 2))
+            w = jnp.exp(-(w3 - rho[None, :, None]) * (1.0 / LBD))
+            a = jnp.sum(w, axis=(0, 2))
+            # Per-session weighted average at the inducing points, then one
+            # interpolation (linearity — see make_semi_fused_update).
+            eps7 = (
+                eps.reshape(T, U, P, ROWS, C)
+                .transpose(1, 2, 3, 0, 4)
+                .reshape(U, P, ROWS, B, cps)
+            )
+            ws = jnp.einsum("rbc,uprbc->bup", w, eps7) / a[:, None, None]
+            b_upd = jnp.einsum("ph,bup->bhu", W_mat, ws)
+            u_nom_new = jnp.clip(unom_b + b_upd, low, high)     # [B, H, U]
+            costs = w3.transpose(1, 0, 2).reshape(B, K)
+            return u_nom_new, costs
+
+        def step(states, s, dyn, cost, attrs):
+            keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
+            new_keys, sample_keys = keys[:, 0], keys[:, 1]
+            eps_slots = jax.vmap(
+                lambda k: jax.random.normal(
+                    k, (U, P * ROWS, cps), dtype=jnp.float32
+                )
+            )(sample_keys) * stdev                              # [B,U,PR,cps]
+            eps = (
+                eps_slots.transpose(1, 2, 0, 3)
+                .reshape(U, P * ROWS, T, C)
+                .transpose(2, 0, 1, 3)
+            )                                                   # [T,U,PR,C]
+            u_nom_new, costs = update_from_eps(states, s, dyn, cost, attrs, eps)
+            u = u_nom_new[:, 0, :]
+            new_states = MPPIState(
+                key=new_keys, u_nom=u_nom_new[:, None], u_prev=u
+            )
+            return u, new_states, costs
+
+        return step, update_from_eps
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         P = self.interp.number_of_interpolation_inducing_points

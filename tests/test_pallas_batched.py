@@ -1,0 +1,178 @@
+"""Columnwise (batched-session) semi-fused MPPI kernel — interpret mode.
+
+One kernel launch evaluates B independent MPC sessions packed along the
+lane axis (ops/pallas_mppi.py kernel1_cols + MPPIOptimizer.
+_make_batched_semi_fused_step).  Checked EXACTLY against an XLA reference
+that replays the same injected noise through the modular rollout/cost/
+softmax math, per session.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from control_toolkit_tpu.optimizers.mppi import MPPIState
+from test_pallas_rollout import make_mppi_ctrl
+
+ROWS = 8
+
+
+def build(B=4, K=64, H=10, tile=128):
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    step, update_from_eps = opt._make_batched_semi_fused_step(
+        B, interpret=True, tile_k=tile
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    return ctrl, opt, step, update_from_eps, params
+
+
+def make_states(opt, B, key_seed=0):
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(key_seed), i) for i in range(B)]
+    )
+    states = jax.vmap(opt._init_state)(keys)
+    # Distinct nominal plans and previous controls per session so the
+    # per-column context paths (unom rows, __u_prev rows) are exercised.
+    rng = np.random.default_rng(1)
+    u_nom = jnp.asarray(
+        rng.uniform(-0.4, 0.4, size=np.asarray(states.u_nom).shape), jnp.float32
+    )
+    u_prev = jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=np.asarray(states.u_prev).shape), jnp.float32
+    )
+    return MPPIState(key=states.key, u_nom=u_nom, u_prev=u_prev)
+
+
+def test_batched_kernel_matches_xla_reference():
+    B, K, H, tile = 4, 64, 10, 128
+    ctrl, opt, _, update_from_eps, params = build(B, K, H, tile)
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+    cps = K // ROWS
+    T = (B * K) // tile
+    C = tile // ROWS
+
+    states = make_states(opt, B)
+    rng = np.random.default_rng(7)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    # Distinct per-session target so the attr rows matter.
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    eps = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(T, U, P * ROWS, C)), jnp.float32
+    )
+
+    u_nom_new, costs = update_from_eps(
+        states, s_b, params["dyn"], params["cost"], attrs, eps
+    )
+    assert u_nom_new.shape == (B, H, U) and costs.shape == (B, K)
+
+    # ---- XLA reference, session by session --------------------------------
+    W = np.asarray(opt.interp.matrix, np.float32)              # [P, H]
+    Wk = np.kron(W.T, np.eye(ROWS, dtype=np.float32))          # [H*R, P*R]
+    eps_cols = np.asarray(eps).transpose(1, 2, 0, 3).reshape(U, P * ROWS, T * C)
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:], np.asarray(states.u_nom)[b, 0, -1:]],
+            axis=0,
+        )                                                      # [H, U]
+        eps_b = eps_cols[:, :, b * cps:(b + 1) * cps]          # [U, P*R, cps]
+        # delta at full horizon for rollout (r, cw):
+        delta = np.stack([Wk @ eps_b[j] for j in range(U)])    # [U, H*R, cps]
+        Q = np.zeros((K, H, U), np.float32)
+        for r in range(ROWS):
+            for cw in range(cps):
+                for j in range(U):
+                    Q[r * cps + cw, :, j] = np.clip(
+                        un_shift[:, j] + delta[j, np.arange(H) * ROWS + r, cw],
+                        -1.0, 1.0,
+                    )
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        traj = opt.predictor.rollout(s_tiled, jnp.asarray(Q), params["dyn"])
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        base = opt.cost_function.get_trajectory_cost(
+            traj, jnp.asarray(Q), states.u_prev[b], cparams
+        )
+        du = np.zeros((K, H, U), np.float32)
+        for r in range(ROWS):
+            for cw in range(cps):
+                for j in range(U):
+                    du[r * cps + cw, :, j] = delta[j, np.arange(H) * ROWS + r, cw]
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * du**2
+                + opt.R * Q * du + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        ref_cost = np.asarray(base) + corr
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=2e-5
+        )
+
+        rho = ref_cost.min()
+        w = np.exp(-(ref_cost - rho) / opt.LBD)
+        a = w.sum()
+        # weighted average at the inducing points, per session
+        eps_k = np.zeros((K, P, U), np.float32)
+        for r in range(ROWS):
+            for cw in range(cps):
+                for j in range(U):
+                    eps_k[r * cps + cw, :, j] = eps_b[j, np.arange(P) * ROWS + r, cw]
+        ws = np.einsum("k,kpu->up", w, eps_k) / a
+        b_upd = np.einsum("ph,up->hu", W, ws)
+        ref_unom = np.clip(un_shift + b_upd, -1.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(u_nom_new)[b], ref_unom, atol=1e-5, rtol=1e-5
+        )
+
+
+def test_batched_step_results_independent_of_batch_size():
+    """Session b's control depends only on its own state/key, not on B."""
+    _, opt4, step4, _, params = build(B=4, K=64, H=10, tile=128)
+    _, opt2, step2, _, _ = build(B=2, K=64, H=10, tile=128)
+
+    states4 = make_states(opt4, 4)
+    states2 = jax.tree_util.tree_map(lambda x: x[:2], states4)
+    s4 = jnp.asarray(
+        np.random.default_rng(3).uniform(-0.2, 0.2, size=(4, 1, 4)), jnp.float32
+    )
+    attrs4 = {"target_position": jnp.zeros((4,), jnp.float32)}
+    attrs2 = {"target_position": jnp.zeros((2,), jnp.float32)}
+
+    u4, new4, c4 = step4(states4, s4, params["dyn"], params["cost"], attrs4)
+    u2, new2, c2 = step2(states2, s4[:2], params["dyn"], params["cost"], attrs2)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u4)[:2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c4)[:2], atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(new2.key), np.asarray(new4.key)[:2]
+    )
+
+
+def test_batched_kernel_eligibility_gate():
+    """On CPU the controller must stay on the vmapped scan path; the
+    divisibility rules reject non-tileable shapes."""
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        optimizer_config={"seed": 3, "mpc_timestep": 0.02, "mpc_horizon": 8,
+                          "num_rollouts": 64, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 4},
+        num_slots=4,
+    )
+    assert ctrl._kernel_path is False  # CPU backend
+    s = np.tile(np.array([0.0, 0.0, 0.2, 0.0], np.float32), (4, 1))
+    u = ctrl.step_batch(s)
+    assert np.all(np.isfinite(u))
