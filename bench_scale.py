@@ -175,9 +175,10 @@ def measure_host_loop(ctrl, n=20):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def measure_batched_serving(B=32, K_per_slot=512, H=35):
-    """Steps/s for B independent MPC sessions advanced by one vmapped step
-    (the batched-serving device path, controllers/batched_mpc.py)."""
+def measure_batched_serving(B=32, K_per_slot=512, H=35, force_scan=False):
+    """Steps/s for B independent MPC sessions advanced by one device step
+    (controllers/batched_mpc.py): the columnwise batched kernel when
+    eligible, or the vmapped scan path (force_scan=True)."""
     import jax
     import jax.numpy as jnp
 
@@ -192,7 +193,7 @@ def measure_batched_serving(B=32, K_per_slot=512, H=35):
     ctrl.configure(optimizer_name="mppi", optimizer_config={
         "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
         "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
-        "NU": 1000.0, "SQRTRHOINV": 0.05,
+        "NU": 1000.0, "SQRTRHOINV": 0.05, "force_scan": force_scan,
         "period_interpolation_inducing_points": 10}, num_slots=B)
 
     params = ctrl._assemble_params()
@@ -211,6 +212,65 @@ def measure_batched_serving(B=32, K_per_slot=512, H=35):
     jax.block_until_ready(u)
     ms = (time.perf_counter() - t0) / (reps * N) * 1e3
     return ms
+
+
+def measure_mc_sweep(N=128, K=512, H=50, T1=40, T2=80, reps=10, trials=3,
+                     force_scan=False):
+    """Monte-Carlo sweep ms/tick (evaluation/ClosedLoop.run_batch device
+    program): N episodes, one program launch, slope between two tick
+    lengths (dispatch-free).  Kernel path (columnwise batched MPPI kernel
+    per tick) unless force_scan — then the vmapped per-episode scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.mpc import MPCController
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 5, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 10})
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=1)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.05, noise_seed=7)
+    opt = ctrl.optimizer
+    if force_scan:
+        prog = loop._run_batch_device
+    else:
+        assert loop._kernel_sweep_eligible(N)
+        prog = loop._build_kernel_sweep(N)
+
+    def make_inputs(T):
+        ep_keys = jnp.stack(
+            [jax.random.fold_in(opt._initial_key, i) for i in range(N)]
+        )
+        opt_states = jax.vmap(opt._init_state)(ep_keys)
+        s0s = jnp.tile(jnp.array([0., 0., 0.15, 0.], jnp.float32), (N, 1))
+        sub = jax.random.PRNGKey(3)
+        nk = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+        return opt_states, s0s, ctrl._assemble_params(), nk
+
+    ins = {T: make_inputs(T) for T in (T1, T2)}
+    for T in (T1, T2):
+        out = prog(*ins[T][:3], ins[T][3], T)
+        jax.block_until_ready(out[1])
+    ts = {}
+    for T in (T1, T2):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = prog(*ins[T][:3], ins[T][3], T)
+            jax.block_until_ready(out[1])
+            best = min(best, (time.perf_counter() - t0) / reps)
+        ts[T] = best
+    return (ts[T2] - ts[T1]) / (T2 - T1) * 1e3
 
 
 def build_neural_mppi(K, H, net="mlp-32-32", force_scan=False):
@@ -437,7 +497,22 @@ def main():
               f"({B / (ms / 1e3):.0f} session-steps/s)", flush=True)
     # (per-B rates live under batched_serving_B{32,128}_sessions_per_sec;
     # no aggregate alias — a silent definition change would read as a
-    # same-config jump in the artifact diff)
+    # same-config jump in the artifact diff.  Since the columnwise batched
+    # kernel landed these rows measure the KERNEL path; the vmap-scan
+    # baseline is kept as one explicit row below.)
+    ms = measure_batched_serving(B=128, K_per_slot=512, force_scan=True)
+    results["batched_serving_B128_K512_vmap_scan"] = round(ms, 3)
+    print(f"batched serving B=128 K=512 (vmap-scan baseline): {ms:.3f} "
+          f"ms/step ({128 / (ms / 1e3):.0f} session-steps/s)", flush=True)
+
+    # Monte-Carlo sweep: N closed-loop episodes in one program, kernel vs
+    # vmapped-scan tick (slope method — dispatch-free ms/tick).
+    ms_k = measure_mc_sweep(N=128, K=512, H=50)
+    ms_s = measure_mc_sweep(N=128, K=512, H=50, force_scan=True)
+    results["mc_sweep_N128_K512_H50_ms_per_tick"] = round(ms_k, 4)
+    results["mc_sweep_N128_K512_H50_vmap_scan_ms_per_tick"] = round(ms_s, 4)
+    print(f"MC sweep N=128 K=512 H=50: kernel {ms_k:.3f} ms/tick | "
+          f"vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
 
     Path(__file__).parent.joinpath("BENCH_SCALE.json").write_text(
         json.dumps(results, indent=2)

@@ -60,6 +60,10 @@ class BatchedMPCController(MPCController):
             )
             opt_cfg = load_optimizer_config(name)
         opt_cfg = dict(opt_cfg)
+        # A user-supplied force_scan also opts OUT of the columnwise
+        # batched kernel (the internal force_scan=True below only steers
+        # the per-slot step away from the vmap-incompatible Pallas paths).
+        self._user_force_scan = bool(opt_cfg.get("force_scan", False))
         opt_cfg["force_scan"] = True
         kwargs["optimizer_config"] = opt_cfg
         super().configure(*args, **kwargs)
@@ -129,17 +133,22 @@ class BatchedMPCController(MPCController):
                 u = jnp.where(mask[:, None], u, 0.0)
                 return u, states_out, hidden_out
 
-        elif self._batched_kernel_eligible():
+        elif self._batched_kernel_eligible() or self._batched_neural_eligible():
             # Fast path: ALL B sessions' rollouts pack into ONE columnwise
             # Pallas launch (per-session context as VMEM rows, per-session
             # softmax in XLA) instead of a vmapped per-session step — the
             # vmap path lowers to B small sampling/interp/reduction ops that
             # the TPU executes poorly.  Per-session PRNG streams are kept,
             # so a session's results don't depend on B.
-            kstep, _ = opt._make_batched_semi_fused_step(B)
+            if self._batched_kernel_eligible():
+                kstep, _ = opt._make_batched_semi_fused_step(B)
+                kind = "ODE semi-fused"
+            else:
+                kstep, _ = opt._make_batched_neural_step(B)
+                kind = "neural MLP"
             logger.info(
                 f"batched-mpc: columnwise kernel path engaged "
-                f"(B={B} x K={opt.num_rollouts} in one launch)"
+                f"({kind}, B={B} x K={opt.num_rollouts} in one launch)"
             )
             self._kernel_path = True
 
@@ -190,6 +199,7 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is MPPIOptimizer  # variants scale eps differently
+            and not self._user_force_scan
             and opt.semi_fused
             and not opt.bounded_update
             and opt.optim_steps == 0
@@ -199,6 +209,31 @@ class BatchedMPCController(MPCController):
             and opt._pallas_compatible_model()
             and opt.num_rollouts % ROWS == 0
             and (self.num_slots * opt.num_rollouts) % DEFAULT_TILE_K == 0
+        )
+
+    def _batched_neural_eligible(self) -> bool:
+        """Columnwise NEURAL-kernel eligibility: plain MPPI over a
+        non-recurrent (MLP) f32 NeuralPredictor on an unmeshed TPU, with
+        B*K dividing a neural tile.  Recurrent predictors are stateful and
+        take the per-slot-hidden vmapped path."""
+        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+        opt = self.optimizer
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return (
+            type(opt) is MPPIOptimizer
+            and not self._user_force_scan
+            and not opt.bounded_update
+            and opt.optim_steps == 0
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and isinstance(pred, NeuralPredictor)
+            and not pred.recurrent
+            and opt._pallas_neural_compatible_model()
+            and neural_tile_for(self.num_slots * opt.num_rollouts) > 0
         )
 
     # ---- slot management ---------------------------------------------------

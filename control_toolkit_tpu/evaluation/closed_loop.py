@@ -15,11 +15,15 @@ carry, the per-tick advance with the applied control (reference
 ``predictor.update``, optimizer_mppi.py:195-197) runs inside the loop body,
 and the final hidden is written back to the predictor after the episode.
 
-``run_batch`` vmaps the whole episode over N initial conditions — N
-independent optimizer states (per-episode PRNG streams) advanced through T
-ticks in ONE program launch.  That is the TPU-native Monte-Carlo eval
-sweep: robustness statistics over initial-condition distributions cost one
-dispatch instead of N*T.
+``run_batch`` runs N episodes in ONE program launch — N independent
+optimizer states (per-episode PRNG streams) advanced through T ticks.
+That is the TPU-native Monte-Carlo eval sweep: robustness statistics over
+initial-condition distributions cost one dispatch instead of N*T.  When
+the per-episode optimizer is plain semi-fused MPPI over an SOA ODE model
+(unmeshed TPU, tile-divisible N*K), the sweep uses the columnwise batched
+kernel — every tick of all N episodes is a single Pallas launch
+(optimizers/mppi.py ``_make_batched_semi_fused_step``) — instead of
+vmapping N scan-path steps.
 """
 from __future__ import annotations
 
@@ -116,6 +120,116 @@ class ClosedLoop:
             )(opt_states, s0s, noise_keys)
 
         self._run_batch_device = run_batch_device
+        self._kernel_sweeps: Dict[int, object] = {}
+
+    # ---- columnwise-kernel Monte-Carlo sweep -----------------------------
+    def _sweep_kernel_kind(self, N: int) -> Optional[str]:
+        """Which columnwise batched kernel the N-episode sweep can take:
+        'ode' (semi-fused MPPI over an SOA ODE model), 'neural' (MPPI over
+        a non-recurrent f32 MLP predictor), or None (vmapped scan path).
+        Mirrors BatchedMPC._batched_kernel_eligible /
+        _batched_neural_eligible; unmeshed TPU + stateless predictor +
+        tile-divisible N*K required."""
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+        opt = self.optimizer
+        if not (
+            type(opt) is MPPIOptimizer
+            and not opt.force_scan
+            and not opt.bounded_update
+            and opt.optim_steps == 0
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and not self._stateful
+        ):
+            return None
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+
+        if (
+            opt.semi_fused
+            and opt._pallas_compatible_model()
+            and opt.num_rollouts % ROWS == 0
+            and (N * opt.num_rollouts) % DEFAULT_TILE_K == 0
+        ):
+            return "ode"
+        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+
+        pred = getattr(opt.predictor, "predictor", opt.predictor)
+        if (
+            isinstance(pred, NeuralPredictor)
+            and not pred.recurrent
+            and opt._pallas_neural_compatible_model()
+            and neural_tile_for(N * opt.num_rollouts) > 0
+        ):
+            return "neural"
+        return None
+
+    def _kernel_sweep_eligible(self, N: int) -> bool:
+        return self._sweep_kernel_kind(N) is not None
+
+    def _build_kernel_sweep(self, N: int, interpret: bool = False,
+                            tile_k: Optional[int] = None):
+        """N-episode sweep with ONE columnwise kernel launch per tick:
+        episode b's K rollouts ride lane columns of the shared launch
+        (optimizers/mppi.py _make_batched_semi_fused_step for ODE models,
+        _make_batched_neural_step for MLP predictors), the plant advance +
+        realized stage cost stay in XLA, and the tick loop is a lax.scan —
+        so a whole Monte-Carlo sweep is still one program."""
+        opt = self.optimizer
+        # Dispatch on the predictor kind (not the eligibility gate, which
+        # is backend-dependent — interpret-mode callers run on CPU).
+        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+
+        pred = getattr(opt.predictor, "predictor", opt.predictor)
+        if isinstance(pred, NeuralPredictor):
+            kstep, _ = opt._make_batched_neural_step(
+                N, interpret=interpret, tile_k=tile_k
+            )
+        else:
+            kstep, _ = opt._make_batched_semi_fused_step(
+                N, interpret=interpret, tile_k=tile_k
+            )
+        cf = self.controller.cost_function.cost_function
+        env_step, env_dt = self.env.step_dynamics, self.env.dt
+        a_low = jnp.asarray(self.env.action_low, jnp.float32)
+        a_high = jnp.asarray(self.env.action_high, jnp.float32)
+        noise_scale = self.actuator_noise
+        U = opt.num_control_inputs
+
+        @partial(jax.jit, static_argnames=("ticks",))
+        def sweep(opt_states, s0s, params, noise_keys, ticks: int):
+            cparams = {"cost": params["cost"], "attrs": params["attrs"]}
+
+            def body(carry, keys_t):
+                states, s, u_prev = carry
+                u, states, _ = kstep(
+                    states, s[:, None, :], params["dyn"], params["cost"],
+                    params["attrs"],
+                )
+                u_applied = u
+                if noise_scale > 0.0:
+                    u_applied = u + noise_scale * jax.vmap(
+                        lambda k: jax.random.normal(k, (U,))
+                    )(keys_t)
+                u_applied = jnp.clip(u_applied, a_low, a_high)
+                stage = cf.stage_cost_step(s, u_applied, u_prev, cparams)
+                s_next = env_step(s, u_applied, env_dt)
+                return (states, s_next, u_applied), (s, u_applied, stage)
+
+            u0 = jnp.zeros((N, U), jnp.float32)
+            keys_tn = jnp.swapaxes(noise_keys, 0, 1)        # [T, N, key]
+            (states, sT, _), (ss, us, stage) = jax.lax.scan(
+                body, (opt_states, s0s, u0), keys_tn, length=ticks
+            )
+            # Match the vmapped-episode layout: [N, T, ...].
+            return (
+                states, sT, jnp.swapaxes(ss, 0, 1), jnp.swapaxes(us, 0, 1),
+                jnp.swapaxes(stage, 0, 1), (),
+            )
+
+        return sweep
 
     def run_device(self, opt_state, s0, params, ticks: int):
         """Raw device program (for slope benchmarking): one launch, ``ticks``
@@ -214,7 +328,12 @@ class ClosedLoop:
             params = jax.tree_util.tree_map(
                 lambda v: jax.device_put(jnp.asarray(v), rep), params
             )
-        _, sT, ss, us, stage, hT = self._run_batch_device(
+        run = self._run_batch_device
+        if mesh is None and self._kernel_sweep_eligible(N):
+            if N not in self._kernel_sweeps:
+                self._kernel_sweeps[N] = self._build_kernel_sweep(N)
+            run = self._kernel_sweeps[N]
+        _, sT, ss, us, stage, hT = run(
             opt_states, s0s, params, noise_keys, ticks
         )
         out = {

@@ -97,6 +97,7 @@ def build_neural_cost_rollout_kernel(
     tile_k: int = DEFAULT_NEURAL_TILE_K,
     interpret: bool = False,
     mxu_bf16: bool = False,
+    slot_keys: Sequence[str] = (),
 ):
     """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N], *weights) -> cost [K]`` for
     an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
@@ -104,17 +105,29 @@ def build_neural_cost_rollout_kernel(
     ``weights`` is the ``flatten_mlp_weights`` operand list.  Semantics match
     NeuralPredictor.single_step (models/neural_predictor.py) composed with
     the reference trajectory-cost reduction (mean over H stage + terminal).
+
+    ``slot_keys`` switches to the batched-session ("columns") form: the
+    listed params (attrs / u_prev — anything varying per MPC session) leave
+    the shared SMEM vector and arrive per-LANE as one extra VMEM operand
+    ``pslot [n_slot, K]`` right after Q: ``fn(s0, Q, pvec_shared, pslot,
+    *weights)``.  s0 and Q are already per-rollout, so B sessions pack by
+    simple concatenation along K — no alignment between a session's K and
+    the tile is needed, only ``(B*K) % tile_k == 0``.
     """
     S, U, H = num_states, num_controls, horizon
     n_w = 2 * n_layers + (2 if has_norm_in else 0) + (2 if has_norm_out else 0)
-
-    def unpack(pvec_ref):
-        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
+    slot_keys = tuple(slot_keys)
+    n_slot = len(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
 
     def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        if n_slot:
+            pslot_ref, rest = rest[0], rest[1:]
         w_refs = rest[:n_w]
         cost_ref = rest[n_w]
-        p = unpack(pvec_ref)
+        p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
+        for i, k in enumerate(slot_keys):
+            p[k] = pslot_ref[i:i + 1, :]                   # [1, T] row
 
         idx = 2 * n_layers
         norm_in = w_refs[idx : idx + 2] if has_norm_in else None
@@ -123,7 +136,8 @@ def build_neural_cost_rollout_kernel(
 
         xs = tuple(s0_ref[i : i + 1, :] for i in range(S))
         prev_us = tuple(
-            jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+            p[f"__u_prev_{j}"] if f"__u_prev_{j}" in slot_keys
+            else jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
         )
         acc = jnp.zeros((1, tile_k), jnp.float32)
 
@@ -163,17 +177,27 @@ def build_neural_cost_rollout_kernel(
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
 
-    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret)
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot)
 
 
-def _make_runner(kernel, S, U, H, n_w, tile_k, interpret):
-    """Shared pallas_call wrapper: fn(s0 [K,S], Q [K,H,U], pvec, *ops)."""
+def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0):
+    """Shared pallas_call wrapper: fn(s0 [K,S], Q [K,H,U], pvec, *ops) —
+    with ``n_slot`` > 0, fn(s0, Q, pvec, pslot [n_slot, K], *ops)."""
 
     @jax.jit
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
-            *weights: jnp.ndarray) -> jnp.ndarray:
+            *rest: jnp.ndarray) -> jnp.ndarray:
         K = s0.shape[0]
         assert K % tile_k == 0, f"K={K} not divisible by tile_k={tile_k}"
+        if n_slot:
+            pslot, weights = rest[0], rest[1:]
+            slot_ops = (pslot,)
+            slot_specs = [
+                pl.BlockSpec((n_slot, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM)
+            ]
+        else:
+            weights, slot_ops, slot_specs = rest, (), []
         assert len(weights) == n_w, (len(weights), n_w)
         n_tiles = K // tile_k
         s0_t = s0.T                        # [S, K]
@@ -194,7 +218,7 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
                              memory_space=pltpu.VMEM),
-            ] + w_specs,
+            ] + slot_specs + w_specs,
             out_specs=pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
                                    memory_space=pltpu.VMEM),
         )
@@ -203,7 +227,7 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret):
             out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
             grid_spec=gs,
             interpret=interpret,
-        )(pvec, s0_t, q_t, *weights)
+        )(pvec, s0_t, q_t, *slot_ops, *weights)
         return cost[0]
 
     return run

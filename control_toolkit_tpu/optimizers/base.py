@@ -544,28 +544,21 @@ class Optimizer:
         return grad_fn
 
     # ---- Pallas fused NEURAL-dynamics kernel ------------------------------
-    def _can_use_pallas_neural(self, tile_k: int = None) -> bool:
-        """Kernel eligibility for learned-dynamics rollouts
-        (ops/pallas_neural.py): TPU backend, MLP or stacked-GRU/LSTM
-        NeuralPredictor in f32, SOA-capable cost with scalar attrs,
-        shard-even K."""
+    def _pallas_neural_compatible_model(self) -> bool:
+        """Backend + model/cost eligibility for the fused NEURAL kernels
+        (ops/pallas_neural.py), independent of population-size
+        divisibility and the force_scan override — the batched-session
+        caller adds its own tiling checks (cf. _pallas_compatible_model)."""
         import jax
         import jax.numpy as jnp
 
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
 
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         pred = getattr(self.predictor, "predictor", self.predictor)
-        tile = tile_k or neural_tile_for(
-            self.num_rollouts, self._n_shard_devices()
-        )
         return (
-            tile > 0
-            and
             jax.default_backend() == "tpu"
             and (self._device is None or self._device.platform == "tpu")
-            and not self.force_scan
             and isinstance(pred, NeuralPredictor)
             # The kernels compute in f32; a bf16-mode predictor keeps the
             # scan path so kernel and scan never disagree numerically.
@@ -576,6 +569,22 @@ class Optimizer:
                 np.ndim(v) == 0
                 for v in getattr(cf, "attr_defaults", {}).values()
             )
+        )
+
+    def _can_use_pallas_neural(self, tile_k: int = None) -> bool:
+        """Kernel eligibility for learned-dynamics rollouts
+        (ops/pallas_neural.py): TPU backend, MLP or stacked-GRU/LSTM
+        NeuralPredictor in f32, SOA-capable cost with scalar attrs,
+        shard-even K."""
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+
+        tile = tile_k or neural_tile_for(
+            self.num_rollouts, self._n_shard_devices()
+        )
+        return (
+            tile > 0
+            and not self.force_scan
+            and self._pallas_neural_compatible_model()
             and self.num_rollouts % (tile * self._n_shard_devices()) == 0
         )
 

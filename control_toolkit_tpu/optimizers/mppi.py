@@ -314,11 +314,12 @@ class MPPIOptimizer(Optimizer):
                     name = k[2:]
                     v = attrs.get(name)
                     if v is None:
-                        v = jnp.full(
-                            (B,), float(attr_defaults.get(name, 0.0)),
-                            jnp.float32,
-                        )
-                    rows.append(jnp.asarray(v, jnp.float32).reshape(B))
+                        v = float(attr_defaults.get(name, 0.0))
+                    # Scalars broadcast over sessions (shared-attr callers
+                    # like the Monte-Carlo sweep); [B] arrays pass through.
+                    rows.append(jnp.broadcast_to(
+                        jnp.asarray(v, jnp.float32).reshape(-1), (B,)
+                    ))
                 else:                                   # __u_prev_<j>
                     rows.append(states.u_prev[:, int(k.rsplit("_", 1)[1])])
             pslot_cols = expand_cols(jnp.stack(rows, axis=1))   # [T, n_sk, C]
@@ -358,6 +359,131 @@ class MPPIOptimizer(Optimizer):
                 .transpose(2, 0, 1, 3)
             )                                                   # [T,U,PR,C]
             u_nom_new, costs = update_from_eps(states, s, dyn, cost, attrs, eps)
+            u = u_nom_new[:, 0, :]
+            new_states = MPPIState(
+                key=new_keys, u_nom=u_nom_new[:, None], u_prev=u
+            )
+            return u, new_states, costs
+
+        return step, update_from_eps
+
+    def _make_batched_neural_step(self, num_slots: int,
+                                  interpret: bool = False,
+                                  tile_k: int = None):
+        """B-session MPPI step over LEARNED (MLP) dynamics for BatchedMPC.
+
+        All B sessions' rollouts evaluate through ONE columns-mode neural
+        kernel launch (ops/pallas_neural.py, ``slot_keys``): s0 and Q are
+        per-rollout operands already, so sessions pack by concatenation
+        along K; per-session attrs and u_prev ride as a per-lane
+        ``pslot [n_sk, B*K]`` VMEM operand; sampling, interpolation,
+        correction cost and the per-session softmax update stay in XLA.
+        Per-session PRNG streams are preserved (each session draws its
+        modular-layout ``[K, P, U]`` noise from ITS MPPIState key), so a
+        session's results don't depend on B.
+
+        Returns ``(step, update_from_eps)`` as _make_batched_semi_fused_step
+        does; ``update_from_eps(states, s, dyn, cost, attrs, delta_b)``
+        takes injected inducing-point noise ``[B, K, P, U]`` for testing.
+        """
+        from control_toolkit_tpu.ops.pallas_neural import (
+            build_neural_cost_rollout_kernel,
+            flatten_mlp_weights,
+            mlp_layer_count,
+            neural_tile_for,
+        )
+
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        P = self.interp.number_of_interpolation_inducing_points
+        tk = tile_k or neural_tile_for(B * K)
+        if tk == 0:
+            raise ValueError(
+                f"batched neural kernel needs a tile dividing B*K; "
+                f"got B={B}, K={K}"
+            )
+
+        param_keys, _, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        if pred.recurrent:
+            raise NotImplementedError(
+                "batched neural kernel covers MLP models; recurrent "
+                "predictors are stateful and take the vmapped path"
+            )
+        slot_prefixes = ("a_", "__u_prev_")
+        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
+        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        net = pred.net_params
+        kernel = build_neural_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=S, num_controls=U, horizon=H,
+            param_keys=param_keys, n_layers=mlp_layer_count(net),
+            predict_delta=pred.predict_delta,
+            has_norm_in="norm_in_mean" in net,
+            has_norm_out="norm_out_mean" in net,
+            tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+        )
+
+        interp = self.interp
+        low, high = self.action_low, self.action_high
+        LBD, stdev = self.LBD, self.SQRTRHODTINV
+        correction_cost = make_correction_cost(self.cc_weight, self.R, self.NU)
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        attr_defaults = dict(getattr(cf, "attr_defaults", {}))
+
+        def update_from_eps(states, s, dyn, cost, attrs, delta_b):
+            unom_b = jnp.concatenate(
+                [states.u_nom[:, 0, 1:, :], states.u_nom[:, 0, -1:, :]],
+                axis=1,
+            )                                                   # [B, H, U]
+            delta = interp.interpolate(
+                delta_b.reshape(B * K, P, U)
+            ).reshape(B, K, H, U)
+            u_run = jnp.clip(unom_b[:, None] + delta, low, high)
+            Q = u_run.reshape(B * K, H, U)
+            s0 = jnp.repeat(s[:, 0, :], K, axis=0)              # [B*K, S]
+
+            pvec = jnp.stack([
+                jnp.asarray(cost[k[2:]], jnp.float32) for k in shared_keys
+            ])
+            rows = []
+            for k in slot_keys:
+                if k.startswith("a_"):
+                    name = k[2:]
+                    v = attrs.get(name)
+                    if v is None:
+                        v = float(attr_defaults.get(name, 0.0))
+                    rows.append(jnp.broadcast_to(
+                        jnp.asarray(v, jnp.float32).reshape(-1), (B,)
+                    ))
+                else:                                   # __u_prev_<j>
+                    rows.append(states.u_prev[:, int(k.rsplit("_", 1)[1])])
+            pslot = jnp.repeat(
+                jnp.stack(rows, axis=1), K, axis=0
+            ).T                                                 # [n_sk, B*K]
+
+            base = kernel(
+                s0, Q, pvec, pslot, *flatten_mlp_weights(dyn["net"])
+            ).reshape(B, K)
+            costs = base + jax.vmap(correction_cost)(u_run, delta)
+
+            rho = jnp.min(costs, axis=1, keepdims=True)
+            w = jnp.exp(-(costs - rho) * (1.0 / LBD))
+            a = jnp.sum(w, axis=1)
+            upd = jnp.einsum("bk,bkhu->bhu", w, delta) / a[:, None, None]
+            u_nom_new = jnp.clip(unom_b + upd, low, high)
+            return u_nom_new, costs
+
+        def step(states, s, dyn, cost, attrs):
+            keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
+            new_keys, sample_keys = keys[:, 0], keys[:, 1]
+            delta_b = jax.vmap(
+                lambda k: jax.random.normal(k, (K, P, U), dtype=jnp.float32)
+            )(sample_keys) * stdev                              # [B,K,P,U]
+            u_nom_new, costs = update_from_eps(
+                states, s, dyn, cost, attrs, delta_b
+            )
             u = u_nom_new[:, 0, :]
             new_states = MPPIState(
                 key=new_keys, u_nom=u_nom_new[:, None], u_prev=u

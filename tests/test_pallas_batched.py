@@ -153,6 +153,192 @@ def test_batched_step_results_independent_of_batch_size():
     )
 
 
+def test_batched_neural_kernel_matches_xla_reference():
+    """Columns-mode NEURAL kernel (B sessions, one launch) == per-session
+    XLA reference (scan rollout + trajectory cost + correction + softmax)
+    with the same injected inducing-point noise."""
+    from test_pallas_neural import make_neural_mppi
+
+    B, K, H, tile = 4, 128, 10, 128
+    ctrl = make_neural_mppi(K, H, net="mlp-16")
+    opt = ctrl.optimizer
+    _, update_from_eps = opt._make_batched_neural_step(
+        B, interpret=True, tile_k=tile
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+
+    states = make_states(opt, B)
+    rng = np.random.default_rng(17)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    delta_b = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(B, K, P, U)), jnp.float32
+    )
+
+    u_nom_new, costs = update_from_eps(
+        states, s_b, params["dyn"], params["cost"], attrs, delta_b
+    )
+    assert u_nom_new.shape == (B, H, U) and costs.shape == (B, K)
+
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:],
+             np.asarray(states.u_nom)[b, 0, -1:]], axis=0)       # [H, U]
+        delta = np.asarray(opt.interp.interpolate(delta_b[b]))   # [K, H, U]
+        Q = np.clip(un_shift[None] + delta, -1.0, 1.0)
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        traj = opt.predictor.rollout(s_tiled, jnp.asarray(Q), params["dyn"])
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        base = opt.cost_function.get_trajectory_cost(
+            traj, jnp.asarray(Q), states.u_prev[b], cparams
+        )
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * delta**2
+                + opt.R * Q * delta + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        ref_cost = np.asarray(base) + corr
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=2e-4
+        )
+        rho = ref_cost.min()
+        w = np.exp(-(ref_cost - rho) / opt.LBD)
+        upd = np.einsum("k,khu->hu", w, delta) / w.sum()
+        ref_unom = np.clip(un_shift + upd, -1.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(u_nom_new)[b], ref_unom, atol=1e-5, rtol=1e-5
+        )
+
+
+def test_batched_neural_step_independent_of_batch_size():
+    from test_pallas_neural import make_neural_mppi
+
+    K, H, tile = 128, 10, 128
+    ctrl = make_neural_mppi(K, H, net="mlp-16")
+    opt = ctrl.optimizer
+    step4, _ = opt._make_batched_neural_step(4, interpret=True, tile_k=tile)
+    step2, _ = opt._make_batched_neural_step(2, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states4 = make_states(opt, 4)
+    states2 = jax.tree_util.tree_map(lambda x: x[:2], states4)
+    s4 = jnp.asarray(
+        np.random.default_rng(3).uniform(-0.2, 0.2, size=(4, 1, 4)), jnp.float32
+    )
+    u4, new4, c4 = step4(states4, s4, params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((4,), jnp.float32)})
+    u2, new2, c2 = step2(states2, s4[:2], params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((2,), jnp.float32)})
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u4)[:2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c4)[:2], atol=1e-5)
+
+
+def test_kernel_sweep_matches_eager_kernel_loop():
+    """ClosedLoop._build_kernel_sweep (one scan program, one columnwise
+    launch per tick) == an eager per-tick loop over the SAME batched
+    kernel step + stage cost + plant advance."""
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    N, K, H, tile, T = 4, 64, 10, 128, 6
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.05, noise_seed=9)
+    assert not loop._kernel_sweep_eligible(N)  # CPU backend -> vmap path
+    sweep = loop._build_kernel_sweep(N, interpret=True, tile_k=tile)
+
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states0 = make_states(opt, N)
+    rng = np.random.default_rng(11)
+    s0s = jnp.asarray(rng.uniform(-0.2, 0.2, size=(N, 4)), jnp.float32)
+    sub = jax.random.PRNGKey(42)
+    noise_keys = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+
+    _, sT, ss, us, stage, _ = sweep(states0, s0s, params, noise_keys, T)
+
+    # Eager reference over the same kstep instance semantics.
+    kstep, _ = opt._make_batched_semi_fused_step(N, interpret=True, tile_k=tile)
+    cf = ctrl.cost_function.cost_function
+    s, u_prev, st = s0s, jnp.zeros((N, 1), jnp.float32), states0
+    ref_ss, ref_us, ref_stage = [], [], []
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], params["dyn"], params["cost"],
+                         params["attrs"])
+        u_app = u + 0.05 * jax.vmap(
+            lambda k: jax.random.normal(k, (1,)))(noise_keys[:, t])
+        u_app = jnp.clip(u_app, -1.0, 1.0)
+        ref_stage.append(cf.stage_cost_step(
+            s, u_app, u_prev, {"cost": params["cost"],
+                               "attrs": params["attrs"]}))
+        ref_ss.append(s)
+        ref_us.append(u_app)
+        s = env.step_dynamics(s, u_app, env.dt)
+        u_prev = u_app
+    np.testing.assert_allclose(
+        np.asarray(ss), np.stack([np.asarray(x) for x in ref_ss], 1),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(us), np.stack([np.asarray(x) for x in ref_us], 1),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stage), np.stack([np.asarray(x) for x in ref_stage], 1),
+        atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_sweep_neural_dispatch_and_parity():
+    """Monte-Carlo sweep over a LEARNED (MLP) predictor rolling against
+    the true ODE plant: _build_kernel_sweep dispatches to the neural
+    batched step and matches the eager per-tick loop over the same step."""
+    from test_pallas_neural import make_neural_mppi
+
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    N, K, H, tile, T = 2, 64, 8, 128, 4
+    ctrl = make_neural_mppi(K, H, net="mlp-16")
+    opt = ctrl.optimizer
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0)
+    sweep = loop._build_kernel_sweep(N, interpret=True, tile_k=tile)
+
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states0 = make_states(opt, N)
+    rng = np.random.default_rng(2)
+    s0s = jnp.asarray(rng.uniform(-0.2, 0.2, size=(N, 4)), jnp.float32)
+    sub = jax.random.PRNGKey(8)
+    noise_keys = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+    _, sT, ss, us, stage, _ = sweep(states0, s0s, params, noise_keys, T)
+
+    kstep, _ = opt._make_batched_neural_step(N, interpret=True, tile_k=tile)
+    s, st = s0s, states0
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], params["dyn"], params["cost"],
+                         params["attrs"])
+        u = jnp.clip(u, -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(us)[:, t], np.asarray(u),
+                                   atol=1e-5, rtol=1e-5)
+        s = env.step_dynamics(s, u, env.dt)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_batched_kernel_eligibility_gate():
     """On CPU the controller must stay on the vmapped scan path; the
     divisibility rules reject non-tileable shapes."""
