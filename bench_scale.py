@@ -214,6 +214,45 @@ def measure_batched_serving(B=32, K_per_slot=512, H=35, force_scan=False):
     return ms
 
 
+def measure_batched_rpgd(B=128, K_per_slot=32, H=50, outer=2, force_scan=False):
+    """Steps/s for B independent RPGD sessions advanced by one device step:
+    the columnwise gradient-kernel path (one fwd+bwd launch per Adam
+    iteration for ALL sessions, optimizers/rpgd.py _make_batched_rpgd_step)
+    vs the vmapped XLA-AD scan path (force_scan=True)."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="rpgd-tf", optimizer_config={
+        "seed": 7, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "outer_its": outer, "learning_rate": 0.05,
+        "opt_keep_k_ratio": 0.25, "resamp_per": 10,
+        "period_interpolation_inducing_points": 10, "warmup": False,
+        "force_scan": force_scan}, num_slots=B)
+
+    params = ctrl._assemble_params()
+    s = jnp.zeros((B, 1, 4), jnp.float32)
+    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
+    mask = jnp.ones((B,), bool)
+    fn, states = ctrl._batched_jit, ctrl.slot_states
+
+    N, reps = 20, 2
+    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(reps * N):
+        u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    return (time.perf_counter() - t0) / (reps * N) * 1e3
+
+
 def measure_mc_sweep(N=128, K=512, H=50, T1=40, T2=80, reps=10, trials=3,
                      force_scan=False):
     """Monte-Carlo sweep ms/tick (evaluation/ClosedLoop.run_batch device
@@ -504,6 +543,17 @@ def main():
     results["batched_serving_B128_K512_vmap_scan"] = round(ms, 3)
     print(f"batched serving B=128 K=512 (vmap-scan baseline): {ms:.3f} "
           f"ms/step ({128 / (ms / 1e3):.0f} session-steps/s)", flush=True)
+
+    # Batched RPGD serving: columnwise gradient-kernel path vs vmapped
+    # XLA-AD scan, at the reference's default per-session K=32.
+    ms_k = measure_batched_rpgd(B=128, K_per_slot=32, H=50)
+    ms_s = measure_batched_rpgd(B=128, K_per_slot=32, H=50, force_scan=True)
+    results["batched_rpgd_B128_K32_H50"] = round(ms_k, 3)
+    results["batched_rpgd_B128_K32_H50_vmap_scan"] = round(ms_s, 3)
+    results["batched_rpgd_B128_sessions_per_sec"] = int(128 / (ms_k / 1e3))
+    print(f"batched RPGD B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
+          f"({128 / (ms_k / 1e3):.0f} session-steps/s) | vmap-scan {ms_s:.3f} "
+          f"| {ms_s / ms_k:.2f}x", flush=True)
 
     # Monte-Carlo sweep: N closed-loop episodes in one program, kernel vs
     # vmapped-scan tick (slope method — dispatch-free ms/tick).

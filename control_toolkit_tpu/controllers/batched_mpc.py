@@ -8,9 +8,16 @@ own PRNG stream (fold_in on the slot index), warm-start state and
 environment attributes; a boolean mask freezes slots with no pending
 request, so idle sessions keep their warm start exactly.
 
-Pallas kernels are per-program (no vmap batching rule), so the optimizer is
-built with ``force_scan=True``; the scan paths batch the B*K rollouts into
-single fused XLA ops, which is exactly where the TPU wants them.
+Eligible session kinds take COLUMNWISE batched kernels — one Pallas launch
+for all B sessions per evaluation: semi-fused MPPI (rollout+cost),
+MLP-predictor MPPI (neural kernel), and RPGD (gradient kernel, one fwd+bwd
+launch per Adam iteration).  Everything else vmaps the per-slot step with
+the optimizer built ``force_scan=True`` (pallas_call has no vmap batching
+rule); the scan paths batch the B*K rollouts into single fused XLA ops.
+CEM deliberately stays on the vmap path (measured neutral-to-worse
+columnwise — docs/KERNELS.md negative result).  ``configure(mesh=...)``
+shard_maps the slot axis over a device mesh with zero collectives
+(sessions are independent), composing with the kernel paths.
 
 Stateful (RNN) predictors are supported: each slot carries its own hidden
 state (stacked ``[B, 1, Hi]`` leaves), threaded through the vmapped step as
@@ -42,7 +49,17 @@ class BatchedMPCController(MPCController):
     API delegates to slot 0 so the standard controller surface still works.
     """
 
-    def configure(self, *args, num_slots: int = 1, **kwargs) -> None:
+    def configure(self, *args, num_slots: int = 1, mesh=None,
+                  slot_axis=None, **kwargs) -> None:
+        """``mesh`` shards the SLOT axis over devices: sessions are fully
+        independent, so the B-session step runs as a ``shard_map`` with
+        B/n_devices sessions per device and ZERO cross-device collectives —
+        serving throughput scale-out (BASELINE.md), composing with the
+        columnwise kernel paths (each device runs its own one-launch
+        batched kernel over its local sessions).  This is distinct from
+        ``MPCController.configure(mesh=...)``, which shards a single
+        session's rollout population K.  ``slot_axis`` picks the mesh
+        axis/axes (default: all)."""
         import jax
         import jax.numpy as jnp
 
@@ -78,6 +95,27 @@ class BatchedMPCController(MPCController):
         self.num_slots = int(num_slots)
         opt = self.optimizer
         B = self.num_slots
+
+        self._slot_mesh = mesh
+        if mesh is not None:
+            if slot_axis is None:
+                s_axes = tuple(mesh.axis_names)
+            elif isinstance(slot_axis, str):
+                s_axes = (slot_axis,)
+            else:
+                s_axes = tuple(slot_axis)
+            n_dev = int(np.prod([mesh.shape[a] for a in s_axes]))
+            if B % n_dev != 0:
+                raise ValueError(
+                    f"num_slots={B} must divide evenly over the "
+                    f"{n_dev}-device slot mesh"
+                )
+            self._slot_axes = s_axes
+            # Kernel eligibility and builders see the PER-DEVICE session
+            # count: inside shard_map each device steps its local shard.
+            self._B_build = B // n_dev
+        else:
+            self._slot_axes, self._B_build = (), B
 
         self._slot_keys = jnp.stack(
             [jax.random.fold_in(opt._initial_key, i) for i in range(B)]
@@ -133,22 +171,41 @@ class BatchedMPCController(MPCController):
                 u = jnp.where(mask[:, None], u, 0.0)
                 return u, states_out, hidden_out
 
-        elif self._batched_kernel_eligible() or self._batched_neural_eligible():
+        elif (
+            self._batched_kernel_eligible()
+            or self._batched_neural_eligible()
+            or self._batched_rpgd_eligible()
+        ):
             # Fast path: ALL B sessions' rollouts pack into ONE columnwise
             # Pallas launch (per-session context as VMEM rows, per-session
-            # softmax in XLA) instead of a vmapped per-session step — the
-            # vmap path lowers to B small sampling/interp/reduction ops that
-            # the TPU executes poorly.  Per-session PRNG streams are kept,
-            # so a session's results don't depend on B.
+            # softmax / top-k + surgery in XLA) instead of a vmapped
+            # per-session step — the vmap path lowers to B small
+            # sampling/interp/reduction ops (and for RPGD, B XLA-AD scan
+            # backward passes) that the TPU executes poorly.  Per-session
+            # PRNG streams are kept, so a session's results don't depend
+            # on B.
+            # (CEM sessions measured NEUTRAL-to-worse on the columnwise
+            # kernel — the full-horizon population must be materialized +
+            # transposed per outer iteration, which the vmap-scan path
+            # fuses away; see docs/KERNELS.md.  CEM keeps the vmap path;
+            # _make_batched_cem_step remains for one-launch compositions.)
             if self._batched_kernel_eligible():
-                kstep, _ = opt._make_batched_semi_fused_step(B)
+                kstep, _ = opt._make_batched_semi_fused_step(self._B_build)
                 kind = "ODE semi-fused"
-            else:
-                kstep, _ = opt._make_batched_neural_step(B)
+            elif self._batched_neural_eligible():
+                kstep, _ = opt._make_batched_neural_step(self._B_build)
                 kind = "neural MLP"
+            else:
+                kstep = opt._make_batched_rpgd_step(self._B_build)
+                kind = "RPGD gradient"
+            shard_note = (
+                f" per device x {B // self._B_build} devices"
+                if mesh is not None else ""
+            )
             logger.info(
                 f"batched-mpc: columnwise kernel path engaged "
-                f"({kind}, B={B} x K={opt.num_rollouts} in one launch)"
+                f"({kind}, B={self._B_build} x K={opt.num_rollouts} in one "
+                f"launch{shard_note})"
             )
             self._kernel_path = True
 
@@ -181,7 +238,34 @@ class BatchedMPCController(MPCController):
                 u = jnp.where(mask[:, None], u, 0.0)
                 return u, states_out
 
-        self._batched_jit = jax.jit(batched)
+        if mesh is None:
+            self._batched_jit = jax.jit(batched)
+        else:
+            # Slot-axis SPMD: each device steps its B/n_dev local sessions
+            # independently — no collectives at all (sessions never
+            # communicate), so scale-out is embarrassingly linear over ICI
+            # and, with a ('slice','k')-style mesh, over DCN too.
+            from jax.sharding import PartitionSpec as PS
+            try:
+                from jax import shard_map  # jax >= 0.8
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+
+            ax = (
+                self._slot_axes if len(self._slot_axes) > 1
+                else self._slot_axes[0]
+            )
+            sb, rep = PS(ax), PS()
+            if self._stateful:
+                in_specs = (sb, sb, rep, rep, sb, sb, sb)
+                out_specs = (sb, sb, sb)
+            else:
+                in_specs = (sb, sb, rep, rep, sb, sb)
+                out_specs = (sb, sb)
+            self._batched_jit = jax.jit(shard_map(
+                batched, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            ))
         # Per-slot attributes, stacked [B].
         self.slot_attrs: Dict[str, np.ndarray] = {
             k: np.full((B,), float(np.asarray(v).reshape(-1)[0]), np.float32)
@@ -208,7 +292,7 @@ class BatchedMPCController(MPCController):
             and opt._mesh is None
             and opt._pallas_compatible_model()
             and opt.num_rollouts % ROWS == 0
-            and (self.num_slots * opt.num_rollouts) % DEFAULT_TILE_K == 0
+            and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
         )
 
     def _batched_neural_eligible(self) -> bool:
@@ -233,8 +317,32 @@ class BatchedMPCController(MPCController):
             and isinstance(pred, NeuralPredictor)
             and not pred.recurrent
             and opt._pallas_neural_compatible_model()
-            and neural_tile_for(self.num_slots * opt.num_rollouts) > 0
+            and neural_tile_for(self._B_build * opt.num_rollouts) > 0
         )
+
+    def _batched_rpgd_eligible(self) -> bool:
+        """Columnwise RPGD-kernel eligibility: RPGD (any variant — their
+        ``_resample``/entropy-gradient overrides apply under the batched
+        step too) over an SOA ODE model on an unmeshed TPU, warmup off
+        (shared Adam-loop trip count), with B*K packing into whole
+        gradient-kernel tiles."""
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
+        from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
+
+        opt = self.optimizer
+        if not (
+            isinstance(opt, RPGDOptimizer)
+            and not self._user_force_scan
+            and not opt.warmup
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and opt._pallas_compatible_model()
+        ):
+            return False
+        return grad_tile_dividing(
+            opt.num_states, opt.mpc_horizon, self._B_build * opt.num_rollouts
+        ) > 0
 
     # ---- slot management ---------------------------------------------------
     def slot_key(self, i: int):

@@ -126,13 +126,37 @@ class ClosedLoop:
     def _sweep_kernel_kind(self, N: int) -> Optional[str]:
         """Which columnwise batched kernel the N-episode sweep can take:
         'ode' (semi-fused MPPI over an SOA ODE model), 'neural' (MPPI over
-        a non-recurrent f32 MLP predictor), or None (vmapped scan path).
-        Mirrors BatchedMPC._batched_kernel_eligible /
-        _batched_neural_eligible; unmeshed TPU + stateless predictor +
-        tile-divisible N*K required."""
+        a non-recurrent f32 MLP predictor), 'rpgd' (RPGD via the columns
+        gradient kernel), or None (vmapped scan path).  Mirrors
+        BatchedMPC._batched_kernel_eligible / _batched_neural_eligible /
+        _batched_rpgd_eligible; unmeshed TPU + stateless predictor +
+        tile-divisible N*K required.  CEM sweeps keep the vmap path (the
+        columnwise CEM step measured neutral-to-worse — docs/KERNELS.md);
+        ``_build_kernel_sweep`` still accepts a CEM controller for callers
+        composing one-launch sweeps explicitly."""
         from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+        from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         opt = self.optimizer
+        if (
+            isinstance(opt, RPGDOptimizer)
+            and not opt.force_scan
+            and not opt.warmup
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and not self._stateful
+        ):
+            from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
+
+            if (
+                opt._pallas_compatible_model()
+                and grad_tile_dividing(
+                    opt.num_states, opt.mpc_horizon, N * opt.num_rollouts
+                ) > 0
+            ):
+                return "rpgd"
+            return None
         if not (
             type(opt) is MPPIOptimizer
             and not opt.force_scan
@@ -174,16 +198,29 @@ class ClosedLoop:
         """N-episode sweep with ONE columnwise kernel launch per tick:
         episode b's K rollouts ride lane columns of the shared launch
         (optimizers/mppi.py _make_batched_semi_fused_step for ODE models,
-        _make_batched_neural_step for MLP predictors), the plant advance +
-        realized stage cost stay in XLA, and the tick loop is a lax.scan —
-        so a whole Monte-Carlo sweep is still one program."""
+        _make_batched_neural_step for MLP predictors, optimizers/cem.py
+        _make_batched_cem_step for CEM — one launch per outer iteration),
+        the plant advance + realized stage cost stay in XLA, and the tick
+        loop is a lax.scan — so a whole Monte-Carlo sweep is still one
+        program."""
         opt = self.optimizer
-        # Dispatch on the predictor kind (not the eligibility gate, which
-        # is backend-dependent — interpret-mode callers run on CPU).
+        # Dispatch on the optimizer/predictor kind (not the eligibility
+        # gate, which is backend-dependent — interpret-mode callers run on
+        # CPU).
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.optimizers.cem import CEMOptimizer
+        from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         pred = getattr(opt.predictor, "predictor", opt.predictor)
-        if isinstance(pred, NeuralPredictor):
+        if isinstance(opt, RPGDOptimizer):
+            kstep = opt._make_batched_rpgd_step(
+                N, interpret=interpret, tile_k=tile_k
+            )
+        elif isinstance(opt, CEMOptimizer):
+            kstep, _ = opt._make_batched_cem_step(
+                N, interpret=interpret, tile_k=tile_k
+            )
+        elif isinstance(pred, NeuralPredictor):
             kstep, _ = opt._make_batched_neural_step(
                 N, interpret=interpret, tile_k=tile_k
             )

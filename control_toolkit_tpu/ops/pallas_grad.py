@@ -41,6 +41,17 @@ from control_toolkit_tpu.ops.soa_integrators import make_soa_stepper, tadd
 DEFAULT_GRAD_TILE_K = 2048
 
 
+def grad_tile_dividing(num_states: int, horizon: int, total_k: int) -> int:
+    """Largest VMEM-feasible grad tile (power of two, >= 256) that also
+    divides ``total_k`` — used by the batched-session (columns) caller,
+    whose B*K can be smaller than the default tile.  Returns 0 when no
+    such tile exists (caller falls back to the vmapped scan path)."""
+    tile = grad_tile_for(num_states, horizon)
+    while tile >= 256 and total_k % tile != 0:
+        tile //= 2
+    return tile if tile >= 256 and total_k % tile == 0 else 0
+
+
 def grad_tile_for(num_states: int, horizon: int) -> int:
     """Largest supported tile whose state-history scratch stays under ~4 MB
     (leaves room for the pipelined [H,U,T] Q and dQ blocks).  Returns 0 when
@@ -68,27 +79,42 @@ def build_grad_cost_rollout_kernel(
     intermediate_steps: int = 1,
     tile_k: int = None,
     interpret: bool = False,
+    slot_keys: Sequence[str] = (),
 ):
-    """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> (cost [K], dQ [K,H,U])``."""
+    """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> (cost [K], dQ [K,H,U])``.
+
+    ``slot_keys`` switches to the batched-session ("columns") form used by
+    the batched RPGD step (optimizers/rpgd.py): the listed params (attrs /
+    u_prev) leave the shared SMEM vector and arrive per-LANE as one extra
+    VMEM operand ``pslot [n_slot, K]`` after pvec — s0 and Q are
+    per-rollout already, so B sessions pack by concatenation along K
+    (cf. ops/pallas_rollout.py).
+    """
     if tile_k is None:
         tile_k = grad_tile_for(num_states, horizon)
     S, U, H = num_states, num_controls, horizon
+    slot_keys = tuple(slot_keys)
+    n_slot = len(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
     # Dynamic sublane offsets into the state-history scratch must be
     # 8-aligned on TPU (Mosaic vector_store constraint), so each step's
     # state block is padded to a multiple of 8 rows.
     S_pad = -(-S // 8) * 8
     inv_h1 = 1.0 / (H + 1)
 
-    def unpack(pvec_ref):
-        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
-
     one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
 
-    def kernel(pvec_ref, s0_ref, q_ref, cost_ref, dq_ref, xhist_ref):
-        p = unpack(pvec_ref)
+    def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        if n_slot:
+            pslot_ref, rest = rest[0], rest[1:]
+        cost_ref, dq_ref, xhist_ref = rest
+        p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
+        for i, k in enumerate(slot_keys):
+            p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
         xs0 = tuple(s0_ref[i : i + 1, :] for i in range(S))
         u_prev0 = tuple(
-            jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+            p[f"__u_prev_{j}"] if f"__u_prev_{j}" in slot_keys
+            else jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
         )
 
         # ---- forward sweep: store states, accumulate stage costs ----------
@@ -152,12 +178,22 @@ def build_grad_cost_rollout_kernel(
         jax.lax.fori_loop(0, H, bwd, (lam0, zeros_u))
 
     @partial(jax.jit, static_argnames=())
-    def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray):
+    def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
+            *slot_ops: jnp.ndarray):
         K = s0.shape[0]
         assert K % tile_k == 0, f"K={K} not divisible by tile_k={tile_k}"
         n_tiles = K // tile_k
         s0_t = s0.T                          # [S, K]
         q_t = jnp.transpose(Q, (1, 2, 0))    # [H, U, K]
+        if n_slot:
+            assert len(slot_ops) == 1 and slot_ops[0].shape == (n_slot, K)
+            slot_specs = [
+                pl.BlockSpec((n_slot, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM)
+            ]
+        else:
+            assert not slot_ops
+            slot_specs = []
 
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -167,7 +203,7 @@ def build_grad_cost_rollout_kernel(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + slot_specs,
             out_specs=[
                 pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
                              memory_space=pltpu.VMEM),
@@ -184,7 +220,7 @@ def build_grad_cost_rollout_kernel(
             ],
             grid_spec=gs,
             interpret=interpret,
-        )(pvec, s0_t, q_t)
+        )(pvec, s0_t, q_t, *slot_ops)
         return cost[0], jnp.transpose(dq_t, (2, 0, 1))           # [K, H, U]
 
     return run

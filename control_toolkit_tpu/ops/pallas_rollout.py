@@ -44,26 +44,40 @@ def build_cost_rollout_kernel(
     intermediate_steps: int = 1,
     tile_k: int = DEFAULT_TILE_K,
     interpret: bool = False,
+    slot_keys: Sequence[str] = (),
 ):
     """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> cost [K]``.
 
     ``pvec`` packs all scalar parameters in ``param_keys`` order; the SOA
     callbacks receive them as a dict.  K must be a multiple of ``tile_k``
     (the caller pads or falls back to the scan path otherwise).
+
+    ``slot_keys`` switches to the batched-session ("columns") form used by
+    the batched CEM step (optimizers/cem.py): the listed params (attrs /
+    u_prev — anything varying per MPC session) leave the shared SMEM
+    vector and arrive per-LANE as one extra VMEM operand
+    ``pslot [n_slot, K]`` after pvec: ``fn(s0, Q, pvec_shared, pslot)``.
+    s0 and Q are per-rollout already, so B sessions pack by concatenation
+    along K — only ``(B*K) % tile_k == 0`` is required.
     """
     S, U, H = num_states, num_controls, horizon
-    n_params = len(param_keys)
-
-    def unpack(pvec_ref):
-        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
+    slot_keys = tuple(slot_keys)
+    n_slot = len(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
 
     one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
 
-    def kernel(pvec_ref, s0_ref, q_ref, cost_ref):
-        p = unpack(pvec_ref)
+    def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        if n_slot:
+            pslot_ref, rest = rest[0], rest[1:]
+        cost_ref = rest[0]
+        p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
+        for i, k in enumerate(slot_keys):
+            p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
         xs = tuple(s0_ref[i : i + 1, :] for i in range(S))          # [1, T] rows
         prev_us = tuple(
-            jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+            p[f"__u_prev_{j}"] if f"__u_prev_{j}" in slot_keys
+            else jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
         )
         acc = jnp.zeros((1, tile_k), jnp.float32)
 
@@ -79,12 +93,22 @@ def build_cost_rollout_kernel(
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
 
     @partial(jax.jit, static_argnames=())
-    def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray) -> jnp.ndarray:
+    def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
+            *slot_ops: jnp.ndarray) -> jnp.ndarray:
         K = s0.shape[0]
         assert K % tile_k == 0, f"K={K} not divisible by tile_k={tile_k}"
         n_tiles = K // tile_k
         s0_t = s0.T                      # [S, K]
         q_t = jnp.transpose(Q, (1, 2, 0))  # [H, U, K]
+        if n_slot:
+            assert len(slot_ops) == 1 and slot_ops[0].shape == (n_slot, K)
+            slot_specs = [
+                pl.BlockSpec((n_slot, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM)
+            ]
+        else:
+            assert not slot_ops
+            slot_specs = []
 
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -94,7 +118,7 @@ def build_cost_rollout_kernel(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + slot_specs,
             out_specs=pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
                                    memory_space=pltpu.VMEM),
         )
@@ -103,7 +127,7 @@ def build_cost_rollout_kernel(
             out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
             grid_spec=gs,
             interpret=interpret,
-        )(pvec, s0_t, q_t)
+        )(pvec, s0_t, q_t, *slot_ops)
         return cost[0]
 
     return run

@@ -32,6 +32,45 @@ from control_toolkit_tpu.utils.rng import make_key
 logger = get_logger(__name__)
 
 
+def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int, K: int):
+    """Operand packer for the columnwise batched-session kernels
+    (ops/pallas_rollout.py / pallas_grad.py ``slot_keys`` form, shared by
+    the batched CEM and RPGD steps): shared scalar params (dynamics
+    constants, cost weights) pack into the SMEM ``pvec``; per-session
+    params (attrs, u_prev) expand to the per-lane ``pslot [n_slot, B*K]``
+    VMEM operand.  Returns ``pack(u_prev_b [B,U], dyn, cost, attrs) ->
+    (pvec, pslot)``."""
+    attr_defaults = dict(attr_defaults)
+
+    def pack(u_prev_b, dyn, cost, attrs):
+        pvec = jnp.stack([
+            jnp.asarray(
+                dyn[k[2:]] if k.startswith("d_") else cost[k[2:]],
+                jnp.float32,
+            ) for k in shared_keys
+        ])
+        rows = []
+        for k in slot_keys:
+            if k.startswith("a_"):
+                name = k[2:]
+                v = attrs.get(name)
+                if v is None:
+                    v = float(attr_defaults.get(name, 0.0))
+                # Scalars broadcast over sessions (shared-attr callers like
+                # the Monte-Carlo sweep); [B] arrays pass through.
+                rows.append(jnp.broadcast_to(
+                    jnp.asarray(v, jnp.float32).reshape(-1), (B,)
+                ))
+            else:                                   # __u_prev_<j>
+                rows.append(u_prev_b[:, int(k.rsplit("_", 1)[1])])
+        pslot = jnp.repeat(
+            jnp.stack(rows, axis=1), K, axis=0
+        ).T                                                 # [n_slot, B*K]
+        return pvec, pslot
+
+    return pack
+
+
 class Optimizer:
     registered_name: str = "template"
 

@@ -118,6 +118,141 @@ class CEMOptimizer(Optimizer):
         )
         return make_run(self.num_rollouts, pred.dt), regen, pack
 
+    def _make_batched_cem_step(self, num_slots: int, interpret: bool = False,
+                               tile_k: int = None):
+        """B-session CEM step for BatchedMPC (columnwise kernel path).
+
+        All B sessions' K rollouts evaluate through ONE Pallas launch per
+        outer iteration (ops/pallas_rollout.py ``slot_keys`` form): s0 and
+        Q are per-rollout operands, so sessions pack by concatenation
+        along K; per-session attrs and u_prev ride as a per-lane
+        ``pslot [n_sk, B*K]`` VMEM operand.  Sampling, the per-session
+        top-k elite selection and the mu/sigma refit stay in XLA on the
+        reshaped ``[B, K]`` blocks.  Per-session PRNG streams match the
+        single-session step bitwise (same split + ``normal(sub, (K,H,U))``
+        draw from each session's own key), so a session's results don't
+        depend on B.
+
+        Requires ``warmup=False`` (the outer-loop trip count is shared
+        across sessions; per-session warmup needs the vmapped path) and
+        returns ``(step, refit_from_Q)``: ``step(states, s [B,1,S], dyn,
+        cost, attrs) -> (u [B,U], states', costs [B,K])`` over the stacked
+        (vmap-layout) CEMState, and ``refit_from_Q(states, s, dyn, cost,
+        attrs, Q_b [B,K,H,U])`` exposes the deterministic evaluate+refit
+        for testing with an injected population.
+        """
+        from control_toolkit_tpu.ops.pallas_rollout import (
+            DEFAULT_TILE_K, build_cost_rollout_kernel,
+        )
+
+        if self.warmup:
+            raise NotImplementedError(
+                "batched CEM kernel path requires warmup=False (shared "
+                "outer-loop trip count); warmup sessions take the vmapped "
+                "scan path"
+            )
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        tk = tile_k or DEFAULT_TILE_K
+        if (B * K) % tk != 0:
+            raise ValueError(
+                f"batched CEM kernel needs B*K % {tk} == 0; got B={B}, K={K}"
+            )
+
+        param_keys, _, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        slot_prefixes = ("a_", "__u_prev_")
+        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
+        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        kernel = build_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa,
+            num_states=S, num_controls=U, horizon=H, dt=pred.dt,
+            param_keys=param_keys, integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+        )
+
+        low, high = self.action_low, self.action_high
+        best_k, iterations = self.cem_best_k, self.cem_outer_it
+        u_mid = 0.5 * (low + high)
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        from control_toolkit_tpu.optimizers.base import make_slot_packer
+
+        _pack = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
+        )
+
+        def pack_operands(states, dyn, cost, attrs):
+            return _pack(states.u_prev, dyn, cost, attrs)
+
+        def evaluate_and_refit(s0flat, Q_b, pvec, pslot):
+            costs = kernel(
+                s0flat, Q_b.reshape(B * K, H, U), pvec, pslot
+            ).reshape(B, K)
+            idx = jax.vmap(lambda c: elite_indices(c, best_k))(costs)
+            elite = jnp.take_along_axis(
+                Q_b, idx[:, :, None, None], axis=1
+            )                                               # [B, best_k, H, U]
+            new_mue = jnp.mean(elite, axis=1, keepdims=True)
+            new_std = jnp.std(elite, axis=1, keepdims=True)
+            return new_mue, new_std, elite[:, 0], costs
+
+        def refit_from_Q(states, s, dyn, cost, attrs, Q_b):
+            pvec, pslot = pack_operands(states, dyn, cost, attrs)
+            s0flat = jnp.repeat(s[:, 0, :], K, axis=0)          # [B*K, S]
+            return evaluate_and_refit(s0flat, Q_b, pvec, pslot)
+
+        def step(states, s, dyn, cost, attrs):
+            pvec, pslot = pack_operands(states, dyn, cost, attrs)
+            s0flat = jnp.repeat(s[:, 0, :], K, axis=0)
+
+            def outer(i, carry):
+                key, mue, std, _, _ = carry
+                keys = jax.vmap(lambda k: jax.random.split(k))(key)
+                key, subs = keys[:, 0], keys[:, 1]
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(k, (K, H, U), jnp.float32)
+                )(subs)
+                Q_b = jnp.clip(mue + noise * std, low, high)    # [B,K,H,U]
+                mue, std, e0, costs = evaluate_and_refit(
+                    s0flat, Q_b, pvec, pslot
+                )
+                return key, mue, std, e0, costs
+
+            carry = (
+                states.key, states.dist_mue, states.stdev,
+                jnp.zeros((B, H, U), jnp.float32),
+                jnp.zeros((B, K), jnp.float32),
+            )
+            key, mue, std, e0, costs = jax.lax.fori_loop(
+                0, iterations, outer, carry
+            )
+            u = e0[:, 0, :]
+
+            # Post-loop distribution shift (reference optimizer_cem_tf.py
+            # :99-104), per session: clip sigma, shift both one step, pad
+            # tails with the initial defaults.
+            std = jnp.clip(std, self.cem_stdev_min, 1.0e8)
+            std = jnp.concatenate(
+                [std[:, :, 1:, :],
+                 jnp.full((B, 1, 1, U), self.cem_initial_action_stdev,
+                          jnp.float32)],
+                axis=2,
+            )
+            mue = jnp.concatenate(
+                [mue[:, :, 1:, :],
+                 jnp.broadcast_to(u_mid, (B, 1, 1, U)).astype(jnp.float32)],
+                axis=2,
+            )
+            new_states = CEMState(
+                key=key, dist_mue=mue, stdev=std,
+                count=states.count + 1, u_prev=u,
+            )
+            return u, new_states, costs
+
+        return step, refit_from_Q
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         low, high = self.action_low, self.action_high

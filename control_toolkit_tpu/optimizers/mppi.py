@@ -430,7 +430,11 @@ class MPPIOptimizer(Optimizer):
         LBD, stdev = self.LBD, self.SQRTRHODTINV
         correction_cost = make_correction_cost(self.cc_weight, self.R, self.NU)
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        attr_defaults = dict(getattr(cf, "attr_defaults", {}))
+        from control_toolkit_tpu.optimizers.base import make_slot_packer
+
+        pack_slots = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
+        )
 
         def update_from_eps(states, s, dyn, cost, attrs, delta_b):
             unom_b = jnp.concatenate(
@@ -444,24 +448,7 @@ class MPPIOptimizer(Optimizer):
             Q = u_run.reshape(B * K, H, U)
             s0 = jnp.repeat(s[:, 0, :], K, axis=0)              # [B*K, S]
 
-            pvec = jnp.stack([
-                jnp.asarray(cost[k[2:]], jnp.float32) for k in shared_keys
-            ])
-            rows = []
-            for k in slot_keys:
-                if k.startswith("a_"):
-                    name = k[2:]
-                    v = attrs.get(name)
-                    if v is None:
-                        v = float(attr_defaults.get(name, 0.0))
-                    rows.append(jnp.broadcast_to(
-                        jnp.asarray(v, jnp.float32).reshape(-1), (B,)
-                    ))
-                else:                                   # __u_prev_<j>
-                    rows.append(states.u_prev[:, int(k.rsplit("_", 1)[1])])
-            pslot = jnp.repeat(
-                jnp.stack(rows, axis=1), K, axis=0
-            ).T                                                 # [n_sk, B*K]
+            pvec, pslot = pack_slots(states.u_prev, dyn, cost, attrs)
 
             base = kernel(
                 s0, Q, pvec, pslot, *flatten_mlp_weights(dyn["net"])

@@ -182,6 +182,162 @@ class RPGDOptimizer(Optimizer):
             u_prev=jnp.zeros((U,), jnp.float32),
         )
 
+    def _make_batched_rpgd_step(self, num_slots: int, interpret: bool = False,
+                                tile_k: int = None):
+        """B-session RPGD step for BatchedMPC (columnwise kernel path).
+
+        All B sessions' forward+backward rollouts evaluate through ONE
+        columns-mode gradient-kernel launch per Adam iteration
+        (ops/pallas_grad.py ``slot_keys``: s0/Q are per-rollout operands,
+        so sessions pack by concatenation along K; per-session attrs and
+        u_prev ride as a per-lane ``pslot [n_sk, B*K]`` VMEM operand), and
+        the final elite selection through one columns-mode cost-kernel
+        launch (ops/pallas_rollout.py).  The Adam update, per-rollout
+        gradient clip, per-session top-k, warm-start shift, resample draw
+        (``self._resample`` vmapped — variant overrides like
+        rpgd-particle's population resampling apply automatically) and the
+        Adam moment surgery stay in XLA on the stacked ``[B, K, H, U]``
+        state.  Per-session PRNG streams match the single-session step
+        (same split + per-session ``_resample`` draw), and the per-session
+        resample tick is a ``where``-select of both surgery branches
+        (exactly what vmapping the single-session ``lax.cond`` lowers to),
+        so a session's results don't depend on B.
+
+        Requires ``warmup=False`` (shared Adam-loop trip count across
+        sessions).  Returns ``step(states, s [B,1,S], dyn, cost, attrs) ->
+        (u [B,U], states', costs [B,K])`` over the stacked (vmap-layout)
+        RPGDState.
+        """
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_grad_cost_rollout_kernel, grad_tile_dividing,
+        )
+        from control_toolkit_tpu.ops.pallas_rollout import (
+            build_cost_rollout_kernel,
+        )
+        from control_toolkit_tpu.optimizers.base import make_slot_packer
+
+        if self.warmup:
+            raise NotImplementedError(
+                "batched RPGD kernel path requires warmup=False (shared "
+                "Adam-loop trip count); warmup sessions take the vmapped "
+                "scan path"
+            )
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        tk = tile_k or grad_tile_dividing(S, H, B * K)
+        if tk == 0 or (B * K) % tk != 0:
+            raise ValueError(
+                f"batched RPGD kernel needs a grad tile dividing B*K; "
+                f"got B={B}, K={K}, tile={tk}"
+            )
+
+        param_keys, _, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        slot_prefixes = ("a_", "__u_prev_")
+        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
+        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        kargs = dict(
+            num_states=S, num_controls=U, horizon=H, dt=pred.dt,
+            param_keys=param_keys, integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+        )
+        gkernel = build_grad_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa, **kargs
+        )
+        ckernel = build_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa, **kargs
+        )
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pack = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
+        )
+
+        low, high = self.action_low, self.action_high
+        keep_k, shift, outer_its = self.opt_keep_k, self.shift_previous, self.outer_its
+        lr, b1, b2 = self.learning_rate, self.adam_beta_1, self.adam_beta_2
+        eps_, gclip = self.adam_epsilon, self.gradmax_clip
+        resamp_per = self.resamp_per
+        alpha = self.maximum_entropy_alpha
+        if alpha > 0.0:
+            def spread_penalty_b(Qb):     # one session's [K, H, U]
+                return -0.5 * alpha * jnp.sum(
+                    jnp.log(jnp.var(Qb, axis=0) + 1e-8)
+                )
+
+            pen_grad = jax.vmap(jax.grad(spread_penalty_b))
+
+        def step(states, s, dyn, cost, attrs):
+            pvec, pslot = pack(states.u_prev, dyn, cost, attrs)
+            s0flat = jnp.repeat(s[:, 0, :], K, axis=0)          # [B*K, S]
+
+            def grad_iter(i, carry):
+                Qb, adam = carry                                # [B,K,H,U]
+                _, dQf = gkernel(s0flat, Qb.reshape(B * K, H, U), pvec, pslot)
+                dQ = dQf.reshape(B, K, H, U)
+                if alpha > 0.0:
+                    dQ = dQ + pen_grad(Qb)
+                dQ = clip_by_norm(dQ, gclip, axes=(2, 3))
+                # Stacked Adam with per-session bias-correction counters
+                # (slot resets desynchronize them) — elementwise identical
+                # to vmapping ops/common.adam_update.
+                step_c = adam.step + 1                          # [B]
+                m = b1 * adam.m + (1.0 - b1) * dQ
+                v = b2 * adam.v + (1.0 - b2) * dQ * dQ
+                t = step_c.astype(jnp.float32).reshape(B, 1, 1, 1)
+                lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+                delta = lr_t * m / (jnp.sqrt(v) + eps_)
+                Qb = jnp.clip(Qb - delta, low, high)
+                return Qb, AdamState(step=step_c, m=m, v=v)
+
+            Qb, adam = jax.lax.fori_loop(
+                0, outer_its, grad_iter, (states.Q, states.adam)
+            )
+
+            costs = ckernel(
+                s0flat, Qb.reshape(B * K, H, U), pvec, pslot
+            ).reshape(B, K)
+            best_idx = jax.vmap(lambda c: elite_indices(c, keep_k))(costs)
+            u_nom = jnp.take_along_axis(
+                Qb, best_idx[:, :1, None, None], axis=1
+            )[:, 0]                                             # [B, H, U]
+            u = u_nom[:, 0, :]
+            Qn = jnp.concatenate(
+                [Qb[:, :, shift:, :], jnp.tile(Qb[:, :, -1:, :], (1, 1, shift, 1))],
+                axis=2,
+            )
+
+            keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
+            key, subs = keys[:, 0], keys[:, 1]
+
+            # Per-session resample tick: compute both surgery branches and
+            # where-select (vmapping the single-session lax.cond lowers to
+            # exactly this select).
+            Qres = jax.vmap(
+                lambda k, Q1, c: self._resample(k, Q1, c, K - keep_k)
+            )(subs, Qn, costs)
+            Q_r, m_r, v_r, ages_r = jax.vmap(rpgd_resample_surgery)(
+                Qn, adam.m, adam.v, states.trajectory_ages, best_idx, Qres
+            )
+            m_k, v_k = jax.vmap(rpgd_keep_surgery)(adam.m, adam.v)
+            do = (states.count % resamp_per) == 0               # [B]
+
+            def sel(a, b):
+                return jnp.where(do.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+
+            adam_next = AdamState(
+                step=adam.step, m=sel(m_r, m_k), v=sel(v_r, v_k)
+            )
+            new_state = RPGDState(
+                key=key, Q=sel(Q_r, Qn), adam=adam_next,
+                trajectory_ages=sel(ages_r, states.trajectory_ages) + 1.0,
+                count=states.count + 1, u_prev=u,
+            )
+            return u, new_state, costs
+
+        return step
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         low, high = self.action_low, self.action_high

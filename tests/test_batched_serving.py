@@ -299,3 +299,140 @@ def test_controller_reset_restores_initial_slot_states():
     after = jax.tree_util.tree_map(np.asarray, ctrl.slot_states)
     for a, b in zip(jax.tree_util.tree_leaves(init), jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------- slot-axis sharding
+def _mesh(n):
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:n]), ("k",))
+
+
+def test_slot_mesh_equals_unsharded():
+    """B sessions sharded over a 4-device slot mesh (shard_map, zero
+    collectives) produce EXACTLY the unsharded batched controller's
+    results — sessions' PRNG streams are slot-keyed, so the device
+    grouping cannot matter."""
+    B = 8
+    plain = build_batched(B)
+    sharded = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    sharded.configure(optimizer_name="mppi", optimizer_config=MPPI_CFG,
+                      num_slots=B, mesh=_mesh(4))
+    assert sharded._B_build == 2
+
+    rng = np.random.default_rng(0)
+    s = rng.uniform(-0.2, 0.2, size=(B, 4)).astype(np.float32)
+    mask = np.array([True] * 6 + [False] * 2)
+    for _ in range(3):
+        u_p = plain.step_batch(s, mask)
+        u_s = sharded.step_batch(s, mask)
+        np.testing.assert_allclose(u_s, u_p, atol=1e-6, rtol=1e-6)
+    for a, b in zip(
+        np.asarray(plain.slot_states.u_nom), np.asarray(sharded.slot_states.u_nom)
+    ):
+        np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_slot_mesh_rpgd_equals_unsharded():
+    """Same check through the RPGD state pytree (Adam moments, ages,
+    surgery branches) — 2 ticks cross a resample boundary."""
+    cfg = {"seed": 11, "mpc_timestep": 0.02, "mpc_horizon": 10,
+           "num_rollouts": 32, "outer_its": 2, "learning_rate": 0.05,
+           "opt_keep_k_ratio": 0.25, "resamp_per": 2,
+           "period_interpolation_inducing_points": 5, "warmup": False}
+
+    def make(mesh=None):
+        c = BatchedMPCController(
+            environment_name="cartpole",
+            control_limits=(np.array([-1.0], np.float32),
+                            np.array([1.0], np.float32)),
+            initial_environment_attributes={"target_position": 0.0},
+            config={"optimizer": "rpgd-tf", "controller_logging": False},
+        )
+        kw = {"num_slots": 8}
+        if mesh is not None:
+            kw["mesh"] = mesh
+        c.configure(optimizer_name="rpgd-tf", optimizer_config=cfg, **kw)
+        return c
+
+    plain, sharded = make(), make(_mesh(4))
+    s = np.random.default_rng(1).uniform(-0.2, 0.2, size=(8, 4)).astype(np.float32)
+    for _ in range(2):
+        u_p = plain.step_batch(s)
+        u_s = sharded.step_batch(s)
+        np.testing.assert_allclose(u_s, u_p, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sharded.slot_states.Q), np.asarray(plain.slot_states.Q),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.slot_states.adam.m),
+        np.asarray(plain.slot_states.adam.m), atol=1e-6,
+    )
+
+
+def test_slot_mesh_rejects_nondividing_B():
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    with pytest.raises(ValueError):
+        ctrl.configure(optimizer_name="mppi", optimizer_config=MPPI_CFG,
+                       num_slots=6, mesh=_mesh(4))
+
+
+def test_slot_mesh_columnwise_kernel_shardmap_interpret():
+    """The composition the TPU deployment runs: shard_map over the slot
+    axis with each device launching the columnwise batched MPPI kernel on
+    its LOCAL sessions (interpret mode here) == the single-launch B-session
+    kernel step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as PS
+
+    from test_pallas_batched import make_states
+    from test_pallas_rollout import make_mppi_ctrl
+
+    B, K, H, tile, n_dev = 8, 64, 10, 128, 4
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    step_full, _ = opt._make_batched_semi_fused_step(B, interpret=True,
+                                                     tile_k=tile)
+    step_loc, _ = opt._make_batched_semi_fused_step(B // n_dev,
+                                                    interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states = make_states(opt, B)
+    s = jnp.asarray(
+        np.random.default_rng(2).uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32
+    )
+    attrs = {"target_position": jnp.linspace(-0.5, 0.5, B, dtype=jnp.float32)}
+
+    u_ref, new_ref, c_ref = step_full(states, s, params["dyn"], params["cost"],
+                                      attrs)
+
+    mesh = _mesh(n_dev)
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    sharded = jax.jit(shard_map(
+        lambda st, s_, at: step_loc(st, s_, params["dyn"], params["cost"], at),
+        mesh=mesh, in_specs=(PS("k"), PS("k"), PS("k")),
+        out_specs=(PS("k"), PS("k"), PS("k")), check_vma=False,
+    ))
+    u_sh, new_sh, c_sh = sharded(states, s, attrs)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_sh.u_nom), np.asarray(new_ref.u_nom), atol=1e-6
+    )

@@ -9,6 +9,7 @@ softmax math, per session.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.optimizers.mppi import MPPIState
 from test_pallas_rollout import make_mppi_ctrl
@@ -337,6 +338,405 @@ def test_kernel_sweep_neural_dispatch_and_parity():
         s = env.step_dynamics(s, u, env.dt)
     np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
                                atol=1e-5, rtol=1e-5)
+
+
+def make_cem_ctrl(K=64, H=10, **over):
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    cfg = {
+        "seed": 5, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cem_outer_it": 2, "cem_best_k": 8, "cem_initial_action_stdev": 0.5,
+        "cem_stdev_min": 0.01, "warmup": False,
+    }
+    cfg.update(over)
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "cem", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="cem", optimizer_config=cfg)
+    return ctrl
+
+
+def make_cem_states(opt, B, key_seed=0):
+    from control_toolkit_tpu.optimizers.cem import CEMState
+
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(key_seed), i) for i in range(B)]
+    )
+    states = jax.vmap(opt._init_state)(keys)
+    rng = np.random.default_rng(6)
+    mue = jnp.asarray(
+        rng.uniform(-0.3, 0.3, size=np.asarray(states.dist_mue).shape),
+        jnp.float32,
+    )
+    u_prev = jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=np.asarray(states.u_prev).shape),
+        jnp.float32,
+    )
+    return CEMState(key=states.key, dist_mue=mue, stdev=states.stdev,
+                    count=states.count, u_prev=u_prev)
+
+
+def test_batched_cem_refit_matches_xla_reference():
+    """Columns-mode CEM evaluate+refit (B sessions, one cost-kernel launch)
+    == per-session XLA reference (scan rollout + trajectory cost + top-k
+    elite refit) with the same injected population."""
+    from control_toolkit_tpu.ops.common import elite_indices
+
+    B, K, H, tile = 4, 64, 10, 128
+    ctrl = make_cem_ctrl(K, H)
+    opt = ctrl.optimizer
+    _, refit_from_Q = opt._make_batched_cem_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    U = opt.num_control_inputs
+
+    states = make_cem_states(opt, B)
+    rng = np.random.default_rng(21)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    Q_b = jnp.asarray(
+        np.clip(rng.normal(0.0, 0.4, size=(B, K, H, U)), -1.0, 1.0), jnp.float32
+    )
+
+    mue, std, e0, costs = refit_from_Q(
+        states, s_b, params["dyn"], params["cost"], attrs, Q_b
+    )
+    assert mue.shape == (B, 1, H, U) and costs.shape == (B, K)
+
+    for b in range(B):
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        traj = opt.predictor.rollout(s_tiled, Q_b[b], params["dyn"])
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        ref_cost = np.asarray(opt.cost_function.get_trajectory_cost(
+            traj, Q_b[b], states.u_prev[b], cparams
+        ))
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=2e-4
+        )
+        idx = np.asarray(elite_indices(jnp.asarray(ref_cost), opt.cem_best_k))
+        elite = np.asarray(Q_b)[b][idx]
+        np.testing.assert_allclose(
+            np.asarray(mue)[b, 0], elite.mean(axis=0), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(std)[b, 0], elite.std(axis=0), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(e0)[b], elite[0], atol=1e-6
+        )
+
+
+def test_batched_cem_step_matches_single_session():
+    """Full batched CEM step == the single-session step_fn run per session:
+    the batched step draws each session's population from ITS key with the
+    same split/shape as the single-session path, so the whole iteration
+    (sample -> evaluate -> refit -> shift) agrees to kernel-vs-scan float
+    tolerance."""
+    B, K, H, tile = 2, 64, 10, 128
+    ctrl = make_cem_ctrl(K, H)
+    opt = ctrl.optimizer
+    kstep, _ = opt._make_batched_cem_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states = make_cem_states(opt, B)
+    rng = np.random.default_rng(13)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.4, 0.4, B), jnp.float32)
+
+    u, new_states, costs = kstep(
+        states, s_b, params["dyn"], params["cost"],
+        {"target_position": attrs_vec},
+    )
+
+    step_fn = opt._make_step_fn()
+    for b in range(B):
+        st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+        p_b = {
+            "dyn": params["dyn"], "cost": params["cost"],
+            "attrs": {"target_position": attrs_vec[b]},
+        }
+        u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+        np.testing.assert_allclose(
+            np.asarray(u)[b], np.asarray(u_ref), atol=2e-4, rtol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_states.dist_mue)[b], np.asarray(new_ref.dist_mue),
+            atol=2e-4, rtol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_states.stdev)[b], np.asarray(new_ref.stdev),
+            atol=2e-4, rtol=2e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new_states.key)[b], np.asarray(new_ref.key)
+        )
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], np.asarray(diag["J_logged"]),
+            atol=2e-4, rtol=2e-4,
+        )
+
+
+def test_batched_cem_independent_of_batch_size():
+    K, H, tile = 64, 10, 128
+    ctrl = make_cem_ctrl(K, H)
+    opt = ctrl.optimizer
+    step4, _ = opt._make_batched_cem_step(4, interpret=True, tile_k=tile)
+    step2, _ = opt._make_batched_cem_step(2, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states4 = make_cem_states(opt, 4)
+    states2 = jax.tree_util.tree_map(lambda x: x[:2], states4)
+    s4 = jnp.asarray(
+        np.random.default_rng(4).uniform(-0.2, 0.2, size=(4, 1, 4)), jnp.float32
+    )
+    u4, new4, c4 = step4(states4, s4, params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((4,), jnp.float32)})
+    u2, new2, c2 = step2(states2, s4[:2], params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((2,), jnp.float32)})
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u4)[:2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c4)[:2], atol=1e-5)
+
+
+def test_kernel_sweep_cem_dispatch_and_parity():
+    """Monte-Carlo sweep over a CEM controller: _build_kernel_sweep
+    dispatches to the batched CEM step and matches the eager per-tick loop
+    over the same step."""
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    N, K, H, tile, T = 2, 64, 8, 128, 4
+    ctrl = make_cem_ctrl(K, H)
+    opt = ctrl.optimizer
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0)
+    assert not loop._kernel_sweep_eligible(N)   # CPU backend -> vmap path
+    sweep = loop._build_kernel_sweep(N, interpret=True, tile_k=tile)
+
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states0 = make_cem_states(opt, N)
+    rng = np.random.default_rng(9)
+    s0s = jnp.asarray(rng.uniform(-0.2, 0.2, size=(N, 4)), jnp.float32)
+    sub = jax.random.PRNGKey(15)
+    noise_keys = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+    _, sT, ss, us, stage, _ = sweep(states0, s0s, params, noise_keys, T)
+
+    kstep, _ = opt._make_batched_cem_step(N, interpret=True, tile_k=tile)
+    s, st = s0s, states0
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], params["dyn"], params["cost"],
+                         params["attrs"])
+        u = jnp.clip(u, -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(us)[:, t], np.asarray(u),
+                                   atol=1e-5, rtol=1e-5)
+        s = env.step_dynamics(s, u, env.dt)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_batched_cem_gates():
+    """Batched CEM serving keeps the vmapped path (the columnwise CEM
+    kernel measured neutral-to-worse — docs/KERNELS.md); warmup is
+    rejected by the explicit batched builder (shared trip count)."""
+    import pytest
+
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "cem", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="cem", optimizer_config={
+        "seed": 5, "mpc_timestep": 0.02, "mpc_horizon": 10, "num_rollouts": 64,
+        "cem_outer_it": 2, "cem_best_k": 8, "warmup": False,
+    }, num_slots=4)
+    assert not ctrl._kernel_path
+
+    opt = make_cem_ctrl(64, 10, warmup=True).optimizer
+    with pytest.raises(NotImplementedError):
+        opt._make_batched_cem_step(2, interpret=True, tile_k=128)
+
+
+def make_rpgd_ctrl(K=32, H=10, name="rpgd-tf", **over):
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    cfg = {
+        "seed": 7, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "outer_its": 2, "learning_rate": 0.05, "opt_keep_k_ratio": 0.25,
+        "resamp_per": 2, "period_interpolation_inducing_points": 5,
+        "SAMPLING_DISTRIBUTION": "uniform", "warmup": False,
+    }
+    cfg.update(over)
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": name, "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name=name, optimizer_config=cfg)
+    return ctrl
+
+
+def _rpgd_states(opt, B, key_seed=0):
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(key_seed), i) for i in range(B)]
+    )
+    return jax.vmap(opt._init_state)(keys)
+
+
+@pytest.mark.parametrize("name", ["rpgd-tf", "rpgd-particle-tf"])
+def test_batched_rpgd_step_matches_single_session(name):
+    """Full batched RPGD step (columns-mode gradient+cost kernels, one
+    launch per Adam iteration) == the single-session step_fn run per
+    session (XLA-AD scan path on CPU), through BOTH surgery branches:
+    step 1 hits the resample tick (count=0), step 2 the keep branch."""
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = make_rpgd_ctrl(K, H, name=name)
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_rpgd_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states = _rpgd_states(opt, B)
+    rng = np.random.default_rng(19)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    for tick in range(2):       # tick 0 resamples (count%2==0), tick 1 keeps
+        u, new_states, costs = kstep(
+            states, s_b, params["dyn"], params["cost"],
+            {"target_position": attrs_vec},
+        )
+        for b in range(B):
+            st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+            p_b = {
+                "dyn": params["dyn"], "cost": params["cost"],
+                "attrs": {"target_position": attrs_vec[b]},
+            }
+            u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(costs)[b], np.asarray(diag["J_logged"]),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.adam.m)[b], np.asarray(new_ref.adam.m),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(new_states.trajectory_ages)[b],
+                np.asarray(new_ref.trajectory_ages),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(new_states.key)[b], np.asarray(new_ref.key)
+            )
+        states = new_states
+
+
+def test_batched_rpgd_independent_of_batch_size():
+    K, H, tile = 32, 10, 64
+    ctrl = make_rpgd_ctrl(K, H)
+    opt = ctrl.optimizer
+    step4 = opt._make_batched_rpgd_step(4, interpret=True, tile_k=32)
+    step2 = opt._make_batched_rpgd_step(2, interpret=True, tile_k=32)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states4 = _rpgd_states(opt, 4)
+    states2 = jax.tree_util.tree_map(lambda x: x[:2], states4)
+    s4 = jnp.asarray(
+        np.random.default_rng(8).uniform(-0.2, 0.2, size=(4, 1, 4)), jnp.float32
+    )
+    u4, new4, c4 = step4(states4, s4, params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((4,), jnp.float32)})
+    u2, new2, c2 = step2(states2, s4[:2], params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((2,), jnp.float32)})
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u4)[:2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c4)[:2], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new2.Q), np.asarray(new4.Q)[:2], atol=1e-6
+    )
+
+
+def test_kernel_sweep_rpgd_dispatch_and_parity():
+    """Monte-Carlo sweep over an RPGD controller: _build_kernel_sweep
+    dispatches to the batched RPGD step and matches the eager per-tick
+    loop over the same step."""
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    N, K, H, tile, T = 2, 32, 8, 32, 3
+    ctrl = make_rpgd_ctrl(K, H)
+    opt = ctrl.optimizer
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0)
+    assert not loop._kernel_sweep_eligible(N)   # CPU backend -> vmap path
+    sweep = loop._build_kernel_sweep(N, interpret=True, tile_k=tile)
+
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states0 = _rpgd_states(opt, N)
+    rng = np.random.default_rng(5)
+    s0s = jnp.asarray(rng.uniform(-0.2, 0.2, size=(N, 4)), jnp.float32)
+    sub = jax.random.PRNGKey(23)
+    noise_keys = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+    _, sT, ss, us, stage, _ = sweep(states0, s0s, params, noise_keys, T)
+
+    kstep = opt._make_batched_rpgd_step(N, interpret=True, tile_k=tile)
+    s, st = s0s, states0
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], params["dyn"], params["cost"],
+                         params["attrs"])
+        u = jnp.clip(u, -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(us)[:, t], np.asarray(u),
+                                   atol=1e-5, rtol=1e-5)
+        s = env.step_dynamics(s, u, env.dt)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_batched_rpgd_gates():
+    """CPU backend keeps the vmapped path; warmup is rejected by the
+    batched builder."""
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="rpgd-tf", optimizer_config={
+        "seed": 7, "mpc_timestep": 0.02, "mpc_horizon": 10, "num_rollouts": 32,
+        "outer_its": 2, "warmup": False,
+    }, num_slots=4)
+    assert not ctrl._batched_rpgd_eligible()    # CPU backend
+    assert not ctrl._kernel_path
+
+    opt = make_rpgd_ctrl(32, 10, warmup=True).optimizer
+    with pytest.raises(NotImplementedError):
+        opt._make_batched_rpgd_step(2, interpret=True, tile_k=32)
 
 
 def test_batched_kernel_eligibility_gate():

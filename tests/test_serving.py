@@ -1,5 +1,6 @@
 """ZMQ server + remote controller round trip (in-process, tcp://127.0.0.1)."""
 import json
+import sys
 import threading
 import time
 
@@ -178,6 +179,171 @@ def test_terminal_chooser_out_of_range_falls_back(monkeypatch):
                                 ["cem-tf", "mppi"], "mpc", None)
     assert c == "mpc"        # out-of-range index -> default
     assert o == "mppi"
+
+
+def _install_fake_pyqt6(monkeypatch, exec_result=1, on_exec=None):
+    """Install a minimal fake PyQt6.QtWidgets into sys.modules so the Qt
+    branch of serving/gui.py runs headlessly.  ``on_exec(groups)`` may
+    mutate the radio-button selection before the dialog 'returns'."""
+    import types
+
+    state = {"groups": []}
+
+    class _Signal:
+        def connect(self, fn):
+            self.fn = fn
+
+    class QRadioButton:
+        def __init__(self, text):
+            self._text, self._checked = text, False
+
+        def setChecked(self, v):
+            self._checked = bool(v)
+
+        def text(self):
+            return self._text
+
+    class QButtonGroup:
+        def __init__(self, parent=None):
+            self._buttons = []
+            state["groups"].append(self)
+
+        def addButton(self, b):
+            self._buttons.append(b)
+
+        def buttons(self):
+            return self._buttons
+
+        def checkedButton(self):
+            for b in self._buttons:
+                if b._checked:
+                    return b
+            return None
+
+    class QDialog:
+        class DialogCode:
+            Accepted, Rejected = 1, 0
+
+        def setWindowTitle(self, t):
+            pass
+
+        def accept(self):
+            pass
+
+        def reject(self):
+            pass
+
+        def exec(self):
+            if on_exec is not None:
+                on_exec(state["groups"])
+            return exec_result
+
+    class QDialogButtonBox:
+        class StandardButton:
+            Ok, Cancel = 1, 2
+
+        def __init__(self, flags):
+            self.accepted, self.rejected = _Signal(), _Signal()
+
+    class _Layout:
+        def __init__(self, parent=None):
+            pass
+
+        def addWidget(self, w):
+            pass
+
+    class QGroupBox:
+        def __init__(self, title):
+            pass
+
+    class QApplication:
+        _inst = None
+
+        def __init__(self, argv):
+            QApplication._inst = self
+
+        @classmethod
+        def instance(cls):
+            return cls._inst
+
+    widgets = types.ModuleType("PyQt6.QtWidgets")
+    for cls in (QApplication, QButtonGroup, QDialog, QDialogButtonBox,
+                QGroupBox, QRadioButton):
+        setattr(widgets, cls.__name__, cls)
+    widgets.QHBoxLayout = _Layout
+    widgets.QVBoxLayout = _Layout
+    pkg = types.ModuleType("PyQt6")
+    pkg.QtWidgets = widgets
+    monkeypatch.setitem(sys.modules, "PyQt6", pkg)
+    monkeypatch.setitem(sys.modules, "PyQt6.QtWidgets", widgets)
+    return state
+
+
+def test_qt_chooser_accepts_defaults(monkeypatch):
+    """Qt branch (reference controller_server/gui.py:19-89): with a display
+    and PyQt6 present, accepting the dialog returns the pre-checked
+    defaults."""
+    from control_toolkit_tpu.serving import gui
+
+    _install_fake_pyqt6(monkeypatch)
+    monkeypatch.setenv("DISPLAY", ":0")
+    c, o = gui.choose_controller_and_optimizer()
+    assert c == "mpc" and o == "mppi"
+
+
+def test_qt_chooser_returns_user_selection(monkeypatch):
+    """Flipping radio buttons before OK returns the user's picks (group 0 =
+    controllers, group 1 = optimizers)."""
+    from control_toolkit_tpu.serving import gui
+
+    def pick(groups):
+        for g, want in zip(groups, ("neural-imitator", "cem-tf")):
+            for b in g.buttons():
+                b.setChecked(b.text() == want)
+
+    _install_fake_pyqt6(monkeypatch, on_exec=pick)
+    monkeypatch.setenv("DISPLAY", ":0")
+    c, o = gui.choose_controller_and_optimizer()
+    assert c == "neural-imitator" and o == "cem-tf"
+
+
+def test_qt_chooser_cancel_raises_system_exit(monkeypatch):
+    """Cancel aborts server startup (reference dialog rejection kills the
+    picker) — SystemExit must NOT be swallowed by the fallback chain."""
+    import pytest
+
+    from control_toolkit_tpu.serving import gui
+
+    _install_fake_pyqt6(monkeypatch, exec_result=0)
+    monkeypatch.setenv("DISPLAY", ":0")
+    with pytest.raises(SystemExit):
+        gui.choose_controller_and_optimizer()
+
+
+def test_qt_chooser_error_falls_back(monkeypatch):
+    """A Qt platform error (stale DISPLAY) degrades to terminal/defaults
+    instead of killing startup."""
+    import types
+
+    from control_toolkit_tpu.serving import gui
+
+    widgets = types.ModuleType("PyQt6.QtWidgets")
+
+    def boom(*a, **k):
+        raise RuntimeError("could not connect to display")
+
+    for name in ("QApplication", "QButtonGroup", "QDialog", "QDialogButtonBox",
+                 "QGroupBox", "QHBoxLayout", "QRadioButton", "QVBoxLayout"):
+        setattr(widgets, name, boom)
+    pkg = types.ModuleType("PyQt6")
+    pkg.QtWidgets = widgets
+    monkeypatch.setitem(sys.modules, "PyQt6", pkg)
+    monkeypatch.setenv("DISPLAY", ":0")
+    monkeypatch.setattr(
+        "sys.stdin", type("S", (), {"isatty": staticmethod(lambda: False)})()
+    )
+    c, o = gui.choose_controller_and_optimizer()
+    assert c == "mpc" and o == "mppi"
 
 
 def test_reference_readme_client_snippet(server_thread):
