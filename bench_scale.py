@@ -214,6 +214,42 @@ def measure_batched_serving(B=32, K_per_slot=512, H=35, force_scan=False):
     return ms
 
 
+def measure_batched_gradient(B=128, K_per_slot=32, H=50, steps=5,
+                             force_scan=False):
+    """Steps/s for B gradient-tf sessions (columnwise gradient-kernel path
+    vs vmapped XLA-AD scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "gradient-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="gradient-tf", optimizer_config={
+        "seed": 9, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "gradient_steps": steps,
+        "learning_rate": 0.05, "gradmax_clip": 5.0, "warmup": False,
+        "force_scan": force_scan}, num_slots=B)
+
+    params = ctrl._assemble_params()
+    s = jnp.zeros((B, 1, 4), jnp.float32)
+    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
+    mask = jnp.ones((B,), bool)
+    fn, states = ctrl._batched_jit, ctrl.slot_states
+    N, reps = 20, 2
+    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(reps * N):
+        u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    return (time.perf_counter() - t0) / (reps * N) * 1e3
+
+
 def measure_batched_rpgd(B=128, K_per_slot=32, H=50, outer=2, force_scan=False):
     """Steps/s for B independent RPGD sessions advanced by one device step:
     the columnwise gradient-kernel path (one fwd+bwd launch per Adam
@@ -554,6 +590,13 @@ def main():
     print(f"batched RPGD B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
           f"({128 / (ms_k / 1e3):.0f} session-steps/s) | vmap-scan {ms_s:.3f} "
           f"| {ms_s / ms_k:.2f}x", flush=True)
+
+    ms_k = measure_batched_gradient(B=128, K_per_slot=32, H=50)
+    ms_s = measure_batched_gradient(B=128, K_per_slot=32, H=50, force_scan=True)
+    results["batched_gradient_B128_K32_H50"] = round(ms_k, 3)
+    results["batched_gradient_B128_K32_H50_vmap_scan"] = round(ms_s, 3)
+    print(f"batched gradient-tf B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
+          f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
 
     # Monte-Carlo sweep: N closed-loop episodes in one program, kernel vs
     # vmapped-scan tick (slope method — dispatch-free ms/tick).

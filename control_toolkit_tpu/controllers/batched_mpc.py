@@ -175,6 +175,7 @@ class BatchedMPCController(MPCController):
             self._batched_kernel_eligible()
             or self._batched_neural_eligible()
             or self._batched_rpgd_eligible()
+            or self._batched_gradient_eligible()
         ):
             # Fast path: ALL B sessions' rollouts pack into ONE columnwise
             # Pallas launch (per-session context as VMEM rows, per-session
@@ -195,9 +196,12 @@ class BatchedMPCController(MPCController):
             elif self._batched_neural_eligible():
                 kstep, _ = opt._make_batched_neural_step(self._B_build)
                 kind = "neural MLP"
-            else:
+            elif self._batched_rpgd_eligible():
                 kstep = opt._make_batched_rpgd_step(self._B_build)
                 kind = "RPGD gradient"
+            else:
+                kstep = opt._make_batched_gradient_step(self._B_build)
+                kind = "Adam gradient"
             shard_note = (
                 f" per device x {B // self._B_build} devices"
                 if mesh is not None else ""
@@ -332,6 +336,28 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         if not (
             isinstance(opt, RPGDOptimizer)
+            and not self._user_force_scan
+            and not opt.warmup
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and opt._pallas_compatible_model()
+        ):
+            return False
+        return grad_tile_dividing(
+            opt.num_states, opt.mpc_horizon, self._B_build * opt.num_rollouts
+        ) > 0
+
+    def _batched_gradient_eligible(self) -> bool:
+        """Columnwise gradient-optimizer eligibility: plain gradient-tf
+        over an SOA ODE model on an unmeshed TPU, warmup off, with B*K
+        packing into whole gradient-kernel tiles."""
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
+        from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
+
+        opt = self.optimizer
+        if not (
+            type(opt) is GradientOptimizer
             and not self._user_force_scan
             and not opt.warmup
             and not opt.optimizer_logging

@@ -81,6 +81,120 @@ class GradientOptimizer(Optimizer):
             u_prev=jnp.zeros((U,), jnp.float32),
         )
 
+    def _make_batched_gradient_step(self, num_slots: int,
+                                    interpret: bool = False,
+                                    tile_k: int = None):
+        """B-session gradient-optimizer step for BatchedMPC (columnwise
+        kernel path) — the RPGD pattern without the resampling surgery
+        (cf. optimizers/rpgd.py _make_batched_rpgd_step): all B sessions'
+        forward+backward rollouts run as ONE columns-mode gradient-kernel
+        launch per Adam iteration, the final costs as one columns
+        cost-kernel launch; the stacked Adam update (per-session
+        bias-correction counters), per-rollout grad clip, argmin pick,
+        warm-start shift with per-session fresh random tails and the
+        moment shift stay in XLA.  Per-session PRNG streams match the
+        single-session step.  Requires ``warmup=False``.
+
+        Returns ``step(states, s [B,1,S], dyn, cost, attrs) ->
+        (u [B,U], states', costs [B,K])``.
+        """
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_grad_cost_rollout_kernel, grad_tile_dividing,
+        )
+        from control_toolkit_tpu.ops.pallas_rollout import (
+            build_cost_rollout_kernel,
+        )
+        from control_toolkit_tpu.optimizers.base import make_slot_packer
+
+        if self.warmup:
+            raise NotImplementedError(
+                "batched gradient kernel path requires warmup=False "
+                "(shared Adam-loop trip count)"
+            )
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        tk = tile_k or grad_tile_dividing(S, H, B * K)
+        if tk == 0 or (B * K) % tk != 0:
+            raise ValueError(
+                f"batched gradient kernel needs a grad tile dividing B*K; "
+                f"got B={B}, K={K}, tile={tk}"
+            )
+
+        param_keys, _, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        slot_prefixes = ("a_", "__u_prev_")
+        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
+        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        kargs = dict(
+            num_states=S, num_controls=U, horizon=H, dt=pred.dt,
+            param_keys=param_keys, integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+        )
+        gkernel = build_grad_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa, **kargs
+        )
+        ckernel = build_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa, **kargs
+        )
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pack = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
+        )
+
+        low, high = self.action_low, self.action_high
+        lr, b1, b2 = self.learning_rate, self.adam_beta_1, self.adam_beta_2
+        eps_, gclip = self.adam_epsilon, self.gradmax_clip
+        iterations = self.gradient_steps
+
+        def step(states, s, dyn, cost, attrs):
+            pvec, pslot = pack(states.u_prev, dyn, cost, attrs)
+            s0flat = jnp.repeat(s[:, 0, :], K, axis=0)          # [B*K, S]
+
+            def grad_iter(i, carry):
+                Qb, adam = carry                                # [B,K,H,U]
+                _, dQf = gkernel(s0flat, Qb.reshape(B * K, H, U), pvec, pslot)
+                dQ = clip_by_norm(dQf.reshape(B, K, H, U), gclip, axes=(2, 3))
+                step_c = adam.step + 1                          # [B]
+                m = b1 * adam.m + (1.0 - b1) * dQ
+                v = b2 * adam.v + (1.0 - b2) * dQ * dQ
+                t = step_c.astype(jnp.float32).reshape(B, 1, 1, 1)
+                lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+                delta = lr_t * m / (jnp.sqrt(v) + eps_)
+                Qb = jnp.clip(Qb - delta, low, high)
+                return Qb, AdamState(step=step_c, m=m, v=v)
+
+            Qb, adam = jax.lax.fori_loop(
+                0, iterations, grad_iter, (states.Q, states.adam)
+            )
+
+            costs = ckernel(
+                s0flat, Qb.reshape(B * K, H, U), pvec, pslot
+            ).reshape(B, K)
+            best = jnp.argmin(costs, axis=1)                    # [B]
+            u = jnp.take_along_axis(
+                Qb[:, :, 0, :], best[:, None, None], axis=1
+            )[:, 0]                                             # [B, U]
+
+            keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
+            key, subs = keys[:, 0], keys[:, 1]
+            tails = jax.vmap(
+                lambda k: jax.random.uniform(
+                    k, (K, 1, U), minval=low, maxval=high, dtype=jnp.float32
+                )
+            )(subs)
+            Q_shifted = jnp.concatenate([Qb[:, :, 1:, :], tails], axis=2)
+            adam = jax.vmap(shift_adam_moments)(adam)
+
+            new_state = GradientState(
+                key=key, Q=Q_shifted, adam=adam,
+                count=states.count + 1, u_prev=u,
+            )
+            return u, new_state, costs
+
+        return step
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         low, high = self.action_low, self.action_high

@@ -507,6 +507,7 @@ def test_batched_cem_independent_of_batch_size():
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c4)[:2], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_kernel_sweep_cem_dispatch_and_parity():
     """Monte-Carlo sweep over a CEM controller: _build_kernel_sweep
     dispatches to the batched CEM step and matches the eager per-tick loop
@@ -597,7 +598,11 @@ def _rpgd_states(opt, B, key_seed=0):
     return jax.vmap(opt._init_state)(keys)
 
 
-@pytest.mark.parametrize("name", ["rpgd-tf", "rpgd-particle-tf"])
+@pytest.mark.parametrize(
+    "name",
+    ["rpgd-tf",
+     pytest.param("rpgd-particle-tf", marks=pytest.mark.slow)],
+)
 def test_batched_rpgd_step_matches_single_session(name):
     """Full batched RPGD step (columns-mode gradient+cost kernels, one
     launch per Adam iteration) == the single-session step_fn run per
@@ -737,6 +742,99 @@ def test_batched_rpgd_gates():
     opt = make_rpgd_ctrl(32, 10, warmup=True).optimizer
     with pytest.raises(NotImplementedError):
         opt._make_batched_rpgd_step(2, interpret=True, tile_k=32)
+
+
+def make_gradient_ctrl(K=32, H=10, **over):
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    cfg = {
+        "seed": 9, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "gradient_steps": 2, "learning_rate": 0.05, "gradmax_clip": 5.0,
+        "warmup": False,
+    }
+    cfg.update(over)
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "gradient-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="gradient-tf", optimizer_config=cfg)
+    return ctrl
+
+
+def test_batched_gradient_step_matches_single_session():
+    """Batched gradient-tf (columns-mode gradient+cost kernels) == the
+    single-session step_fn per session (XLA-AD scan on CPU), including the
+    warm-start shift with per-session fresh random tails."""
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = make_gradient_ctrl(K, H)
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_gradient_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(B)]
+    )
+    states = jax.vmap(opt._init_state)(keys)
+    rng = np.random.default_rng(31)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    for tick in range(2):
+        u, new_states, costs = kstep(
+            states, s_b, params["dyn"], params["cost"],
+            {"target_position": attrs_vec},
+        )
+        for b in range(B):
+            st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+            p_b = {
+                "dyn": params["dyn"], "cost": params["cost"],
+                "attrs": {"target_position": attrs_vec[b]},
+            }
+            u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(costs)[b], np.asarray(diag["J_logged"]),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.adam.m)[b], np.asarray(new_ref.adam.m),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(new_states.key)[b], np.asarray(new_ref.key)
+            )
+        states = new_states
+
+
+def test_batched_gradient_gates():
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "gradient-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="gradient-tf", optimizer_config={
+        "seed": 9, "mpc_timestep": 0.02, "mpc_horizon": 10, "num_rollouts": 32,
+        "gradient_steps": 2, "warmup": False,
+    }, num_slots=4)
+    assert not ctrl._batched_gradient_eligible()    # CPU backend
+    assert not ctrl._kernel_path
+
+    opt = make_gradient_ctrl(32, 10, warmup=True).optimizer
+    with pytest.raises(NotImplementedError):
+        opt._make_batched_gradient_step(2, interpret=True, tile_k=32)
 
 
 def test_batched_kernel_eligibility_gate():
