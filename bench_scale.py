@@ -250,6 +250,42 @@ def measure_batched_gradient(B=128, K_per_slot=32, H=50, steps=5,
     return (time.perf_counter() - t0) / (reps * N) * 1e3
 
 
+def measure_batched_fused_cem(B=128, K_per_slot=512, H=35, outer=2,
+                              fully_fused=True):
+    """Steps/s for B CEM sessions: the columns fully-fused counter-PRNG
+    kernel (fully_fused=True — zero population bytes in HBM) vs the
+    vmapped scan path."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "cem-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="cem-tf", optimizer_config={
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cem_outer_it": outer, "cem_best_k": 40,
+        "warmup": False, "fully_fused": fully_fused}, num_slots=B)
+
+    params = ctrl._assemble_params()
+    s = jnp.zeros((B, 1, 4), jnp.float32)
+    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
+    mask = jnp.ones((B,), bool)
+    fn, states = ctrl._batched_jit, ctrl.slot_states
+    N, reps = 20, 2
+    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(reps * N):
+        u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+    jax.block_until_ready(u)
+    return (time.perf_counter() - t0) / (reps * N) * 1e3
+
+
 def measure_batched_rpgd(B=128, K_per_slot=32, H=50, outer=2, force_scan=False):
     """Steps/s for B independent RPGD sessions advanced by one device step:
     the columnwise gradient-kernel path (one fwd+bwd launch per Adam
@@ -596,6 +632,16 @@ def main():
     results["batched_gradient_B128_K32_H50"] = round(ms_k, 3)
     results["batched_gradient_B128_K32_H50_vmap_scan"] = round(ms_s, 3)
     print(f"batched gradient-tf B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
+          f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
+
+    # Batched fully-fused CEM (columns counter-PRNG kernel, opt-in flag).
+    ms_k = measure_batched_fused_cem(B=128, K_per_slot=512, H=35)
+    ms_s = measure_batched_fused_cem(B=128, K_per_slot=512, H=35,
+                                     fully_fused=False)
+    results["batched_fused_cem_B128_K512_H35"] = round(ms_k, 3)
+    results["batched_fused_cem_B128_K512_H35_vmap_scan"] = round(ms_s, 3)
+    results["batched_fused_cem_B128_sessions_per_sec"] = int(128 / (ms_k / 1e3))
+    print(f"batched fused CEM B=128 K=512 H=35: kernel {ms_k:.3f} ms/step "
           f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
 
     # Monte-Carlo sweep: N closed-loop episodes in one program, kernel vs

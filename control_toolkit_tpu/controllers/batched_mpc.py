@@ -176,6 +176,7 @@ class BatchedMPCController(MPCController):
             or self._batched_neural_eligible()
             or self._batched_rpgd_eligible()
             or self._batched_gradient_eligible()
+            or self._batched_fused_cem_eligible()
         ):
             # Fast path: ALL B sessions' rollouts pack into ONE columnwise
             # Pallas launch (per-session context as VMEM rows, per-session
@@ -199,9 +200,12 @@ class BatchedMPCController(MPCController):
             elif self._batched_rpgd_eligible():
                 kstep = opt._make_batched_rpgd_step(self._B_build)
                 kind = "RPGD gradient"
-            else:
+            elif self._batched_gradient_eligible():
                 kstep = opt._make_batched_gradient_step(self._B_build)
                 kind = "Adam gradient"
+            else:
+                kstep = opt._make_batched_fused_cem_step(self._B_build)
+                kind = "fully-fused CEM"
             shard_note = (
                 f" per device x {B // self._B_build} devices"
                 if mesh is not None else ""
@@ -347,6 +351,31 @@ class BatchedMPCController(MPCController):
         return grad_tile_dividing(
             opt.num_states, opt.mpc_horizon, self._B_build * opt.num_rollouts
         ) > 0
+
+    def _batched_fused_cem_eligible(self) -> bool:
+        """Columns-mode FULLY-FUSED CEM eligibility: plain CEM with the
+        user's ``fully_fused: true`` opt-in (counter-PRNG sampling
+        semantics, as single-session), SOA ODE model, unmeshed TPU,
+        warmup off, whole tiles.  The modular columns CEM path measured
+        neutral-to-worse and stays off (docs/KERNELS.md); the fused form
+        never materializes the population in HBM, which removes exactly
+        the losing term."""
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+        from control_toolkit_tpu.optimizers.cem import CEMOptimizer
+
+        opt = self.optimizer
+        return (
+            type(opt) is CEMOptimizer
+            and opt.fully_fused
+            and not self._user_force_scan
+            and not opt.warmup
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and opt._pallas_compatible_model()
+            and opt.num_rollouts % ROWS == 0
+            and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
+        )
 
     def _batched_gradient_eligible(self) -> bool:
         """Columnwise gradient-optimizer eligibility: plain gradient-tf

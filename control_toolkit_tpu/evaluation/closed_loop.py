@@ -127,17 +127,40 @@ class ClosedLoop:
         """Which columnwise batched kernel the N-episode sweep can take:
         'ode' (semi-fused MPPI over an SOA ODE model), 'neural' (MPPI over
         a non-recurrent f32 MLP predictor), 'rpgd' (RPGD via the columns
-        gradient kernel), or None (vmapped scan path).  Mirrors
-        BatchedMPC._batched_kernel_eligible / _batched_neural_eligible /
-        _batched_rpgd_eligible; unmeshed TPU + stateless predictor +
-        tile-divisible N*K required.  CEM sweeps keep the vmap path (the
-        columnwise CEM step measured neutral-to-worse — docs/KERNELS.md);
-        ``_build_kernel_sweep`` still accepts a CEM controller for callers
-        composing one-launch sweeps explicitly."""
+        gradient kernel), 'cem-fused' (fully_fused CEM via the columns
+        counter-PRNG kernel), or None (vmapped scan path).  Mirrors the
+        BatchedMPC eligibility gates; unmeshed TPU + stateless predictor +
+        tile-divisible N*K required.  Modular (non-fully_fused) CEM sweeps
+        keep the vmap path (the materialize+transpose columns CEM step
+        measured neutral-to-worse — docs/KERNELS.md);
+        ``_build_kernel_sweep`` still accepts one for callers composing
+        one-launch sweeps explicitly."""
+        from control_toolkit_tpu.optimizers.cem import CEMOptimizer
         from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         opt = self.optimizer
+        if (
+            type(opt) is CEMOptimizer
+            and opt.fully_fused
+            and not opt.force_scan
+            and not opt.warmup
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and not self._stateful
+        ):
+            from control_toolkit_tpu.ops.pallas_mppi import (
+                DEFAULT_TILE_K, ROWS,
+            )
+
+            if (
+                opt._pallas_compatible_model()
+                and opt.num_rollouts % ROWS == 0
+                and (N * opt.num_rollouts) % DEFAULT_TILE_K == 0
+            ):
+                return "cem-fused"
+            return None
         if (
             isinstance(opt, RPGDOptimizer)
             and not opt.force_scan
@@ -217,9 +240,14 @@ class ClosedLoop:
                 N, interpret=interpret, tile_k=tile_k
             )
         elif isinstance(opt, CEMOptimizer):
-            kstep, _ = opt._make_batched_cem_step(
-                N, interpret=interpret, tile_k=tile_k
-            )
+            if opt.fully_fused:
+                kstep = opt._make_batched_fused_cem_step(
+                    N, interpret=interpret, tile_k=tile_k
+                )
+            else:
+                kstep, _ = opt._make_batched_cem_step(
+                    N, interpret=interpret, tile_k=tile_k
+                )
         elif isinstance(pred, NeuralPredictor):
             kstep, _ = opt._make_batched_neural_step(
                 N, interpret=interpret, tile_k=tile_k

@@ -253,6 +253,145 @@ class CEMOptimizer(Optimizer):
 
         return step, refit_from_Q
 
+    def _make_batched_fused_cem_step(self, num_slots: int,
+                                     interpret: bool = False,
+                                     tile_k: int = None):
+        """B-session FULLY-FUSED CEM step for BatchedMPC.
+
+        The columns-mode fused CEM kernel (ops/pallas_cem.py
+        ``build_fused_cem_cols``) samples every session's population from
+        a counter PRNG IN VMEM, rolls it out and writes only the [B*K]
+        costs — zero population bytes in HBM per outer iteration, which
+        is exactly what makes the materialize+transpose-bound modular
+        columns path a negative result (docs/KERNELS.md).  Elite rows are
+        regenerated per session in XLA from the same counters (bit-exact)
+        for the mu/sigma refit.
+
+        Counter PRNG semantics (not bit-compatible with jax.random) are
+        opt-in via the same ``fully_fused`` flag as the single-session
+        path; per-session seeds derive from each session's CEMState key,
+        so a session's results don't depend on B.  Requires
+        ``warmup=False``.  Returns ``step(states, s [B,1,S], dyn, cost,
+        attrs) -> (u [B,U], states', costs [B,K])``.
+        """
+        from control_toolkit_tpu.ops.pallas_cem import build_fused_cem_cols
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+        from control_toolkit_tpu.optimizers.base import make_slot_packer
+
+        if self.warmup:
+            raise NotImplementedError(
+                "batched fused CEM requires warmup=False (shared outer-loop "
+                "trip count)"
+            )
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        tk = tile_k or DEFAULT_TILE_K
+        if K % ROWS != 0 or (B * K) % tk != 0:
+            raise ValueError(
+                f"batched fused CEM needs K % {ROWS} == 0 and B*K % {tk} "
+                f"== 0; got B={B}, K={K}"
+            )
+        cps = K // ROWS
+        C = tk // ROWS
+        T = (B * K) // tk
+
+        param_keys, _, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        slot_prefixes = ("a_", "__u_prev_")
+        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
+        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        make_run_cols, regen_cols = build_fused_cem_cols(
+            derivs, stage_soa, terminal_soa,
+            num_states=S, num_controls=U, horizon=H,
+            param_keys=param_keys, slot_keys=slot_keys,
+            action_low=self.action_low, action_high=self.action_high,
+            k_per_session=K, integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tk, interpret=interpret,
+            fast_sampling=bool(getattr(pred, "fast_math", False)),
+        )
+        run = make_run_cols(B * K, pred.dt)
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        slot_pack = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, 1
+        )
+
+        low, high = self.action_low, self.action_high
+        best_k, iterations = self.cem_best_k, self.cem_outer_it
+        u_mid = 0.5 * (low + high)
+        cw_static = jnp.tile(jnp.arange(cps, dtype=jnp.int32), B)  # [B*cps]
+
+        def expand_cols(vals):          # [B, n] -> [T, n, C]
+            n = vals.shape[1]
+            cols = jnp.repeat(vals, cps, axis=0)               # [B*cps, n]
+            return cols.reshape(T, C, n).transpose(0, 2, 1)
+
+        def step(states, s, dyn, cost, attrs):
+            # slot_pack with K=1 yields the per-SESSION rows [n_sk, B].
+            pvec, pslot_b = slot_pack(states.u_prev, dyn, cost, attrs)
+            pslot_cols = expand_cols(pslot_b.T)                # [T, n_sk, C]
+            s0_cols = expand_cols(s[:, 0, :])                  # [T, S, C]
+
+            def outer(i, carry):
+                key, mue, std, _, _ = carry                    # mue [B,1,H,U]
+                keys = jax.vmap(lambda k: jax.random.split(k))(key)
+                key, subs = keys[:, 0], keys[:, 1]
+                seed_b = jax.vmap(
+                    lambda k: jax.random.randint(
+                        k, (), 0, 2**31 - 1, jnp.int32
+                    )
+                )(subs)                                        # [B]
+                mue_cols = expand_cols(mue[:, 0].reshape(B, H * U))
+                std_cols = expand_cols(std[:, 0].reshape(B, H * U))
+                seedcw = jnp.stack(
+                    [jnp.repeat(seed_b, cps), cw_static], axis=1
+                ).reshape(T, C, 2).transpose(0, 2, 1)          # [T, 2, C]
+                costs2d = run(
+                    pvec, s0_cols, mue_cols, std_cols, pslot_cols, seedcw
+                )                                              # [ROWS, B*cps]
+                costs = (
+                    costs2d.reshape(ROWS, B, cps)
+                    .transpose(1, 0, 2).reshape(B, K)
+                )                                              # k = r*cps+cw
+                idx = jax.vmap(lambda c: elite_indices(c, best_k))(costs)
+                elite = jax.vmap(regen_cols)(
+                    seed_b, idx, mue[:, 0], std[:, 0]
+                )                                              # [B,bk,H,U]
+                new_mue = jnp.mean(elite, axis=1, keepdims=True)
+                new_std = jnp.std(elite, axis=1, keepdims=True)
+                return key, new_mue, new_std, elite[:, 0], costs
+
+            carry = (
+                states.key, states.dist_mue, states.stdev,
+                jnp.zeros((B, H, U), jnp.float32),
+                jnp.zeros((B, K), jnp.float32),
+            )
+            key, mue, std, e0, costs = jax.lax.fori_loop(
+                0, iterations, outer, carry
+            )
+            u = e0[:, 0, :]
+
+            std = jnp.clip(std, self.cem_stdev_min, 1.0e8)
+            std = jnp.concatenate(
+                [std[:, :, 1:, :],
+                 jnp.full((B, 1, 1, U), self.cem_initial_action_stdev,
+                          jnp.float32)],
+                axis=2,
+            )
+            mue = jnp.concatenate(
+                [mue[:, :, 1:, :],
+                 jnp.broadcast_to(u_mid, (B, 1, 1, U)).astype(jnp.float32)],
+                axis=2,
+            )
+            new_states = CEMState(
+                key=key, dist_mue=mue, stdev=std,
+                count=states.count + 1, u_prev=u,
+            )
+            return u, new_states, costs
+
+        return step
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         low, high = self.action_low, self.action_high
