@@ -177,6 +177,7 @@ class BatchedMPCController(MPCController):
             or self._batched_rpgd_eligible()
             or self._batched_gradient_eligible()
             or self._batched_fused_cem_eligible()
+            or self._batched_var_eligible()
         ):
             # Fast path: ALL B sessions' rollouts pack into ONE columnwise
             # Pallas launch (per-session context as VMEM rows, per-session
@@ -203,9 +204,12 @@ class BatchedMPCController(MPCController):
             elif self._batched_gradient_eligible():
                 kstep = opt._make_batched_gradient_step(self._B_build)
                 kind = "Adam gradient"
-            else:
+            elif self._batched_fused_cem_eligible():
                 kstep = opt._make_batched_fused_cem_step(self._B_build)
                 kind = "fully-fused CEM"
+            else:
+                kstep = opt._make_batched_var_step(self._B_build)
+                kind = "mppi-var semi-fused"
             shard_note = (
                 f" per device x {B // self._B_build} devices"
                 if mesh is not None else ""
@@ -369,6 +373,26 @@ class BatchedMPCController(MPCController):
             and opt.fully_fused
             and not self._user_force_scan
             and not opt.warmup
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and opt._pallas_compatible_model()
+            and opt.num_rollouts % ROWS == 0
+            and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
+        )
+
+    def _batched_var_eligible(self) -> bool:
+        """Columnwise mppi-var eligibility: the base semi-fused conditions
+        (the var step reuses the batched MPPI update with per-session
+        adaptive sigma scaling + adaptation in XLA)."""
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+        from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
+
+        opt = self.optimizer
+        return (
+            type(opt) is MPPIVarOptimizer
+            and not self._user_force_scan
+            and opt.semi_fused
             and not opt.optimizer_logging
             and not opt.calculate_optimal_trajectory
             and opt._mesh is None

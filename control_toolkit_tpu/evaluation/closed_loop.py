@@ -180,6 +180,28 @@ class ClosedLoop:
             ):
                 return "rpgd"
             return None
+        from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
+
+        if (
+            type(opt) is MPPIVarOptimizer
+            and not opt.force_scan
+            and opt.semi_fused
+            and not opt.optimizer_logging
+            and not opt.calculate_optimal_trajectory
+            and opt._mesh is None
+            and not self._stateful
+        ):
+            from control_toolkit_tpu.ops.pallas_mppi import (
+                DEFAULT_TILE_K, ROWS,
+            )
+
+            if (
+                opt._pallas_compatible_model()
+                and opt.num_rollouts % ROWS == 0
+                and (N * opt.num_rollouts) % DEFAULT_TILE_K == 0
+            ):
+                return "mppi-var"
+            return None
         if not (
             type(opt) is MPPIOptimizer
             and not opt.force_scan
@@ -232,10 +254,15 @@ class ClosedLoop:
         # CPU).
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
         from control_toolkit_tpu.optimizers.cem import CEMOptimizer
+        from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         pred = getattr(opt.predictor, "predictor", opt.predictor)
-        if isinstance(opt, RPGDOptimizer):
+        if isinstance(opt, MPPIVarOptimizer):
+            kstep = opt._make_batched_var_step(
+                N, interpret=interpret, tile_k=tile_k
+            )
+        elif isinstance(opt, RPGDOptimizer):
             kstep = opt._make_batched_rpgd_step(
                 N, interpret=interpret, tile_k=tile_k
             )

@@ -146,6 +146,73 @@ class MPPIVarOptimizer(MPPIOptimizer):
         grad = jnp.mean(advantage[:, None] * (sq_sum - P) / stdev, axis=0)
         return self._apply_stdev_update(stdev, grad)
 
+    def _make_batched_var_step(self, num_slots: int, interpret: bool = False,
+                               tile_k: int = None):
+        """B-session mppi-var step for BatchedMPC (columnwise kernel path).
+
+        Reuses the batched semi-fused MPPI machinery
+        (MPPIOptimizer._make_batched_semi_fused_step ``update_from_eps`` —
+        one columnwise rollout+cost launch for all B sessions) with two
+        mppi-var-specific pieces in XLA: the raw per-session draws are
+        scaled by each session's adaptive ``stdev [U]`` before entering
+        the kernel, and the per-session score-function variance adaptation
+        (the einsum of _make_step_fn's semi-fused path, per session) runs
+        on the same reshaped blocks.  Per-session PRNG streams as in the
+        base batched step; with ``LR = 0`` the step is bitwise the batched
+        MPPI step (sigma frozen at its initial clamp).
+
+        Returns ``step(states, s [B,1,S], dyn, cost, attrs) ->
+        (u [B,U], states', costs [B,K])`` over the stacked MPPIVarState.
+        """
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+
+        B, K = int(num_slots), self.num_rollouts
+        U = self.num_control_inputs
+        P = self.interp.number_of_interpolation_inducing_points
+        tile = tile_k or DEFAULT_TILE_K
+        cps = K // ROWS
+        T = (B * K) // tile
+        C = tile // ROWS
+        _, update_from_eps = self._make_batched_semi_fused_step(
+            B, interpret=interpret, tile_k=tile
+        )
+
+        def step(states, s, dyn, cost, attrs):
+            keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
+            new_keys, sample_keys = keys[:, 0], keys[:, 1]
+            eps_raw = jax.vmap(
+                lambda k: jax.random.normal(
+                    k, (U, P * ROWS, cps), dtype=jnp.float32
+                )
+            )(sample_keys)                                  # [B,U,PR,cps]
+            eps_slots = eps_raw * states.stdev[:, :, None, None]
+            eps = (
+                eps_slots.transpose(1, 2, 0, 3)
+                .reshape(U, P * ROWS, T, C)
+                .transpose(2, 0, 1, 3)
+            )                                               # [T,U,PR,C]
+            u_nom_new, costs = update_from_eps(
+                states, s, dyn, cost, attrs, eps
+            )                                               # costs [B,K]
+            u = u_nom_new[:, 0, :]
+
+            # Per-session variance adaptation (k = r*cps + cw layout).
+            adv = costs - jnp.mean(costs, axis=1, keepdims=True)
+            adv3 = adv.reshape(B, ROWS, cps)
+            raw5 = eps_raw.reshape(B, U, P, ROWS, cps)
+            sq = jnp.einsum("brc,buprc->bu", adv3, raw5**2)
+            grad = (
+                sq / K - jnp.mean(adv, axis=1)[:, None] * P
+            ) / states.stdev
+            stdev = jax.vmap(self._apply_stdev_update)(states.stdev, grad)
+
+            new_states = MPPIVarState(
+                key=new_keys, u_nom=u_nom_new[:, None], u_prev=u, stdev=stdev
+            )
+            return u, new_states, costs
+
+        return step
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         P = self.interp.number_of_interpolation_inducing_points

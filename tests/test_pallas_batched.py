@@ -744,6 +744,96 @@ def test_batched_rpgd_gates():
         opt._make_batched_rpgd_step(2, interpret=True, tile_k=32)
 
 
+def make_var_ctrl(K=64, H=10, **over):
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    cfg = {
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD_mc": 100.0, "NU_mc": 1000.0,
+        "SQRTRHOINV_mc": 0.05, "period_interpolation_inducing_points": 5,
+        "LR": 0.0, "STDEV_min": 0.001, "STDEV_max": 10.0,
+    }
+    cfg.update(over)
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi-var-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi-var-tf", optimizer_config=cfg)
+    return ctrl
+
+
+def test_batched_var_lr0_equals_batched_mppi():
+    """mppi-var with LR=0 through the batched columnwise path must be
+    BITWISE the batched MPPI step (same keys, sigma frozen at the base
+    stdev) — the batched analogue of the single-session LR=0 reduction."""
+    from control_toolkit_tpu.optimizers.mppi_var import MPPIVarState
+
+    B, K, H, tile = 4, 64, 10, 128
+    mppi = make_mppi_ctrl(K, H).optimizer       # LBD=100 NU=1000 RHO=0.05 P=5
+    var = make_var_ctrl(K, H).optimizer
+    step_m, _ = mppi._make_batched_semi_fused_step(B, interpret=True,
+                                                   tile_k=tile)
+    step_v = var._make_batched_var_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32),
+        make_mppi_ctrl(K, H)._assemble_params(),
+    )
+    states_m = make_states(mppi, B)
+    states_v = MPPIVarState(
+        key=states_m.key, u_nom=states_m.u_nom, u_prev=states_m.u_prev,
+        stdev=jnp.full((B, 1), mppi.SQRTRHODTINV, jnp.float32),
+    )
+    s = jnp.asarray(
+        np.random.default_rng(5).uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32
+    )
+    attrs = {"target_position": jnp.zeros((B,), jnp.float32)}
+    u_m, new_m, c_m = step_m(states_m, s, params["dyn"], params["cost"], attrs)
+    u_v, new_v, c_v = step_v(states_v, s, params["dyn"], params["cost"], attrs)
+    np.testing.assert_array_equal(np.asarray(u_v), np.asarray(u_m))
+    np.testing.assert_array_equal(np.asarray(c_v), np.asarray(c_m))
+    np.testing.assert_array_equal(np.asarray(new_v.u_nom), np.asarray(new_m.u_nom))
+    # sigma frozen at LR=0
+    np.testing.assert_array_equal(
+        np.asarray(new_v.stdev), np.asarray(states_v.stdev)
+    )
+
+
+def test_batched_var_adaptation_independent_of_batch_size():
+    from control_toolkit_tpu.optimizers.mppi_var import MPPIVarState
+
+    K, H, tile = 64, 10, 128
+    var = make_var_ctrl(K, H, LR=1000.0).optimizer
+    step4 = var._make_batched_var_step(4, interpret=True, tile_k=tile)
+    step2 = var._make_batched_var_step(2, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32),
+        make_var_ctrl(K, H)._assemble_params(),
+    )
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(4)]
+    )
+    states4 = jax.vmap(var._init_state)(keys)
+    states2 = jax.tree_util.tree_map(lambda x: x[:2], states4)
+    s4 = jnp.asarray(
+        np.random.default_rng(7).uniform(-0.2, 0.2, size=(4, 1, 4)), jnp.float32
+    )
+    a4 = {"target_position": jnp.zeros((4,), jnp.float32)}
+    a2 = {"target_position": jnp.zeros((2,), jnp.float32)}
+    u4, new4, c4 = step4(states4, s4, params["dyn"], params["cost"], a4)
+    u2, new2, c2 = step2(states2, s4[:2], params["dyn"], params["cost"], a2)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u4)[:2], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new2.stdev), np.asarray(new4.stdev)[:2], atol=1e-6
+    )
+    # Adaptation moved sigma (LR big) and respected the bounds.
+    assert not np.allclose(np.asarray(new4.stdev), np.asarray(states4.stdev))
+    assert np.all(np.asarray(new4.stdev) >= var.STDEV_min)
+    assert np.all(np.asarray(new4.stdev) <= var.STDEV_max)
+    assert isinstance(new4, MPPIVarState)
+
+
 def make_gradient_ctrl(K=32, H=10, **over):
     from control_toolkit_tpu.controllers.mpc import MPCController
 
