@@ -175,10 +175,13 @@ def measure_host_loop(ctrl, n=20):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def measure_batched_serving(B=32, K_per_slot=512, H=35, force_scan=False):
-    """Steps/s for B independent MPC sessions advanced by one device step
-    (controllers/batched_mpc.py): the columnwise batched kernel when
-    eligible, or the vmapped scan path (force_scan=True)."""
+def _measure_batched_steps(optimizer_name, opt_cfg, B, n_state=4,
+                           N=20, reps=2):
+    """Shared timing harness for every batched-serving row: build a
+    B-slot controller, warm-compile one device step, and time ``reps*N``
+    pipelined steps (single block at the end — dispatch overlaps).  All
+    BENCH_SCALE batched rows use THIS function so the measurement
+    methodology cannot drift between optimizers."""
     import jax
     import jax.numpy as jnp
 
@@ -188,141 +191,65 @@ def measure_batched_serving(B=32, K_per_slot=512, H=35, force_scan=False):
         environment_name="cartpole",
         control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
         initial_environment_attributes={"target_position": 0.0},
-        config={"optimizer": "mppi", "controller_logging": False},
+        config={"optimizer": optimizer_name, "controller_logging": False},
     )
-    ctrl.configure(optimizer_name="mppi", optimizer_config={
-        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
-        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
-        "NU": 1000.0, "SQRTRHOINV": 0.05, "force_scan": force_scan,
-        "period_interpolation_inducing_points": 10}, num_slots=B)
-
+    ctrl.configure(optimizer_name=optimizer_name, optimizer_config=opt_cfg,
+                   num_slots=B)
     params = ctrl._assemble_params()
-    s = jnp.zeros((B, 1, 4), jnp.float32)
+    s = jnp.zeros((B, 1, n_state), jnp.float32)
     attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
     mask = jnp.ones((B,), bool)
-    fn = ctrl._batched_jit
-    states = ctrl.slot_states
-
-    N, reps = 20, 2
+    fn, states = ctrl._batched_jit, ctrl.slot_states
     u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
     jax.block_until_ready(u)
     t0 = time.perf_counter()
     for _ in range(reps * N):
         u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
     jax.block_until_ready(u)
-    ms = (time.perf_counter() - t0) / (reps * N) * 1e3
-    return ms
+    return (time.perf_counter() - t0) / (reps * N) * 1e3
+
+
+def measure_batched_serving(B=32, K_per_slot=512, H=35, force_scan=False):
+    """Steps/s for B independent MPPI sessions (columnwise batched kernel
+    when eligible, or the vmapped scan path with force_scan=True)."""
+    return _measure_batched_steps("mppi", {
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.05, "force_scan": force_scan,
+        "period_interpolation_inducing_points": 10}, B)
+
+
+def measure_batched_fused_cem(B=128, K_per_slot=512, H=35, outer=2,
+                              fully_fused=True):
+    """Steps/s for B CEM sessions: the columns fully-fused counter-PRNG
+    kernel (fully_fused=True - zero population bytes in HBM) vs the
+    vmapped scan path."""
+    return _measure_batched_steps("cem-tf", {
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cem_outer_it": outer, "cem_best_k": 40,
+        "warmup": False, "fully_fused": fully_fused}, B)
+
+
+def measure_batched_rpgd(B=128, K_per_slot=32, H=50, outer=2, force_scan=False):
+    """Steps/s for B RPGD sessions (columnwise gradient-kernel path vs the
+    vmapped XLA-AD scan path)."""
+    return _measure_batched_steps("rpgd-tf", {
+        "seed": 7, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "outer_its": outer, "learning_rate": 0.05,
+        "opt_keep_k_ratio": 0.25, "resamp_per": 10,
+        "period_interpolation_inducing_points": 10, "warmup": False,
+        "force_scan": force_scan}, B)
 
 
 def measure_batched_gradient(B=128, K_per_slot=32, H=50, steps=5,
                              force_scan=False):
     """Steps/s for B gradient-tf sessions (columnwise gradient-kernel path
     vs vmapped XLA-AD scan)."""
-    import jax
-    import jax.numpy as jnp
-
-    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
-
-    ctrl = BatchedMPCController(
-        environment_name="cartpole",
-        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
-        initial_environment_attributes={"target_position": 0.0},
-        config={"optimizer": "gradient-tf", "controller_logging": False},
-    )
-    ctrl.configure(optimizer_name="gradient-tf", optimizer_config={
+    return _measure_batched_steps("gradient-tf", {
         "seed": 9, "mpc_timestep": 0.02, "mpc_horizon": H,
         "num_rollouts": K_per_slot, "gradient_steps": steps,
         "learning_rate": 0.05, "gradmax_clip": 5.0, "warmup": False,
-        "force_scan": force_scan}, num_slots=B)
-
-    params = ctrl._assemble_params()
-    s = jnp.zeros((B, 1, 4), jnp.float32)
-    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
-    mask = jnp.ones((B,), bool)
-    fn, states = ctrl._batched_jit, ctrl.slot_states
-    N, reps = 20, 2
-    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
-    jax.block_until_ready(u)
-    t0 = time.perf_counter()
-    for _ in range(reps * N):
-        u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
-    jax.block_until_ready(u)
-    return (time.perf_counter() - t0) / (reps * N) * 1e3
-
-
-def measure_batched_fused_cem(B=128, K_per_slot=512, H=35, outer=2,
-                              fully_fused=True):
-    """Steps/s for B CEM sessions: the columns fully-fused counter-PRNG
-    kernel (fully_fused=True — zero population bytes in HBM) vs the
-    vmapped scan path."""
-    import jax
-    import jax.numpy as jnp
-
-    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
-
-    ctrl = BatchedMPCController(
-        environment_name="cartpole",
-        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
-        initial_environment_attributes={"target_position": 0.0},
-        config={"optimizer": "cem-tf", "controller_logging": False},
-    )
-    ctrl.configure(optimizer_name="cem-tf", optimizer_config={
-        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
-        "num_rollouts": K_per_slot, "cem_outer_it": outer, "cem_best_k": 40,
-        "warmup": False, "fully_fused": fully_fused}, num_slots=B)
-
-    params = ctrl._assemble_params()
-    s = jnp.zeros((B, 1, 4), jnp.float32)
-    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
-    mask = jnp.ones((B,), bool)
-    fn, states = ctrl._batched_jit, ctrl.slot_states
-    N, reps = 20, 2
-    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
-    jax.block_until_ready(u)
-    t0 = time.perf_counter()
-    for _ in range(reps * N):
-        u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
-    jax.block_until_ready(u)
-    return (time.perf_counter() - t0) / (reps * N) * 1e3
-
-
-def measure_batched_rpgd(B=128, K_per_slot=32, H=50, outer=2, force_scan=False):
-    """Steps/s for B independent RPGD sessions advanced by one device step:
-    the columnwise gradient-kernel path (one fwd+bwd launch per Adam
-    iteration for ALL sessions, optimizers/rpgd.py _make_batched_rpgd_step)
-    vs the vmapped XLA-AD scan path (force_scan=True)."""
-    import jax
-    import jax.numpy as jnp
-
-    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
-
-    ctrl = BatchedMPCController(
-        environment_name="cartpole",
-        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
-        initial_environment_attributes={"target_position": 0.0},
-        config={"optimizer": "rpgd-tf", "controller_logging": False},
-    )
-    ctrl.configure(optimizer_name="rpgd-tf", optimizer_config={
-        "seed": 7, "mpc_timestep": 0.02, "mpc_horizon": H,
-        "num_rollouts": K_per_slot, "outer_its": outer, "learning_rate": 0.05,
-        "opt_keep_k_ratio": 0.25, "resamp_per": 10,
-        "period_interpolation_inducing_points": 10, "warmup": False,
-        "force_scan": force_scan}, num_slots=B)
-
-    params = ctrl._assemble_params()
-    s = jnp.zeros((B, 1, 4), jnp.float32)
-    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
-    mask = jnp.ones((B,), bool)
-    fn, states = ctrl._batched_jit, ctrl.slot_states
-
-    N, reps = 20, 2
-    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
-    jax.block_until_ready(u)
-    t0 = time.perf_counter()
-    for _ in range(reps * N):
-        u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
-    jax.block_until_ready(u)
-    return (time.perf_counter() - t0) / (reps * N) * 1e3
+        "force_scan": force_scan}, B)
 
 
 def measure_mc_sweep(N=128, K=512, H=50, T1=40, T2=80, reps=10, trials=3,

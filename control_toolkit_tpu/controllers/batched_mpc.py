@@ -290,18 +290,16 @@ class BatchedMPCController(MPCController):
         the B*K population packs into whole tiles with whole-column
         sessions."""
         from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
         from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
 
         opt = self.optimizer
         return (
             type(opt) is MPPIOptimizer  # variants scale eps differently
-            and not self._user_force_scan
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and opt.semi_fused
             and not opt.bounded_update
             and opt.optim_steps == 0
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
             and opt._pallas_compatible_model()
             and opt.num_rollouts % ROWS == 0
             and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
@@ -316,16 +314,15 @@ class BatchedMPCController(MPCController):
         from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
         from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
 
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+
         opt = self.optimizer
         pred = getattr(self.predictor, "predictor", self.predictor)
         return (
             type(opt) is MPPIOptimizer
-            and not self._user_force_scan
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.bounded_update
             and opt.optim_steps == 0
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
             and isinstance(pred, NeuralPredictor)
             and not pred.recurrent
             and opt._pallas_neural_compatible_model()
@@ -341,14 +338,13 @@ class BatchedMPCController(MPCController):
         from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+
         opt = self.optimizer
         if not (
             isinstance(opt, RPGDOptimizer)
-            and not self._user_force_scan
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
             and opt._pallas_compatible_model()
         ):
             return False
@@ -367,15 +363,14 @@ class BatchedMPCController(MPCController):
         from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
         from control_toolkit_tpu.optimizers.cem import CEMOptimizer
 
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+
         opt = self.optimizer
         return (
             type(opt) is CEMOptimizer
             and opt.fully_fused
-            and not self._user_force_scan
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
             and opt._pallas_compatible_model()
             and opt.num_rollouts % ROWS == 0
             and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
@@ -388,14 +383,13 @@ class BatchedMPCController(MPCController):
         from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
         from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
 
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+
         opt = self.optimizer
         return (
             type(opt) is MPPIVarOptimizer
-            and not self._user_force_scan
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and opt.semi_fused
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
             and opt._pallas_compatible_model()
             and opt.num_rollouts % ROWS == 0
             and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
@@ -408,14 +402,13 @@ class BatchedMPCController(MPCController):
         from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
         from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
 
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+
         opt = self.optimizer
         if not (
             type(opt) is GradientOptimizer
-            and not self._user_force_scan
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
             and opt._pallas_compatible_model()
         ):
             return False

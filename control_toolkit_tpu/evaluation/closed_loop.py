@@ -135,96 +135,59 @@ class ClosedLoop:
         measured neutral-to-worse — docs/KERNELS.md);
         ``_build_kernel_sweep`` still accepts one for callers composing
         one-launch sweeps explicitly."""
+        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
+        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
         from control_toolkit_tpu.optimizers.cem import CEMOptimizer
+        from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
         from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+        from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         opt = self.optimizer
-        if (
-            type(opt) is CEMOptimizer
-            and opt.fully_fused
-            and not opt.force_scan
-            and not opt.warmup
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
-            and not self._stateful
+        if not batched_kernel_core_ok(
+            opt, force_scan=opt.force_scan, stateful=self._stateful
         ):
-            from control_toolkit_tpu.ops.pallas_mppi import (
-                DEFAULT_TILE_K, ROWS,
-            )
+            return None
 
-            if (
+        def tiles_ok():
+            return (
                 opt._pallas_compatible_model()
                 and opt.num_rollouts % ROWS == 0
                 and (N * opt.num_rollouts) % DEFAULT_TILE_K == 0
-            ):
+            )
+
+        def grad_tiles_ok():
+            return opt._pallas_compatible_model() and grad_tile_dividing(
+                opt.num_states, opt.mpc_horizon, N * opt.num_rollouts
+            ) > 0
+
+        if type(opt) is CEMOptimizer:
+            if opt.fully_fused and not opt.warmup and tiles_ok():
                 return "cem-fused"
             return None
-        if (
-            isinstance(opt, RPGDOptimizer)
-            and not opt.force_scan
-            and not opt.warmup
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
-            and not self._stateful
-        ):
-            from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
-
-            if (
-                opt._pallas_compatible_model()
-                and grad_tile_dividing(
-                    opt.num_states, opt.mpc_horizon, N * opt.num_rollouts
-                ) > 0
-            ):
+        if isinstance(opt, RPGDOptimizer):
+            if not opt.warmup and grad_tiles_ok():
                 return "rpgd"
             return None
-        from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
-
-        if (
-            type(opt) is MPPIVarOptimizer
-            and not opt.force_scan
-            and opt.semi_fused
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
-            and not self._stateful
-        ):
-            from control_toolkit_tpu.ops.pallas_mppi import (
-                DEFAULT_TILE_K, ROWS,
-            )
-
-            if (
-                opt._pallas_compatible_model()
-                and opt.num_rollouts % ROWS == 0
-                and (N * opt.num_rollouts) % DEFAULT_TILE_K == 0
-            ):
+        if type(opt) is GradientOptimizer:
+            if not opt.warmup and grad_tiles_ok():
+                return "gradient"
+            return None
+        if type(opt) is MPPIVarOptimizer:
+            if opt.semi_fused and tiles_ok():
                 return "mppi-var"
             return None
         if not (
             type(opt) is MPPIOptimizer
-            and not opt.force_scan
             and not opt.bounded_update
             and opt.optim_steps == 0
-            and not opt.optimizer_logging
-            and not opt.calculate_optimal_trajectory
-            and opt._mesh is None
-            and not self._stateful
         ):
             return None
-        from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
-
-        if (
-            opt.semi_fused
-            and opt._pallas_compatible_model()
-            and opt.num_rollouts % ROWS == 0
-            and (N * opt.num_rollouts) % DEFAULT_TILE_K == 0
-        ):
+        if opt.semi_fused and tiles_ok():
             return "ode"
-        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
-
         pred = getattr(opt.predictor, "predictor", opt.predictor)
         if (
             isinstance(pred, NeuralPredictor)
@@ -257,6 +220,9 @@ class ClosedLoop:
         from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
+        from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
         pred = getattr(opt.predictor, "predictor", opt.predictor)
         if isinstance(opt, MPPIVarOptimizer):
             kstep = opt._make_batched_var_step(
@@ -264,6 +230,10 @@ class ClosedLoop:
             )
         elif isinstance(opt, RPGDOptimizer):
             kstep = opt._make_batched_rpgd_step(
+                N, interpret=interpret, tile_k=tile_k
+            )
+        elif isinstance(opt, GradientOptimizer):
+            kstep = opt._make_batched_gradient_step(
                 N, interpret=interpret, tile_k=tile_k
             )
         elif isinstance(opt, CEMOptimizer):
@@ -275,13 +245,19 @@ class ClosedLoop:
                 kstep, _ = opt._make_batched_cem_step(
                     N, interpret=interpret, tile_k=tile_k
                 )
-        elif isinstance(pred, NeuralPredictor):
+        elif type(opt) is MPPIOptimizer and isinstance(pred, NeuralPredictor):
             kstep, _ = opt._make_batched_neural_step(
                 N, interpret=interpret, tile_k=tile_k
             )
-        else:
+        elif type(opt) is MPPIOptimizer:
             kstep, _ = opt._make_batched_semi_fused_step(
                 N, interpret=interpret, tile_k=tile_k
+            )
+        else:
+            raise NotImplementedError(
+                f"no columnwise batched step exists for "
+                f"{type(opt).__name__}; run_batch uses the vmapped episode "
+                "path for this optimizer"
             )
         cf = self.controller.cost_function.cost_function
         env_step, env_dt = self.env.step_dynamics, self.env.dt

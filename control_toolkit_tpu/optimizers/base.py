@@ -32,14 +32,20 @@ from control_toolkit_tpu.utils.rng import make_key
 logger = get_logger(__name__)
 
 
-def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int, K: int):
+def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int,
+                     K: int = None):
     """Operand packer for the columnwise batched-session kernels
-    (ops/pallas_rollout.py / pallas_grad.py ``slot_keys`` form, shared by
-    the batched CEM and RPGD steps): shared scalar params (dynamics
-    constants, cost weights) pack into the SMEM ``pvec``; per-session
-    params (attrs, u_prev) expand to the per-lane ``pslot [n_slot, B*K]``
-    VMEM operand.  Returns ``pack(u_prev_b [B,U], dyn, cost, attrs) ->
-    (pvec, pslot)``."""
+    (``slot_keys`` form of ops/pallas_rollout.py / pallas_grad.py /
+    pallas_neural.py / pallas_cem.py — the SINGLE source of truth for how
+    per-session params leave the shared SMEM vector): shared scalar params
+    (dynamics constants, cost weights) pack into ``pvec``; per-session
+    params (attrs, u_prev) become one row per slot key.
+
+    Returns ``pack(u_prev_b [B,U], dyn, cost, attrs) -> (pvec,
+    rows [B, n_slot])`` when ``K is None`` (callers lay the rows out
+    themselves — e.g. the per-COLUMN ``expand_cols`` of the semi-fused /
+    fused-CEM kernels), or ``(pvec, pslot [n_slot, B*K])`` in the
+    per-LANE layout the flat cost/grad/neural kernels consume."""
     attr_defaults = dict(attr_defaults)
 
     def pack(u_prev_b, dyn, cost, attrs):
@@ -63,12 +69,31 @@ def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int, K: int):
                 ))
             else:                                   # __u_prev_<j>
                 rows.append(u_prev_b[:, int(k.rsplit("_", 1)[1])])
-        pslot = jnp.repeat(
-            jnp.stack(rows, axis=1), K, axis=0
-        ).T                                                 # [n_slot, B*K]
-        return pvec, pslot
+        rows = jnp.stack(rows, axis=1)                      # [B, n_slot]
+        if K is None:
+            return pvec, rows
+        return pvec, jnp.repeat(rows, K, axis=0).T          # [n_slot, B*K]
 
     return pack
+
+
+def batched_kernel_core_ok(opt, *, force_scan: bool,
+                           stateful: bool = False) -> bool:
+    """The conjunction every columnwise batched-kernel eligibility gate
+    shares (BatchedMPC._batched_*_eligible and ClosedLoop's sweep gate
+    both build on this — keep it in ONE place so a new condition cannot
+    be missed by one consumer): no user force_scan opt-out, stateless
+    predictor, no logging / optimal-trajectory replay (per-session
+    diagnostics take the vmapped path), and no K-sharding mesh on the
+    optimizer.  Model compatibility (SOA ODE vs neural) and tile
+    divisibility stay per-gate."""
+    return (
+        not force_scan
+        and not stateful
+        and not opt.optimizer_logging
+        and not opt.calculate_optimal_trajectory
+        and opt._mesh is None
+    )
 
 
 class Optimizer:

@@ -314,7 +314,7 @@ class CEMOptimizer(Optimizer):
         run = make_run_cols(B * K, pred.dt)
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         slot_pack = make_slot_packer(
-            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, 1
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B
         )
 
         low, high = self.action_low, self.action_high
@@ -328,9 +328,8 @@ class CEMOptimizer(Optimizer):
             return cols.reshape(T, C, n).transpose(0, 2, 1)
 
         def step(states, s, dyn, cost, attrs):
-            # slot_pack with K=1 yields the per-SESSION rows [n_sk, B].
-            pvec, pslot_b = slot_pack(states.u_prev, dyn, cost, attrs)
-            pslot_cols = expand_cols(pslot_b.T)                # [T, n_sk, C]
+            pvec, rows = slot_pack(states.u_prev, dyn, cost, attrs)
+            pslot_cols = expand_cols(rows)                     # [T, n_sk, C]
             s0_cols = expand_cols(s[:, 0, :])                  # [T, S, C]
 
             def outer(i, carry):

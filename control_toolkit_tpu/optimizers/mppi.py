@@ -291,7 +291,11 @@ class MPPIOptimizer(Optimizer):
         low, high = self.action_low, self.action_high
         LBD, stdev = self.LBD, self.SQRTRHODTINV
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        attr_defaults = dict(getattr(cf, "attr_defaults", {}))
+        from control_toolkit_tpu.optimizers.base import make_slot_packer
+
+        pack_slots = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B
+        )
 
         def expand_cols(vals):      # [B, n] -> [T, n, C] per-column rows
             n = vals.shape[1]
@@ -303,26 +307,8 @@ class MPPIOptimizer(Optimizer):
                 [states.u_nom[:, 0, 1:, :], states.u_nom[:, 0, -1:, :]],
                 axis=1,
             )                                                   # [B, H, U]
-            vals = []
-            for k in shared_keys:
-                src = dyn[k[2:]] if k.startswith("d_") else cost[k[2:]]
-                vals.append(jnp.asarray(src, jnp.float32))
-            pvec = jnp.stack(vals)
-            rows = []
-            for k in slot_keys:
-                if k.startswith("a_"):
-                    name = k[2:]
-                    v = attrs.get(name)
-                    if v is None:
-                        v = float(attr_defaults.get(name, 0.0))
-                    # Scalars broadcast over sessions (shared-attr callers
-                    # like the Monte-Carlo sweep); [B] arrays pass through.
-                    rows.append(jnp.broadcast_to(
-                        jnp.asarray(v, jnp.float32).reshape(-1), (B,)
-                    ))
-                else:                                   # __u_prev_<j>
-                    rows.append(states.u_prev[:, int(k.rsplit("_", 1)[1])])
-            pslot_cols = expand_cols(jnp.stack(rows, axis=1))   # [T, n_sk, C]
+            pvec, rows = pack_slots(states.u_prev, dyn, cost, attrs)
+            pslot_cols = expand_cols(rows)                      # [T, n_sk, C]
             s0_cols = expand_cols(s[:, 0, :])                   # [T, S, C]
             unom_cols = expand_cols(
                 unom_b.transpose(0, 2, 1).reshape(B, U * H)     # j*H + h order

@@ -906,6 +906,50 @@ def test_batched_gradient_step_matches_single_session():
         states = new_states
 
 
+def test_kernel_sweep_gradient_dispatch_and_unsupported_error():
+    """_build_kernel_sweep dispatches gradient-tf to the batched gradient
+    step, and raises a clear NotImplementedError (not an AttributeError)
+    for optimizers with no columnwise step."""
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    N, K, H, tile, T = 2, 32, 8, 32, 3
+    ctrl = make_gradient_ctrl(K, H)
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0)
+    sweep = loop._build_kernel_sweep(N, interpret=True, tile_k=tile)
+    opt = ctrl.optimizer
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(N)]
+    )
+    states0 = jax.vmap(opt._init_state)(keys)
+    s0s = jnp.zeros((N, 4), jnp.float32).at[:, 2].set(0.2)
+    sub = jax.random.PRNGKey(1)
+    noise_keys = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+    _, sT, ss, us, stage, _ = sweep(states0, s0s, params, noise_keys, T)
+    assert np.all(np.isfinite(np.asarray(sT)))
+
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ilqr = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "ilqr", "controller_logging": False},
+    )
+    ilqr.configure(optimizer_name="ilqr", optimizer_config={
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 10,
+        "max_iterations": 3,
+    })
+    loop2 = ClosedLoop(ilqr, env, actuator_noise=0.0)
+    assert loop2._sweep_kernel_kind(N) is None
+    with pytest.raises(NotImplementedError):
+        loop2._build_kernel_sweep(N, interpret=True, tile_k=tile)
+
+
 def test_batched_gradient_gates():
     from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
 
