@@ -143,15 +143,38 @@ class BatchedMPCController(MPCController):
             )
             rnn_apply = self._rnn_apply_fn
 
-            def batched(states, s, dyn, cost, attrs, mask, hidden):
-                def one(st, s_, at, h):
-                    d = dict(dyn)
-                    d["hidden"] = h
-                    return step_fn(st, s_, {"dyn": d, "cost": cost, "attrs": at})
+            if self._batched_recurrent_eligible():
+                # Columnwise recurrent kernel: each lane column carries its
+                # session's live hidden; one launch for all B sessions.
+                kstep, _ = opt._make_batched_recurrent_step(self._B_build)
+                self._kernel_path = True
+                logger.info(
+                    f"batched-mpc: columnwise kernel path engaged "
+                    f"(recurrent {pred.arch['kind'].upper()}, "
+                    f"B={self._B_build} x K={opt.num_rollouts} in one launch)"
+                )
 
-                u, new_states, _ = jax.vmap(
-                    one, in_axes=(0, 0, {k: 0 for k in attrs}, 0)
-                )(states, s, attrs, hidden)
+                def inner_step(states, s, dyn, cost, attrs, hidden):
+                    return kstep(states, s, dyn, cost, attrs, hidden)
+
+            else:
+
+                def inner_step(states, s, dyn, cost, attrs, hidden):
+                    def one(st, s_, at, h):
+                        d = dict(dyn)
+                        d["hidden"] = h
+                        return step_fn(
+                            st, s_, {"dyn": d, "cost": cost, "attrs": at}
+                        )
+
+                    return jax.vmap(
+                        one, in_axes=(0, 0, {k: 0 for k in attrs}, 0)
+                    )(states, s, attrs, hidden)
+
+            def batched(states, s, dyn, cost, attrs, mask, hidden):
+                u, new_states, _ = inner_step(
+                    states, s, dyn, cost, attrs, hidden
+                )
 
                 def keep(new, old):
                     m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
@@ -393,6 +416,29 @@ class BatchedMPCController(MPCController):
             and opt._pallas_compatible_model()
             and opt.num_rollouts % ROWS == 0
             and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
+        )
+
+    def _batched_recurrent_eligible(self) -> bool:
+        """Columnwise RECURRENT-kernel eligibility: plain MPPI over a
+        recurrent (GRU/LSTM) f32 NeuralPredictor on an unmeshed TPU, with
+        B*K dividing a neural tile — per-session live hidden rides per
+        lane column (``hidden_per_lane``)."""
+        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+        opt = self.optimizer
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return (
+            type(opt) is MPPIOptimizer
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            and not opt.bounded_update
+            and opt.optim_steps == 0
+            and isinstance(pred, NeuralPredictor)
+            and pred.recurrent
+            and opt._pallas_neural_compatible_model()
+            and neural_tile_for(self._B_build * opt.num_rollouts) > 0
         )
 
     def _batched_gradient_eligible(self) -> bool:

@@ -180,9 +180,14 @@ def build_neural_cost_rollout_kernel(
     return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot)
 
 
-def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0):
+def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
+                 n_lane_ops=0):
     """Shared pallas_call wrapper: fn(s0 [K,S], Q [K,H,U], pvec, *ops) —
-    with ``n_slot`` > 0, fn(s0, Q, pvec, pslot [n_slot, K], *ops)."""
+    with ``n_slot`` > 0, fn(s0, Q, pvec, pslot [n_slot, K], *ops).
+    ``n_lane_ops`` marks the LAST n operands of the weight list as
+    per-LANE arrays ``[rows, K]`` (sliced per tile like pslot) instead of
+    whole-array resident operands — used for per-session recurrent hidden
+    columns in the batched (columns) recurrent kernel."""
 
     @jax.jit
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
@@ -203,13 +208,19 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0):
         s0_t = s0.T                        # [S, K]
         q_t = jnp.transpose(Q, (1, 2, 0))  # [H, U, K]
 
-        w_specs = [
-            pl.BlockSpec(
-                w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
-                memory_space=pltpu.VMEM,
-            )
-            for w in weights
-        ]
+        w_specs = []
+        for idx, w in enumerate(weights):
+            if idx >= n_w - n_lane_ops:         # per-lane [rows, K]
+                assert w.shape[1] == K, (w.shape, K)
+                w_specs.append(pl.BlockSpec(
+                    (w.shape[0], tile_k), lambda i, pv: (0, i),
+                    memory_space=pltpu.VMEM,
+                ))
+            else:
+                w_specs.append(pl.BlockSpec(
+                    w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
+                    memory_space=pltpu.VMEM,
+                ))
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -267,6 +278,8 @@ def build_recurrent_cost_rollout_kernel(
     predict_delta: bool = True,
     tile_k: int = DEFAULT_NEURAL_TILE_K,
     interpret: bool = False,
+    slot_keys: Sequence[str] = (),
+    hidden_per_lane: bool = False,
 ):
     """Fused rollout+cost for stacked GRU/LSTM next-state models.
 
@@ -278,20 +291,32 @@ def build_recurrent_cost_rollout_kernel(
     entirely in VMEM registers across the horizon loop.  The XLA scan path
     round-trips [K, 3H] gate tensors through HBM every step; here only Q in
     and cost out touch HBM.
+
+    ``slot_keys`` + ``hidden_per_lane`` switch to the batched-session
+    ("columns") form: per-session attrs/u_prev arrive as a per-lane
+    ``pslot [n_slot, K]`` operand after Q (cf. the MLP kernel), and the
+    per-layer hidden operands become per-LANE arrays ``[Hd(|2Hd), K]`` —
+    each lane column carries ITS session's live hidden instead of the
+    shared batch-1 broadcast, so B sessions with independent RNN states
+    pack into one launch.
     """
     S, U, H = num_states, num_controls, horizon
     n_cells = len(hiddens)
     if kind not in ("gru", "lstm"):
         raise ValueError(f"kind must be gru|lstm, got {kind!r}")
     n_w = 4 * n_cells + 2 + n_cells  # cell mats + head + hidden columns
-
-    def unpack(pvec_ref):
-        return {k: pvec_ref[i] for i, k in enumerate(param_keys)}
+    slot_keys = tuple(slot_keys)
+    n_slot = len(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
 
     def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        if n_slot:
+            pslot_ref, rest = rest[0], rest[1:]
         w_refs = rest[:n_w]
         cost_ref = rest[n_w]
-        p = unpack(pvec_ref)
+        p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
+        for i, k in enumerate(slot_keys):
+            p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
 
         head_wo = w_refs[4 * n_cells][:]       # [S, d_last]
         head_bo = w_refs[4 * n_cells + 1][:]   # [S, 1]
@@ -299,13 +324,18 @@ def build_recurrent_cost_rollout_kernel(
 
         xs = tuple(s0_ref[i : i + 1, :] for i in range(S))
         prev_us = tuple(
-            jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+            p[f"__u_prev_{j}"] if f"__u_prev_{j}" in slot_keys
+            else jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
         )
-        # Broadcast the batch-1 hidden columns across the tile.
-        hs = tuple(
-            jnp.broadcast_to(h0_refs[i][:], (h0_refs[i].shape[0], tile_k))
-            for i in range(n_cells)
-        )
+        if hidden_per_lane:
+            # Each lane already carries its session's hidden columns.
+            hs = tuple(h0_refs[i][:, :] for i in range(n_cells))
+        else:
+            # Broadcast the batch-1 hidden columns across the tile.
+            hs = tuple(
+                jnp.broadcast_to(h0_refs[i][:], (h0_refs[i].shape[0], tile_k))
+                for i in range(n_cells)
+            )
         acc = jnp.zeros((1, tile_k), jnp.float32)
 
         def cell(i, inp, state):
@@ -370,4 +400,7 @@ def build_recurrent_cost_rollout_kernel(
         )
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
 
-    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret)
+    return _make_runner(
+        kernel, S, U, H, n_w, tile_k, interpret, n_slot,
+        n_lane_ops=n_cells if hidden_per_lane else 0,
+    )

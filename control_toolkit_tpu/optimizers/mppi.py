@@ -465,6 +465,124 @@ class MPPIOptimizer(Optimizer):
 
         return step, update_from_eps
 
+    def _make_batched_recurrent_step(self, num_slots: int,
+                                     interpret: bool = False,
+                                     tile_k: int = None):
+        """B-session MPPI step over RECURRENT (stacked GRU/LSTM) learned
+        dynamics for BatchedMPC — the stateful analogue of
+        ``_make_batched_neural_step``.
+
+        All B sessions' rollouts evaluate through ONE columns-mode
+        recurrent kernel launch (ops/pallas_neural.py ``slot_keys`` +
+        ``hidden_per_lane``): each lane column carries ITS session's live
+        per-layer hidden, so B sessions with independent RNN states pack
+        into one launch; cell/head weights stay shared whole-array
+        operands (sysid updates / checkpoint swaps never recompile).
+        Sampling, interpolation, correction cost and the per-session
+        softmax update stay in XLA; the hidden ADVANCE with the applied
+        control remains the caller's batched ``rnn_apply``
+        (BatchedMPC's stateful wrapper — reference predictor.update,
+        optimizer_mppi.py:195-197).
+
+        Returns ``(step, update_from_eps)`` with ``step(states, s [B,1,S],
+        dyn, cost, attrs, hidden) -> (u [B,U], states', costs [B,K])``
+        where ``hidden`` is the per-slot tuple of ``[B, 1, Hi]`` leaves.
+        """
+        from control_toolkit_tpu.ops.pallas_neural import (
+            build_recurrent_cost_rollout_kernel,
+            flatten_rnn_weights,
+            neural_tile_for,
+        )
+        from control_toolkit_tpu.optimizers.base import make_slot_packer
+
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        P = self.interp.number_of_interpolation_inducing_points
+        tk = tile_k or neural_tile_for(B * K)
+        if tk == 0:
+            raise ValueError(
+                f"batched recurrent kernel needs a tile dividing B*K; "
+                f"got B={B}, K={K}"
+            )
+
+        param_keys, _, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        if not pred.recurrent:
+            raise ValueError(
+                "batched recurrent step requires a recurrent (GRU/LSTM) "
+                "NeuralPredictor; MLP models take _make_batched_neural_step"
+            )
+        slot_prefixes = ("a_", "__u_prev_")
+        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
+        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        kernel = build_recurrent_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=S, num_controls=U, horizon=H,
+            param_keys=param_keys, hiddens=tuple(pred.arch["hiddens"]),
+            kind=pred.arch["kind"], predict_delta=pred.predict_delta,
+            tile_k=tk, interpret=interpret,
+            slot_keys=slot_keys, hidden_per_lane=True,
+        )
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pack_slots = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
+        )
+
+        interp = self.interp
+        low, high = self.action_low, self.action_high
+        LBD, stdev = self.LBD, self.SQRTRHODTINV
+        correction_cost = make_correction_cost(self.cc_weight, self.R, self.NU)
+
+        def weight_ops(net, hidden):
+            # Shared cell/head operands, then the per-lane hidden columns:
+            # [B, 1, Hi] -> each session's hidden repeated over its K lanes.
+            ops = flatten_rnn_weights(net, ())
+            for h in hidden:
+                ops.append(jnp.repeat(h[:, 0, :], K, axis=0).T)  # [Hi, B*K]
+            return ops
+
+        def update_from_eps(states, s, dyn, cost, attrs, hidden, delta_b):
+            unom_b = jnp.concatenate(
+                [states.u_nom[:, 0, 1:, :], states.u_nom[:, 0, -1:, :]],
+                axis=1,
+            )                                                   # [B, H, U]
+            delta = interp.interpolate(
+                delta_b.reshape(B * K, P, U)
+            ).reshape(B, K, H, U)
+            u_run = jnp.clip(unom_b[:, None] + delta, low, high)
+            Q = u_run.reshape(B * K, H, U)
+            s0 = jnp.repeat(s[:, 0, :], K, axis=0)              # [B*K, S]
+            pvec, pslot = pack_slots(states.u_prev, dyn, cost, attrs)
+            base = kernel(
+                s0, Q, pvec, pslot, *weight_ops(dyn["net"], hidden)
+            ).reshape(B, K)
+            costs = base + jax.vmap(correction_cost)(u_run, delta)
+
+            rho = jnp.min(costs, axis=1, keepdims=True)
+            w = jnp.exp(-(costs - rho) * (1.0 / LBD))
+            a = jnp.sum(w, axis=1)
+            upd = jnp.einsum("bk,bkhu->bhu", w, delta) / a[:, None, None]
+            u_nom_new = jnp.clip(unom_b + upd, low, high)
+            return u_nom_new, costs
+
+        def step(states, s, dyn, cost, attrs, hidden):
+            keys = jax.vmap(lambda k: jax.random.split(k))(states.key)
+            new_keys, sample_keys = keys[:, 0], keys[:, 1]
+            delta_b = jax.vmap(
+                lambda k: jax.random.normal(k, (K, P, U), dtype=jnp.float32)
+            )(sample_keys) * stdev                              # [B,K,P,U]
+            u_nom_new, costs = update_from_eps(
+                states, s, dyn, cost, attrs, hidden, delta_b
+            )
+            u = u_nom_new[:, 0, :]
+            new_states = MPPIState(
+                key=new_keys, u_nom=u_nom_new[:, None], u_prev=u
+            )
+            return u, new_states, costs
+
+        return step, update_from_eps
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         P = self.interp.number_of_interpolation_inducing_points

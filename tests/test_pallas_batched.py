@@ -220,6 +220,115 @@ def test_batched_neural_kernel_matches_xla_reference():
         )
 
 
+@pytest.mark.parametrize("spec", ["GRU-5IN-8H1-4OUT", "LSTM-5IN-8H1-4OUT"])
+def test_batched_recurrent_kernel_matches_xla_reference(spec):
+    """Columns-mode RECURRENT kernel (per-session live hidden riding the
+    lane columns) == per-session XLA reference (recurrent scan rollout
+    with that session's hidden + trajectory cost + correction + softmax)
+    with the same injected inducing-point noise."""
+    from test_pallas_neural import make_neural_mppi
+
+    B, K, H, tile = 2, 64, 8, 128
+    ctrl = make_neural_mppi(K, H, net=spec)
+    opt = ctrl.optimizer
+    pred = opt.predictor.predictor
+    assert pred.recurrent
+    _, update_from_eps = opt._make_batched_recurrent_step(
+        B, interpret=True, tile_k=tile
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+
+    states = make_states(opt, B)
+    rng = np.random.default_rng(23)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    # Distinct per-session live hidden (the whole point of the columns
+    # recurrent form).
+    hidden = tuple(
+        jnp.asarray(rng.normal(0, 0.3, size=(B, 1) + np.asarray(h).shape[1:]),
+                    jnp.float32)
+        for h in pred.hidden
+    )
+    delta_b = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(B, K, P, U)), jnp.float32
+    )
+
+    u_nom_new, costs = update_from_eps(
+        states, s_b, params["dyn"], params["cost"], attrs, hidden, delta_b
+    )
+    assert u_nom_new.shape == (B, opt.mpc_horizon, U) and costs.shape == (B, K)
+
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:],
+             np.asarray(states.u_nom)[b, 0, -1:]], axis=0)
+        delta = np.asarray(opt.interp.interpolate(delta_b[b]))
+        Q = np.clip(un_shift[None] + delta, -1.0, 1.0)
+        d_b = dict(params["dyn"])
+        d_b["hidden"] = tuple(h[b] for h in hidden)
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        traj = opt.predictor.rollout(s_tiled, jnp.asarray(Q), d_b)
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        base = opt.cost_function.get_trajectory_cost(
+            traj, jnp.asarray(Q), states.u_prev[b], cparams
+        )
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * delta**2
+                + opt.R * Q * delta + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        ref_cost = np.asarray(base) + corr
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=2e-4
+        )
+        rho = ref_cost.min()
+        w = np.exp(-(ref_cost - rho) / opt.LBD)
+        upd = np.einsum("k,khu->hu", w, delta) / w.sum()
+        ref_unom = np.clip(un_shift + upd, -1.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(u_nom_new)[b], ref_unom, atol=1e-5, rtol=1e-5
+        )
+
+
+def test_batched_recurrent_step_independent_of_batch_size():
+    from test_pallas_neural import make_neural_mppi
+
+    K, H, tile = 64, 8, 128
+    ctrl = make_neural_mppi(K, H, net="GRU-5IN-8H1-4OUT")
+    opt = ctrl.optimizer
+    pred = opt.predictor.predictor
+    step4, _ = opt._make_batched_recurrent_step(4, interpret=True, tile_k=tile)
+    step2, _ = opt._make_batched_recurrent_step(2, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states4 = make_states(opt, 4)
+    states2 = jax.tree_util.tree_map(lambda x: x[:2], states4)
+    rng = np.random.default_rng(29)
+    h4 = tuple(
+        jnp.asarray(rng.normal(0, 0.3, size=(4, 1) + np.asarray(h).shape[1:]),
+                    jnp.float32)
+        for h in pred.hidden
+    )
+    h2 = tuple(h[:2] for h in h4)
+    s4 = jnp.asarray(rng.uniform(-0.2, 0.2, size=(4, 1, 4)), jnp.float32)
+    u4, new4, c4 = step4(states4, s4, params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((4,), jnp.float32)}, h4)
+    u2, new2, c2 = step2(states2, s4[:2], params["dyn"], params["cost"],
+                         {"target_position": jnp.zeros((2,), jnp.float32)}, h2)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u4)[:2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c4)[:2], atol=1e-5)
+
+
 def test_batched_neural_step_independent_of_batch_size():
     from test_pallas_neural import make_neural_mppi
 
