@@ -5,7 +5,12 @@ ZMQ server, then runs N closed cartpole loops as independent DEALER clients
 (each with its own target position) and reports per-loop tracking and
 request latency percentiles.
 
-    python examples/batched_serving.py [num_loops]
+    python examples/batched_serving.py [num_loops] [optimizer]
+
+``optimizer`` may be mppi (default) or rpgd-tf — on a TPU the eligible
+kinds engage the columnwise batched kernels (one Pallas launch for all
+sessions; docs/KERNELS.md); this CPU demo exercises the same code path
+on the vmapped fallback.
 """
 import sys
 import threading
@@ -27,18 +32,32 @@ from control_toolkit_tpu.environments.cartpole import CartpoleEnv  # noqa: E402
 from control_toolkit_tpu.serving.batched_server import serve_batched  # noqa: E402
 
 
-def main(n_loops: int = 4, steps: int = 150):
+OPT_CFGS = {
+    "mppi": {
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 35, "num_rollouts": 256,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 10.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.08, "period_interpolation_inducing_points": 5,
+    },
+    "rpgd-tf": {
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 35, "num_rollouts": 32,
+        "outer_its": 2, "learning_rate": 0.1, "opt_keep_k_ratio": 0.25,
+        "resamp_per": 10, "period_interpolation_inducing_points": 5,
+        "warmup": False,
+    },
+}
+
+
+def main(n_loops: int = 4, steps: int = 150, optimizer: str = "mppi"):
+    if optimizer not in OPT_CFGS:
+        raise SystemExit(f"optimizer must be one of {sorted(OPT_CFGS)}")
     ctrl = BatchedMPCController(
         environment_name="cartpole",
         control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
         initial_environment_attributes={"target_position": 0.0},
-        config={"optimizer": "mppi", "controller_logging": False},
+        config={"optimizer": optimizer, "controller_logging": False},
     )
-    ctrl.configure(optimizer_name="mppi", optimizer_config={
-        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 35, "num_rollouts": 256,
-        "cc_weight": 1.0, "R": 1.0, "LBD": 10.0, "NU": 1000.0,
-        "SQRTRHOINV": 0.08, "period_interpolation_inducing_points": 5,
-    }, num_slots=n_loops)
+    ctrl.configure(optimizer_name=optimizer, optimizer_config=OPT_CFGS[optimizer],
+                   num_slots=n_loops)
 
     endpoint = "tcp://127.0.0.1:15650"
     server = threading.Thread(
@@ -84,4 +103,7 @@ def main(n_loops: int = 4, steps: int = 150):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 4,
+        optimizer=sys.argv[2] if len(sys.argv) > 2 else "mppi",
+    )

@@ -436,3 +436,38 @@ def test_slot_mesh_columnwise_kernel_shardmap_interpret():
     np.testing.assert_allclose(
         np.asarray(new_sh.u_nom), np.asarray(new_ref.u_nom), atol=1e-6
     )
+
+
+def test_fleet_weight_update_no_retrace():
+    """'Fleet learning' serving workflow: an online-sysid update (or
+    checkpoint swap) of the learned-dynamics weights mid-serving changes
+    EVERY session's next control without retracing the batched step —
+    net weights are jit arguments, exactly like the scalar path
+    (test_recompilation.py)."""
+    def build():
+        c = BatchedMPCController(
+            environment_name="cartpole",
+            control_limits=(np.array([-1.0], np.float32),
+                            np.array([1.0], np.float32)),
+            initial_environment_attributes={"target_position": 0.0},
+            config={"optimizer": "mppi", "controller_logging": False},
+        )
+        c.configure(optimizer_name="mppi", optimizer_config=MPPI_CFG,
+                    predictor_specification="neural:mlp-16", num_slots=3)
+        return c
+
+    updated, frozen = build(), build()
+    s = np.tile(np.array([0.05, 0.0, 0.2, -0.1], np.float32), (3, 1))
+    u_u1 = updated.step_batch(s)
+    u_f1 = frozen.step_batch(s)
+    np.testing.assert_array_equal(u_u1, u_f1)       # identical before update
+    assert updated._batched_jit._cache_size() == 1
+
+    pred = updated.predictor.predictor
+    pred.net_params["w0"] = np.asarray(pred.net_params["w0"]) + 0.3
+    updated._dyn_params = None                      # sysid invalidates cache
+    u_u2 = updated.step_batch(s)
+    u_f2 = frozen.step_batch(s)
+    assert updated._batched_jit._cache_size() == 1, "weight swap retraced"
+    # Every session's control consumed the new model.
+    assert np.all(np.abs(u_u2 - u_f2) > 0), (u_u2, u_f2)
