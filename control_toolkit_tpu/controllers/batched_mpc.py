@@ -117,10 +117,36 @@ class BatchedMPCController(MPCController):
         else:
             self._slot_axes, self._B_build = (), B
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            ax = s_axes if len(s_axes) > 1 else s_axes[0]
+            self._slot_sharding = NamedSharding(mesh, PS(ax))
+            self._rep_sharding = NamedSharding(mesh, PS())
+
+            def place_slots(tree):
+                # Via host numpy so this works in MULTI-PROCESS meshes too
+                # (every process computes the identical full array and
+                # device_put distributes each process's addressable
+                # shards).
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        np.asarray(x), self._slot_sharding
+                    ),
+                    tree,
+                )
+
+            self._place_slots = place_slots
+        else:
+            self._slot_sharding = self._rep_sharding = None
+            self._place_slots = lambda tree: tree
+
         self._slot_keys = jnp.stack(
             [jax.random.fold_in(opt._initial_key, i) for i in range(B)]
         )
-        self.slot_states = jax.vmap(opt._init_state)(self._slot_keys)
+        self.slot_states = self._place_slots(
+            jax.vmap(opt._init_state)(self._slot_keys)
+        )
 
         step_fn = opt._make_step_fn()
         self._kernel_path = False
@@ -138,9 +164,9 @@ class BatchedMPCController(MPCController):
             self._rnn_state0_fn = pred._rnn_state0
             self._rnn_hiddens = tuple(pred.arch["hiddens"])
             zero = self._rnn_state0_fn(self._rnn_hiddens, 1)
-            self.slot_hidden = tuple(
+            self.slot_hidden = self._place_slots(tuple(
                 jnp.tile(jnp.asarray(h)[None], (B, 1, 1)) for h in zero
-            )
+            ))
             rnn_apply = self._rnn_apply_fn
 
             if self._batched_recurrent_eligible():
@@ -519,12 +545,31 @@ class BatchedMPCController(MPCController):
             self._cost_params = None
         params = self._assemble_params()
 
-        mask_arr = (
-            jnp.ones((B,), bool) if mask is None
-            else jnp.asarray(np.asarray(mask, bool))
+        mask_np = (
+            np.ones((B,), bool) if mask is None else np.asarray(mask, bool)
         )
-        s_dev = jnp.asarray(np.asarray(s_batch, np.float32)).reshape(B, 1, -1)
-        attrs = {k: jnp.asarray(v) for k, v in self.slot_attrs.items()}
+        s_np = np.asarray(s_batch, np.float32).reshape(B, 1, -1)
+        if self._slot_sharding is not None:
+            import jax
+
+            # Explicit global placement: required for multi-PROCESS slot
+            # meshes (each process holds the identical full arrays and
+            # device_put distributes its addressable shards), and avoids a
+            # jit-entry reshard for single-process meshes.
+            mask_arr = jax.device_put(mask_np, self._slot_sharding)
+            s_dev = jax.device_put(s_np, self._slot_sharding)
+            attrs = {
+                k: jax.device_put(np.asarray(v), self._slot_sharding)
+                for k, v in self.slot_attrs.items()
+            }
+            params = jax.tree_util.tree_map(
+                lambda v: jax.device_put(np.asarray(v), self._rep_sharding),
+                params,
+            )
+        else:
+            mask_arr = jnp.asarray(mask_np)
+            s_dev = jnp.asarray(s_np)
+            attrs = {k: jnp.asarray(v) for k, v in self.slot_attrs.items()}
 
         if self._stateful:
             # The assembled dyn carries the predictor's own batch-1 hidden
@@ -539,7 +584,19 @@ class BatchedMPCController(MPCController):
                 self.slot_states, s_dev, params["dyn"], params["cost"], attrs,
                 mask_arr,
             )
-        u_host = np.asarray(u)
+        import jax
+
+        if self._slot_mesh is not None and jax.process_count() > 1:
+            # Multi-process mesh: the full [B, U] control is not locally
+            # addressable — allgather it so every process serves every
+            # session's reply (gloo/ICI, tiny array).
+            from jax.experimental import multihost_utils
+
+            u_host = np.asarray(
+                multihost_utils.process_allgather(u, tiled=True)
+            )
+        else:
+            u_host = np.asarray(u)
         # Per-slot NaN guard (optimizer base does this host-side for the
         # scalar path): a diverged slot commands zero and resets alone.
         bad = ~np.all(np.isfinite(u_host), axis=-1)
@@ -566,10 +623,12 @@ class BatchedMPCController(MPCController):
         import jax
         import jax.numpy as jnp
 
-        self.slot_states = jax.vmap(self.optimizer._init_state)(self._slot_keys)
+        self.slot_states = self._place_slots(
+            jax.vmap(self.optimizer._init_state)(self._slot_keys)
+        )
         if getattr(self, "_stateful", False):
             zero = self._rnn_state0_fn(self._rnn_hiddens, 1)
-            self.slot_hidden = tuple(
+            self.slot_hidden = self._place_slots(tuple(
                 jnp.tile(jnp.asarray(h)[None], (self.num_slots, 1, 1))
                 for h in zero
-            )
+            ))

@@ -131,6 +131,46 @@ def run_sharded_trace(optimizer_name: str, mesh, steps: int) -> np.ndarray:
     return np.stack(trace)
 
 
+BATCHED_SLOTS = 8
+
+
+def run_batched_trace(mesh, steps: int) -> np.ndarray:
+    """Run ``steps`` batched-serving device steps of BATCHED_SLOTS MPPI
+    sessions with the SLOT axis sharded over ``mesh`` (BatchedMPC's
+    zero-collective slot SPMD — here spanning OS processes) and return
+    the [steps, B, U] control trace.  ``mesh=None`` = unsharded
+    single-process reference."""
+    from control_toolkit_tpu.controllers.batched_mpc import (
+        BatchedMPCController,
+    )
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    kw = {"num_slots": BATCHED_SLOTS}
+    if mesh is not None:
+        kw["mesh"] = mesh
+    ctrl.configure(
+        optimizer_name="mppi",
+        optimizer_config=dict(MULTIHOST_CONFIG["mppi"]),
+        **kw,
+    )
+    trace = []
+    rng = np.random.default_rng(5)
+    # Deterministic per-slot state sequence + a mid-run attribute update so
+    # the per-slot attrs path is exercised across the process boundary.
+    for t in range(steps):
+        s = rng.standard_normal((BATCHED_SLOTS, 4)).astype(np.float32) * 0.2
+        upd = None
+        if t == 1:
+            upd = [{"target_position": 0.1 * i} for i in range(BATCHED_SLOTS)]
+        trace.append(ctrl.step_batch(s, None, upd))
+    return np.stack(trace)
+
+
 def _worker_main(argv: Optional[List[str]] = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--process-id", type=int, required=True)
@@ -172,8 +212,12 @@ def _worker_main(argv: Optional[List[str]] = None) -> None:
 
     out = {}
     for name in args.optimizers.split(","):
-        ctrl_trace = run_sharded_trace(name, mesh, args.steps)
-        out[name] = ctrl_trace
+        if name == "batched":
+            # Slot-axis SPMD serving across the process boundary (the name
+            # selects the BatchedMPC trace instead of a scalar optimizer).
+            out[name] = run_batched_trace(mesh, args.steps)
+        else:
+            out[name] = run_sharded_trace(name, mesh, args.steps)
     np.savez(args.out, **out)
     # Let the parent assert the population really spanned processes: with
     # num_processes > 1 the global mesh is not fully addressable here.

@@ -75,3 +75,26 @@ def test_multislice_mesh_across_processes():
     mesh = make_multislice_mesh(2, jax.devices())  # single-process, 2x4
     single = run_sharded_trace("mppi", mesh, 2)
     np.testing.assert_allclose(multi[0]["mppi"], single, atol=2e-5, rtol=0)
+
+
+def test_batched_serving_slot_spmd_across_processes():
+    """Slot-axis SPMD serving across OS processes: 8 MPPI sessions
+    sharded over a 2-process x 4-device global mesh (BatchedMPC
+    shard_map, zero collectives; only the final [B,U] control is
+    allgathered).  Both processes serve identical controls, equal to the
+    unsharded single-process batched controller to 2e-5 — slot-keyed
+    PRNG streams make the device/process grouping immaterial."""
+    from control_toolkit_tpu.parallel.launch import (
+        BATCHED_SLOTS,
+        run_batched_trace,
+    )
+
+    traces = launch_workers(
+        num_processes=2, local_devices=4, steps=STEPS, optimizers="batched"
+    )
+    a, b = traces[0]["batched"], traces[1]["batched"]
+    assert a.shape == (STEPS, BATCHED_SLOTS, 1)
+    np.testing.assert_array_equal(a, b)
+
+    single = run_batched_trace(None, STEPS)      # unsharded reference
+    np.testing.assert_allclose(a, single, atol=2e-5, rtol=0)
