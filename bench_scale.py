@@ -252,6 +252,57 @@ def measure_batched_gradient(B=128, K_per_slot=32, H=50, steps=5,
         "force_scan": force_scan}, B)
 
 
+def measure_batched_var(B=128, K_per_slot=512, H=35, force_scan=False):
+    """Steps/s for B mppi-var sessions (columnwise semi-fused update with
+    per-session adaptive sigma vs vmapped scan)."""
+    return _measure_batched_steps("mppi-var-tf", {
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0,
+        "LBD_mc": 100.0, "NU_mc": 1000.0, "SQRTRHOINV_mc": 0.05,
+        "period_interpolation_inducing_points": 10, "LR": 1000.0,
+        "force_scan": force_scan}, B)
+
+
+def measure_batched_rnn(B=128, K_per_slot=512, H=35, force_scan=False):
+    """Steps/s for B MPPI sessions over a recurrent GRU-32 predictor
+    (columns recurrent kernel with per-session live hidden vs vmapped
+    scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 11, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.05,
+        "period_interpolation_inducing_points": 10,
+        "force_scan": force_scan},
+        predictor_specification="neural:GRU-5IN-32H1-4OUT", num_slots=B)
+    params = ctrl._assemble_params()
+    s = jnp.zeros((B, 1, 4), jnp.float32)
+    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
+    mask = jnp.ones((B,), bool)
+    dyn = {k: v for k, v in params["dyn"].items() if k != "hidden"}
+    fn = ctrl._batched_jit
+    states, hidden = ctrl.slot_states, ctrl.slot_hidden
+    N, reps = 20, 2
+    u, states, hidden = fn(states, s, dyn, params["cost"], attrs, mask, hidden)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(reps * N):
+        u, states, hidden = fn(states, s, dyn, params["cost"], attrs, mask,
+                               hidden)
+    jax.block_until_ready(u)
+    return (time.perf_counter() - t0) / (reps * N) * 1e3
+
+
 def measure_mc_sweep(N=128, K=512, H=50, T1=40, T2=80, reps=10, trials=3,
                      force_scan=False):
     """Monte-Carlo sweep ms/tick (evaluation/ClosedLoop.run_batch device
@@ -559,6 +610,20 @@ def main():
     results["batched_gradient_B128_K32_H50"] = round(ms_k, 3)
     results["batched_gradient_B128_K32_H50_vmap_scan"] = round(ms_s, 3)
     print(f"batched gradient-tf B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
+          f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
+
+    ms_k = measure_batched_var(B=128, K_per_slot=512, H=35)
+    ms_s = measure_batched_var(B=128, K_per_slot=512, H=35, force_scan=True)
+    results["batched_var_B128_K512_H35"] = round(ms_k, 3)
+    results["batched_var_B128_K512_H35_vmap_scan"] = round(ms_s, 3)
+    print(f"batched mppi-var B=128 K=512 H=35: kernel {ms_k:.3f} ms/step "
+          f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
+
+    ms_k = measure_batched_rnn(B=128, K_per_slot=512, H=35)
+    ms_s = measure_batched_rnn(B=128, K_per_slot=512, H=35, force_scan=True)
+    results["batched_rnn_gru32_B128_K512_H35"] = round(ms_k, 3)
+    results["batched_rnn_gru32_B128_K512_H35_vmap_scan"] = round(ms_s, 3)
+    print(f"batched GRU-32 B=128 K=512 H=35: kernel {ms_k:.3f} ms/step "
           f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
 
     # Batched fully-fused CEM (columns counter-PRNG kernel, opt-in flag).
