@@ -176,12 +176,13 @@ def measure_host_loop(ctrl, n=20):
 
 
 def _measure_batched_steps(optimizer_name, opt_cfg, B, n_state=4,
-                           N=20, reps=2):
+                           N=20, reps=2, predictor_specification=None):
     """Shared timing harness for every batched-serving row: build a
     B-slot controller, warm-compile one device step, and time ``reps*N``
     pipelined steps (single block at the end — dispatch overlaps).  All
     BENCH_SCALE batched rows use THIS function so the measurement
-    methodology cannot drift between optimizers."""
+    methodology cannot drift between optimizers; stateful (RNN)
+    predictors thread their per-slot hidden through the same loop."""
     import jax
     import jax.numpy as jnp
 
@@ -193,18 +194,33 @@ def _measure_batched_steps(optimizer_name, opt_cfg, B, n_state=4,
         initial_environment_attributes={"target_position": 0.0},
         config={"optimizer": optimizer_name, "controller_logging": False},
     )
+    kw = {}
+    if predictor_specification is not None:
+        kw["predictor_specification"] = predictor_specification
     ctrl.configure(optimizer_name=optimizer_name, optimizer_config=opt_cfg,
-                   num_slots=B)
+                   num_slots=B, **kw)
     params = ctrl._assemble_params()
     s = jnp.zeros((B, 1, n_state), jnp.float32)
     attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
     mask = jnp.ones((B,), bool)
     fn, states = ctrl._batched_jit, ctrl.slot_states
-    u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
-    jax.block_until_ready(u)
-    t0 = time.perf_counter()
-    for _ in range(reps * N):
+    if ctrl._stateful:
+        dyn = {k: v for k, v in params["dyn"].items() if k != "hidden"}
+        hidden = ctrl.slot_hidden
+        u, states, hidden = fn(states, s, dyn, params["cost"], attrs, mask,
+                               hidden)
+        jax.block_until_ready(u)
+        t0 = time.perf_counter()
+        for _ in range(reps * N):
+            u, states, hidden = fn(states, s, dyn, params["cost"], attrs,
+                                   mask, hidden)
+    else:
         u, states = fn(states, s, params["dyn"], params["cost"], attrs, mask)
+        jax.block_until_ready(u)
+        t0 = time.perf_counter()
+        for _ in range(reps * N):
+            u, states = fn(states, s, params["dyn"], params["cost"], attrs,
+                           mask)
     jax.block_until_ready(u)
     return (time.perf_counter() - t0) / (reps * N) * 1e3
 
@@ -267,40 +283,13 @@ def measure_batched_rnn(B=128, K_per_slot=512, H=35, force_scan=False):
     """Steps/s for B MPPI sessions over a recurrent GRU-32 predictor
     (columns recurrent kernel with per-session live hidden vs vmapped
     scan)."""
-    import jax
-    import jax.numpy as jnp
-
-    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
-
-    ctrl = BatchedMPCController(
-        environment_name="cartpole",
-        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
-        initial_environment_attributes={"target_position": 0.0},
-        config={"optimizer": "mppi", "controller_logging": False},
-    )
-    ctrl.configure(optimizer_name="mppi", optimizer_config={
+    return _measure_batched_steps("mppi", {
         "seed": 11, "mpc_timestep": 0.02, "mpc_horizon": H,
         "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
         "NU": 1000.0, "SQRTRHOINV": 0.05,
         "period_interpolation_inducing_points": 10,
-        "force_scan": force_scan},
-        predictor_specification="neural:GRU-5IN-32H1-4OUT", num_slots=B)
-    params = ctrl._assemble_params()
-    s = jnp.zeros((B, 1, 4), jnp.float32)
-    attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
-    mask = jnp.ones((B,), bool)
-    dyn = {k: v for k, v in params["dyn"].items() if k != "hidden"}
-    fn = ctrl._batched_jit
-    states, hidden = ctrl.slot_states, ctrl.slot_hidden
-    N, reps = 20, 2
-    u, states, hidden = fn(states, s, dyn, params["cost"], attrs, mask, hidden)
-    jax.block_until_ready(u)
-    t0 = time.perf_counter()
-    for _ in range(reps * N):
-        u, states, hidden = fn(states, s, dyn, params["cost"], attrs, mask,
-                               hidden)
-    jax.block_until_ready(u)
-    return (time.perf_counter() - t0) / (reps * N) * 1e3
+        "force_scan": force_scan}, B,
+        predictor_specification="neural:GRU-5IN-32H1-4OUT")
 
 
 def measure_mc_sweep(N=128, K=512, H=50, T1=40, T2=80, reps=10, trials=3,

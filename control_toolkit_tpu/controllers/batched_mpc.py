@@ -180,8 +180,7 @@ class BatchedMPCController(MPCController):
                     f"B={self._B_build} x K={opt.num_rollouts} in one launch)"
                 )
 
-                def inner_step(states, s, dyn, cost, attrs, hidden):
-                    return kstep(states, s, dyn, cost, attrs, hidden)
+                inner_step = kstep
 
             else:
 
@@ -354,16 +353,16 @@ class BatchedMPCController(MPCController):
             and (self._B_build * opt.num_rollouts) % DEFAULT_TILE_K == 0
         )
 
-    def _batched_neural_eligible(self) -> bool:
-        """Columnwise NEURAL-kernel eligibility: plain MPPI over a
-        non-recurrent (MLP) f32 NeuralPredictor on an unmeshed TPU, with
-        B*K dividing a neural tile.  Recurrent predictors are stateful and
-        take the per-slot-hidden vmapped path."""
+    def _batched_neural_like_eligible(self, recurrent: bool) -> bool:
+        """Shared columnwise NEURAL-kernel eligibility: plain MPPI over a
+        f32 NeuralPredictor on an unmeshed TPU, with B*K dividing a neural
+        tile; ``recurrent`` selects the MLP form (False) or the
+        per-session-hidden GRU/LSTM form (True) — one predicate so a new
+        shared condition cannot be added to only one of them."""
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
         from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
-        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
-
         from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
 
         opt = self.optimizer
         pred = getattr(self.predictor, "predictor", self.predictor)
@@ -373,10 +372,13 @@ class BatchedMPCController(MPCController):
             and not opt.bounded_update
             and opt.optim_steps == 0
             and isinstance(pred, NeuralPredictor)
-            and not pred.recurrent
+            and pred.recurrent == recurrent
             and opt._pallas_neural_compatible_model()
             and neural_tile_for(self._B_build * opt.num_rollouts) > 0
         )
+
+    def _batched_neural_eligible(self) -> bool:
+        return self._batched_neural_like_eligible(recurrent=False)
 
     def _batched_rpgd_eligible(self) -> bool:
         """Columnwise RPGD-kernel eligibility: RPGD (any variant — their
@@ -445,27 +447,9 @@ class BatchedMPCController(MPCController):
         )
 
     def _batched_recurrent_eligible(self) -> bool:
-        """Columnwise RECURRENT-kernel eligibility: plain MPPI over a
-        recurrent (GRU/LSTM) f32 NeuralPredictor on an unmeshed TPU, with
-        B*K dividing a neural tile — per-session live hidden rides per
-        lane column (``hidden_per_lane``)."""
-        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
-        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
-        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
-
-        opt = self.optimizer
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        return (
-            type(opt) is MPPIOptimizer
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
-            and not opt.bounded_update
-            and opt.optim_steps == 0
-            and isinstance(pred, NeuralPredictor)
-            and pred.recurrent
-            and opt._pallas_neural_compatible_model()
-            and neural_tile_for(self._B_build * opt.num_rollouts) > 0
-        )
+        """Recurrent (GRU/LSTM) form of the neural gate: per-session live
+        hidden rides per lane column (``hidden_per_lane``)."""
+        return self._batched_neural_like_eligible(recurrent=True)
 
     def _batched_gradient_eligible(self) -> bool:
         """Columnwise gradient-optimizer eligibility: plain gradient-tf
@@ -562,10 +546,21 @@ class BatchedMPCController(MPCController):
                 k: jax.device_put(np.asarray(v), self._slot_sharding)
                 for k, v in self.slot_attrs.items()
             }
-            params = jax.tree_util.tree_map(
-                lambda v: jax.device_put(np.asarray(v), self._rep_sharding),
-                params,
-            )
+            if jax.process_count() > 1:
+                # Multi-process: every process holds the identical params
+                # host-side; the numpy detour lets device_put distribute
+                # each process's addressable replica shards.
+                params = jax.tree_util.tree_map(
+                    lambda v: jax.device_put(
+                        np.asarray(v), self._rep_sharding
+                    ),
+                    params,
+                )
+            else:
+                # Single-process mesh: device-to-device replication only —
+                # _assemble_params's cached device leaves must NOT round-
+                # trip through host numpy every step.
+                params = jax.device_put(params, self._rep_sharding)
         else:
             mask_arr = jnp.asarray(mask_np)
             s_dev = jnp.asarray(s_np)
@@ -584,12 +579,13 @@ class BatchedMPCController(MPCController):
                 self.slot_states, s_dev, params["dyn"], params["cost"], attrs,
                 mask_arr,
             )
-        import jax
-
-        if self._slot_mesh is not None and jax.process_count() > 1:
-            # Multi-process mesh: the full [B, U] control is not locally
-            # addressable — allgather it so every process serves every
-            # session's reply (gloo/ICI, tiny array).
+        if not u.is_fully_addressable:
+            # Slot mesh spanning processes: the full [B, U] control is not
+            # locally addressable — allgather it so every process serves
+            # every session's reply (gloo/ICI, tiny array).  Gate on
+            # addressability, NOT process_count: a local-only mesh inside
+            # a distributed job is fully addressable and allgather would
+            # wrongly concatenate every process's copy.
             from jax.experimental import multihost_utils
 
             u_host = np.asarray(
