@@ -59,7 +59,10 @@ def main(n_loops: int = 4, steps: int = 150, optimizer: str = "mppi"):
     ctrl.configure(optimizer_name=optimizer, optimizer_config=OPT_CFGS[optimizer],
                    num_slots=n_loops)
 
-    endpoint = "tcp://127.0.0.1:15650"
+    import socket as _socket
+    with _socket.socket() as _s:
+        _s.bind(("127.0.0.1", 0))
+        endpoint = f"tcp://127.0.0.1:{_s.getsockname()[1]}"
     server = threading.Thread(
         target=serve_batched,
         kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=3.0,

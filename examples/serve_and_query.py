@@ -19,7 +19,10 @@ from control_toolkit_tpu.controllers.remote import RemoteController
 from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 from control_toolkit_tpu.serving.server import build_controller, serve
 
-PORT = 55441
+import socket as _socket
+with _socket.socket() as _s:
+    _s.bind(("127.0.0.1", 0))
+    PORT = _s.getsockname()[1]
 
 
 def main():

@@ -10,6 +10,17 @@ from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 
+
+def _free_port() -> int:
+    """Ephemeral OS-assigned port: fixed test ports collide with TIME_WAIT
+    sockets from a previous (or concurrent) run and fail the bind."""
+    import socket as _socket
+
+    with _socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 MPPI_CFG = {"seed": 7, "mpc_timestep": 0.02, "mpc_horizon": 20,
             "num_rollouts": 128, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
             "NU": 1000.0, "SQRTRHOINV": 0.05,
@@ -127,7 +138,7 @@ def test_remote_controller_against_batched_server():
     from control_toolkit_tpu.serving.batched_server import serve_batched
 
     ctrl = build_batched(2)
-    endpoint = "tcp://127.0.0.1:15587"
+    endpoint = f"tcp://127.0.0.1:{_free_port()}"
     stop = threading.Event()
     t = threading.Thread(
         target=serve_batched,
@@ -187,7 +198,7 @@ def test_batched_server_two_clients():
     from control_toolkit_tpu.serving.batched_server import serve_batched
 
     ctrl = build_batched(2)
-    endpoint = "tcp://127.0.0.1:15586"
+    endpoint = f"tcp://127.0.0.1:{_free_port()}"
     stop = threading.Event()
     t = threading.Thread(
         target=serve_batched,
@@ -234,7 +245,7 @@ def test_slot_eviction_reassigns_idle_slots():
     from control_toolkit_tpu.serving.batched_server import serve_batched
 
     ctrl = build_batched(1)
-    endpoint = "tcp://127.0.0.1:15588"
+    endpoint = f"tcp://127.0.0.1:{_free_port()}"
     stop = threading.Event()
     t = threading.Thread(
         target=serve_batched,

@@ -12,7 +12,17 @@ zmq = pytest.importorskip("zmq")
 from control_toolkit_tpu.controllers.remote import RemoteController
 from control_toolkit_tpu.serving.server import build_controller, serve
 
-PORT = 55331
+def _free_port() -> int:
+    """Ephemeral OS-assigned port: fixed test ports collide with TIME_WAIT
+    sockets from a previous (or concurrent) run and fail the bind."""
+    import socket as _socket
+
+    with _socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+PORT = _free_port()
 ENDPOINT_BIND = f"tcp://127.0.0.1:{PORT}"
 
 
