@@ -4,21 +4,61 @@ The reference trains its neural predictors in the external SI_Toolkit; this
 module provides the equivalent capability in-tree: collect transitions from
 a batched environment (or real logs), fit an MLP/GRU dynamics model with
 optax Adam under jit, and save a checkpoint loadable by NeuralPredictor.
+
+All fitters take an optional ``mesh``: the minibatch axis is then sharded
+over every mesh axis (data parallelism) while parameters stay replicated,
+and XLA inserts the gradient all-reduce — the same SPMD recipe the
+optimizers use for the rollout axis.  Sharded and unsharded training are
+numerically identical per step up to float reduction order.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from control_toolkit_tpu.models import networks as nets
 from control_toolkit_tpu.utils.logging_util import get_logger
 from control_toolkit_tpu.utils.rng import make_key
 
 logger = get_logger(__name__)
+
+
+def _dp_helpers(mesh: Optional[Mesh]) -> Tuple[Callable, Callable]:
+    """(constrain_batch, replicate) for data-parallel training.
+
+    ``constrain_batch`` shards axis 0 of an in-program array over every mesh
+    axis (composite spec for 2-D ('slice','k') meshes); ``replicate`` places
+    a pytree replicated on the mesh.  With ``mesh=None`` both are identity.
+    """
+    if mesh is None:
+        return (lambda a: a), (lambda t: t)
+    axes = tuple(mesh.axis_names)
+    first = axes if len(axes) > 1 else axes[0]
+    batch = NamedSharding(mesh, P(first))
+    repl = NamedSharding(mesh, P())
+
+    def constrain(a):
+        return jax.lax.with_sharding_constraint(a, batch)
+
+    def replicate(tree):
+        return jax.tree_util.tree_map(lambda v: jax.device_put(v, repl), tree)
+
+    return constrain, replicate
+
+
+def _dp_batch_size(batch_size: int, mesh: Optional[Mesh]) -> int:
+    """Round the minibatch down to a multiple of the mesh size (sharding a
+    non-divisible batch axis is an XLA error)."""
+    if mesh is None or batch_size % mesh.size == 0:
+        return batch_size
+    adj = max(mesh.size, batch_size - batch_size % mesh.size)
+    logger.info(f"minibatch {batch_size} -> {adj} (divisible by mesh size {mesh.size})")
+    return adj
 
 
 def collect_transitions(
@@ -49,8 +89,12 @@ def fit_mlp_dynamics(
     hiddens=(64, 64), epochs: int = 500, batch_size: int = 1024,
     learning_rate: float = 1e-3, seed: int = 0,
     predict_delta: bool = True, params: Optional[Dict] = None,
+    mesh: Optional[Mesh] = None,
 ) -> Tuple[Dict, float]:
-    """Fit ``x_{t+1} - x_t = net(x, u)`` (delta form). Returns (params, mse)."""
+    """Fit ``x_{t+1} - x_t = net(x, u)`` (delta form). Returns (params, mse).
+
+    With ``mesh``, each Adam step runs data-parallel over the mesh (minibatch
+    sharded, params replicated, grad psum inserted by XLA)."""
     S, U = x.shape[-1], u.shape[-1]
     key = make_key(seed, "fit_mlp_dynamics")
 
@@ -78,23 +122,31 @@ def fit_mlp_dynamics(
     tx = optax.adam(learning_rate)
     opt_state = tx.init(core)
 
+    constrain, replicate = _dp_helpers(mesh)
+    core, opt_state = replicate(core), replicate(opt_state)
+
     def loss_fn(p, xb, yb):
         pred = nets.mlp_apply(p, xb)
         return jnp.mean((pred - yb) ** 2)
 
+    # Minibatch gather lives INSIDE the jitted step so the sharded batch
+    # never materializes on the host; data/target arrive as device operands.
     @jax.jit
-    def train_step(p, o, xb, yb):
+    def train_step(p, o, data, tgt, idx):
+        xb = constrain(jnp.take(data, idx, axis=0))
+        yb = constrain(jnp.take(tgt, idx, axis=0))
         loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
         updates, o = tx.update(grads, o)
         return optax.apply_updates(p, updates), o, loss
 
     n = inp.shape[0]
+    bs = _dp_batch_size(min(batch_size, n), mesh)
     loss = jnp.inf
     p = core
     for epoch in range(epochs):
         key, sub = jax.random.split(key)
-        idx = jax.random.randint(sub, (min(batch_size, n),), 0, n)
-        p, opt_state, loss = train_step(p, opt_state, inp[idx], target[idx])
+        idx = jax.random.randint(sub, (bs,), 0, n)
+        p, opt_state, loss = train_step(p, opt_state, inp, target, idx)
     final = float(loss_fn(p, inp, target))
     params.update(p)
     logger.info(f"dynamics fit: final batch loss {float(loss):.3e}, normalized MSE {final:.3e}")
@@ -104,13 +156,15 @@ def fit_mlp_dynamics(
 def fit_gru_dynamics(
     x_seqs: np.ndarray, u_seqs: np.ndarray,
     hiddens=(32,), epochs: int = 1500, learning_rate: float = 3e-3,
-    seed: int = 0, rollout_len: int = 8,
+    seed: int = 0, rollout_len: int = 8, batch_size: int = 256,
+    mesh: Optional[Mesh] = None,
 ) -> Tuple[Dict, float]:
     """Fit a GRU dynamics model on episode data.
 
     x_seqs: [E, T+1, S] state episodes; u_seqs: [E, T, U] applied controls.
     Trained on multi-step open-loop prediction (``rollout_len`` steps) so the
     recurrence learns to carry useful state.  Returns (params, final loss).
+    With ``mesh``, the episode-minibatch axis is sharded (data parallel).
     """
     E, Tp1, S = x_seqs.shape
     U = u_seqs.shape[-1]
@@ -143,23 +197,28 @@ def fit_gru_dynamics(
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 
+    constrain, replicate = _dp_helpers(mesh)
+    params, opt_state = replicate(params), replicate(opt_state)
+    L = rollout_len
+
     @jax.jit
-    def train_step(p, o, x0, ut, xt):
+    def train_step(p, o, data_x, data_u, e, t0):
+        # Window gather in-program: [B] episode ids + start ticks -> batch.
+        win = t0[:, None] + jnp.arange(L)[None, :]
+        x0 = constrain(data_x[e, t0])
+        ut = constrain(data_u[e[:, None], win])
+        xt = constrain(data_x[e[:, None], win + 1])
         loss, grads = jax.value_and_grad(rollout_loss)(p, x0, ut, xt)
         updates, o = tx.update(grads, o)
         return optax.apply_updates(p, updates), o, loss
 
-    L = rollout_len
+    bs = _dp_batch_size(batch_size, mesh)
     loss = jnp.inf
     for _ in range(epochs):
         key, k1, k2 = jax.random.split(key, 3)
-        e = jax.random.randint(k1, (256,), 0, E)
-        t0 = jax.random.randint(k2, (256,), 0, T - L + 1)
-        x0 = xs[e, t0]
-        idx = t0[:, None] + jnp.arange(L)[None, :]
-        ut = us[e[:, None], idx]
-        xt = xs[e[:, None], idx + 1]
-        params, opt_state, loss = train_step(params, opt_state, x0, ut, xt)
+        e = jax.random.randint(k1, (bs,), 0, E)
+        t0 = jax.random.randint(k2, (bs,), 0, T - L + 1)
+        params, opt_state, loss = train_step(params, opt_state, xs, us, e, t0)
     logger.info(f"GRU dynamics fit: final rollout loss {float(loss):.3e}")
     return params, float(loss)
 
@@ -183,9 +242,12 @@ def collect_mpc_demonstrations(ctrl, env, n_episodes: int, episode_len: int,
 
 
 def fit_policy(states: np.ndarray, controls: np.ndarray, hiddens=(32, 32),
-               epochs: int = 2000, learning_rate: float = 1e-3, seed: int = 0
+               epochs: int = 2000, learning_rate: float = 1e-3, seed: int = 0,
+               batch_size: int = 1024, mesh: Optional[Mesh] = None,
                ) -> Tuple[Dict, float]:
-    """Behavior-clone a policy net u = pi(s). Returns (params, mse)."""
+    """Behavior-clone a policy net u = pi(s). Returns (params, mse).
+
+    With ``mesh``, each Adam step runs data-parallel over the mesh."""
     S, U = states.shape[-1], controls.shape[-1]
     key = make_key(seed, "fit_policy")
     key, sub = jax.random.split(key)
@@ -196,20 +258,26 @@ def fit_policy(states: np.ndarray, controls: np.ndarray, hiddens=(32, 32),
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
 
+    constrain, replicate = _dp_helpers(mesh)
+    params, opt_state = replicate(params), replicate(opt_state)
+
     def loss_fn(p, xb, yb):
         return jnp.mean((nets.mlp_apply(p, xb) - yb) ** 2)
 
     @jax.jit
-    def train_step(p, o, xb, yb):
+    def train_step(p, o, data, tgt, idx):
+        xb = constrain(jnp.take(data, idx, axis=0))
+        yb = constrain(jnp.take(tgt, idx, axis=0))
         loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
         updates, o = tx.update(grads, o)
         return optax.apply_updates(p, updates), o, loss
 
     n = xs.shape[0]
+    bs = _dp_batch_size(min(batch_size, n), mesh)
     for _ in range(epochs):
         key, sub = jax.random.split(key)
-        idx = jax.random.randint(sub, (min(1024, n),), 0, n)
-        params, opt_state, loss = train_step(params, opt_state, xs[idx], ys[idx])
+        idx = jax.random.randint(sub, (bs,), 0, n)
+        params, opt_state, loss = train_step(params, opt_state, xs, ys, idx)
     final = float(loss_fn(params, xs, ys))
     logger.info(f"policy fit: full MSE {final:.3e}")
     return params, final
