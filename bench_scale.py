@@ -373,6 +373,41 @@ def build_neural_mppi(K, H, net="mlp-32-32", force_scan=False):
     return ctrl
 
 
+def build_gp_mppi(K, H, num_inducing=128):
+    """MPPI over a learned sparse-GP dynamics model (the reference's
+    'SGP_30' predictor kind, config_controllers.yml:8): each rollout step
+    is a [K, M] RBF kernel block against M inducing points times a [M, S]
+    weight matrix — straight MXU matmuls, no custom kernel needed."""
+    import tempfile
+
+    from control_toolkit_tpu.controllers.mpc import MPCController
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.models.gp_predictor import GPPredictor, fit_gp_dynamics
+    from control_toolkit_tpu.models.training import collect_transitions
+
+    env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+    x, u, xn = collect_transitions(env, 200, seed=0)
+    params, _ = fit_gp_dynamics(x, u, xn, num_inducing=num_inducing, seed=0)
+    path = tempfile.mktemp(suffix=".npz")
+    GPPredictor("cartpole", dt=0.02, params=params).save(path)
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"SGP_{num_inducing}:{path}",
+        optimizer_config={
+            "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+            "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+            "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 10,
+        })
+    return ctrl
+
+
 def measure_served_mppi(K, H=50, n_requests=30):
     """BASELINE.md scale-out sentence as one measurement: the ZMQ
     controller server fronting a K-rollout MPPI on this chip; reports the
@@ -486,6 +521,20 @@ def main():
     ):
         try:
             ms = measure_step(build_neural_mppi(Kn, H, **kw), n1=5, n2=25)
+            results[name] = round(ms, 3)
+            results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
+            print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",
+                  flush=True)
+        except Exception as e:
+            results[f"{name}_error"] = str(e)[:200]
+            print(f"{name}: ERROR {e}", flush=True)
+
+    # Sparse-GP predictor rows (the last un-benchmarked predictor family):
+    # M=128 inducing points, per-step [K,128] kernel block + [128,S] solve
+    # weights on the MXU.
+    for name, Kn in (("gp_sgp128_K16k", 16384), ("gp_sgp128_K262k", 1 << 18)):
+        try:
+            ms = measure_step(build_gp_mppi(Kn, H), n1=5, n2=25)
             results[name] = round(ms, 3)
             results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
             print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",
