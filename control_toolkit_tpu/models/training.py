@@ -147,7 +147,7 @@ def fit_mlp_dynamics(
         key, sub = jax.random.split(key)
         idx = jax.random.randint(sub, (bs,), 0, n)
         p, opt_state, loss = train_step(p, opt_state, inp, target, idx)
-    final = float(loss_fn(p, inp, target))
+    final = float(jax.jit(loss_fn)(p, inp, target))
     params.update(p)
     logger.info(f"dynamics fit: final batch loss {float(loss):.3e}, normalized MSE {final:.3e}")
     return params, final
@@ -278,6 +278,6 @@ def fit_policy(states: np.ndarray, controls: np.ndarray, hiddens=(32, 32),
         key, sub = jax.random.split(key)
         idx = jax.random.randint(sub, (bs,), 0, n)
         params, opt_state, loss = train_step(params, opt_state, xs, ys, idx)
-    final = float(loss_fn(params, xs, ys))
+    final = float(jax.jit(loss_fn)(params, xs, ys))
     logger.info(f"policy fit: full MSE {final:.3e}")
     return params, final

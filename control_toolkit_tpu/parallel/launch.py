@@ -171,6 +171,40 @@ def run_batched_trace(mesh, steps: int) -> np.ndarray:
     return np.stack(trace)
 
 
+def training_data(n: int = 512, S: int = 4, U: int = 1):
+    """Deterministic synthetic linear-dynamics dataset shared by the
+    multi-process workers and the single-process parity reference."""
+    rng = np.random.default_rng(11)
+    A = np.eye(S, dtype=np.float32) + 0.05 * rng.standard_normal((S, S)).astype(np.float32)
+    B = rng.standard_normal((S, U)).astype(np.float32)
+    x = rng.standard_normal((n, S)).astype(np.float32)
+    u = rng.uniform(-1.0, 1.0, (n, U)).astype(np.float32)
+    return x, u, (x @ A.T + u @ B.T)
+
+
+TRAIN_EPOCHS = 2
+
+
+def run_training_trace(mesh) -> np.ndarray:
+    """Data-parallel ``fit_mlp_dynamics`` on the (possibly multi-process)
+    global mesh; returns the trained params flattened to one vector.
+
+    Every process runs the same global program on the same data, so the
+    returned vector must agree across processes and — up to reduction
+    order — with an unsharded single-process fit (``mesh=None``)."""
+    import jax
+
+    from control_toolkit_tpu.models.training import fit_mlp_dynamics
+
+    x, u, xn = training_data()
+    params, _ = fit_mlp_dynamics(
+        x, u, xn, hiddens=(16,), epochs=TRAIN_EPOCHS, batch_size=64,
+        seed=3, mesh=mesh)
+    leaves = jax.tree_util.tree_leaves(
+        {k: v for k, v in sorted(params.items())})
+    return np.concatenate([np.asarray(l, np.float32).ravel() for l in leaves])
+
+
 def _worker_main(argv: Optional[List[str]] = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--process-id", type=int, required=True)
@@ -216,6 +250,9 @@ def _worker_main(argv: Optional[List[str]] = None) -> None:
             # Slot-axis SPMD serving across the process boundary (the name
             # selects the BatchedMPC trace instead of a scalar optimizer).
             out[name] = run_batched_trace(mesh, args.steps)
+        elif name == "train":
+            # Data-parallel predictor training across the process boundary.
+            out[name] = run_training_trace(mesh)
         else:
             out[name] = run_sharded_trace(name, mesh, args.steps)
     np.savez(args.out, **out)

@@ -98,3 +98,22 @@ def test_batched_serving_slot_spmd_across_processes():
 
     single = run_batched_trace(None, STEPS)      # unsharded reference
     np.testing.assert_allclose(a, single, atol=2e-5, rtol=0)
+
+
+def test_training_across_processes():
+    """Data-parallel predictor training across OS processes: the minibatch
+    axis of fit_mlp_dynamics shards over a 2-process x 4-device global mesh
+    (params replicated, gradient all-reduce over the gloo/DCN-analog
+    boundary).  Both processes produce identical params, equal to the
+    unsharded single-process fit to 2e-5 (TRAIN_EPOCHS is small; per-step
+    math differs only by reduction order)."""
+    from control_toolkit_tpu.parallel.launch import run_training_trace
+
+    traces = launch_workers(
+        num_processes=2, local_devices=4, optimizers="train"
+    )
+    a, b = traces[0]["train"], traces[1]["train"]
+    np.testing.assert_array_equal(a, b)
+
+    single = run_training_trace(None)            # unsharded reference
+    np.testing.assert_allclose(a, single, atol=2e-5, rtol=0)
