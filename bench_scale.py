@@ -11,6 +11,7 @@ One patient process; compiles four programs over the tunnel (~2-4 min).
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -388,7 +389,8 @@ def build_gp_mppi(K, H, num_inducing=128):
     env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
     x, u, xn = collect_transitions(env, 200, seed=0)
     params, _ = fit_gp_dynamics(x, u, xn, num_inducing=num_inducing, seed=0)
-    path = tempfile.mktemp(suffix=".npz")
+    fd, path = tempfile.mkstemp(suffix=".npz")
+    os.close(fd)
     GPPredictor("cartpole", dt=0.02, params=params).save(path)
 
     ctrl = MPCController(
@@ -405,6 +407,7 @@ def build_gp_mppi(K, H, num_inducing=128):
             "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
             "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 10,
         })
+    os.unlink(path)  # predictor loads the checkpoint eagerly at configure
     return ctrl
 
 

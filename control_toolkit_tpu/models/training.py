@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 from control_toolkit_tpu.models import networks as nets
 from control_toolkit_tpu.utils.logging_util import get_logger
@@ -37,10 +37,10 @@ def _dp_helpers(mesh: Optional[Mesh]) -> Tuple[Callable, Callable]:
     """
     if mesh is None:
         return (lambda a: a), (lambda t: t)
-    axes = tuple(mesh.axis_names)
-    first = axes if len(axes) > 1 else axes[0]
-    batch = NamedSharding(mesh, P(first))
-    repl = NamedSharding(mesh, P())
+    from control_toolkit_tpu.parallel.mesh import population_spec, replicated
+
+    batch = NamedSharding(mesh, population_spec(mesh, 1))
+    repl = replicated(mesh)
 
     def constrain(a):
         return jax.lax.with_sharding_constraint(a, batch)
@@ -56,7 +56,11 @@ def _dp_batch_size(batch_size: int, mesh: Optional[Mesh]) -> int:
     non-divisible batch axis is an XLA error)."""
     if mesh is None or batch_size % mesh.size == 0:
         return batch_size
-    adj = max(mesh.size, batch_size - batch_size % mesh.size)
+    if batch_size < mesh.size:
+        raise ValueError(
+            f"minibatch {batch_size} < mesh size {mesh.size}: cannot shard; "
+            "raise batch_size (or the dataset size) or train without a mesh")
+    adj = batch_size - batch_size % mesh.size
     logger.info(f"minibatch {batch_size} -> {adj} (divisible by mesh size {mesh.size})")
     return adj
 

@@ -9,7 +9,6 @@ no long-loop bitwise parity across float-different paths).
 """
 import jax
 import numpy as np
-import pytest
 
 from control_toolkit_tpu.models import networks as nets
 from control_toolkit_tpu.models.training import (
@@ -17,17 +16,10 @@ from control_toolkit_tpu.models.training import (
     fit_mlp_dynamics,
     fit_policy,
 )
+# Same synthetic linear-dynamics generator the multi-process parity trace
+# uses (single source of truth for the DP-training test data).
+from control_toolkit_tpu.parallel.launch import training_data as _linear_data
 from control_toolkit_tpu.parallel.mesh import make_multislice_mesh, make_rollout_mesh
-
-
-def _linear_data(n=512, S=4, U=1, seed=0):
-    rng = np.random.default_rng(seed)
-    A = np.eye(S, dtype=np.float32) + 0.05 * rng.standard_normal((S, S)).astype(np.float32)
-    B = rng.standard_normal((S, U)).astype(np.float32)
-    x = rng.standard_normal((n, S)).astype(np.float32)
-    u = rng.uniform(-1, 1, (n, U)).astype(np.float32)
-    x_next = x @ A.T + u @ B.T
-    return x, u, x_next
 
 
 def _tree_allclose(a, b, **kw):
