@@ -404,3 +404,122 @@ def build_recurrent_cost_rollout_kernel(
         kernel, S, U, H, n_w, tile_k, interpret, n_slot,
         n_lane_ops=n_cells if hidden_per_lane else 0,
     )
+
+
+# ----------------------------------------------------- sparse-GP dynamics
+def gp_tile_for(K: int, n_shard_devices: int = 1, num_inducing: int = 128) -> int:
+    """Tile for the GP kernel: like ``neural_tile_for`` but capped so the
+    [M, tile] kernel-block intermediates (g, d2, k) stay ~4 MB each in
+    VMEM.  Returns 0 if no eligible tile divides the per-device shard."""
+    tile = DEFAULT_NEURAL_TILE_K
+    while tile > _MIN_NEURAL_TILE_K and num_inducing * tile * 4 > (4 << 20):
+        tile //= 2
+    per_dev = K // max(1, n_shard_devices)
+    while tile >= _MIN_NEURAL_TILE_K:
+        if per_dev % tile == 0 and K % (tile * max(1, n_shard_devices)) == 0:
+            return tile
+        tile //= 2
+    return 0
+
+
+GP_N_OPERANDS = 8
+
+
+def flatten_gp_weights(gp: Dict) -> List[jnp.ndarray]:
+    """Operand list for the GP kernel, precomputed host-side from the
+    GPPredictor params (models/gp_predictor.py fit_gp_dynamics):
+
+    [Zs [M,D] (inducing inputs / lengthscales), zn2 [M,1] (row norms of Zs),
+     alphaT [S,M], in_mean [D,1], inv_in [D,1] (1/(in_std*lengthscales)),
+     out_mean [S,1], out_std [S,1], var [1,1]]
+
+    The normalization and lengthscale divides collapse into one affine
+    input transform: an = (raw - in_mean) * inv_in == ((raw-mean)/std)/ls,
+    exactly GPPredictor.single_step composed with _rbf."""
+    ls = jnp.asarray(gp["lengthscales"], jnp.float32)
+    Zs = jnp.asarray(gp["Z"], jnp.float32) / ls
+    zn2 = jnp.sum(Zs * Zs, axis=1, keepdims=True)
+    alphaT = jnp.asarray(gp["alpha"], jnp.float32).T
+    in_mean = jnp.reshape(jnp.asarray(gp["in_mean"], jnp.float32), (-1, 1))
+    inv_in = jnp.reshape(
+        1.0 / (jnp.asarray(gp["in_std"], jnp.float32) * ls), (-1, 1))
+    out_mean = jnp.reshape(jnp.asarray(gp["out_mean"], jnp.float32), (-1, 1))
+    out_std = jnp.reshape(jnp.asarray(gp["out_std"], jnp.float32), (-1, 1))
+    var = jnp.reshape(jnp.asarray(gp["variance"], jnp.float32), (1, 1))
+    return [Zs, zn2, alphaT, in_mean, inv_in, out_mean, out_std, var]
+
+
+def build_gp_cost_rollout_kernel(
+    stage_cost_soa: Callable,
+    terminal_cost_soa: Callable,
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    param_keys: Sequence[str],
+    tile_k: int = DEFAULT_NEURAL_TILE_K,
+    interpret: bool = False,
+    slot_keys: Sequence[str] = (),
+):
+    """Fused rollout+cost for sparse-GP dynamics ``x' = x + GP([x,u])``.
+
+    Semantics match GPPredictor.single_step (models/gp_predictor.py): per
+    horizon step the kernel block k(x, Z) = var*exp(-0.5*d2) is computed as
+    two MXU matmuls ([M,D]@[D,T] distances, [S,M]@[M,T] posterior mean)
+    with the exp on the VPU — all [M,T] intermediates stay in VMEM.  The
+    XLA scan path materializes the [K,M] kernel block (and the exp input)
+    in HBM every horizon step, which is the dominant cost at K>=262k.
+
+    ``slot_keys`` switches to the batched-session ("columns") form exactly
+    like the MLP kernel.
+    """
+    S, U, H = num_states, num_controls, horizon
+    n_w = GP_N_OPERANDS
+    slot_keys = tuple(slot_keys)
+    n_slot = len(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
+
+    def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        if n_slot:
+            pslot_ref, rest = rest[0], rest[1:]
+        w_refs = rest[:n_w]
+        cost_ref = rest[n_w]
+        Zs, zn2, alphaT, in_mean, inv_in, out_mean, out_std, var = (
+            r[:] for r in w_refs)
+        var_s = var[0, 0]
+        p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
+        for i, k in enumerate(slot_keys):
+            p[k] = pslot_ref[i : i + 1, :]
+
+        xs = tuple(s0_ref[i : i + 1, :] for i in range(S))
+        prev_us = tuple(
+            p[f"__u_prev_{j}"] if f"__u_prev_{j}" in slot_keys
+            else jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+        )
+        acc = jnp.zeros((1, tile_k), jnp.float32)
+
+        def gp_step(xs, us):
+            a = jnp.concatenate(xs + us, axis=0)           # [D, T]
+            an = (a - in_mean) * inv_in
+            g = jax.lax.dot_general(
+                Zs, an, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [M, T]
+            an2 = jnp.sum(an * an, axis=0, keepdims=True)  # [1, T]
+            d2 = jnp.maximum(an2 - 2.0 * g + zn2, 0.0)
+            kmat = var_s * jnp.exp(-0.5 * d2)              # [M, T]
+            delta = jax.lax.dot_general(
+                alphaT, kmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * out_std + out_mean
+            return tuple(xs[i] + delta[i : i + 1, :] for i in range(S))
+
+        def body(h, carry):
+            xs, prev_us, acc = carry
+            u_slab = q_ref[h]
+            us = tuple(u_slab[j : j + 1, :] for j in range(U))
+            acc = acc + stage_cost_soa(xs, us, prev_us, p)
+            xs = gp_step(xs, us)
+            return xs, us, acc
+
+        xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
+        cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot)

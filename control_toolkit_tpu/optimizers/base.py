@@ -356,6 +356,8 @@ class Optimizer:
             return self._build_pallas_cost()
         if not differentiable and self._can_use_pallas_neural():
             return self._build_pallas_neural_cost()
+        if not differentiable and self._can_use_pallas_gp():
+            return self._build_pallas_gp_cost()
         if self._can_fuse_rollout():
             return self._fused_cost
         return None
@@ -721,6 +723,86 @@ class Optimizer:
 
         def cost_fn(s_tiled, Q, u_prev, params):
             return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
+
+        return cost_fn
+
+    # ---- Pallas fused GP kernel ------------------------------------------
+    def _pallas_gp_compatible_model(self) -> bool:
+        """Backend + model/cost eligibility for the fused sparse-GP kernel
+        (ops/pallas_neural.py build_gp_cost_rollout_kernel) — same contract
+        as _pallas_neural_compatible_model."""
+        import jax
+
+        from control_toolkit_tpu.models.gp_predictor import GPPredictor
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return (
+            jax.default_backend() == "tpu"
+            and (self._device is None or self._device.platform == "tpu")
+            and isinstance(pred, GPPredictor)
+            and cf is not None
+            and getattr(cf, "supports_fused_rollout", False)
+            and all(
+                np.ndim(v) == 0
+                for v in getattr(cf, "attr_defaults", {}).values()
+            )
+        )
+
+    def _gp_num_inducing(self) -> int:
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return int(pred.gp_params["Z"].shape[0])
+
+    def _can_use_pallas_gp(self, tile_k: int = None) -> bool:
+        if not self._pallas_gp_compatible_model():
+            return False
+        from control_toolkit_tpu.ops.pallas_neural import gp_tile_for
+
+        tile = tile_k or gp_tile_for(
+            self.num_rollouts, self._n_shard_devices(), self._gp_num_inducing()
+        )
+        return (
+            tile > 0
+            and not self.force_scan
+            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
+        )
+
+    def _build_pallas_gp_cost(self, interpret: bool = False, tile_k: int = None):
+        """Bind a GPPredictor + cost function into the fused GP rollout+cost
+        kernel.  Same contract as ``_build_pallas_neural_cost``: the GP
+        parameters (inducing inputs, posterior weights, kernel hypers) flow
+        as VMEM operands read from ``params['dyn']['gp']`` every call, so a
+        GP re-fit swaps in without recompiling."""
+        from control_toolkit_tpu.ops.pallas_neural import (
+            GP_N_OPERANDS,
+            build_gp_cost_rollout_kernel,
+            flatten_gp_weights,
+            gp_tile_for,
+        )
+
+        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        tk = tile_k or gp_tile_for(
+            self.num_rollouts, self._n_shard_devices(), self._gp_num_inducing()
+        )
+        kernel = build_gp_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon,
+            param_keys=param_keys,
+            tile_k=tk, interpret=interpret,
+        )
+        if self._mesh is not None:
+            kernel = self._shard_map_kernel(
+                kernel, lambda PS, first: PS(first),
+                n_replicated_extra=GP_N_OPERANDS,
+            )
+
+        def cost_fn(s_tiled, Q, u_prev, params):
+            return kernel(s_tiled, Q, pack(params, u_prev),
+                          *flatten_gp_weights(params["dyn"]["gp"]))
 
         return cost_fn
 

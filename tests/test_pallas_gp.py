@@ -1,0 +1,130 @@
+"""Fused sparse-GP rollout+cost kernel (ops/pallas_neural.py
+build_gp_cost_rollout_kernel): interpret-mode parity vs the fused scan over
+the SAME GPPredictor, operand (re-fit) semantics, tile selection, and
+sharded execution on the virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.controllers.mpc import MPCController
+from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+from control_toolkit_tpu.models.gp_predictor import GPPredictor, fit_gp_dynamics
+from control_toolkit_tpu.models.training import collect_transitions
+
+
+@pytest.fixture(scope="module")
+def gp_ckpt(tmp_path_factory):
+    env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+    x, u, xn = collect_transitions(env, 150, seed=0)
+    params, _ = fit_gp_dynamics(x, u, xn, num_inducing=64, seed=0)
+    path = tmp_path_factory.mktemp("gp") / "sgp.npz"
+    GPPredictor("cartpole", dt=0.02, params=params).save(path)
+    return str(path)
+
+
+def make_gp_mppi(gp_ckpt, K=256, H=20, mesh=None):
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.3},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"SGP_64:{gp_ckpt}",
+        optimizer_config={
+            "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+            "num_rollouts": K, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+            "NU": 1000.0, "SQRTRHOINV": 0.05,
+            "period_interpolation_inducing_points": 5,
+        },
+        mesh=mesh,
+    )
+    return ctrl
+
+
+def _inputs(ctrl, K, H, seed=0):
+    key = jax.random.PRNGKey(seed)
+    s_tiled = jnp.tile(jnp.array([[0.1, -0.2, 0.3, 0.05]], jnp.float32), (K, 1))
+    Q = jax.random.uniform(key, (K, H, 1), minval=-1.0, maxval=1.0)
+    u_prev = jnp.array([0.25], jnp.float32)
+    return s_tiled, Q, u_prev, ctrl._assemble_params()
+
+
+def test_gp_kernel_matches_scan(gp_ckpt):
+    K, H = 256, 20
+    ctrl = make_gp_mppi(gp_ckpt, K, H)
+    opt = ctrl.optimizer
+    kernel_cost = opt._build_pallas_gp_cost(interpret=True, tile_k=128)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H)
+    ref = opt._fused_cost(s_tiled, Q, u_prev, params)
+    out = kernel_cost(s_tiled, Q, u_prev, params)
+    # combined affine input transform vs the scan's two-stage normalize +
+    # lengthscale divide reassociates float ops; exp(-0.5 d2) then amplifies
+    # ~2e-4 relative over a 20-step rollout — conditioning, not semantics.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_gp_refit_flows_without_rebuild(gp_ckpt):
+    """Perturbing the GP posterior weights (a re-fit) changes the kernel's
+    output on the next call — the GP params are operands, not trace-time
+    constants — and still matches the scan with the same params."""
+    K, H = 128, 10
+    ctrl = make_gp_mppi(gp_ckpt, K, H)
+    opt = ctrl.optimizer
+    kernel_cost = opt._build_pallas_gp_cost(interpret=True, tile_k=128)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=4)
+    out1 = kernel_cost(s_tiled, Q, u_prev, params)
+
+    params2 = dict(params)
+    params2["dyn"] = dict(params["dyn"])
+    params2["dyn"]["gp"] = dict(params["dyn"]["gp"])
+    params2["dyn"]["gp"]["alpha"] = params["dyn"]["gp"]["alpha"] * 1.5
+    out2 = kernel_cost(s_tiled, Q, u_prev, params2)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    ref2 = opt._fused_cost(s_tiled, Q, u_prev, params2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_gp_kernel_sharded(gp_ckpt):
+    """shard_map'd GP kernel over the 8-device mesh: GP operands replicated,
+    population sharded; equals unsharded to fp tolerance."""
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    K, H = 1024, 10
+    mesh = make_rollout_mesh(jax.devices())
+    ctrl = make_gp_mppi(gp_ckpt, K, H, mesh=mesh)
+    opt = ctrl.optimizer
+    kernel_cost = opt._build_pallas_gp_cost(interpret=True, tile_k=128)
+
+    ctrl_ref = make_gp_mppi(gp_ckpt, K, H)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=2)
+    ref = ctrl_ref.optimizer._fused_cost(s_tiled, Q, u_prev,
+                                         ctrl_ref._assemble_params())
+    out = kernel_cost(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_gp_tile_for_caps_vmem():
+    from control_toolkit_tpu.ops.pallas_neural import gp_tile_for
+
+    # M=128: [M, tile]*4B <= 4MB holds at tile=8192 (4 MiB exactly)
+    assert gp_tile_for(2 ** 18, 1, num_inducing=128) == 8192
+    # M=512 forces the tile down to keep kernel-block VMEM bounded
+    assert gp_tile_for(2 ** 18, 1, num_inducing=512) == 2048
+    # indivisible K -> 0 (kernel ineligible, scan path)
+    assert gp_tile_for(1000, 1, num_inducing=128) == 0
+
+
+def test_gp_gating_requires_tpu_and_gp_predictor(gp_ckpt):
+    """_can_use_pallas_gp is false on CPU backend and for non-GP
+    predictors; the scan path stays selected."""
+    ctrl = make_gp_mppi(gp_ckpt, K=256, H=10)
+    opt = ctrl.optimizer
+    assert opt._pallas_gp_compatible_model() is (jax.default_backend() == "tpu")
+    if jax.default_backend() != "tpu":
+        assert not opt._can_use_pallas_gp()
