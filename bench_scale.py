@@ -374,24 +374,41 @@ def build_neural_mppi(K, H, net="mlp-32-32", force_scan=False):
     return ctrl
 
 
-def build_gp_mppi(K, H, num_inducing=128):
+_GP_CKPTS = {}
+
+
+def _gp_checkpoint(num_inducing=128):
+    """Fit (once per M) and checkpoint the cartpole sparse-GP the GP rows
+    share; returns the .npz path (left on disk for the process lifetime so
+    repeated builders can reload it)."""
+    if num_inducing not in _GP_CKPTS:
+        import tempfile
+
+        from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+        from control_toolkit_tpu.models.gp_predictor import (
+            GPPredictor, fit_gp_dynamics)
+        from control_toolkit_tpu.models.training import collect_transitions
+
+        env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+        x, u, xn = collect_transitions(env, 200, seed=0)
+        params, _ = fit_gp_dynamics(x, u, xn, num_inducing=num_inducing,
+                                    seed=0)
+        fd, path = tempfile.mkstemp(suffix=".npz")
+        os.close(fd)
+        GPPredictor("cartpole", dt=0.02, params=params).save(path)
+        _GP_CKPTS[num_inducing] = path
+    return _GP_CKPTS[num_inducing]
+
+
+def build_gp_mppi(K, H, num_inducing=128, force_scan=False):
     """MPPI over a learned sparse-GP dynamics model (the reference's
     'SGP_30' predictor kind, config_controllers.yml:8): each rollout step
     is a [K, M] RBF kernel block against M inducing points times a [M, S]
-    weight matrix — straight MXU matmuls, no custom kernel needed."""
-    import tempfile
-
+    weight matrix.  force_scan pins the XLA scan (HBM-resident [K, M]
+    blocks per step); default takes the fused Pallas GP kernel."""
     from control_toolkit_tpu.controllers.mpc import MPCController
-    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
-    from control_toolkit_tpu.models.gp_predictor import GPPredictor, fit_gp_dynamics
-    from control_toolkit_tpu.models.training import collect_transitions
 
-    env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
-    x, u, xn = collect_transitions(env, 200, seed=0)
-    params, _ = fit_gp_dynamics(x, u, xn, num_inducing=num_inducing, seed=0)
-    fd, path = tempfile.mkstemp(suffix=".npz")
-    os.close(fd)
-    GPPredictor("cartpole", dt=0.02, params=params).save(path)
+    path = _gp_checkpoint(num_inducing)
 
     ctrl = MPCController(
         environment_name="cartpole",
@@ -406,9 +423,22 @@ def build_gp_mppi(K, H, num_inducing=128):
             "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
             "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
             "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 10,
+            "force_scan": force_scan,
         })
-    os.unlink(path)  # predictor loads the checkpoint eagerly at configure
     return ctrl
+
+
+def measure_batched_gp(B=128, K_per_slot=512, H=35, num_inducing=128,
+                       force_scan=False):
+    """Steps/s for B MPPI sessions over the learned sparse-GP dynamics
+    (columnwise GP kernel — the [B*K, M] RBF blocks stay in VMEM — vs the
+    vmapped scan path with force_scan=True)."""
+    return _measure_batched_steps("mppi", {
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.05, "force_scan": force_scan,
+        "period_interpolation_inducing_points": 10}, B,
+        predictor_specification=f"SGP_{num_inducing}:{_gp_checkpoint(num_inducing)}")
 
 
 def measure_served_mppi(K, H=50, n_requests=30):
@@ -532,12 +562,17 @@ def main():
             results[f"{name}_error"] = str(e)[:200]
             print(f"{name}: ERROR {e}", flush=True)
 
-    # Sparse-GP predictor rows (the last un-benchmarked predictor family):
-    # M=128 inducing points, per-step [K,128] kernel block + [128,S] solve
-    # weights on the MXU.
-    for name, Kn in (("gp_sgp128_K16k", 16384), ("gp_sgp128_K262k", 1 << 18)):
+    # Sparse-GP predictor rows: M=128 inducing points, per-step [K,128]
+    # RBF kernel block + [128,S] posterior weights — XLA scan (HBM-resident
+    # blocks) vs the fused Pallas GP kernel (blocks live in VMEM).
+    for name, Kn, kw in (
+        ("gp_sgp128_K16k_scan", 16384, {"force_scan": True}),
+        ("gp_sgp128_K16k_kernel", 16384, {}),
+        ("gp_sgp128_K262k_scan", 1 << 18, {"force_scan": True}),
+        ("gp_sgp128_K262k_kernel", 1 << 18, {}),
+    ):
         try:
-            ms = measure_step(build_gp_mppi(Kn, H), n1=5, n2=25)
+            ms = measure_step(build_gp_mppi(Kn, H, **kw), n1=5, n2=25)
             results[name] = round(ms, 3)
             results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
             print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",
@@ -665,6 +700,13 @@ def main():
     results["batched_rnn_gru32_B128_K512_H35"] = round(ms_k, 3)
     results["batched_rnn_gru32_B128_K512_H35_vmap_scan"] = round(ms_s, 3)
     print(f"batched GRU-32 B=128 K=512 H=35: kernel {ms_k:.3f} ms/step "
+          f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
+
+    ms_k = measure_batched_gp(B=128, K_per_slot=512, H=35)
+    ms_s = measure_batched_gp(B=128, K_per_slot=512, H=35, force_scan=True)
+    results["batched_gp_sgp128_B128_K512_H35"] = round(ms_k, 3)
+    results["batched_gp_sgp128_B128_K512_H35_vmap_scan"] = round(ms_s, 3)
+    print(f"batched SGP-128 B=128 K=512 H=35: kernel {ms_k:.3f} ms/step "
           f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
 
     # Batched fully-fused CEM (columns counter-PRNG kernel, opt-in flag).

@@ -222,6 +222,7 @@ class BatchedMPCController(MPCController):
         elif (
             self._batched_kernel_eligible()
             or self._batched_neural_eligible()
+            or self._batched_gp_eligible()
             or self._batched_rpgd_eligible()
             or self._batched_gradient_eligible()
             or self._batched_fused_cem_eligible()
@@ -246,6 +247,9 @@ class BatchedMPCController(MPCController):
             elif self._batched_neural_eligible():
                 kstep, _ = opt._make_batched_neural_step(self._B_build)
                 kind = "neural MLP"
+            elif self._batched_gp_eligible():
+                kstep, _ = opt._make_batched_gp_step(self._B_build)
+                kind = "sparse GP"
             elif self._batched_rpgd_eligible():
                 kstep = opt._make_batched_rpgd_step(self._B_build)
                 kind = "RPGD gradient"
@@ -379,6 +383,30 @@ class BatchedMPCController(MPCController):
 
     def _batched_neural_eligible(self) -> bool:
         return self._batched_neural_like_eligible(recurrent=False)
+
+    def _batched_gp_eligible(self) -> bool:
+        """Columnwise GP-kernel eligibility: plain MPPI over a GPPredictor
+        on an unmeshed TPU, with B*K packing into whole GP-kernel tiles
+        (the same MPPI-shape conditions as the neural gate)."""
+        from control_toolkit_tpu.models.gp_predictor import GPPredictor
+        from control_toolkit_tpu.ops.pallas_neural import gp_tile_for
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+        opt = self.optimizer
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return (
+            type(opt) is MPPIOptimizer
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            and not opt.bounded_update
+            and opt.optim_steps == 0
+            and isinstance(pred, GPPredictor)
+            and opt._pallas_gp_compatible_model()
+            and gp_tile_for(
+                self._B_build * opt.num_rollouts, 1,
+                int(pred.gp_params["Z"].shape[0]),
+            ) > 0
+        )
 
     def _batched_rpgd_eligible(self) -> bool:
         """Columnwise RPGD-kernel eligibility: RPGD (any variant — their

@@ -126,9 +126,10 @@ class ClosedLoop:
     def _sweep_kernel_kind(self, N: int) -> Optional[str]:
         """Which columnwise batched kernel the N-episode sweep can take:
         'ode' (semi-fused MPPI over an SOA ODE model), 'neural' (MPPI over
-        a non-recurrent f32 MLP predictor), 'rpgd' (RPGD via the columns
-        gradient kernel), 'cem-fused' (fully_fused CEM via the columns
-        counter-PRNG kernel), or None (vmapped scan path).  Mirrors the
+        a non-recurrent f32 MLP predictor), 'gp' (MPPI over a sparse-GP
+        predictor), 'rpgd' (RPGD via the columns gradient kernel),
+        'cem-fused' (fully_fused CEM via the columns counter-PRNG kernel),
+        or None (vmapped scan path).  Mirrors the
         BatchedMPC eligibility gates; unmeshed TPU + stateless predictor +
         tile-divisible N*K required.  Modular (non-fully_fused) CEM sweeps
         keep the vmap path (the materialize+transpose columns CEM step
@@ -196,6 +197,17 @@ class ClosedLoop:
             and neural_tile_for(N * opt.num_rollouts) > 0
         ):
             return "neural"
+        from control_toolkit_tpu.models.gp_predictor import GPPredictor
+        from control_toolkit_tpu.ops.pallas_neural import gp_tile_for
+
+        if (
+            isinstance(pred, GPPredictor)
+            and opt._pallas_gp_compatible_model()
+            and gp_tile_for(
+                N * opt.num_rollouts, 1, int(pred.gp_params["Z"].shape[0])
+            ) > 0
+        ):
+            return "gp"
         return None
 
     def _kernel_sweep_eligible(self, N: int) -> bool:
@@ -215,6 +227,7 @@ class ClosedLoop:
         # Dispatch on the optimizer/predictor kind (not the eligibility
         # gate, which is backend-dependent — interpret-mode callers run on
         # CPU).
+        from control_toolkit_tpu.models.gp_predictor import GPPredictor
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
         from control_toolkit_tpu.optimizers.cem import CEMOptimizer
         from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
@@ -247,6 +260,10 @@ class ClosedLoop:
                 )
         elif type(opt) is MPPIOptimizer and isinstance(pred, NeuralPredictor):
             kstep, _ = opt._make_batched_neural_step(
+                N, interpret=interpret, tile_k=tile_k
+            )
+        elif type(opt) is MPPIOptimizer and isinstance(pred, GPPredictor):
+            kstep, _ = opt._make_batched_gp_step(
                 N, interpret=interpret, tile_k=tile_k
             )
         elif type(opt) is MPPIOptimizer:

@@ -381,7 +381,6 @@ class MPPIOptimizer(Optimizer):
 
         B, K = int(num_slots), self.num_rollouts
         H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
-        P = self.interp.number_of_interpolation_inducing_points
         tk = tile_k or neural_tile_for(B * K)
         if tk == 0:
             raise ValueError(
@@ -410,7 +409,65 @@ class MPPIOptimizer(Optimizer):
             has_norm_out="norm_out_mean" in net,
             tile_k=tk, interpret=interpret, slot_keys=slot_keys,
         )
+        return self._batched_columns_step_from_kernel(
+            B, kernel, lambda dyn: flatten_mlp_weights(dyn["net"]),
+            shared_keys, slot_keys,
+        )
 
+    def _make_batched_gp_step(self, num_slots: int,
+                              interpret: bool = False,
+                              tile_k: int = None):
+        """B-session MPPI step over sparse-GP dynamics for BatchedMPC —
+        the GP analogue of ``_make_batched_neural_step``: one columns-mode
+        GP kernel launch (ops/pallas_neural.py
+        build_gp_cost_rollout_kernel, ``slot_keys``) evaluates all B
+        sessions' rollouts; the [B*K, M] RBF kernel blocks the XLA scan
+        writes to HBM every horizon step stay in VMEM.  GP params are
+        shared whole-array operands (a re-fit swaps in without
+        recompiling)."""
+        from control_toolkit_tpu.ops.pallas_neural import (
+            build_gp_cost_rollout_kernel,
+            flatten_gp_weights,
+            gp_tile_for,
+        )
+
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        M = int(pred.gp_params["Z"].shape[0])
+        tk = tile_k or gp_tile_for(B * K, 1, M)
+        if tk == 0:
+            raise ValueError(
+                f"batched GP kernel needs a tile dividing B*K; "
+                f"got B={B}, K={K}"
+            )
+
+        param_keys, _, _, stage_soa, terminal_soa, _ = self._soa_bindings(
+            include_dyn=False
+        )
+        slot_prefixes = ("a_", "__u_prev_")
+        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
+        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        kernel = build_gp_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=S, num_controls=U, horizon=H,
+            param_keys=param_keys,
+            tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+        )
+        return self._batched_columns_step_from_kernel(
+            B, kernel, lambda dyn: flatten_gp_weights(dyn["gp"]),
+            shared_keys, slot_keys,
+        )
+
+    def _batched_columns_step_from_kernel(self, B, kernel, weights_fn,
+                                          shared_keys, slot_keys):
+        """Shared tail of the columns-mode batched MPPI steps: per-session
+        sampling/interpolation/softmax in XLA around ONE packed kernel
+        launch.  ``weights_fn(dyn)`` flattens the model-specific VMEM
+        operand list (MLP layers / GP params)."""
+        K = self.num_rollouts
+        H, U = self.mpc_horizon, self.num_control_inputs
+        P = self.interp.number_of_interpolation_inducing_points
         interp = self.interp
         low, high = self.action_low, self.action_high
         LBD, stdev = self.LBD, self.SQRTRHODTINV
@@ -437,7 +494,7 @@ class MPPIOptimizer(Optimizer):
             pvec, pslot = pack_slots(states.u_prev, dyn, cost, attrs)
 
             base = kernel(
-                s0, Q, pvec, pslot, *flatten_mlp_weights(dyn["net"])
+                s0, Q, pvec, pslot, *weights_fn(dyn)
             ).reshape(B, K)
             costs = base + jax.vmap(correction_cost)(u_run, delta)
 

@@ -1103,3 +1103,126 @@ def test_batched_kernel_eligibility_gate():
     s = np.tile(np.array([0.0, 0.0, 0.2, 0.0], np.float32), (4, 1))
     u = ctrl.step_batch(s)
     assert np.all(np.isfinite(u))
+
+
+def test_batched_gp_kernel_matches_xla_reference(tmp_path):
+    """Columns-mode sparse-GP kernel (B sessions, one launch) == per-session
+    XLA reference (GP scan rollout + trajectory cost + correction + softmax)
+    with the same injected inducing-point noise."""
+    from test_pallas_gp import make_gp_mppi
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.models.gp_predictor import (
+        GPPredictor, fit_gp_dynamics)
+    from control_toolkit_tpu.models.training import collect_transitions
+
+    env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+    x, u, xn = collect_transitions(env, 150, seed=0)
+    gparams, _ = fit_gp_dynamics(x, u, xn, num_inducing=64, seed=0)
+    path = tmp_path / "sgp.npz"
+    GPPredictor("cartpole", dt=0.02, params=gparams).save(path)
+
+    B, K, H, tile = 4, 128, 10, 128
+    ctrl = make_gp_mppi(str(path), K, H)
+    opt = ctrl.optimizer
+    _, update_from_eps = opt._make_batched_gp_step(B, interpret=True,
+                                                   tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+
+    states = make_states(opt, B)
+    rng = np.random.default_rng(31)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    delta_b = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(B, K, P, U)), jnp.float32
+    )
+
+    u_nom_new, costs = update_from_eps(
+        states, s_b, params["dyn"], params["cost"], attrs, delta_b
+    )
+    assert u_nom_new.shape == (B, H, U) and costs.shape == (B, K)
+
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:],
+             np.asarray(states.u_nom)[b, 0, -1:]], axis=0)       # [H, U]
+        delta = np.asarray(opt.interp.interpolate(delta_b[b]))   # [K, H, U]
+        Q = np.clip(un_shift[None] + delta, -1.0, 1.0)
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        traj = opt.predictor.rollout(s_tiled, jnp.asarray(Q), params["dyn"])
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        base = opt.cost_function.get_trajectory_cost(
+            traj, jnp.asarray(Q), states.u_prev[b], cparams
+        )
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * delta**2
+                + opt.R * Q * delta + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        ref_cost = np.asarray(base) + corr
+        # same reassociation tolerance story as test_pallas_gp
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=1e-3
+        )
+        rho = ref_cost.min()
+        w = np.exp(-(ref_cost - rho) / opt.LBD)
+        upd = np.einsum("k,khu->hu", w, delta) / w.sum()
+        ref_unom = np.clip(un_shift + upd, -1.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(u_nom_new)[b], ref_unom, atol=1e-5, rtol=1e-4
+        )
+
+
+def test_kernel_sweep_gp_dispatch_and_parity(tmp_path):
+    """Monte-Carlo sweep over a sparse-GP predictor rolling against the
+    true ODE plant: _build_kernel_sweep dispatches to the batched GP step
+    and matches the eager per-tick loop over the same step."""
+    from test_pallas_gp import make_gp_mppi
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+    from control_toolkit_tpu.models.gp_predictor import (
+        GPPredictor, fit_gp_dynamics)
+    from control_toolkit_tpu.models.training import collect_transitions
+
+    env0 = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+    x, u, xn = collect_transitions(env0, 150, seed=0)
+    gparams, _ = fit_gp_dynamics(x, u, xn, num_inducing=64, seed=0)
+    path = tmp_path / "sgp.npz"
+    GPPredictor("cartpole", dt=0.02, params=gparams).save(path)
+
+    N, K, H, tile, T = 2, 64, 8, 128, 4
+    ctrl = make_gp_mppi(str(path), K, H)
+    opt = ctrl.optimizer
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0)
+    sweep = loop._build_kernel_sweep(N, interpret=True, tile_k=tile)
+
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states0 = make_states(opt, N)
+    rng = np.random.default_rng(2)
+    s0s = jnp.asarray(rng.uniform(-0.2, 0.2, size=(N, 4)), jnp.float32)
+    sub = jax.random.PRNGKey(8)
+    noise_keys = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+    _, sT, ss, us, stage, _ = sweep(states0, s0s, params, noise_keys, T)
+
+    kstep, _ = opt._make_batched_gp_step(N, interpret=True, tile_k=tile)
+    s, st = s0s, states0
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], params["dyn"], params["cost"],
+                         params["attrs"])
+        u = jnp.clip(u, -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(us)[:, t], np.asarray(u),
+                                   atol=1e-5, rtol=1e-5)
+        s = env.step_dynamics(s, u, env.dt)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
+                               atol=1e-5, rtol=1e-5)
