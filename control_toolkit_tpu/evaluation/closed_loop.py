@@ -121,6 +121,24 @@ class ClosedLoop:
 
         self._run_batch_device = run_batch_device
         self._kernel_sweeps: Dict[int, object] = {}
+        self._swept_runs: Dict[Tuple[str, ...], object] = {}
+
+    def _swept_run_for(self, swept_paths: Tuple[str, ...], param_axes):
+        """Jitted N-episode program with the given params leaves vmapped
+        over the episode axis, cached by the swept-leaf path set (the axes
+        tree is a pure function of it for a fixed controller)."""
+        if swept_paths not in self._swept_runs:
+            ep = self._episode
+
+            @partial(jax.jit, static_argnames=("ticks",))
+            def swept_run(opt_states, s0s, params, noise_keys, ticks: int):
+                return jax.vmap(
+                    lambda st, s0, p, nk: ep(st, s0, p, nk, ticks),
+                    in_axes=(0, 0, param_axes, 0),
+                )(opt_states, s0s, params, noise_keys)
+
+            self._swept_runs[swept_paths] = swept_run
+        return self._swept_runs[swept_paths]
 
     # ---- columnwise-kernel Monte-Carlo sweep -----------------------------
     def _sweep_kernel_kind(self, N: int) -> Optional[str]:
@@ -355,7 +373,8 @@ class ClosedLoop:
 
     def run_batch(self, s0_batch: np.ndarray, ticks: int,
                   return_trajectories: bool = False,
-                  mesh=None) -> Dict[str, np.ndarray]:
+                  mesh=None,
+                  sweep_params: Optional[Dict] = None) -> Dict[str, np.ndarray]:
         """Monte-Carlo sweep: N independent episodes in ONE program launch.
 
         Each episode gets a fresh optimizer state on its own PRNG stream
@@ -369,6 +388,19 @@ class ClosedLoop:
         (episodes are embarrassingly parallel — no cross-episode
         collectives, so the SPMD program is pure per-chip work); N must be
         divisible by the mesh device count.
+
+        ``sweep_params`` turns the Monte-Carlo sweep into a PARAMETER sweep:
+        a nested dict overlay (subset of the assembled params tree — 'cost',
+        'attrs', 'dyn' leaves) whose leaves carry a leading [N] episode
+        axis.  Episode i then runs with row i of every swept leaf — an
+        N-point hyperparameter grid (cost weights, targets) or model-
+        mismatch robustness study (controller-side dynamics constants vs
+        the fixed plant) costs ONE device launch.  This works because every
+        swept quantity is already a jit argument (CLAUDE.md invariant), so
+        the vmap just adds an episode axis to those leaves — zero
+        recompilation relative to changing the value between runs.  Swept
+        runs take the vmapped path (the columnwise session kernels assume
+        shared dynamics/cost params across slots by construction).
 
         Returns {'mean_costs' [N], 'stage_costs' [N,T], 'final_states'
         [N,S], 'final_hidden' (stateful only)}, plus 'states' [N,T,S] /
@@ -389,6 +421,13 @@ class ClosedLoop:
             (N, ticks) + sub.shape
         )
         params = self.controller._assemble_params()
+        param_axes = None
+        if sweep_params is not None:
+            params, param_axes, swept_paths = _overlay_sweep(
+                params, sweep_params, N
+            )
+            if not swept_paths:
+                raise ValueError("sweep_params contains no leaves to sweep")
         if mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -410,14 +449,22 @@ class ClosedLoop:
             opt_states = jax.tree_util.tree_map(shard, opt_states)
             s0s, noise_keys = shard(s0s), shard(noise_keys)
             rep = replicated(mesh)
-            params = jax.tree_util.tree_map(
-                lambda v: jax.device_put(jnp.asarray(v), rep), params
-            )
-        run = self._run_batch_device
-        if mesh is None and self._kernel_sweep_eligible(N):
-            if N not in self._kernel_sweeps:
-                self._kernel_sweeps[N] = self._build_kernel_sweep(N)
-            run = self._kernel_sweeps[N]
+            if param_axes is None:
+                params = jax.tree_util.tree_map(
+                    lambda v: jax.device_put(jnp.asarray(v), rep), params
+                )
+            else:
+                # Swept leaves ([N, ...]) shard along the episode axis like
+                # every other per-episode input; unswept leaves replicate.
+                params = _place_swept(params, param_axes, shard, rep)
+        if param_axes is not None:
+            run = self._swept_run_for(tuple(swept_paths), param_axes)
+        else:
+            run = self._run_batch_device
+            if mesh is None and self._kernel_sweep_eligible(N):
+                if N not in self._kernel_sweeps:
+                    self._kernel_sweeps[N] = self._build_kernel_sweep(N)
+                run = self._kernel_sweeps[N]
         _, sT, ss, us, stage, hT = run(
             opt_states, s0s, params, noise_keys, ticks
         )
@@ -432,3 +479,72 @@ class ClosedLoop:
             out["states"] = np.asarray(ss)
             out["controls"] = np.asarray(us)
         return out
+
+
+# ---- parameter-sweep overlay helpers ------------------------------------
+def _overlay_sweep(params: Dict, sweep: Dict, N: int):
+    """Merge a sweep overlay into the assembled params tree.
+
+    ``sweep`` mirrors a subset of ``params``'s dict structure; each of its
+    leaves must be an array of shape [N, *base_leaf.shape] (scalars sweep
+    as [N]).  Returns (merged_params, vmap_in_axes_prefix_tree,
+    sorted_swept_path_list).  Unswept subtrees pass through untouched with
+    a ``None`` prefix axis, so arbitrarily-structured leaves (net weight
+    dicts, RNN hidden tuples) broadcast whole.
+    """
+    swept: list = []
+
+    def rec(base, over, path):
+        if not isinstance(base, dict):
+            raise KeyError(
+                f"sweep path '{'.'.join(path)}' descends into a non-dict "
+                f"params node ({type(base).__name__})"
+            )
+        merged, axes = {}, {}
+        for k, bv in base.items():
+            if k not in over:
+                merged[k], axes[k] = bv, None
+                continue
+            ov = over[k]
+            if isinstance(ov, dict):
+                merged[k], axes[k] = rec(bv, ov, path + (k,))
+                continue
+            dotted = ".".join(path + (k,))
+            base_arr = jnp.asarray(bv)
+            arr = jnp.asarray(ov).astype(base_arr.dtype)
+            want = (N,) + base_arr.shape
+            if arr.shape != want:
+                raise ValueError(
+                    f"sweep leaf '{dotted}' has shape {arr.shape}; expected "
+                    f"{want} ([N, *base_shape] for N={N} episodes)"
+                )
+            merged[k], axes[k] = arr, 0
+            swept.append(dotted)
+        unknown = set(over) - set(base)
+        if unknown:
+            raise KeyError(
+                f"sweep keys {sorted(unknown)} not present in params"
+                f"{' at ' + '.'.join(path) if path else ''} "
+                f"(have: {sorted(base)})"
+            )
+        return merged, axes
+
+    merged, axes = rec(params, sweep, ())
+    return merged, axes, sorted(swept)
+
+
+def _place_swept(params, axes, shard_fn, replicated_sharding):
+    """Device-place a swept params tree on a mesh: leaves with episode
+    axis 0 shard like the other per-episode inputs, axis-None subtrees
+    replicate whole."""
+    if axes is None:
+        return jax.tree_util.tree_map(
+            lambda v: jax.device_put(jnp.asarray(v), replicated_sharding),
+            params,
+        )
+    if isinstance(axes, dict):
+        return {k: _place_swept(params[k], axes[k], shard_fn,
+                                replicated_sharding)
+                for k in params}
+    assert axes == 0
+    return shard_fn(params)

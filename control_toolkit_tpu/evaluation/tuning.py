@@ -1,0 +1,135 @@
+"""On-device hyperparameter grid search over closed-loop episodes.
+
+The reference tunes controllers by hand — edit the YAML, rerun the sim,
+watch the plot (Cost_Functions/cost_function_tester.py is its whole tuning
+tooling).  TPU-native answer: every candidate configuration is one more
+episode in a ``ClosedLoop.run_batch`` parameter sweep, so an entire grid —
+cost weights x targets x model constants, each replicated over Monte-Carlo
+episodes — is evaluated in ONE device launch and ranked by realized
+closed-loop cost.
+
+Two scoring modes, because sweeping COST parameters changes the metric
+itself:
+
+- ``score='swept'`` (default): rank by the realized stage cost each episode
+  computed with ITS OWN parameters — right for robustness studies (sweep
+  targets or controller-side dynamics constants; the metric definition is
+  shared).
+- ``score='fixed'``: re-score every trajectory under the controller's BASE
+  cost parameters — right for tuning cost/optimizer weights, where each
+  config must be judged by one common yardstick, not its own reshaped
+  objective.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _nest(flat: Dict[str, np.ndarray]) -> Dict:
+    """{'cost.cost_weight': v, ...} -> nested overlay dict."""
+    out: Dict = {}
+    for dotted, v in flat.items():
+        node = out
+        *parents, leaf = dotted.split(".")
+        for p in parents:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"grid path '{dotted}' conflicts with a shorter path"
+                )
+        if leaf in node:
+            raise ValueError(f"duplicate grid path '{dotted}'")
+        node[leaf] = v
+    return out
+
+
+def grid_search(
+    loop,
+    grid: Dict[str, np.ndarray],
+    s0: np.ndarray,
+    ticks: int,
+    episodes_per_config: int = 1,
+    score: str = "swept",
+    mesh=None,
+) -> Dict:
+    """Evaluate the cross product of ``grid`` in one device launch.
+
+    ``loop`` is a configured ``ClosedLoop``; ``grid`` maps dotted params
+    paths ('cost.<weight>', 'attrs.<target>', 'dyn.<constant>') to 1-D
+    value arrays (or [n_values, *leaf_shape] for vector leaves).  Every
+    config runs ``episodes_per_config`` episodes from ``s0`` on
+    independent PRNG streams (optimizer sampling AND actuator noise), and
+    configs are ranked by the mean realized closed-loop cost.
+
+    Returns {'configs': list[dict] in grid order, 'mean_costs': [C],
+    'ranking': [C] indices best-first, 'best': dict, 'best_cost': float}.
+    """
+    if score not in ("swept", "fixed"):
+        raise ValueError(f"score must be 'swept' or 'fixed', got {score!r}")
+    paths = list(grid)
+    if not paths:
+        raise ValueError("grid is empty")
+    values: List[np.ndarray] = [np.asarray(grid[p]) for p in paths]
+    for p, v in zip(paths, values):
+        if v.ndim == 0 or v.shape[0] == 0:
+            raise ValueError(f"grid['{p}'] must be a non-empty value array")
+    combos = list(itertools.product(*[range(len(v)) for v in values]))
+    C, E = len(combos), int(episodes_per_config)
+    N = C * E
+    sweep_flat = {}
+    for j, p in enumerate(paths):
+        rows = values[j][np.asarray([c[j] for c in combos])]  # [C, ...]
+        sweep_flat[p] = np.repeat(rows, E, axis=0)            # [N, ...]
+    sweep = _nest(sweep_flat)
+    s0_batch = np.tile(np.reshape(np.asarray(s0, np.float32), (1, -1)), (N, 1))
+    out = loop.run_batch(
+        s0_batch, ticks, sweep_params=sweep, mesh=mesh,
+        return_trajectories=(score == "fixed"),
+    )
+    if score == "fixed":
+        costs = _rescore_fixed(loop, out["states"], out["controls"])
+    else:
+        costs = out["mean_costs"]
+    per_cfg = np.asarray(costs).reshape(C, E).mean(axis=1)
+    ranking = np.argsort(per_cfg, kind="stable")
+    configs = [
+        {p: values[j][c[j]] for j, p in enumerate(paths)} for c in combos
+    ]
+    best = int(ranking[0])
+    return {
+        "configs": configs,
+        "mean_costs": per_cfg,
+        "ranking": ranking,
+        "best": configs[best],
+        "best_cost": float(per_cfg[best]),
+    }
+
+
+def _rescore_fixed(loop, states: np.ndarray, controls: np.ndarray,
+                   params: Optional[Dict] = None) -> np.ndarray:
+    """Mean realized stage cost of [N,T,S]/[N,T,U] trajectories under ONE
+    fixed set of cost params (default: the controller's current assembled
+    params) — the common yardstick for cost-weight tuning."""
+    cf = loop.controller.cost_function.cost_function
+    if params is None:
+        params = loop.controller._assemble_params()
+    p = {"cost": params["cost"], "attrs": params["attrs"]}
+
+    @jax.jit
+    def score(ss, us, p):
+        N, T, U = us.shape
+        u_prev = jnp.concatenate(
+            [jnp.zeros((N, 1, U), us.dtype), us[:, :-1]], axis=1
+        )
+        flat = cf.stage_cost_step(
+            ss.reshape(N * T, -1), us.reshape(N * T, U),
+            u_prev.reshape(N * T, U), p,
+        )
+        return jnp.mean(flat.reshape(N, T), axis=1)
+
+    return np.asarray(score(jnp.asarray(states), jnp.asarray(controls), p))
