@@ -139,7 +139,18 @@ def main(argv=None):
                     help="Control_Toolkit_ASF config directory")
     ap.add_argument("--attributes", default=None,
                     help='initial environment attributes as JSON, e.g. {"target_position": 0.0}')
+    ap.add_argument("--compile-cache", nargs="?", const="", default=None,
+                    metavar="DIR",
+                    help="enable the persistent XLA compilation cache so a "
+                         "serving restart reloads compiled programs from "
+                         "disk instead of recompiling (optional DIR; "
+                         "default ~/.cache/control_toolkit_tpu/xla)")
     args = ap.parse_args(argv)
+
+    if args.compile_cache is not None:
+        from control_toolkit_tpu.utils.compile_cache import enable_persistent_cache
+        d = enable_persistent_cache(args.compile_cache or None)
+        logger.info(f"persistent compilation cache at {d}")
 
     if args.asf_dir:
         from control_toolkit_tpu.utils.config import set_asf_config_dir
