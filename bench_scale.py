@@ -553,7 +553,11 @@ def main():
         ("neural_lstm32_K16k_kernel", 16384, {"net": "LSTM-5IN-32H1-4OUT"}),
     ):
         try:
-            ms = measure_step(build_neural_mppi(Kn, H, **kw), n1=5, n2=25)
+            # Sub-ms steps need long scans: a 5/25-step slope is below the
+            # tunnel's run-to-run timing noise (a K=16k kernel row once
+            # measured NEGATIVE), so small K gets the 20/100 slope.
+            n1, n2 = (20, 100) if Kn <= 16384 else (5, 25)
+            ms = measure_step(build_neural_mppi(Kn, H, **kw), n1=n1, n2=n2)
             results[name] = round(ms, 3)
             results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
             print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",
@@ -572,7 +576,8 @@ def main():
         ("gp_sgp128_K262k_kernel", 1 << 18, {}),
     ):
         try:
-            ms = measure_step(build_gp_mppi(Kn, H, **kw), n1=5, n2=25)
+            n1, n2 = (20, 100) if Kn <= 16384 else (5, 25)
+            ms = measure_step(build_gp_mppi(Kn, H, **kw), n1=n1, n2=n2)
             results[name] = round(ms, 3)
             results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
             print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",

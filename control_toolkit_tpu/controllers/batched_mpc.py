@@ -50,7 +50,7 @@ class BatchedMPCController(MPCController):
     """
 
     def configure(self, *args, num_slots: int = 1, mesh=None,
-                  slot_axis=None, **kwargs) -> None:
+                  slot_axis=None, per_slot_dyn=(), **kwargs) -> None:
         """``mesh`` shards the SLOT axis over devices: sessions are fully
         independent, so the B-session step runs as a ``shard_map`` with
         B/n_devices sessions per device and ZERO cross-device collectives —
@@ -59,7 +59,17 @@ class BatchedMPCController(MPCController):
         batched kernel over its local sessions).  This is distinct from
         ``MPCController.configure(mesh=...)``, which shards a single
         session's rollout population K.  ``slot_axis`` picks the mesh
-        axis/axes (default: all)."""
+        axis/axes (default: all).
+
+        ``per_slot_dyn`` names scalar dynamics constants (keys of the
+        predictor's param dict, e.g. cartpole ``L``/``m_pole``) that vary
+        PER SESSION: each slot then plans against its own model — a
+        heterogeneous fleet (every robot slightly different, each slot
+        carrying its own sysid'd constants) served by one device step.
+        Values start at the predictor defaults and update per slot via
+        ``update_slot_dyn``; they ride the batched step as [B] leaves of
+        the dyn params (dynamic args — per-slot model updates never
+        recompile), and shard with the slot axis under ``mesh``."""
         import jax
         import jax.numpy as jnp
 
@@ -95,6 +105,32 @@ class BatchedMPCController(MPCController):
         self.num_slots = int(num_slots)
         opt = self.optimizer
         B = self.num_slots
+
+        # Per-slot dynamics constants (heterogeneous fleet models).
+        self._per_slot_dyn = tuple(per_slot_dyn)
+        if self._per_slot_dyn:
+            pred = getattr(self.predictor, "predictor", self.predictor)
+            defaults = pred.default_params()
+            for k in self._per_slot_dyn:
+                if k not in defaults or np.ndim(defaults[k]) != 0:
+                    raise ValueError(
+                        f"per_slot_dyn key {k!r} is not a scalar dynamics "
+                        f"constant of this predictor (have: "
+                        f"{sorted(k for k in defaults if np.ndim(defaults[k]) == 0)})"
+                    )
+            self.slot_dyn: Dict[str, np.ndarray] = {
+                k: np.full((B,), float(defaults[k]), np.float32)
+                for k in self._per_slot_dyn
+            }
+        else:
+            self.slot_dyn = {}
+        psd = frozenset(self._per_slot_dyn)
+
+        def dyn_axes(dyn):
+            """vmap in_axes / shard_map spec selector for the dyn tree:
+            per-slot leaves carry the slot axis, everything else (scalars,
+            net-weight subtrees) broadcasts whole."""
+            return {k: (0 if k in psd else None) for k in dyn}
 
         self._slot_mesh = mesh
         if mesh is not None:
@@ -185,16 +221,17 @@ class BatchedMPCController(MPCController):
             else:
 
                 def inner_step(states, s, dyn, cost, attrs, hidden):
-                    def one(st, s_, at, h):
-                        d = dict(dyn)
+                    def one(st, s_, d, at, h):
+                        d = dict(d)
                         d["hidden"] = h
                         return step_fn(
                             st, s_, {"dyn": d, "cost": cost, "attrs": at}
                         )
 
                     return jax.vmap(
-                        one, in_axes=(0, 0, {k: 0 for k in attrs}, 0)
-                    )(states, s, attrs, hidden)
+                        one,
+                        in_axes=(0, 0, dyn_axes(dyn), {k: 0 for k in attrs}, 0),
+                    )(states, s, dyn, attrs, hidden)
 
             def batched(states, s, dyn, cost, attrs, mask, hidden):
                 u, new_states, _ = inner_step(
@@ -242,8 +279,12 @@ class BatchedMPCController(MPCController):
             # fuses away; see docs/KERNELS.md.  CEM keeps the vmap path;
             # _make_batched_cem_step remains for one-launch compositions.)
             if self._batched_kernel_eligible():
-                kstep, _ = opt._make_batched_semi_fused_step(self._B_build)
+                kstep, _ = opt._make_batched_semi_fused_step(
+                    self._B_build, per_slot_dyn=self._per_slot_dyn
+                )
                 kind = "ODE semi-fused"
+                if self._per_slot_dyn:
+                    kind += f" (per-slot dyn {list(self._per_slot_dyn)})"
             elif self._batched_neural_eligible():
                 kstep, _ = opt._make_batched_neural_step(self._B_build)
                 kind = "neural MLP"
@@ -288,11 +329,11 @@ class BatchedMPCController(MPCController):
 
             def batched(states, s, dyn, cost, attrs, mask):
                 u, new_states, _ = jax.vmap(
-                    lambda st, s_, at: step_fn(
-                        st, s_, {"dyn": dyn, "cost": cost, "attrs": at}
+                    lambda st, s_, d, at: step_fn(
+                        st, s_, {"dyn": d, "cost": cost, "attrs": at}
                     ),
-                    in_axes=(0, 0, {k: 0 for k in attrs}),
-                )(states, s, attrs)
+                    in_axes=(0, 0, dyn_axes(dyn), {k: 0 for k in attrs}),
+                )(states, s, dyn, attrs)
 
                 def keep(new, old):
                     m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
@@ -320,11 +361,24 @@ class BatchedMPCController(MPCController):
                 else self._slot_axes[0]
             )
             sb, rep = PS(ax), PS()
+            if self._per_slot_dyn:
+                # Per-slot dyn leaves shard with the sessions; the rest of
+                # the dyn tree (scalars, weight subtrees) replicates.  The
+                # spec dict is a pytree prefix keyed on the ASSEMBLED dyn
+                # keys (minus the hidden the stateful path strips).
+                pred = getattr(self.predictor, "predictor", self.predictor)
+                dyn_spec = {
+                    k: (sb if k in psd else rep)
+                    for k in pred.default_params()
+                    if not (self._stateful and k == "hidden")
+                }
+            else:
+                dyn_spec = rep
             if self._stateful:
-                in_specs = (sb, sb, rep, rep, sb, sb, sb)
+                in_specs = (sb, sb, dyn_spec, rep, sb, sb, sb)
                 out_specs = (sb, sb, sb)
             else:
-                in_specs = (sb, sb, rep, rep, sb, sb)
+                in_specs = (sb, sb, dyn_spec, rep, sb, sb)
                 out_specs = (sb, sb)
             self._batched_jit = jax.jit(shard_map(
                 batched, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -372,6 +426,7 @@ class BatchedMPCController(MPCController):
         pred = getattr(self.predictor, "predictor", self.predictor)
         return (
             type(opt) is MPPIOptimizer
+            and not self._per_slot_dyn  # weight-operand kernels share dyn
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.bounded_update
             and opt.optim_steps == 0
@@ -397,6 +452,7 @@ class BatchedMPCController(MPCController):
         pred = getattr(self.predictor, "predictor", self.predictor)
         return (
             type(opt) is MPPIOptimizer
+            and not self._per_slot_dyn  # weight-operand kernels share dyn
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.bounded_update
             and opt.optim_steps == 0
@@ -422,6 +478,7 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         if not (
             isinstance(opt, RPGDOptimizer)
+            and not self._per_slot_dyn  # grad kernel packs dyn into pvec
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
             and opt._pallas_compatible_model()
@@ -447,6 +504,7 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is CEMOptimizer
+            and not self._per_slot_dyn  # fused CEM packs dyn into pvec
             and opt.fully_fused
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
@@ -467,6 +525,7 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is MPPIVarOptimizer
+            and not self._per_slot_dyn  # var builder packs dyn into pvec
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and opt.semi_fused
             and opt._pallas_compatible_model()
@@ -491,6 +550,7 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         if not (
             type(opt) is GradientOptimizer
+            and not self._per_slot_dyn  # grad kernel packs dyn into pvec
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
             and opt._pallas_compatible_model()
@@ -518,6 +578,19 @@ class BatchedMPCController(MPCController):
             self.slot_hidden = tuple(
                 h.at[i].set(z) for h, z in zip(self.slot_hidden, zero)
             )
+
+    def update_slot_dyn(self, i: int, updated: Optional[Dict]) -> None:
+        """Update slot ``i``'s per-session dynamics constants (keys must
+        have been named in ``configure(per_slot_dyn=...)``) — e.g. commit a
+        per-robot sysid result.  Values are dynamic jit args: no recompile."""
+        for k, v in (updated or {}).items():
+            if k not in self.slot_dyn:
+                logger.warning(
+                    f"slot {i}: dynamics constant {k!r} was not named in "
+                    "per_slot_dyn at configure time; ignored"
+                )
+                continue
+            self.slot_dyn[k][i] = float(np.asarray(v, np.float32).reshape(-1)[0])
 
     def update_slot_attributes(self, i: int, updated: Optional[Dict]) -> None:
         for k, v in (updated or {}).items():
@@ -556,6 +629,10 @@ class BatchedMPCController(MPCController):
         if self.cost_function.update_cost_parameters_from_config():
             self._cost_params = None
         params = self._assemble_params()
+        if self._per_slot_dyn:
+            # Per-session dynamics constants override the shared scalars as
+            # [B] leaves (placed with the slot sharding under a mesh, below).
+            params = dict(params, dyn=dict(params["dyn"], **self.slot_dyn))
 
         mask_np = (
             np.ones((B,), bool) if mask is None else np.asarray(mask, bool)
@@ -589,6 +666,16 @@ class BatchedMPCController(MPCController):
                 # _assemble_params's cached device leaves must NOT round-
                 # trip through host numpy every step.
                 params = jax.device_put(params, self._rep_sharding)
+            if self._per_slot_dyn:
+                # [B] per-session dyn leaves shard with the slots (the
+                # shard_map in_specs expect it; replicating then resharding
+                # would bounce them through the interconnect every step).
+                dyn = dict(params["dyn"])
+                for k in self._per_slot_dyn:
+                    dyn[k] = jax.device_put(
+                        np.asarray(self.slot_dyn[k]), self._slot_sharding
+                    )
+                params = dict(params, dyn=dyn)
         else:
             mask_arr = jnp.asarray(mask_np)
             s_dev = jnp.asarray(s_np)

@@ -1,0 +1,182 @@
+"""Per-session dynamics constants (heterogeneous-fleet serving).
+
+``BatchedMPC.configure(per_slot_dyn=("L",...))`` gives every slot its own
+scalar dynamics constants: the vmap path maps them over the slot axis, and
+the columnwise semi-fused MPPI kernel carries them as pslot rows
+(ops/pallas_mppi.py ``slot_dyn_keys``) — checked here in interpret mode
+against the modular XLA math with per-session dyn dicts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+from test_pallas_batched import ROWS, make_states
+from test_pallas_rollout import make_mppi_ctrl
+
+MPPI_CFG = {
+    "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": 10, "num_rollouts": 32,
+    "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+    "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 5,
+}
+
+
+def _batched(B=3, per_slot_dyn=(), **overrides):
+    cfg = dict(MPPI_CFG, **overrides)
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32),
+                        np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config=cfg,
+                   num_slots=B, per_slot_dyn=per_slot_dyn)
+    return ctrl
+
+
+def test_per_slot_dyn_vmap_parity():
+    """Slot j with per-slot L == slot j of a controller whose predictor
+    uses that L globally (same slot PRNG streams)."""
+    B = 3
+    L = np.array([0.5, 0.9, 0.5], np.float32)  # slot 1 runs a longer pole
+    s = np.tile(np.array([0.0, 0.0, 0.2, 0.0], np.float32), (B, 1))
+
+    ctrl = _batched(B, per_slot_dyn=("L",))
+    for i in range(B):
+        ctrl.update_slot_dyn(i, {"L": L[i]})
+    u = ctrl.step_batch(s)
+
+    for lval, slot in ((0.5, 0), (0.9, 1)):
+        ref = _batched(B)
+        ref.predictor.predictor._defaults["L"] = float(lval)
+        ref._dyn_params = None  # drop the cached device leaves
+        u_ref = ref.step_batch(s)
+        np.testing.assert_allclose(u[slot], u_ref[slot], atol=1e-6, rtol=0)
+    # And the two L values genuinely differ.
+    assert not np.allclose(u[0], u[1], atol=1e-5)
+    # Identical-L slots still differ only through their PRNG streams:
+    # slot 2 must equal the default-model run's slot 2.
+    ref = _batched(B)
+    np.testing.assert_allclose(u[2], ref.step_batch(s)[2], atol=1e-6, rtol=0)
+
+
+def test_per_slot_dyn_validation_and_update_api():
+    with pytest.raises(ValueError, match="per_slot_dyn key 'nope'"):
+        _batched(2, per_slot_dyn=("nope",))
+    ctrl = _batched(2, per_slot_dyn=("L", "m_pole"))
+    assert set(ctrl.slot_dyn) == {"L", "m_pole"}
+    np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.5])  # defaults
+    ctrl.update_slot_dyn(1, {"L": 0.7, "unknown": 2.0})  # unknown -> warn
+    np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.7])
+    u = ctrl.step_batch(np.tile(np.array([0, 0, 0.2, 0], np.float32), (2, 1)))
+    assert u.shape == (2, 1) and np.all(np.isfinite(u))
+
+
+def test_per_slot_dyn_neural_predictor_rejected():
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32),
+                        np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    with pytest.raises(ValueError, match="not a scalar dynamics constant"):
+        ctrl.configure(optimizer_name="mppi",
+                       optimizer_config=dict(MPPI_CFG),
+                       predictor_specification="neural:mlp-8-8",
+                       num_slots=2, per_slot_dyn=("L",))
+
+
+def test_per_slot_dyn_slot_mesh_matches_unmeshed():
+    """Per-slot dyn leaves shard with the slot axis; results match the
+    unmeshed controller slot for slot."""
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    B = 8
+    L = np.linspace(0.4, 1.1, B).astype(np.float32)
+    s = np.tile(np.array([0.0, 0.0, 0.2, 0.0], np.float32), (B, 1))
+
+    ctrl = _batched(B, per_slot_dyn=("L",))
+    meshed = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32),
+                        np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    meshed.configure(optimizer_name="mppi", optimizer_config=dict(MPPI_CFG),
+                     num_slots=B, per_slot_dyn=("L",),
+                     mesh=make_rollout_mesh())
+    for i in range(B):
+        ctrl.update_slot_dyn(i, {"L": L[i]})
+        meshed.update_slot_dyn(i, {"L": L[i]})
+    np.testing.assert_allclose(
+        meshed.step_batch(s), ctrl.step_batch(s), atol=2e-6, rtol=0)
+
+
+def test_kernel_per_slot_dyn_matches_modular_costs():
+    """Columnwise semi-fused kernel with per-slot L rows (interpret mode):
+    per-session costs == modular rollout+cost+correction with that
+    session's dyn dict."""
+    B, K, H, tile = 4, 64, 10, 128
+    ctrl = make_mppi_ctrl(K, H)
+    opt = ctrl.optimizer
+    _, update_from_eps = opt._make_batched_semi_fused_step(
+        B, interpret=True, tile_k=tile, per_slot_dyn=("L",)
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    L = np.array([0.35, 0.5, 0.8, 1.2], np.float32)
+    dyn = dict(params["dyn"], L=jnp.asarray(L))
+
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+    cps, T, C = K // ROWS, (B * K) // tile, tile // ROWS
+    states = make_states(opt, B)
+    rng = np.random.default_rng(11)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.zeros((B,), jnp.float32)}
+    eps = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(T, U, P * ROWS, C)),
+        jnp.float32,
+    )
+    _, costs = update_from_eps(states, s_b, dyn, params["cost"], attrs, eps)
+
+    W = np.asarray(opt.interp.matrix, np.float32)
+    Wk = np.kron(W.T, np.eye(ROWS, dtype=np.float32))
+    eps_cols = np.asarray(eps).transpose(1, 2, 0, 3).reshape(U, P * ROWS, T * C)
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:],
+             np.asarray(states.u_nom)[b, 0, -1:]], axis=0)
+        eps_b = eps_cols[:, :, b * cps:(b + 1) * cps]
+        delta = np.stack([Wk @ eps_b[j] for j in range(U)])
+        Q = np.zeros((K, H, U), np.float32)
+        du = np.zeros((K, H, U), np.float32)
+        for r in range(ROWS):
+            for cw in range(cps):
+                for j in range(U):
+                    d = delta[j, np.arange(H) * ROWS + r, cw]
+                    du[r * cps + cw, :, j] = d
+                    Q[r * cps + cw, :, j] = np.clip(
+                        un_shift[:, j] + d, -1.0, 1.0)
+        dyn_b = dict(params["dyn"], L=jnp.asarray(L[b]))
+        traj = opt.predictor.rollout(
+            jnp.tile(s_b[b], (K, 1)), jnp.asarray(Q), dyn_b)
+        base = opt.cost_function.get_trajectory_cost(
+            traj, jnp.asarray(Q), states.u_prev[b],
+            {"cost": params["cost"], "attrs": {"target_position": 0.0}},
+        )
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * du**2
+                + opt.R * Q * du + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], np.asarray(base) + corr,
+            atol=2e-4, rtol=2e-5,
+        )
