@@ -118,11 +118,15 @@ class BatchedMPCController(MPCController):
                         f"constant of this predictor (have: "
                         f"{sorted(k for k in defaults if np.ndim(defaults[k]) == 0)})"
                     )
+            self._slot_dyn_defaults = {
+                k: float(defaults[k]) for k in self._per_slot_dyn
+            }
             self.slot_dyn: Dict[str, np.ndarray] = {
-                k: np.full((B,), float(defaults[k]), np.float32)
-                for k in self._per_slot_dyn
+                k: np.full((B,), v, np.float32)
+                for k, v in self._slot_dyn_defaults.items()
             }
         else:
+            self._slot_dyn_defaults = {}
             self.slot_dyn = {}
         psd = frozenset(self._per_slot_dyn)
 
@@ -591,6 +595,15 @@ class BatchedMPCController(MPCController):
                 )
                 continue
             self.slot_dyn[k][i] = float(np.asarray(v, np.float32).reshape(-1)[0])
+
+    def reset_slot_dyn(self, i: int) -> None:
+        """Return slot ``i``'s dynamics constants to the predictor defaults
+        (slot handed to a NEW client — it must not inherit the previous
+        robot's model).  Distinct from ``reset_slot``, which resets the
+        warm start but keeps the model: a NaN-guard reset of a live robot
+        must not forget its sysid'd constants."""
+        for k, v in self._slot_dyn_defaults.items():
+            self.slot_dyn[k][i] = v
 
     def update_slot_attributes(self, i: int, updated: Optional[Dict]) -> None:
         for k, v in (updated or {}).items():

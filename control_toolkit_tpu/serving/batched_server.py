@@ -3,7 +3,10 @@
 Same wire protocol as serving/server.py ({rid, state, time,
 updated_attributes} -> {rid, Q} — ``time`` is accepted for wire parity and,
 exactly like the scalar server's ``ctrl.step(s, t)``, not consumed by any
-shipped optimizer), but one BatchedMPCController serves many
+shipped optimizer; an OPTIONAL ``updated_dyn`` key routes per-session
+dynamics constants to the slot when the controller was configured with
+``per_slot_dyn`` — how a fleet client pushes its sysid result to its own
+model, zero recompiles), but one BatchedMPCController serves many
 DEALER clients from a single chip: each client identity is assigned a slot,
 incoming requests are gathered for up to ``batch_window_ms`` (or until every
 known client has a pending request), then ONE vmapped step advances exactly
@@ -119,6 +122,10 @@ def serve_batched(
                                 freed = slots.pop(stalest)
                                 last_seen.pop(stalest, None)
                                 ctrl.reset_slot(freed)
+                                if getattr(ctrl, "slot_dyn", None):
+                                    # Newcomers must not inherit the
+                                    # evicted robot's model constants.
+                                    ctrl.reset_slot_dyn(freed)
                                 slots[identity] = freed
                                 logger.info(
                                     f"evicted idle client {stalest!r}; "
@@ -142,6 +149,15 @@ def serve_batched(
                         logger.debug(
                             f"{identity!r} superseded its pending request"
                         )
+                    upd_dyn = req.get("updated_dyn")
+                    if upd_dyn:
+                        if getattr(ctrl, "slot_dyn", None):
+                            ctrl.update_slot_dyn(slots[identity], upd_dyn)
+                        else:
+                            logger.warning(
+                                "updated_dyn received but the controller "
+                                "has no per_slot_dyn configured; ignored"
+                            )
                     pending[slots[identity]] = (
                         identity, framing3, req.get("rid"), s,
                         req.get("updated_attributes", {}) or {},

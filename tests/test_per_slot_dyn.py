@@ -180,3 +180,50 @@ def test_kernel_per_slot_dyn_matches_modular_costs():
             np.asarray(costs)[b], np.asarray(base) + corr,
             atol=2e-4, rtol=2e-5,
         )
+
+
+def test_updated_dyn_over_the_wire():
+    """A fleet client pushes its sysid result through the batched server's
+    optional ``updated_dyn`` request key; eviction returns the slot's model
+    to defaults for the newcomer."""
+    import json
+    import threading
+    import time as _time
+
+    zmq = pytest.importorskip("zmq")
+    from control_toolkit_tpu.serving.batched_server import serve_batched
+    from test_batched_serving import _free_port
+
+    ctrl = _batched(2, per_slot_dyn=("L",))
+    endpoint = f"tcp://127.0.0.1:{_free_port()}"
+    stop = threading.Event()
+    t = threading.Thread(
+        target=serve_batched,
+        kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=20.0,
+                    warmup_state=np.zeros(4, np.float32), stop_event=stop),
+        daemon=True,
+    )
+    t.start()
+    _time.sleep(0.3)
+
+    ctx = zmq.Context.instance()
+    sock = ctx.socket(zmq.DEALER)
+    sock.connect(endpoint)
+    sock.setsockopt(zmq.RCVTIMEO, 20000)
+    try:
+        sock.send_json({"rid": 1, "state": [0.0, 0.0, 0.2, 0.0], "time": 0.0,
+                        "updated_attributes": {},
+                        "updated_dyn": {"L": 0.83}})
+        resp = sock.recv_json()
+        assert resp["rid"] == 1 and np.all(np.isfinite(resp["Q"]))
+        # This identity landed in slot 0 (first client): its model updated.
+        np.testing.assert_allclose(ctrl.slot_dyn["L"][0], 0.83, atol=1e-6)
+        np.testing.assert_allclose(ctrl.slot_dyn["L"][1], 0.5, atol=1e-6)
+    finally:
+        sock.close(0)
+        stop.set()
+        t.join(timeout=10)
+        assert not t.is_alive()
+    # Eviction semantics: handing the slot to a new client resets its model.
+    ctrl.reset_slot_dyn(0)
+    np.testing.assert_allclose(ctrl.slot_dyn["L"][0], 0.5, atol=1e-6)
