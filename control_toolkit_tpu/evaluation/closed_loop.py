@@ -121,6 +121,7 @@ class ClosedLoop:
 
         self._run_batch_device = run_batch_device
         self._kernel_sweeps: Dict[int, object] = {}
+        self._kernel_swept_runs: Dict[tuple, object] = {}
         self._swept_runs: Dict[Tuple[str, ...], object] = {}
 
     def _swept_run_for(self, swept_paths: Tuple[str, ...], param_axes):
@@ -139,6 +140,45 @@ class ClosedLoop:
 
             self._swept_runs[swept_paths] = swept_run
         return self._swept_runs[swept_paths]
+
+    def _swept_kernel_run_for(self, N: int, swept_paths, params):
+        """Kernel-path program for a PARAMETER sweep: when the optimizer is
+        plain semi-fused MPPI over an SOA ODE model (the 'ode' sweep kind)
+        and every swept leaf is a per-episode SCALAR the kernel can carry —
+        an attr (already a per-session row) or a dynamics constant / cost
+        weight (``slot_extra_keys`` pslot rows) — the whole grid rides the
+        columnwise kernel: one launch per tick for all N configs.  Returns
+        None when any swept leaf needs the general vmapped path."""
+        if self._sweep_kernel_kind(N) != "ode":
+            return None
+        cf = self.controller.cost_function.cost_function
+        pred = getattr(self.optimizer.predictor, "predictor",
+                       self.optimizer.predictor)
+        attr_keys = set(getattr(cf, "attr_keys", ()))
+        dyn_keys, cost_keys = [], []
+        for p in swept_paths:
+            top, _, leaf = p.partition(".")
+            if "." in leaf or params[top][leaf].ndim != 1:
+                return None           # nested tree or vector leaf
+            if top == "attrs":
+                if leaf not in attr_keys:
+                    return None       # not a kernel-carried attr row
+            elif top == "dyn":
+                if leaf not in pred.default_params():
+                    return None
+                dyn_keys.append(leaf)
+            elif top == "cost":
+                if leaf not in getattr(cf, "dynamic_config_keys", ()):
+                    return None
+                cost_keys.append(leaf)
+            else:
+                return None
+        key = (N,) + tuple(swept_paths)
+        if key not in self._kernel_swept_runs:
+            self._kernel_swept_runs[key] = self._build_kernel_sweep(
+                N, per_slot_dyn=tuple(dyn_keys), per_slot_cost=tuple(cost_keys)
+            )
+        return self._kernel_swept_runs[key]
 
     # ---- columnwise-kernel Monte-Carlo sweep -----------------------------
     def _sweep_kernel_kind(self, N: int) -> Optional[str]:
@@ -232,7 +272,8 @@ class ClosedLoop:
         return self._sweep_kernel_kind(N) is not None
 
     def _build_kernel_sweep(self, N: int, interpret: bool = False,
-                            tile_k: Optional[int] = None):
+                            tile_k: Optional[int] = None,
+                            per_slot_dyn=(), per_slot_cost=()):
         """N-episode sweep with ONE columnwise kernel launch per tick:
         episode b's K rollouts ride lane columns of the shared launch
         (optimizers/mppi.py _make_batched_semi_fused_step for ODE models,
@@ -255,6 +296,14 @@ class ClosedLoop:
         from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
 
         pred = getattr(opt.predictor, "predictor", opt.predictor)
+        if (per_slot_dyn or per_slot_cost) and not (
+            type(opt) is MPPIOptimizer and not isinstance(
+                pred, (NeuralPredictor, GPPredictor))
+        ):
+            raise NotImplementedError(
+                "per-episode dyn/cost sweeps ride the kernel path only for "
+                "plain MPPI over SOA ODE models"
+            )
         if isinstance(opt, MPPIVarOptimizer):
             kstep = opt._make_batched_var_step(
                 N, interpret=interpret, tile_k=tile_k
@@ -286,7 +335,8 @@ class ClosedLoop:
             )
         elif type(opt) is MPPIOptimizer:
             kstep, _ = opt._make_batched_semi_fused_step(
-                N, interpret=interpret, tile_k=tile_k
+                N, interpret=interpret, tile_k=tile_k,
+                per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
             )
         else:
             raise NotImplementedError(
@@ -398,9 +448,13 @@ class ClosedLoop:
         the fixed plant) costs ONE device launch.  This works because every
         swept quantity is already a jit argument (CLAUDE.md invariant), so
         the vmap just adds an episode axis to those leaves — zero
-        recompilation relative to changing the value between runs.  Swept
-        runs take the vmapped path (the columnwise session kernels assume
-        shared dynamics/cost params across slots by construction).
+        recompilation relative to changing the value between runs.  When
+        the optimizer is plain semi-fused MPPI over an SOA ODE model and
+        every swept leaf is a per-episode scalar (attr, dynamics constant,
+        or cost weight), the sweep rides the COLUMNWISE KERNEL — one
+        Pallas launch per tick evaluates the whole grid, with the swept
+        values as per-session pslot rows; anything else (vector leaves,
+        net-weight subtrees, other optimizers) takes the vmapped path.
 
         Returns {'mean_costs' [N], 'stage_costs' [N,T], 'final_states'
         [N,S], 'final_hidden' (stateful only)}, plus 'states' [N,T,S] /
@@ -458,7 +512,11 @@ class ClosedLoop:
                 # every other per-episode input; unswept leaves replicate.
                 params = _place_swept(params, param_axes, shard, rep)
         if param_axes is not None:
-            run = self._swept_run_for(tuple(swept_paths), param_axes)
+            run = None
+            if mesh is None:
+                run = self._swept_kernel_run_for(N, tuple(swept_paths), params)
+            if run is None:
+                run = self._swept_run_for(tuple(swept_paths), param_axes)
         else:
             run = self._run_batch_device
             if mesh is None and self._kernel_sweep_eligible(N):

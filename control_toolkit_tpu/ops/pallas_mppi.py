@@ -141,7 +141,7 @@ def build_fused_mppi_step(
     tile_k: int = DEFAULT_TILE_K,
     interpret: bool = False,
     fast_sampling: bool = False,
-    slot_dyn_keys: Sequence[str] = (),
+    slot_extra_keys: Sequence[str] = (),
 ):
     """Build ``make_run(K) -> step(s0 [S], u_nom [H,U], pvec [N], seed [1])
     -> (new_u_nom [H,U], costs [K])`` implementing one full MPPI update."""
@@ -175,17 +175,18 @@ def build_fused_mppi_step(
 
     # Split for the columnwise (batched-session) kernel: attrs and u_prev
     # vary per MPC session, dynamics/cost constants are shared — except
-    # ``slot_dyn_keys`` ("d_<name>" entries): per-session dynamics
-    # constants for heterogeneous-fleet serving, riding as pslot rows like
-    # the attrs (the SOA arithmetic broadcasts their [1, C] rows).  The
+    # ``slot_extra_keys`` ("d_<name>" / "c_<name>" entries): per-session
+    # dynamics constants (heterogeneous-fleet serving) and cost weights
+    # (kernel-path hyperparameter grids), riding as pslot rows like the
+    # attrs (the SOA arithmetic broadcasts their [1, C] rows).  The
     # naming convention is Optimizer._soa_bindings'.
     _SLOT_PREFIXES = ("a_", "__u_prev_")
-    _slot_dyn = frozenset(slot_dyn_keys)
-    unknown = _slot_dyn - set(param_keys)
+    _slot_extra = frozenset(slot_extra_keys)
+    unknown = _slot_extra - set(param_keys)
     if unknown:
-        raise ValueError(f"slot_dyn_keys {sorted(unknown)} not in param_keys")
+        raise ValueError(f"slot_extra_keys {sorted(unknown)} not in param_keys")
     slot_keys = [k for k in param_keys
-                 if k.startswith(_SLOT_PREFIXES) or k in _slot_dyn]
+                 if k.startswith(_SLOT_PREFIXES) or k in _slot_extra]
     shared_keys = [k for k in param_keys if k not in slot_keys]
 
     one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)

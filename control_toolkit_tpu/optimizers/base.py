@@ -57,14 +57,17 @@ def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int,
         ])
         rows = []
         for k in slot_keys:
-            if k.startswith("a_") or k.startswith("d_"):
+            if k.startswith(("a_", "d_", "c_")):
                 if k.startswith("a_"):
                     v = attrs.get(k[2:])
                     if v is None:
                         v = float(attr_defaults.get(k[2:], 0.0))
-                else:
+                elif k.startswith("d_"):
                     # Per-session dynamics constant (heterogeneous fleet).
                     v = dyn[k[2:]]
+                else:
+                    # Per-session cost weight (kernel-path parameter grid).
+                    v = cost[k[2:]]
                 # Scalars broadcast over sessions (shared-attr callers like
                 # the Monte-Carlo sweep); [B] arrays pass through.
                 rows.append(jnp.broadcast_to(

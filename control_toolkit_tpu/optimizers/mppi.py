@@ -180,7 +180,7 @@ class MPPIOptimizer(Optimizer):
         )
 
     def _build_fused_mppi(self, interpret: bool = False, tile_k: int = None,
-                          build_step: bool = True, slot_dyn_keys=()):
+                          build_step: bool = True, slot_extra_keys=()):
         """Bind dynamics + cost into the fully-fused two-pass MPPI kernel.
 
         Returns ``(kernel_step, pack, make_run)``; ``build_step=False``
@@ -214,7 +214,7 @@ class MPPIOptimizer(Optimizer):
             tile_k=tile_k or DEFAULT_TILE_K,
             interpret=interpret,
             fast_sampling=bool(getattr(pred, "fast_math", False)),
-            slot_dyn_keys=slot_dyn_keys,
+            slot_extra_keys=slot_extra_keys,
         )
         self._last_fused_make_run = make_run  # kept for test convenience
         kernel_step = None
@@ -253,7 +253,7 @@ class MPPIOptimizer(Optimizer):
     def _make_batched_semi_fused_step(self, num_slots: int,
                                       interpret: bool = False,
                                       tile_k: int = None,
-                                      per_slot_dyn=()):
+                                      per_slot_dyn=(), per_slot_cost=()):
         """B-session semi-fused MPPI step for BatchedMPC (kernel path).
 
         All B sessions' rollouts pack into ONE columnwise kernel launch
@@ -286,7 +286,8 @@ class MPPIOptimizer(Optimizer):
 
         _, _, make_run = self._build_fused_mppi(
             build_step=False, interpret=interpret, tile_k=tile,
-            slot_dyn_keys=tuple(f"d_{k}" for k in per_slot_dyn),
+            slot_extra_keys=tuple(f"d_{k}" for k in per_slot_dyn)
+            + tuple(f"c_{k}" for k in per_slot_cost),
         )
         cost_cols = make_run.cols(B * K)
         shared_keys, slot_keys = make_run.shared_keys, make_run.slot_keys

@@ -205,3 +205,84 @@ def test_grid_search_input_validation(shared_loop):
         grid_search(loop, {"dyn.L": np.array([0.5])}, S0, 4, score="x")
     with pytest.raises(ValueError, match="non-empty value array"):
         grid_search(loop, {"dyn.L": np.array(0.5)}, S0, 4)
+
+
+def test_kernel_swept_program_matches_eager_kernel_loop():
+    """The kernel-path SWEPT program (per-episode dyn constant + cost
+    weight + attr riding pslot rows, interpret mode) == an eager per-tick
+    loop over the same batched kernel step with the same per-episode
+    params.  (The semi-fused kernel's tile-layout noise is statistically,
+    not bitwise, equal to the modular draw — so the reference is the
+    kernel step itself, as in test_kernel_sweep_matches_eager_kernel_loop.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    loop = _loop()
+    opt = loop.optimizer
+    env = loop.env
+    N, T, tile = 4, 6, 128
+    sweep = {
+        "dyn": {"L": np.array([0.4, 0.5, 0.6, 0.7], np.float32)},
+        "cost": {"ep_weight": np.array([5e3, 1e4, 4e4, 1e4], np.float32)},
+        "attrs": {"target_position": np.array([0., .2, -.2, .1], np.float32)},
+    }
+    params = loop.controller._assemble_params()
+    from control_toolkit_tpu.evaluation.closed_loop import _overlay_sweep
+
+    merged, _, _ = _overlay_sweep(params, sweep, N)
+    kern = loop._build_kernel_sweep(N, interpret=True, tile_k=tile,
+                                    per_slot_dyn=("L",),
+                                    per_slot_cost=("ep_weight",))
+
+    ep_keys = jnp.stack(
+        [jax.random.fold_in(opt._initial_key, i) for i in range(N)]
+    )
+    states0 = jax.vmap(opt._init_state)(ep_keys)
+    s0s = jnp.tile(jnp.asarray(S0), (N, 1))
+    sub = jax.random.PRNGKey(9)
+    nk = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+
+    _, sT, ss, us, stage, _ = kern(states0, s0s, merged, nk, T)
+
+    kstep, _ = opt._make_batched_semi_fused_step(
+        N, interpret=True, tile_k=tile,
+        per_slot_dyn=("L",), per_slot_cost=("ep_weight",))
+    cf = loop.controller.cost_function.cost_function
+    s, u_prev, st = s0s, jnp.zeros((N, 1), jnp.float32), states0
+    ref_us, ref_stage = [], []
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], merged["dyn"], merged["cost"],
+                         merged["attrs"])
+        ref_stage.append(cf.stage_cost_step(
+            s, u, u_prev, {"cost": merged["cost"], "attrs": merged["attrs"]}))
+        ref_us.append(u)
+        s = env.step_dynamics(s, u, env.dt)
+        u_prev = u
+    np.testing.assert_allclose(
+        np.asarray(us), np.stack([np.asarray(x) for x in ref_us], 1),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stage), np.stack([np.asarray(x) for x in ref_stage], 1),
+        atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
+                               atol=1e-5, rtol=1e-5)
+    # The swept values genuinely reach the kernel: every row plans with a
+    # different (L, ep_weight, target) triple, so no two rows act alike.
+    for a in range(N - 1):
+        assert not np.allclose(np.asarray(us)[a], np.asarray(us)[a + 1],
+                               atol=1e-5)
+
+
+def test_swept_kernel_gate_classification():
+    """_swept_kernel_run_for accepts only per-episode SCALAR attr/dyn/cost
+    leaves (and only for the 'ode' sweep kind — always None on CPU, where
+    the backend gate rejects the kernel)."""
+    loop = _loop()
+    params = loop.controller._assemble_params()
+    from control_toolkit_tpu.evaluation.closed_loop import _overlay_sweep
+
+    merged, _, paths = _overlay_sweep(
+        params, {"dyn": {"L": np.zeros(4, np.float32) + 0.5}}, 4)
+    # CPU backend: the 'ode' kernel kind is ineligible -> vmapped path.
+    assert loop._swept_kernel_run_for(4, tuple(paths), merged) is None
