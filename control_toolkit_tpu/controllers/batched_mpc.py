@@ -296,10 +296,14 @@ class BatchedMPCController(MPCController):
                 kstep, _ = opt._make_batched_gp_step(self._B_build)
                 kind = "sparse GP"
             elif self._batched_rpgd_eligible():
-                kstep = opt._make_batched_rpgd_step(self._B_build)
+                kstep = opt._make_batched_rpgd_step(
+                    self._B_build, per_slot_dyn=self._per_slot_dyn
+                )
                 kind = "RPGD gradient"
             elif self._batched_gradient_eligible():
-                kstep = opt._make_batched_gradient_step(self._B_build)
+                kstep = opt._make_batched_gradient_step(
+                    self._B_build, per_slot_dyn=self._per_slot_dyn
+                )
                 kind = "Adam gradient"
             elif self._batched_fused_cem_eligible():
                 kstep = opt._make_batched_fused_cem_step(self._B_build)
@@ -482,7 +486,6 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         if not (
             isinstance(opt, RPGDOptimizer)
-            and not self._per_slot_dyn  # grad kernel packs dyn into pvec
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
             and opt._pallas_compatible_model()
@@ -554,7 +557,6 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         if not (
             type(opt) is GradientOptimizer
-            and not self._per_slot_dyn  # grad kernel packs dyn into pvec
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
             and opt._pallas_compatible_model()

@@ -183,7 +183,7 @@ class RPGDOptimizer(Optimizer):
         )
 
     def _make_batched_rpgd_step(self, num_slots: int, interpret: bool = False,
-                                tile_k: int = None):
+                                tile_k: int = None, per_slot_dyn=()):
         """B-session RPGD step for BatchedMPC (columnwise kernel path).
 
         All B sessions' forward+backward rollouts evaluate through ONE
@@ -235,8 +235,14 @@ class RPGDOptimizer(Optimizer):
             self._soa_bindings()
         )
         slot_prefixes = ("a_", "__u_prev_")
-        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
-        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        extra = {f"d_{k}" for k in per_slot_dyn}
+        unknown = extra - set(param_keys)
+        if unknown:
+            raise ValueError(f"per_slot_dyn keys {sorted(unknown)} not in "
+                             "the packed dynamics constants")
+        slot_keys = [k for k in param_keys
+                     if k.startswith(slot_prefixes) or k in extra]
+        shared_keys = [k for k in param_keys if k not in slot_keys]
         kargs = dict(
             num_states=S, num_controls=U, horizon=H, dt=pred.dt,
             param_keys=param_keys, integrator=pred.integrator,

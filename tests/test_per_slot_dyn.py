@@ -227,3 +227,50 @@ def test_updated_dyn_over_the_wire():
     # Eviction semantics: handing the slot to a new client resets its model.
     ctrl.reset_slot_dyn(0)
     np.testing.assert_allclose(ctrl.slot_dyn["L"][0], 0.5, atol=1e-6)
+
+
+def test_rpgd_kernel_per_slot_dyn_matches_single_sessions():
+    """Batched RPGD gradient-kernel step with per-slot L rows == the
+    single-session XLA-AD step_fn run with that session's dyn dict (the
+    established kernel-vs-scan equivalence, now with heterogeneous
+    models), through both surgery branches."""
+    from test_pallas_batched import _rpgd_states, make_rpgd_ctrl
+
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = make_rpgd_ctrl(K, H)
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_rpgd_step(
+        B, interpret=True, tile_k=tile, per_slot_dyn=("L",)
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    L = np.array([0.4, 0.85], np.float32)
+    dyn_b = dict(params["dyn"], L=jnp.asarray(L))
+    states = _rpgd_states(opt, B)
+    rng = np.random.default_rng(23)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    for tick in range(2):   # tick 0 resamples (count%resamp==0), tick 1 keeps
+        u, new_states, costs = kstep(
+            states, s_b, dyn_b, params["cost"],
+            {"target_position": attrs_vec},
+        )
+        for b in range(B):
+            st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+            p_b = {
+                "dyn": dict(params["dyn"], L=jnp.asarray(L[b])),
+                "cost": params["cost"],
+                "attrs": {"target_position": attrs_vec[b]},
+            }
+            u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+                atol=5e-4, rtol=5e-4,
+            )
+        states = new_states
