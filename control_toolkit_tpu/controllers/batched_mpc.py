@@ -596,7 +596,23 @@ class BatchedMPCController(MPCController):
                     "per_slot_dyn at configure time; ignored"
                 )
                 continue
-            self.slot_dyn[k][i] = float(np.asarray(v, np.float32).reshape(-1)[0])
+            flat = np.asarray(v, np.float32).reshape(-1)
+            if flat.shape[0] != 1:
+                logger.warning(
+                    f"slot {i}: dynamics constant {k!r} has {flat.shape[0]} "
+                    "elements; per-slot constants are scalars — using "
+                    "element 0"
+                )
+            val = float(flat[0])
+            if not np.isfinite(val):
+                # np.asarray(None) is silently NaN: a poisoned model would
+                # NaN every plan and persist across reset_slot (resets keep
+                # the robot's constants by design) — reject instead.
+                raise ValueError(
+                    f"slot {i}: dynamics constant {k!r} must be finite, "
+                    f"got {v!r}"
+                )
+            self.slot_dyn[k][i] = val
 
     def reset_slot_dyn(self, i: int) -> None:
         """Return slot ``i``'s dynamics constants to the predictor defaults
@@ -727,6 +743,9 @@ class BatchedMPCController(MPCController):
         # scalar path): a diverged slot commands zero and resets alone.
         bad = ~np.all(np.isfinite(u_host), axis=-1)
         if bad.any():
+            # np.asarray of a jax array is a read-only view — copy before
+            # zeroing the diverged rows.
+            u_host = np.array(u_host)
             for i in np.nonzero(bad)[0]:
                 logger.warning(f"slot {i} produced non-finite control; resetting")
                 self.reset_slot(int(i))

@@ -173,7 +173,15 @@ class ClosedLoop:
                 cost_keys.append(leaf)
             else:
                 return None
-        key = (N,) + tuple(swept_paths)
+        if not dyn_keys and not cost_keys:
+            # Attrs-only sweep: attrs are per-session rows in EVERY kernel
+            # sweep, so the plain Monte-Carlo program is byte-identical —
+            # share its cache instead of compiling a duplicate (2-250 s
+            # per fused compile through the tunnel).
+            if N not in self._kernel_sweeps:
+                self._kernel_sweeps[N] = self._build_kernel_sweep(N)
+            return self._kernel_sweeps[N]
+        key = (N, tuple(sorted(dyn_keys)), tuple(sorted(cost_keys)))
         if key not in self._kernel_swept_runs:
             self._kernel_swept_runs[key] = self._build_kernel_sweep(
                 N, per_slot_dyn=tuple(dyn_keys), per_slot_cost=tuple(cost_keys)

@@ -110,26 +110,30 @@ def grid_search(
     }
 
 
-def _rescore_fixed(loop, states: np.ndarray, controls: np.ndarray,
-                   params: Optional[Dict] = None) -> np.ndarray:
+def _rescore_fixed(loop, states: np.ndarray, controls: np.ndarray) -> np.ndarray:
     """Mean realized stage cost of [N,T,S]/[N,T,U] trajectories under ONE
-    fixed set of cost params (default: the controller's current assembled
-    params) — the common yardstick for cost-weight tuning."""
+    fixed set of cost params (the controller's current assembled params) —
+    the common yardstick for cost-weight tuning.  The jitted scorer is
+    cached on the loop so repeated grid refinements reuse one compile."""
     cf = loop.controller.cost_function.cost_function
-    if params is None:
-        params = loop.controller._assemble_params()
+    params = loop.controller._assemble_params()
     p = {"cost": params["cost"], "attrs": params["attrs"]}
 
-    @jax.jit
-    def score(ss, us, p):
-        N, T, U = us.shape
-        u_prev = jnp.concatenate(
-            [jnp.zeros((N, 1, U), us.dtype), us[:, :-1]], axis=1
-        )
-        flat = cf.stage_cost_step(
-            ss.reshape(N * T, -1), us.reshape(N * T, U),
-            u_prev.reshape(N * T, U), p,
-        )
-        return jnp.mean(flat.reshape(N, T), axis=1)
+    score = getattr(loop, "_fixed_scorer", None)
+    if score is None:
+
+        @jax.jit
+        def score(ss, us, p):
+            N, T, U = us.shape
+            u_prev = jnp.concatenate(
+                [jnp.zeros((N, 1, U), us.dtype), us[:, :-1]], axis=1
+            )
+            flat = cf.stage_cost_step(
+                ss.reshape(N * T, -1), us.reshape(N * T, U),
+                u_prev.reshape(N * T, U), p,
+            )
+            return jnp.mean(flat.reshape(N, T), axis=1)
+
+        loop._fixed_scorer = score
 
     return np.asarray(score(jnp.asarray(states), jnp.asarray(controls), p))

@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import socket
 import subprocess
 import sys
 import tempfile
@@ -269,9 +268,9 @@ def _worker_main(argv: Optional[List[str]] = None) -> None:
 
 
 def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+    from control_toolkit_tpu.utils.net import free_port
+
+    return free_port()
 
 
 def launch_workers(

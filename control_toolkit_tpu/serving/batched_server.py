@@ -152,7 +152,16 @@ def serve_batched(
                     upd_dyn = req.get("updated_dyn")
                     if upd_dyn:
                         if getattr(ctrl, "slot_dyn", None):
-                            ctrl.update_slot_dyn(slots[identity], upd_dyn)
+                            try:
+                                ctrl.update_slot_dyn(slots[identity], upd_dyn)
+                            except Exception as e:
+                                # Same discipline as malformed states: one
+                                # client's bad payload must not crash the
+                                # batch for everyone.
+                                logger.warning(
+                                    f"malformed updated_dyn from "
+                                    f"{identity!r} ignored: {e}"
+                                )
                         else:
                             logger.warning(
                                 "updated_dyn received but the controller "

@@ -32,13 +32,9 @@ from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 
 
 def _free_port() -> int:
-    import socket
+    from control_toolkit_tpu.utils.net import free_port
 
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+    return free_port()
 
 
 def main():

@@ -12,13 +12,9 @@ from control_toolkit_tpu.environments.cartpole import CartpoleEnv
 
 
 def _free_port() -> int:
-    """Ephemeral OS-assigned port: fixed test ports collide with TIME_WAIT
-    sockets from a previous (or concurrent) run and fail the bind."""
-    import socket as _socket
+    from control_toolkit_tpu.utils.net import free_port
 
-    with _socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+    return free_port()
 
 
 MPPI_CFG = {"seed": 7, "mpc_timestep": 0.02, "mpc_horizon": 20,

@@ -70,6 +70,12 @@ def test_per_slot_dyn_validation_and_update_api():
     np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.5])  # defaults
     ctrl.update_slot_dyn(1, {"L": 0.7, "unknown": 2.0})  # unknown -> warn
     np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.7])
+    # Non-finite values must be rejected (np.asarray(None) is silently NaN
+    # and a poisoned model would persist across reset_slot).
+    for bad in (None, float("nan"), "abc"):
+        with pytest.raises((ValueError, TypeError)):
+            ctrl.update_slot_dyn(0, {"L": bad})
+    np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.7])
     u = ctrl.step_batch(np.tile(np.array([0, 0, 0.2, 0], np.float32), (2, 1)))
     assert u.shape == (2, 1) and np.all(np.isfinite(u))
 
@@ -211,11 +217,20 @@ def test_updated_dyn_over_the_wire():
     sock.connect(endpoint)
     sock.setsockopt(zmq.RCVTIMEO, 20000)
     try:
-        sock.send_json({"rid": 1, "state": [0.0, 0.0, 0.2, 0.0], "time": 0.0,
+        # Malformed/poison payloads first: the server must drop them (one
+        # client's bad request cannot crash the batch or NaN the model).
+        for rid, bad in enumerate(("L", {"L": None}, {"L": []})):
+            sock.send_json({"rid": rid, "state": [0.0, 0.0, 0.2, 0.0],
+                            "time": 0.0, "updated_attributes": {},
+                            "updated_dyn": bad})
+            resp = sock.recv_json()
+            assert resp["rid"] == rid and np.all(np.isfinite(resp["Q"]))
+        np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.5])
+        sock.send_json({"rid": 11, "state": [0.0, 0.0, 0.2, 0.0], "time": 0.0,
                         "updated_attributes": {},
                         "updated_dyn": {"L": 0.83}})
         resp = sock.recv_json()
-        assert resp["rid"] == 1 and np.all(np.isfinite(resp["Q"]))
+        assert resp["rid"] == 11 and np.all(np.isfinite(resp["Q"]))
         # This identity landed in slot 0 (first client): its model updated.
         np.testing.assert_allclose(ctrl.slot_dyn["L"][0], 0.83, atol=1e-6)
         np.testing.assert_allclose(ctrl.slot_dyn["L"][1], 0.5, atol=1e-6)

@@ -13,13 +13,9 @@ from control_toolkit_tpu.controllers.remote import RemoteController
 from control_toolkit_tpu.serving.server import build_controller, serve
 
 def _free_port() -> int:
-    """Ephemeral OS-assigned port: fixed test ports collide with TIME_WAIT
-    sockets from a previous (or concurrent) run and fail the bind."""
-    import socket as _socket
+    from control_toolkit_tpu.utils.net import free_port
 
-    with _socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+    return free_port()
 
 
 PORT = _free_port()
