@@ -8,6 +8,16 @@ cost weights x targets x model constants, each replicated over Monte-Carlo
 episodes — is evaluated in ONE device launch and ranked by realized
 closed-loop cost.
 
+Two parameter kinds, matching the architecture invariant (CLAUDE.md):
+
+- **Swept** (``grid``): values that are jit ARGUMENTS — cost weights,
+  environment attributes, dynamics constants.  The whole grid is extra
+  episodes of one program; zero recompiles.
+- **Static** (``static_grid`` + ``build_loop``): values baked into the
+  compiled step — optimizer hyperparameters (LBD, sampling stdev, K, H).
+  Each combination rebuilds the controller (one compile per value
+  combination, honestly paid); the swept grid rides inside each rebuild.
+
 Two scoring modes, because sweeping COST parameters changes the metric
 itself:
 
@@ -23,7 +33,7 @@ itself:
 from __future__ import annotations
 
 import itertools
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,44 +58,35 @@ def _nest(flat: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
-def grid_search(
-    loop,
-    grid: Dict[str, np.ndarray],
-    s0: np.ndarray,
-    ticks: int,
-    episodes_per_config: int = 1,
-    score: str = "swept",
-    mesh=None,
-) -> Dict:
-    """Evaluate the cross product of ``grid`` in one device launch.
-
-    ``loop`` is a configured ``ClosedLoop``; ``grid`` maps dotted params
-    paths ('cost.<weight>', 'attrs.<target>', 'dyn.<constant>') to 1-D
-    value arrays (or [n_values, *leaf_shape] for vector leaves).  Every
-    config runs ``episodes_per_config`` episodes from ``s0`` on
-    independent PRNG streams (optimizer sampling AND actuator noise), and
-    configs are ranked by the mean realized closed-loop cost.
-
-    Returns {'configs': list[dict] in grid order, 'mean_costs': [C],
-    'ranking': [C] indices best-first, 'best': dict, 'best_cost': float}.
-    """
-    if score not in ("swept", "fixed"):
-        raise ValueError(f"score must be 'swept' or 'fixed', got {score!r}")
+def _combos(grid: Dict[str, np.ndarray]):
+    """(paths, value arrays, index combos in itertools.product order)."""
     paths = list(grid)
-    if not paths:
-        raise ValueError("grid is empty")
     values: List[np.ndarray] = [np.asarray(grid[p]) for p in paths]
     for p, v in zip(paths, values):
         if v.ndim == 0 or v.shape[0] == 0:
             raise ValueError(f"grid['{p}'] must be a non-empty value array")
     combos = list(itertools.product(*[range(len(v)) for v in values]))
-    C, E = len(combos), int(episodes_per_config)
-    N = C * E
-    sweep_flat = {}
-    for j, p in enumerate(paths):
-        rows = values[j][np.asarray([c[j] for c in combos])]  # [C, ...]
-        sweep_flat[p] = np.repeat(rows, E, axis=0)            # [N, ...]
-    sweep = _nest(sweep_flat)
+    return paths, values, combos
+
+
+def _swept_eval(loop, grid, s0, ticks, E, score, mesh):
+    """One device launch over the swept cross product; returns
+    (config dicts, per-config mean costs)."""
+    if grid:
+        paths, values, combos = _combos(grid)
+        C = len(combos)
+        N = C * E
+        sweep_flat = {}
+        for j, p in enumerate(paths):
+            rows = values[j][np.asarray([c[j] for c in combos])]  # [C, ...]
+            sweep_flat[p] = np.repeat(rows, E, axis=0)            # [N, ...]
+        sweep = _nest(sweep_flat)
+        configs = [
+            {p: values[j][c[j]] for j, p in enumerate(paths)} for c in combos
+        ]
+    else:
+        C, N, sweep = 1, E, None
+        configs = [{}]
     s0_batch = np.tile(np.reshape(np.asarray(s0, np.float32), (1, -1)), (N, 1))
     out = loop.run_batch(
         s0_batch, ticks, sweep_params=sweep, mesh=mesh,
@@ -95,11 +96,66 @@ def grid_search(
         costs = _rescore_fixed(loop, out["states"], out["controls"])
     else:
         costs = out["mean_costs"]
-    per_cfg = np.asarray(costs).reshape(C, E).mean(axis=1)
+    return configs, np.asarray(costs).reshape(C, E).mean(axis=1)
+
+
+def grid_search(
+    loop,
+    grid: Dict[str, np.ndarray],
+    s0: np.ndarray,
+    ticks: int,
+    episodes_per_config: int = 1,
+    score: str = "swept",
+    mesh=None,
+    static_grid: Optional[Dict[str, np.ndarray]] = None,
+    build_loop: Optional[Callable[[Dict], object]] = None,
+) -> Dict:
+    """Evaluate the cross product of ``grid`` (x ``static_grid``).
+
+    ``loop`` is a configured ``ClosedLoop``; ``grid`` maps dotted params
+    paths ('cost.<weight>', 'attrs.<target>', 'dyn.<constant>') to 1-D
+    value arrays (or [n_values, *leaf_shape] for vector leaves).  Every
+    config runs ``episodes_per_config`` episodes from ``s0`` on
+    independent PRNG streams (optimizer sampling AND actuator noise), and
+    configs are ranked by the mean realized closed-loop cost.
+
+    ``static_grid`` maps free-form names (typically optimizer-config keys
+    like 'LBD') to value arrays; each static combination is evaluated on a
+    fresh ``build_loop(overrides)``-built ClosedLoop (one compile per
+    combination — these knobs are baked into the compiled step), with the
+    swept ``grid`` riding inside it.  ``grid`` may be empty ({}) when a
+    ``static_grid`` is given.  With ``static_grid``, ``loop`` may be None.
+
+    Returns {'configs': list[dict] in grid order (static keys merged in),
+    'mean_costs': [C], 'ranking': [C] indices best-first, 'best': dict,
+    'best_cost': float}.
+    """
+    if score not in ("swept", "fixed"):
+        raise ValueError(f"score must be 'swept' or 'fixed', got {score!r}")
+    E = int(episodes_per_config)
+
+    if static_grid:
+        if build_loop is None:
+            raise ValueError("static_grid requires build_loop(overrides)")
+        s_paths, s_values, s_combos = _combos(static_grid)
+        configs, costs = [], []
+        for c in s_combos:
+            overrides = {p: s_values[j][c[j]] for j, p in enumerate(s_paths)}
+            sub_loop = build_loop(dict(overrides))
+            sub_cfgs, sub_costs = _swept_eval(
+                sub_loop, grid, s0, ticks, E, score, mesh
+            )
+            configs += [{**overrides, **sc} for sc in sub_cfgs]
+            costs.append(sub_costs)
+        per_cfg = np.concatenate(costs)
+    else:
+        if not grid:
+            raise ValueError("grid is empty")
+        if build_loop is not None:
+            raise ValueError("build_loop is only meaningful with static_grid")
+        configs, per_cfg = _swept_eval(loop, grid, s0, ticks, E, score, mesh)
+
     ranking = np.argsort(per_cfg, kind="stable")
-    configs = [
-        {p: values[j][c[j]] for j, p in enumerate(paths)} for c in combos
-    ]
     best = int(ranking[0])
     return {
         "configs": configs,

@@ -286,3 +286,46 @@ def test_swept_kernel_gate_classification():
         params, {"dyn": {"L": np.zeros(4, np.float32) + 0.5}}, 4)
     # CPU backend: the 'ode' kernel kind is ineligible -> vmapped path.
     assert loop._swept_kernel_run_for(4, tuple(paths), merged) is None
+
+
+def test_grid_search_static_grid():
+    """static_grid rebuilds the controller per optimizer-hyperparameter
+    combination and crosses it with the swept grid; configs merge both
+    key sets and static-only searches work with an empty swept grid."""
+    def build(overrides):
+        return _loop(**{k: float(v) for k, v in overrides.items()})
+
+    res = grid_search(
+        None,
+        grid={"attrs.target_position": np.array([0.0, 0.4], np.float32)},
+        s0=S0, ticks=8, episodes_per_config=2,
+        static_grid={"LBD": np.array([10.0, 100.0], np.float32)},
+        build_loop=build,
+    )
+    assert len(res["configs"]) == 4
+    assert [c["LBD"] for c in res["configs"]] == [10.0, 10.0, 100.0, 100.0]
+    assert [c["attrs.target_position"] for c in res["configs"]] == [
+        0.0, 0.4, 0.0, 0.4]
+    assert np.all(np.isfinite(res["mean_costs"]))
+    # Static combo j's swept sub-table == a standalone grid_search on a
+    # loop built with that LBD (same episode PRNG streams + noise seed).
+    sub = grid_search(
+        build({"LBD": 10.0}),
+        grid={"attrs.target_position": np.array([0.0, 0.4], np.float32)},
+        s0=S0, ticks=8, episodes_per_config=2,
+    )
+    np.testing.assert_allclose(res["mean_costs"][:2], sub["mean_costs"],
+                               rtol=1e-6, atol=0)
+    # Static-only search (empty swept grid).
+    res2 = grid_search(
+        None, grid={}, s0=S0, ticks=8, episodes_per_config=2,
+        static_grid={"LBD": np.array([10.0, 100.0], np.float32)},
+        build_loop=build,
+    )
+    assert len(res2["configs"]) == 2 and "LBD" in res2["configs"][0]
+    with pytest.raises(ValueError, match="requires build_loop"):
+        grid_search(None, {}, S0, 4,
+                    static_grid={"LBD": np.array([1.0])})
+    with pytest.raises(ValueError, match="only meaningful"):
+        grid_search(None, {"dyn.L": np.array([0.5])}, S0, 4,
+                    build_loop=build)
