@@ -441,6 +441,73 @@ def measure_batched_gp(B=128, K_per_slot=512, H=35, num_inducing=128,
         predictor_specification=f"SGP_{num_inducing}:{_gp_checkpoint(num_inducing)}")
 
 
+def measure_grid_sweep(N=512, K=512, H=50, T1=40, T2=80, reps=5, trials=3):
+    """Hyperparameter-grid throughput: N configurations (swept target x
+    controller-side pole length x ep_weight — all per-episode pslot rows on
+    the columnwise kernel) advanced one closed-loop tick per launch;
+    reports the dispatch-free ms/tick for the WHOLE grid (slope method).
+    N*K rollouts per tick ride one kernel launch."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.controllers.mpc import MPCController
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+    from control_toolkit_tpu.evaluation.closed_loop import _overlay_sweep
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 5, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 10})
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=1)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.05, noise_seed=7)
+    opt = ctrl.optimizer
+    rng = np.random.default_rng(3)
+    sweep = {
+        "attrs": {"target_position":
+                  rng.uniform(-0.5, 0.5, N).astype(np.float32)},
+        "dyn": {"L": rng.uniform(0.3, 0.8, N).astype(np.float32)},
+        "cost": {"ep_weight":
+                 rng.uniform(5e3, 5e4, N).astype(np.float32)},
+    }
+    params = ctrl._assemble_params()
+    merged, _, paths = _overlay_sweep(params, sweep, N)
+    prog = loop._swept_kernel_run_for(N, tuple(paths), merged)
+    assert prog is not None, "kernel-path swept program ineligible"
+
+    def make_inputs(T):
+        ep_keys = jnp.stack(
+            [jax.random.fold_in(opt._initial_key, i) for i in range(N)]
+        )
+        opt_states = jax.vmap(opt._init_state)(ep_keys)
+        s0s = jnp.tile(jnp.array([0., 0., 0.15, 0.], jnp.float32), (N, 1))
+        sub = jax.random.PRNGKey(3)
+        nk = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+        return opt_states, s0s, merged, nk
+
+    ins = {T: make_inputs(T) for T in (T1, T2)}
+    for T in (T1, T2):
+        out = prog(*ins[T][:3], ins[T][3], T)
+        jax.block_until_ready(out[1])
+    ts = {}
+    for T in (T1, T2):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = prog(*ins[T][:3], ins[T][3], T)
+            jax.block_until_ready(out[1])
+            best = min(best, (time.perf_counter() - t0) / reps)
+        ts[T] = best
+    return (ts[T2] - ts[T1]) / (T2 - T1) * 1e3
+
+
 def measure_served_mppi(K, H=50, n_requests=30):
     """BASELINE.md scale-out sentence as one measurement: the ZMQ
     controller server fronting a K-rollout MPPI on this chip; reports the
@@ -732,6 +799,18 @@ def main():
     results["mc_sweep_N128_K512_H50_vmap_scan_ms_per_tick"] = round(ms_s, 4)
     print(f"MC sweep N=128 K=512 H=50: kernel {ms_k:.3f} ms/tick | "
           f"vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
+
+    # Hyperparameter-grid sweep: 512 configs (target x pole length x
+    # ep_weight as per-episode kernel rows), whole grid per tick.
+    try:
+        ms = measure_grid_sweep(N=512, K=512, H=50)
+        results["grid_sweep_N512_K512_H50_ms_per_tick"] = round(ms, 4)
+        results["grid_sweep_config_ticks_per_sec"] = round(512 / (ms / 1e3))
+        print(f"grid sweep N=512 K=512 H=50: {ms:.3f} ms/tick "
+              f"({512 / (ms / 1e3):.0f} config-ticks/s)", flush=True)
+    except Exception as e:
+        results["grid_sweep_error"] = str(e)[:200]
+        print(f"grid sweep: ERROR {e}", flush=True)
 
     Path(__file__).parent.joinpath("BENCH_SCALE.json").write_text(
         json.dumps(results, indent=2)
