@@ -142,14 +142,15 @@ class ClosedLoop:
         return self._swept_runs[swept_paths]
 
     def _swept_kernel_run_for(self, N: int, swept_paths, params):
-        """Kernel-path program for a PARAMETER sweep: when the optimizer is
-        plain semi-fused MPPI over an SOA ODE model (the 'ode' sweep kind)
-        and every swept leaf is a per-episode SCALAR the kernel can carry —
-        an attr (already a per-session row) or a dynamics constant / cost
-        weight (``slot_extra_keys`` pslot rows) — the whole grid rides the
-        columnwise kernel: one launch per tick for all N configs.  Returns
+        """Kernel-path program for a PARAMETER sweep: when the optimizer's
+        sweep kind is 'ode' (plain semi-fused MPPI), 'rpgd', or 'gradient'
+        (all over SOA ODE models) and every swept leaf is a per-episode
+        SCALAR the kernel can carry — an attr (already a per-session row)
+        or a dynamics constant / cost weight (per-slot pslot rows) — the
+        whole grid rides the columnwise kernel: one launch per tick (per
+        Adam iteration for the gradient kinds) for all N configs.  Returns
         None when any swept leaf needs the general vmapped path."""
-        if self._sweep_kernel_kind(N) != "ode":
+        if self._sweep_kernel_kind(N) not in ("ode", "rpgd", "gradient"):
             return None
         cf = self.controller.cost_function.cost_function
         pred = getattr(self.optimizer.predictor, "predictor",
@@ -305,12 +306,13 @@ class ClosedLoop:
 
         pred = getattr(opt.predictor, "predictor", opt.predictor)
         if (per_slot_dyn or per_slot_cost) and not (
-            type(opt) is MPPIOptimizer and not isinstance(
-                pred, (NeuralPredictor, GPPredictor))
+            (type(opt) is MPPIOptimizer and not isinstance(
+                pred, (NeuralPredictor, GPPredictor)))
+            or isinstance(opt, (RPGDOptimizer, GradientOptimizer))
         ):
             raise NotImplementedError(
                 "per-episode dyn/cost sweeps ride the kernel path only for "
-                "plain MPPI over SOA ODE models"
+                "plain MPPI / RPGD / gradient-tf over SOA ODE models"
             )
         if isinstance(opt, MPPIVarOptimizer):
             kstep = opt._make_batched_var_step(
@@ -318,11 +320,13 @@ class ClosedLoop:
             )
         elif isinstance(opt, RPGDOptimizer):
             kstep = opt._make_batched_rpgd_step(
-                N, interpret=interpret, tile_k=tile_k
+                N, interpret=interpret, tile_k=tile_k,
+                per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
             )
         elif isinstance(opt, GradientOptimizer):
             kstep = opt._make_batched_gradient_step(
-                N, interpret=interpret, tile_k=tile_k
+                N, interpret=interpret, tile_k=tile_k,
+                per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
             )
         elif isinstance(opt, CEMOptimizer):
             if opt.fully_fused:

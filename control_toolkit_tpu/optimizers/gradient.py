@@ -84,7 +84,7 @@ class GradientOptimizer(Optimizer):
     def _make_batched_gradient_step(self, num_slots: int,
                                     interpret: bool = False,
                                     tile_k: int = None,
-                                    per_slot_dyn=()):
+                                    per_slot_dyn=(), per_slot_cost=()):
         """B-session gradient-optimizer step for BatchedMPC (columnwise
         kernel path) — the RPGD pattern without the resampling surgery
         (cf. optimizers/rpgd.py _make_batched_rpgd_step): all B sessions'
@@ -125,11 +125,12 @@ class GradientOptimizer(Optimizer):
             self._soa_bindings()
         )
         slot_prefixes = ("a_", "__u_prev_")
-        extra = {f"d_{k}" for k in per_slot_dyn}
+        extra = {f"d_{k}" for k in per_slot_dyn} | {
+            f"c_{k}" for k in per_slot_cost}
         unknown = extra - set(param_keys)
         if unknown:
-            raise ValueError(f"per_slot_dyn keys {sorted(unknown)} not in "
-                             "the packed dynamics constants")
+            raise ValueError(f"per-slot keys {sorted(unknown)} not in "
+                             "the packed scalar params")
         slot_keys = [k for k in param_keys
                      if k.startswith(slot_prefixes) or k in extra]
         shared_keys = [k for k in param_keys if k not in slot_keys]

@@ -329,3 +329,67 @@ def test_grid_search_static_grid():
     with pytest.raises(ValueError, match="only meaningful"):
         grid_search(None, {"dyn.L": np.array([0.5])}, S0, 4,
                     build_loop=build)
+
+
+def test_rpgd_kernel_swept_program_matches_eager_kernel_loop():
+    """The RPGD kernel-path swept program (per-episode dyn constant + cost
+    weight + attr as pslot rows through the fwd+bwd gradient kernel,
+    interpret mode) == an eager per-tick loop over the same per-episode
+    RPGD kernel step."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_pallas_batched import make_rpgd_ctrl
+
+    N, T, tile = 2, 4, 64
+    ctrl = make_rpgd_ctrl(32, 10)
+    opt = ctrl.optimizer
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0, noise_seed=5)
+    sweep = {
+        "dyn": {"L": np.array([0.45, 0.7], np.float32)},
+        "cost": {"ep_weight": np.array([5e3, 3e4], np.float32)},
+        "attrs": {"target_position": np.array([0.1, -0.2], np.float32)},
+    }
+    params = loop.controller._assemble_params()
+    from control_toolkit_tpu.evaluation.closed_loop import _overlay_sweep
+
+    merged, _, _ = _overlay_sweep(params, sweep, N)
+    kern = loop._build_kernel_sweep(N, interpret=True, tile_k=tile,
+                                    per_slot_dyn=("L",),
+                                    per_slot_cost=("ep_weight",))
+
+    ep_keys = jnp.stack(
+        [jax.random.fold_in(opt._initial_key, i) for i in range(N)]
+    )
+    states0 = jax.vmap(opt._init_state)(ep_keys)
+    s0s = jnp.tile(jnp.asarray(S0), (N, 1))
+    sub = jax.random.PRNGKey(13)
+    nk = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+
+    _, sT, ss, us, stage, _ = kern(states0, s0s, merged, nk, T)
+
+    kstep = opt._make_batched_rpgd_step(
+        N, interpret=True, tile_k=tile,
+        per_slot_dyn=("L",), per_slot_cost=("ep_weight",))
+    cf = loop.controller.cost_function.cost_function
+    s, u_prev, st = s0s, jnp.zeros((N, 1), jnp.float32), states0
+    ref_us, ref_stage = [], []
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], merged["dyn"], merged["cost"],
+                         merged["attrs"])
+        ref_stage.append(cf.stage_cost_step(
+            s, u, u_prev, {"cost": merged["cost"], "attrs": merged["attrs"]}))
+        ref_us.append(u)
+        s = env.step_dynamics(s, u, env.dt)
+        u_prev = u
+    np.testing.assert_allclose(
+        np.asarray(us), np.stack([np.asarray(x) for x in ref_us], 1),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stage), np.stack([np.asarray(x) for x in ref_stage], 1),
+        atol=1e-4, rtol=1e-5)
+    assert not np.allclose(np.asarray(us)[0], np.asarray(us)[1], atol=1e-5)
