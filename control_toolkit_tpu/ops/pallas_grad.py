@@ -1,20 +1,30 @@
-"""Pallas TPU kernel: fused rollout + cost + GRADIENT over the K-batch.
+"""Pallas TPU kernels: fused rollout + cost + GRADIENT over the K-batch.
 
 The gradient-based optimizers (RPGD, gradient-tf, cem-naive-grad,
 mppi-optimize refinement) differentiate the trajectory cost through the
 H-step rollout.  XLA's AD of the scan path streams every step's residuals
 through HBM (forward) and back (backward) — at K=16k, H=50 that is hundreds
-of [K]-sized tensors of round-trip traffic per gradient.  This kernel keeps
+of [K]-sized tensors of round-trip traffic per gradient.  These kernels keep
 the whole thing in VMEM for a tile of rollouts:
 
-* forward sweep: integrate the ODE, store the per-step state components in a
-  VMEM scratch buffer ([H*S, TILE_K] — e.g. 1.6 MB for cartpole at H=50,
-  TILE_K=2048), accumulate stage costs;
-* backward sweep: one step at a time, re-linearize the integrator and the
-  stage cost at the stored state with ``jax.vjp`` (trace-time transposition
-  — the transposed ops are ordinary elementwise VPU work) and propagate the
-  state adjoint; the control-change coupling (u_h also enters stage h+1 as
-  ``prev_us``) is carried between iterations.
+* forward sweep: advance the dynamics, store the per-step state components
+  in a VMEM scratch buffer ([H*S_pad, TILE_K] — e.g. 1.6 MB for cartpole at
+  H=50, TILE_K=2048), accumulate stage costs;
+* backward sweep: one step at a time, re-linearize the step and the stage
+  cost at the stored state with ``jax.vjp`` (trace-time transposition — the
+  transposed ops are ordinary VPU/MXU work) and propagate the state adjoint;
+  the control-change coupling (u_h also enters stage h+1 as ``prev_us``) is
+  carried between iterations.
+
+Two step families share this structure:
+
+* ``build_grad_cost_rollout_kernel`` — analytic ODE dynamics (SOA derivs +
+  rk4/euler integrator); the transposed integrator is elementwise VPU work.
+* ``build_neural_grad_cost_rollout_kernel`` — LEARNED (MLP) next-state
+  models; the forward recompute and the transposed layers are MXU matmuls
+  with the weights resident in VMEM as operands (sysid updates / checkpoint
+  swaps never recompile) — the gradient-path twin of
+  ops/pallas_neural.build_neural_cost_rollout_kernel.
 
 Outputs per rollout k: the trajectory cost J_k (same semantics as
 ops/pallas_rollout.py — mean over H stage costs + terminal, reference
@@ -66,51 +76,41 @@ def grad_tile_for(num_states: int, horizon: int) -> int:
     return tile
 
 
-def build_grad_cost_rollout_kernel(
-    derivs_soa: Callable,
-    stage_cost_soa: Callable,    # (xs, us, prev_us, p) -> [1, T]
+def _make_fwd_bwd_kernel(
+    make_step: Callable,          # (p, ws) -> step(xs, us) -> xs'
+    stage_cost_soa: Callable,     # (xs, us, prev_us, p) -> [1, T]
     terminal_cost_soa: Callable,  # (xs, p) -> [1, T]
-    num_states: int,
-    num_controls: int,
-    horizon: int,
-    dt: float,
-    param_keys: Sequence[str],
-    integrator: str = "rk4",
-    intermediate_steps: int = 1,
-    tile_k: int = None,
-    interpret: bool = False,
-    slot_keys: Sequence[str] = (),
+    S: int,
+    U: int,
+    H: int,
+    tile_k: int,
+    shared_keys: Sequence[str],
+    slot_keys: Sequence[str],
+    n_w: int,
 ):
-    """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> (cost [K], dQ [K,H,U])``.
+    """Shared forward-store / backward-sweep kernel body.
 
-    ``slot_keys`` switches to the batched-session ("columns") form used by
-    the batched RPGD step (optimizers/rpgd.py): the listed params (attrs /
-    u_prev) leave the shared SMEM vector and arrive per-LANE as one extra
-    VMEM operand ``pslot [n_slot, K]`` after pvec — s0 and Q are
-    per-rollout already, so B sessions pack by concatenation along K
-    (cf. ops/pallas_rollout.py).
-    """
-    if tile_k is None:
-        tile_k = grad_tile_for(num_states, horizon)
-    S, U, H = num_states, num_controls, horizon
-    slot_keys = tuple(slot_keys)
+    Operand order (after the pvec scalar prefetch): s0 [S,T], q [H,U,T],
+    then ``pslot [n_slot, T]`` when slot_keys are used, then ``n_w``
+    whole-array weight operands, then outputs (cost, dq) and the
+    state-history scratch."""
     n_slot = len(slot_keys)
-    shared_keys = [k for k in param_keys if k not in slot_keys]
     # Dynamic sublane offsets into the state-history scratch must be
     # 8-aligned on TPU (Mosaic vector_store constraint), so each step's
     # state block is padded to a multiple of 8 rows.
     S_pad = -(-S // 8) * 8
     inv_h1 = 1.0 / (H + 1)
 
-    one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
-
     def kernel(pvec_ref, s0_ref, q_ref, *rest):
         if n_slot:
             pslot_ref, rest = rest[0], rest[1:]
-        cost_ref, dq_ref, xhist_ref = rest
+        w_refs = rest[:n_w]
+        cost_ref, dq_ref, xhist_ref = rest[n_w:]
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         for i, k in enumerate(slot_keys):
             p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
+        ws = [r[:] for r in w_refs]
+        one_step = make_step(p, ws)
         xs0 = tuple(s0_ref[i : i + 1, :] for i in range(S))
         u_prev0 = tuple(
             p[f"__u_prev_{j}"] if f"__u_prev_{j}" in slot_keys
@@ -129,7 +129,7 @@ def build_grad_cost_rollout_kernel(
             u_slab = q_ref[h]                                    # [U, T]
             us = tuple(u_slab[j : j + 1, :] for j in range(U))
             acc = acc + stage_cost_soa(xs, us, prev_us, p)
-            xs = one_step(xs, us, p)
+            xs = one_step(xs, us)
             return xs, us, acc
 
         # Loop-structure note (measured, v5e, K=16k H=50 cartpole): a fully
@@ -164,7 +164,7 @@ def build_grad_cost_rollout_kernel(
                 for j in range(U)
             )
 
-            _, step_vjp = jax.vjp(lambda a, b: one_step(a, b, p), xs_h, us_h)
+            _, step_vjp = jax.vjp(lambda a, b: one_step(a, b), xs_h, us_h)
             dxs_dyn, dus_dyn = step_vjp(lam)
             _, stage_vjp = jax.vjp(
                 lambda a, b, c: stage_cost_soa(a, b, c, p), xs_h, us_h, prev_us
@@ -177,23 +177,37 @@ def build_grad_cost_rollout_kernel(
 
         jax.lax.fori_loop(0, H, bwd, (lam0, zeros_u))
 
+    return kernel, S_pad
+
+
+def _make_grad_runner(kernel, S, U, H, S_pad, tile_k, interpret, n_slot, n_w):
+    """pallas_call wrapper shared by the gradient kernels:
+    ``run(s0 [K,S], Q [K,H,U], pvec, [pslot [n_slot,K]], *weights)
+    -> (cost [K], dQ [K,H,U])``."""
+
     @partial(jax.jit, static_argnames=())
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
-            *slot_ops: jnp.ndarray):
+            *rest: jnp.ndarray):
         K = s0.shape[0]
         assert K % tile_k == 0, f"K={K} not divisible by tile_k={tile_k}"
         n_tiles = K // tile_k
         s0_t = s0.T                          # [S, K]
         q_t = jnp.transpose(Q, (1, 2, 0))    # [H, U, K]
         if n_slot:
-            assert len(slot_ops) == 1 and slot_ops[0].shape == (n_slot, K)
+            slot_ops, weights = (rest[0],), rest[1:]
+            assert slot_ops[0].shape == (n_slot, K), (slot_ops[0].shape, K)
             slot_specs = [
                 pl.BlockSpec((n_slot, tile_k), lambda i, pv: (0, i),
                              memory_space=pltpu.VMEM)
             ]
         else:
-            assert not slot_ops
-            slot_specs = []
+            weights, slot_ops, slot_specs = rest, (), []
+        assert len(weights) == n_w, (len(weights), n_w)
+        w_specs = [
+            pl.BlockSpec(w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
+                         memory_space=pltpu.VMEM)
+            for w in weights
+        ]
 
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -203,7 +217,7 @@ def build_grad_cost_rollout_kernel(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
                              memory_space=pltpu.VMEM),
-            ] + slot_specs,
+            ] + slot_specs + w_specs,
             out_specs=[
                 pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
                              memory_space=pltpu.VMEM),
@@ -220,7 +234,125 @@ def build_grad_cost_rollout_kernel(
             ],
             grid_spec=gs,
             interpret=interpret,
-        )(pvec, s0_t, q_t, *slot_ops)
+        )(pvec, s0_t, q_t, *slot_ops, *weights)
         return cost[0], jnp.transpose(dq_t, (2, 0, 1))           # [K, H, U]
 
     return run
+
+
+def build_grad_cost_rollout_kernel(
+    derivs_soa: Callable,
+    stage_cost_soa: Callable,    # (xs, us, prev_us, p) -> [1, T]
+    terminal_cost_soa: Callable,  # (xs, p) -> [1, T]
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    dt: float,
+    param_keys: Sequence[str],
+    integrator: str = "rk4",
+    intermediate_steps: int = 1,
+    tile_k: int = None,
+    interpret: bool = False,
+    slot_keys: Sequence[str] = (),
+):
+    """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> (cost [K], dQ [K,H,U])``
+    for analytic (SOA ODE) dynamics.
+
+    ``slot_keys`` switches to the batched-session ("columns") form used by
+    the batched RPGD step (optimizers/rpgd.py): the listed params (attrs /
+    u_prev) leave the shared SMEM vector and arrive per-LANE as one extra
+    VMEM operand ``pslot [n_slot, K]`` after pvec — s0 and Q are
+    per-rollout already, so B sessions pack by concatenation along K
+    (cf. ops/pallas_rollout.py).
+    """
+    if tile_k is None:
+        tile_k = grad_tile_for(num_states, horizon)
+    slot_keys = tuple(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
+
+    ode_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
+
+    def make_step(p, ws):
+        return lambda xs, us: ode_step(xs, us, p)
+
+    kernel, S_pad = _make_fwd_bwd_kernel(
+        make_step, stage_cost_soa, terminal_cost_soa,
+        num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
+        n_w=0,
+    )
+    return _make_grad_runner(
+        kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
+        len(slot_keys), n_w=0,
+    )
+
+
+def build_neural_grad_cost_rollout_kernel(
+    stage_cost_soa: Callable,
+    terminal_cost_soa: Callable,
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    param_keys: Sequence[str],
+    n_layers: int,
+    predict_delta: bool = True,
+    has_norm_in: bool = False,
+    has_norm_out: bool = False,
+    activation: Callable = jnp.tanh,
+    tile_k: int = None,
+    interpret: bool = False,
+    slot_keys: Sequence[str] = (),
+):
+    """Build ``fn(s0, Q, pvec, [pslot], *weights) -> (cost [K], dQ [K,H,U])``
+    for an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
+
+    ``weights`` is the ops/pallas_neural.flatten_mlp_weights operand list —
+    the same resident-VMEM layout as the forward neural kernel, so online
+    sysid / checkpoint swaps never recompile.  Forward semantics match
+    NeuralPredictor.single_step composed with the reference trajectory-cost
+    reduction; the backward sweep re-linearizes each step with ``jax.vjp``
+    (the primal MLP recompute and the transposed layers are MXU matmuls).
+    Only dJ/dQ is produced — the population optimizers treat the weights as
+    constants (reference optimizer_rpgd.py:306-320 differentiates w.r.t. the
+    control population only).
+    """
+    if tile_k is None:
+        tile_k = grad_tile_for(num_states, horizon)
+    S = num_states
+    slot_keys = tuple(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
+    n_w = 2 * n_layers + (2 if has_norm_in else 0) + (2 if has_norm_out else 0)
+
+    def make_step(p, ws):
+        idx = 2 * n_layers
+        norm_in = ws[idx : idx + 2] if has_norm_in else None
+        idx += 2 if has_norm_in else 0
+        norm_out = ws[idx : idx + 2] if has_norm_out else None
+
+        def net_step(xs, us):
+            a = jnp.concatenate(xs + us, axis=0)          # [S+U, T]
+            if norm_in is not None:
+                a = (a - norm_in[0]) / norm_in[1]
+            for i in range(n_layers):
+                a = jax.lax.dot_general(
+                    ws[2 * i], a, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + ws[2 * i + 1]
+                if i < n_layers - 1:
+                    a = activation(a)
+            if norm_out is not None:
+                a = a * norm_out[1] + norm_out[0]
+            if predict_delta:
+                return tuple(xs[i] + a[i : i + 1, :] for i in range(S))
+            return tuple(a[i : i + 1, :] for i in range(S))
+
+        return net_step
+
+    kernel, S_pad = _make_fwd_bwd_kernel(
+        make_step, stage_cost_soa, terminal_cost_soa,
+        num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
+        n_w=n_w,
+    )
+    return _make_grad_runner(
+        kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
+        len(slot_keys), n_w=n_w,
+    )

@@ -819,14 +819,23 @@ class Optimizer:
         best available ``cost_only`` evaluator (or None when logging is on —
         callers then keep the trajectory path for diagnostics).
 
-        On TPU with an eligible model the gradient comes from the fused
-        Pallas forward+backward kernel (ops/pallas_grad.py, ~4x XLA-AD at
-        K=16k); otherwise jax.grad through the fused scan."""
+        On TPU with an eligible model the gradient comes from a fused
+        Pallas forward+backward kernel — ops/pallas_grad.py for analytic
+        ODE dynamics (~4x XLA-AD at K=16k) or its neural twin for learned
+        MLP dynamics; otherwise jax.grad through the fused scan."""
         if not self.optimizer_logging and self._can_use_pallas_grad():
             pallas_grad = self._build_pallas_grad()
 
             def grad_fn(Q, s_tiled, u_prev, params):
                 return pallas_grad(s_tiled, Q, u_prev, params)[1]
+
+            return grad_fn, self._make_cost_only()
+
+        if not self.optimizer_logging and self._can_use_pallas_neural_grad():
+            neural_grad = self._build_pallas_neural_grad()
+
+            def grad_fn(Q, s_tiled, u_prev, params):
+                return neural_grad(s_tiled, Q, u_prev, params)[1]
 
             return grad_fn, self._make_cost_only()
 
@@ -851,6 +860,71 @@ class Optimizer:
             and self._can_use_pallas()
             and self.num_rollouts % (tile * self._n_shard_devices()) == 0
         )
+
+    def _can_use_pallas_neural_grad(self) -> bool:
+        """Eligibility for the fused neural gradient kernel
+        (ops/pallas_grad.py build_neural_grad_cost_rollout_kernel): MLP
+        NeuralPredictor (recurrent nets keep the XLA-AD scan — their
+        backward needs the per-step hidden history too) with a
+        VMEM-feasible state-history tile."""
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_for
+
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        tile = grad_tile_for(self.num_states, self.mpc_horizon)
+        return (
+            tile > 0
+            and not self.force_scan
+            and self._pallas_neural_compatible_model()
+            and not getattr(pred, "recurrent", False)
+            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
+        )
+
+    def _build_pallas_neural_grad(self, interpret: bool = False,
+                                  tile_k: int = None):
+        """Bind an MLP NeuralPredictor + cost into the fused neural gradient
+        kernel: ``fn(s_tiled, Q, u_prev, params) -> (cost [K], dQ [K,H,U])``.
+        Net weights flow as VMEM operands read from ``params['dyn']['net']``
+        every call — online-sysid updates and checkpoint swaps never
+        recompile (cf. _build_pallas_neural_cost)."""
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_neural_grad_cost_rollout_kernel,
+            grad_tile_for,
+        )
+        from control_toolkit_tpu.ops.pallas_neural import (
+            flatten_mlp_weights,
+            mlp_layer_count,
+        )
+
+        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        net = pred.net_params
+        kernel = build_neural_grad_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon,
+            param_keys=param_keys,
+            n_layers=mlp_layer_count(net),
+            predict_delta=pred.predict_delta,
+            has_norm_in="norm_in_mean" in net,
+            has_norm_out="norm_out_mean" in net,
+            tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
+            interpret=interpret,
+        )
+        n_w = len(flatten_mlp_weights(net))
+        if self._mesh is not None:
+            kernel = self._shard_map_kernel(
+                kernel,
+                lambda PS, first: (PS(first), PS(first, None, None)),
+                n_replicated_extra=n_w,
+            )
+
+        def grad_fn(s_tiled, Q, u_prev, params):
+            return kernel(s_tiled, Q, pack(params, u_prev),
+                          *flatten_mlp_weights(params["dyn"]["net"]))
+
+        return grad_fn
 
     # ---- sharding ---------------------------------------------------------
     def plan_sharding(self, mesh, axis: Optional[str] = None) -> None:

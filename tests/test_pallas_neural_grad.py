@@ -1,0 +1,141 @@
+"""Fused NEURAL gradient kernel (ops/pallas_grad.py
+build_neural_grad_cost_rollout_kernel): interpret-mode correctness of
+(cost, dQ) against jax.value_and_grad through the fused scan over the SAME
+MLP predictor — the gradient-path twin of test_pallas_neural.py."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.controllers.mpc import MPCController
+
+
+def make_neural_rpgd(K=128, H=12, env="cartpole", net="mlp-32-32"):
+    ctrl = MPCController(
+        environment_name=env,
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.3},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="rpgd-tf",
+        predictor_specification=f"neural:{net}",
+        optimizer_config={
+            "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+            "num_rollouts": K, "outer_its": 1,
+            "SAMPLING_DISTRIBUTION": "uniform",
+            "period_interpolation_inducing_points": 5,
+            "learning_rate": 0.05, "gradmax_clip": 5,
+            "opt_keep_k_ratio": 0.25, "resamp_per": 10,
+            "sample_stdev": 0.5, "warmup": False, "warmup_iterations": 2,
+        },
+    )
+    return ctrl
+
+
+def _inputs(ctrl, K, H, seed=0):
+    key = jax.random.PRNGKey(seed)
+    s_tiled = jnp.tile(jnp.array([[0.1, -0.2, 0.3, 0.05]], jnp.float32), (K, 1))
+    Q = jax.random.uniform(key, (K, H, 1), minval=-0.8, maxval=0.8)
+    u_prev = jnp.array([0.25], jnp.float32)
+    return s_tiled, Q, u_prev, ctrl._assemble_params()
+
+
+@pytest.mark.parametrize("net", ["mlp-32-32", "mlp-16"])
+def test_neural_grad_kernel_matches_xla_ad(net):
+    K, H = 128, 12
+    ctrl = make_neural_rpgd(K, H, net=net)
+    opt = ctrl.optimizer
+    grad_fn = opt._build_pallas_neural_grad(interpret=True, tile_k=64)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H)
+
+    ref_costs = opt._fused_cost(s_tiled, Q, u_prev, params)
+    ref_grad = jax.grad(
+        lambda q: jnp.sum(opt._fused_cost(s_tiled, q, u_prev, params))
+    )(Q)
+
+    cost, dQ = grad_fn(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(cost), np.asarray(ref_costs),
+                               rtol=1e-4, atol=1e-4)
+    # Random-init delta nets blow the rollout (and so the gradient) up to
+    # O(1e5); matmul/accumulation reassociation between the kernel and the
+    # XLA-AD scan then shows up as ~5e-4 relative at the extremes (q99 is
+    # 1.3e-4) — the tolerance reflects conditioning, not semantics.
+    np.testing.assert_allclose(np.asarray(dQ), np.asarray(ref_grad),
+                               rtol=1e-3, atol=5e-4)
+
+
+def test_neural_grad_kernel_norm_and_absolute_form():
+    """Checkpoint-style nets carry norm_in/out stats; predict_delta=False
+    takes the absolute next-state path.  Also turns the control-change term
+    up so the backward gprev carry (u_h entering stage h+1) is exercised."""
+    K, H = 64, 10
+    ctrl = make_neural_rpgd(K, H)
+    opt = ctrl.optimizer
+    pred = opt.predictor.predictor
+    pred.predict_delta = False
+    in_dim = pred.num_states + pred.num_control_inputs
+    key = jax.random.PRNGKey(9)
+    pred.net_params = dict(pred.net_params)
+    pred.net_params["norm_in_mean"] = 0.1 * jax.random.normal(key, (in_dim,))
+    pred.net_params["norm_in_std"] = jnp.full((in_dim,), 1.3, jnp.float32)
+    pred.net_params["norm_out_mean"] = jnp.full(
+        (pred.num_states,), 0.02, jnp.float32)
+    pred.net_params["norm_out_std"] = jnp.full(
+        (pred.num_states,), 0.9, jnp.float32)
+
+    grad_fn = opt._build_pallas_neural_grad(interpret=True, tile_k=64)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=4)
+    if "ccrc_weight" in params["cost"]:
+        params = dict(params)
+        params["cost"] = dict(params["cost"], ccrc_weight=5.0)
+
+    ref_costs = opt._fused_cost(s_tiled, Q, u_prev, params)
+    ref_grad = jax.grad(
+        lambda q: jnp.sum(opt._fused_cost(s_tiled, q, u_prev, params))
+    )(Q)
+    cost, dQ = grad_fn(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(cost), np.asarray(ref_costs),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dQ), np.asarray(ref_grad),
+                               rtol=2e-4, atol=5e-4)
+
+
+def test_neural_grad_kernel_weight_update_no_retrace(monkeypatch):
+    """Weights are operands: swapping in new net params must flow through
+    the SAME compiled kernel (sysid installs / checkpoint swaps), and the
+    gradient must track the new weights."""
+    K, H = 64, 8
+    ctrl = make_neural_rpgd(K, H)
+    opt = ctrl.optimizer
+    grad_fn = opt._build_pallas_neural_grad(interpret=True, tile_k=64)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H)
+
+    _, dQ_a = grad_fn(s_tiled, Q, u_prev, params)
+    params_b = jax.tree_util.tree_map(lambda x: x * 1.05, params)
+    ref_b = jax.grad(
+        lambda q: jnp.sum(opt._fused_cost(s_tiled, q, u_prev, params_b))
+    )(Q)
+    _, dQ_b = grad_fn(s_tiled, Q, u_prev, params_b)
+    assert not np.allclose(np.asarray(dQ_a), np.asarray(dQ_b))
+    np.testing.assert_allclose(np.asarray(dQ_b), np.asarray(ref_b),
+                               rtol=2e-4, atol=5e-4)
+
+
+def test_neural_grad_kernel_sharded_matches_unsharded():
+    """shard_map-wrapped neural gradient kernel on the virtual mesh equals
+    the unsharded kernel exactly (no cross-K collective)."""
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    K, H, tile = 256, 8, 32
+    ctrl = make_neural_rpgd(K, H)
+    opt = ctrl.optimizer
+    unsharded = opt._build_pallas_neural_grad(interpret=True, tile_k=tile)
+    opt.plan_sharding(make_rollout_mesh())
+    sharded = opt._build_pallas_neural_grad(interpret=True, tile_k=tile)
+
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=1)
+    c_a, g_a = unsharded(s_tiled, Q, u_prev, params)
+    c_b, g_b = jax.jit(sharded)(s_tiled, Q, u_prev, params)
+    np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
+    np.testing.assert_array_equal(np.asarray(g_a), np.asarray(g_b))
