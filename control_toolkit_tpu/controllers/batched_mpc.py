@@ -475,9 +475,10 @@ class BatchedMPCController(MPCController):
     def _batched_rpgd_eligible(self) -> bool:
         """Columnwise RPGD-kernel eligibility: RPGD (any variant — their
         ``_resample``/entropy-gradient overrides apply under the batched
-        step too) over an SOA ODE model on an unmeshed TPU, warmup off
-        (shared Adam-loop trip count), with B*K packing into whole
-        gradient-kernel tiles."""
+        step too) over an SOA ODE model OR a neural MLP (shared weights
+        only — per-slot dyn needs scalar SMEM rows) on an unmeshed TPU,
+        warmup off (shared Adam-loop trip count), with B*K packing into
+        whole gradient-kernel tiles."""
         from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
@@ -488,7 +489,7 @@ class BatchedMPCController(MPCController):
             isinstance(opt, RPGDOptimizer)
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
-            and opt._pallas_compatible_model()
+            and opt._grad_kernel_model_ok(bool(self._per_slot_dyn))
         ):
             return False
         return grad_tile_dividing(
@@ -547,8 +548,9 @@ class BatchedMPCController(MPCController):
 
     def _batched_gradient_eligible(self) -> bool:
         """Columnwise gradient-optimizer eligibility: plain gradient-tf
-        over an SOA ODE model on an unmeshed TPU, warmup off, with B*K
-        packing into whole gradient-kernel tiles."""
+        over an SOA ODE model OR a neural MLP (shared weights only) on an
+        unmeshed TPU, warmup off, with B*K packing into whole
+        gradient-kernel tiles."""
         from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
         from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
 
@@ -559,7 +561,7 @@ class BatchedMPCController(MPCController):
             type(opt) is GradientOptimizer
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
-            and opt._pallas_compatible_model()
+            and opt._grad_kernel_model_ok(bool(self._per_slot_dyn))
         ):
             return False
         return grad_tile_dividing(

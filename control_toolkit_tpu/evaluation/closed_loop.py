@@ -144,7 +144,9 @@ class ClosedLoop:
     def _swept_kernel_run_for(self, N: int, swept_paths, params):
         """Kernel-path program for a PARAMETER sweep: when the optimizer's
         sweep kind is 'ode' (plain semi-fused MPPI), 'rpgd', or 'gradient'
-        (all over SOA ODE models) and every swept leaf is a per-episode
+        (the gradient kinds over SOA ODE models or neural MLPs — neural
+        models expose no scalar dyn leaves, so their sweeps are attr/cost
+        only) and every swept leaf is a per-episode
         SCALAR the kernel can carry — an attr (already a per-session row)
         or a dynamics constant / cost weight (per-slot pslot rows) — the
         whole grid rides the columnwise kernel: one launch per tick (per
@@ -159,8 +161,8 @@ class ClosedLoop:
         dyn_keys, cost_keys = [], []
         for p in swept_paths:
             top, _, leaf = p.partition(".")
-            if "." in leaf or params[top][leaf].ndim != 1:
-                return None           # nested tree or vector leaf
+            if "." in leaf or getattr(params[top][leaf], "ndim", -1) != 1:
+                return None           # nested tree or non-array/vector leaf
             if top == "attrs":
                 if leaf not in attr_keys:
                     return None       # not a kernel-carried attr row
@@ -228,7 +230,9 @@ class ClosedLoop:
             )
 
         def grad_tiles_ok():
-            return opt._pallas_compatible_model() and grad_tile_dividing(
+            # ODE or neural-MLP models (opt._grad_kernel_model_ok); the
+            # binder dispatches to the matching kernel family.
+            return opt._grad_kernel_model_ok() and grad_tile_dividing(
                 opt.num_states, opt.mpc_horizon, N * opt.num_rollouts
             ) > 0
 

@@ -926,6 +926,147 @@ class Optimizer:
 
         return grad_fn
 
+    def _grad_kernel_model_ok(self, has_per_slot_dyn: bool = False) -> bool:
+        """Model-compatibility half of the batched gradient-kernel gates
+        (BatchedMPC._batched_{rpgd,gradient}_eligible and the ClosedLoop
+        sweep gate): SOA ODE models always qualify; neural MLP models
+        qualify when no per-slot dynamics are requested (net weights ride
+        as shared VMEM operands, so heterogeneous-fleet models would need
+        per-lane weights) and the net is not recurrent."""
+        if self._pallas_compatible_model():
+            return True
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return (
+            self._pallas_neural_compatible_model()
+            and not getattr(pred, "recurrent", False)
+            and not has_per_slot_dyn
+        )
+
+    def _bind_batched_grad_kernels(self, num_slots: int, tile_k: int = None,
+                                   per_slot_dyn=(), per_slot_cost=(),
+                                   interpret: bool = False):
+        """Shared preamble of the columnwise batched gradient-optimizer
+        steps (RPGD / gradient-tf): bind the predictor + cost into
+        columns-mode (``slot_keys``) gradient and cost kernels and the slot
+        packer, dispatching on the predictor family —
+
+        * SOA ODE dynamics → ops/pallas_grad.py + ops/pallas_rollout.py
+          (dynamics constants in the SMEM vector; per-slot dyn rows
+          supported);
+        * neural MLP dynamics → the neural twins (weights as shared VMEM
+          operands appended per call from ``dyn['net']``, so per-session
+          sysid installs/checkpoint swaps never recompile — but per-slot
+          DYNAMICS are unsupported: weights are shared across sessions).
+
+        Returns ``(gcall, ccall, pack)`` where
+        ``gcall(s0flat, Qflat, pvec, pslot, dyn) -> (cost [B*K], dQ)`` and
+        ``ccall(...) -> cost [B*K]``."""
+        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_grad_cost_rollout_kernel,
+            build_neural_grad_cost_rollout_kernel,
+            grad_tile_dividing,
+        )
+        from control_toolkit_tpu.ops.pallas_neural import (
+            build_neural_cost_rollout_kernel,
+            flatten_mlp_weights,
+            mlp_layer_count,
+        )
+        from control_toolkit_tpu.ops.pallas_rollout import (
+            build_cost_rollout_kernel,
+        )
+
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        tk = tile_k or grad_tile_dividing(S, H, B * K)
+        if tk == 0 or (B * K) % tk != 0:
+            raise ValueError(
+                f"batched gradient kernel needs a grad tile dividing B*K; "
+                f"got B={B}, K={K}, tile={tk}"
+            )
+
+        pred0 = getattr(self.predictor, "predictor", self.predictor)
+        neural = isinstance(pred0, NeuralPredictor)
+        if neural:
+            if per_slot_dyn:
+                raise ValueError(
+                    "per-slot dynamics require an ODE predictor: neural "
+                    "weights ride as shared VMEM operands"
+                )
+            if pred0.recurrent:
+                raise ValueError(
+                    "recurrent predictors keep the vmapped scan path "
+                    "(their backward needs the per-step hidden history)"
+                )
+            param_keys, _, _, stage_soa, terminal_soa, pred = (
+                self._soa_bindings(include_dyn=False)
+            )
+        else:
+            param_keys, _, derivs, stage_soa, terminal_soa, pred = (
+                self._soa_bindings()
+            )
+
+        slot_prefixes = ("a_", "__u_prev_")
+        extra = {f"d_{k}" for k in per_slot_dyn} | {
+            f"c_{k}" for k in per_slot_cost}
+        unknown = extra - set(param_keys)
+        if unknown:
+            raise ValueError(f"per-slot keys {sorted(unknown)} not in "
+                             "the packed scalar params")
+        slot_keys = [k for k in param_keys
+                     if k.startswith(slot_prefixes) or k in extra]
+        shared_keys = [k for k in param_keys if k not in slot_keys]
+
+        if neural:
+            net = pred.net_params
+            nkargs = dict(
+                num_states=S, num_controls=U, horizon=H,
+                param_keys=param_keys,
+                n_layers=mlp_layer_count(net),
+                predict_delta=pred.predict_delta,
+                has_norm_in="norm_in_mean" in net,
+                has_norm_out="norm_out_mean" in net,
+                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            )
+            gkernel = build_neural_grad_cost_rollout_kernel(
+                stage_soa, terminal_soa, **nkargs
+            )
+            ckernel = build_neural_cost_rollout_kernel(
+                stage_soa, terminal_soa, **nkargs
+            )
+
+            def extra_ops(dyn):
+                return tuple(flatten_mlp_weights(dyn["net"]))
+        else:
+            kargs = dict(
+                num_states=S, num_controls=U, horizon=H, dt=pred.dt,
+                param_keys=param_keys, integrator=pred.integrator,
+                intermediate_steps=pred.intermediate_steps,
+                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            )
+            gkernel = build_grad_cost_rollout_kernel(
+                derivs, stage_soa, terminal_soa, **kargs
+            )
+            ckernel = build_cost_rollout_kernel(
+                derivs, stage_soa, terminal_soa, **kargs
+            )
+
+            def extra_ops(dyn):
+                return ()
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pack = make_slot_packer(
+            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
+        )
+
+        def gcall(s0flat, Qflat, pvec, pslot, dyn):
+            return gkernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
+
+        def ccall(s0flat, Qflat, pvec, pslot, dyn):
+            return ckernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
+
+        return gcall, ccall, pack
+
     # ---- sharding ---------------------------------------------------------
     def plan_sharding(self, mesh, axis: Optional[str] = None) -> None:
         """Shard the rollout population over a device mesh.

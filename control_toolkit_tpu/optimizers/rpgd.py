@@ -209,14 +209,6 @@ class RPGDOptimizer(Optimizer):
         (u [B,U], states', costs [B,K])`` over the stacked (vmap-layout)
         RPGDState.
         """
-        from control_toolkit_tpu.ops.pallas_grad import (
-            build_grad_cost_rollout_kernel, grad_tile_dividing,
-        )
-        from control_toolkit_tpu.ops.pallas_rollout import (
-            build_cost_rollout_kernel,
-        )
-        from control_toolkit_tpu.optimizers.base import make_slot_packer
-
         if self.warmup:
             raise NotImplementedError(
                 "batched RPGD kernel path requires warmup=False (shared "
@@ -224,42 +216,10 @@ class RPGDOptimizer(Optimizer):
                 "scan path"
             )
         B, K = int(num_slots), self.num_rollouts
-        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
-        tk = tile_k or grad_tile_dividing(S, H, B * K)
-        if tk == 0 or (B * K) % tk != 0:
-            raise ValueError(
-                f"batched RPGD kernel needs a grad tile dividing B*K; "
-                f"got B={B}, K={K}, tile={tk}"
-            )
-
-        param_keys, _, derivs, stage_soa, terminal_soa, pred = (
-            self._soa_bindings()
-        )
-        slot_prefixes = ("a_", "__u_prev_")
-        extra = {f"d_{k}" for k in per_slot_dyn} | {
-            f"c_{k}" for k in per_slot_cost}
-        unknown = extra - set(param_keys)
-        if unknown:
-            raise ValueError(f"per-slot keys {sorted(unknown)} not in "
-                             "the packed scalar params")
-        slot_keys = [k for k in param_keys
-                     if k.startswith(slot_prefixes) or k in extra]
-        shared_keys = [k for k in param_keys if k not in slot_keys]
-        kargs = dict(
-            num_states=S, num_controls=U, horizon=H, dt=pred.dt,
-            param_keys=param_keys, integrator=pred.integrator,
-            intermediate_steps=pred.intermediate_steps,
-            tile_k=tk, interpret=interpret, slot_keys=slot_keys,
-        )
-        gkernel = build_grad_cost_rollout_kernel(
-            derivs, stage_soa, terminal_soa, **kargs
-        )
-        ckernel = build_cost_rollout_kernel(
-            derivs, stage_soa, terminal_soa, **kargs
-        )
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pack = make_slot_packer(
-            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
+        H, U = self.mpc_horizon, self.num_control_inputs
+        gcall, ccall, pack = self._bind_batched_grad_kernels(
+            B, tile_k=tile_k, per_slot_dyn=per_slot_dyn,
+            per_slot_cost=per_slot_cost, interpret=interpret,
         )
 
         low, high = self.action_low, self.action_high
@@ -282,7 +242,9 @@ class RPGDOptimizer(Optimizer):
 
             def grad_iter(i, carry):
                 Qb, adam = carry                                # [B,K,H,U]
-                _, dQf = gkernel(s0flat, Qb.reshape(B * K, H, U), pvec, pslot)
+                _, dQf = gcall(
+                    s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn
+                )
                 dQ = dQf.reshape(B, K, H, U)
                 if alpha > 0.0:
                     dQ = dQ + pen_grad(Qb)
@@ -303,8 +265,8 @@ class RPGDOptimizer(Optimizer):
                 0, outer_its, grad_iter, (states.Q, states.adam)
             )
 
-            costs = ckernel(
-                s0flat, Qb.reshape(B * K, H, U), pvec, pslot
+            costs = ccall(
+                s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn
             ).reshape(B, K)
             best_idx = jax.vmap(lambda c: elite_indices(c, keep_k))(costs)
             u_nom = jnp.take_along_axis(

@@ -139,3 +139,125 @@ def test_neural_grad_kernel_sharded_matches_unsharded():
     c_b, g_b = jax.jit(sharded)(s_tiled, Q, u_prev, params)
     np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
     np.testing.assert_array_equal(np.asarray(g_a), np.asarray(g_b))
+
+
+# ---- batched-session (columns) neural gradient paths -----------------------
+def _stacked_states(opt, B, key_seed=0):
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(key_seed), i) for i in range(B)]
+    )
+    return jax.vmap(opt._init_state)(keys)
+
+
+def test_batched_rpgd_neural_matches_single_session():
+    """Batched RPGD over a neural MLP predictor (columns-mode NEURAL
+    gradient+cost kernels, weights as shared operands) == the
+    single-session step_fn per session (XLA-AD scan on CPU), through BOTH
+    surgery branches (tick 0 resamples, tick 1 keeps)."""
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = make_neural_rpgd(K, H)
+    opt = ctrl.optimizer
+    opt.resamp_per = 2
+    kstep = opt._make_batched_rpgd_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states = _stacked_states(opt, B)
+    rng = np.random.default_rng(19)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    for tick in range(2):
+        u, new_states, costs = kstep(
+            states, s_b, params["dyn"], params["cost"],
+            {"target_position": attrs_vec},
+        )
+        for b in range(B):
+            st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+            p_b = {
+                "dyn": params["dyn"], "cost": params["cost"],
+                "attrs": {"target_position": attrs_vec[b]},
+            }
+            u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(costs)[b], np.asarray(diag["J_logged"]),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(new_states.trajectory_ages)[b],
+                np.asarray(new_ref.trajectory_ages),
+            )
+        states = new_states
+
+
+def test_batched_gradient_neural_matches_single_session():
+    """Batched gradient-tf over a neural MLP predictor == the
+    single-session step_fn per session (XLA-AD scan on CPU)."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "gradient-tf", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="gradient-tf",
+        predictor_specification="neural:mlp-16",
+        optimizer_config={
+            "seed": 9, "mpc_timestep": 0.02, "mpc_horizon": H,
+            "num_rollouts": K, "gradient_steps": 2, "learning_rate": 0.05,
+            "gradmax_clip": 5.0, "warmup": False,
+        },
+    )
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_gradient_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states = _stacked_states(opt, B)
+    rng = np.random.default_rng(31)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    for tick in range(2):
+        u, new_states, costs = kstep(
+            states, s_b, params["dyn"], params["cost"],
+            {"target_position": attrs_vec},
+        )
+        for b in range(B):
+            st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+            p_b = {
+                "dyn": params["dyn"], "cost": params["cost"],
+                "attrs": {"target_position": attrs_vec[b]},
+            }
+            u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+                atol=5e-4, rtol=5e-4,
+            )
+        states = new_states
+
+
+def test_batched_neural_grad_rejects_per_slot_dyn():
+    """Heterogeneous-fleet models need scalar SMEM dyn rows; neural weights
+    are shared VMEM operands, so per-slot dyn must be refused loudly."""
+    ctrl = make_neural_rpgd(32, 10)
+    opt = ctrl.optimizer
+    with pytest.raises(ValueError, match="ODE predictor"):
+        opt._make_batched_rpgd_step(
+            2, interpret=True, tile_k=64, per_slot_dyn=("net",)
+        )
