@@ -247,15 +247,18 @@ def measure_batched_fused_cem(B=128, K_per_slot=512, H=35, outer=2,
         "warmup": False, "fully_fused": fully_fused}, B)
 
 
-def measure_batched_rpgd(B=128, K_per_slot=32, H=50, outer=2, force_scan=False):
+def measure_batched_rpgd(B=128, K_per_slot=32, H=50, outer=2, force_scan=False,
+                         predictor_specification=None):
     """Steps/s for B RPGD sessions (columnwise gradient-kernel path vs the
-    vmapped XLA-AD scan path)."""
+    vmapped XLA-AD scan path); ``predictor_specification='neural:mlp-32-32'``
+    measures the fleet-of-learned-models form (neural gradient kernel)."""
     return _measure_batched_steps("rpgd-tf", {
         "seed": 7, "mpc_timestep": 0.02, "mpc_horizon": H,
         "num_rollouts": K_per_slot, "outer_its": outer, "learning_rate": 0.05,
         "opt_keep_k_ratio": 0.25, "resamp_per": 10,
         "period_interpolation_inducing_points": 10, "warmup": False,
-        "force_scan": force_scan}, B)
+        "force_scan": force_scan}, B,
+        predictor_specification=predictor_specification)
 
 
 def measure_batched_gradient(B=128, K_per_slot=32, H=50, steps=5,
@@ -701,6 +704,15 @@ def main():
         # fast-math trig in the grad kernel: modest (~12%) — the backward
         # sweep is transposed-rk4-arithmetic-bound, not trig-bound.
         ("rpgd_grad_K16k_kernel_fast", {"predictor_spec": "ODE:rk4:1:fast"}),
+        # Gradient MPC over LEARNED dynamics: the neural gradient kernel
+        # (ops/pallas_grad.py neural twin) vs XLA-AD through the scan.
+        # The margin is smaller than the ODE case (measured 1.25x at
+        # K=16k, 1.37x at K=262k) because the MLP's XLA-AD baseline is
+        # MXU matmuls, not the VPU-bound transposed-rk4 arithmetic.
+        ("rpgd_neural_mlp32_K16k_xla",
+         {"force_scan": True, "predictor_spec": "neural:mlp-32-32"}),
+        ("rpgd_neural_mlp32_K16k_kernel",
+         {"predictor_spec": "neural:mlp-32-32"}),
     ):
         ms = measure_step(build_rpgd(16384, H, **kw), n1=5, n2=25)
         results[name] = round(ms, 3)
@@ -750,6 +762,19 @@ def main():
     results["batched_rpgd_B128_K32_H50_vmap_scan"] = round(ms_s, 3)
     results["batched_rpgd_B128_sessions_per_sec"] = int(128 / (ms_k / 1e3))
     print(f"batched RPGD B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
+          f"({128 / (ms_k / 1e3):.0f} session-steps/s) | vmap-scan {ms_s:.3f} "
+          f"| {ms_s / ms_k:.2f}x", flush=True)
+
+    # Fleet of LEARNED models: B RPGD sessions over a shared neural MLP
+    # (columns-mode neural gradient kernel vs B vmapped XLA-AD scans).
+    ms_k = measure_batched_rpgd(B=128, K_per_slot=32, H=50,
+                                predictor_specification="neural:mlp-32-32")
+    ms_s = measure_batched_rpgd(B=128, K_per_slot=32, H=50, force_scan=True,
+                                predictor_specification="neural:mlp-32-32")
+    results["batched_rpgd_neural_B128_K32_H50"] = round(ms_k, 3)
+    results["batched_rpgd_neural_B128_K32_H50_vmap_scan"] = round(ms_s, 3)
+    results["batched_rpgd_neural_B128_sessions_per_sec"] = int(128 / (ms_k / 1e3))
+    print(f"batched neural RPGD B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
           f"({128 / (ms_k / 1e3):.0f} session-steps/s) | vmap-scan {ms_s:.3f} "
           f"| {ms_s / ms_k:.2f}x", flush=True)
 
