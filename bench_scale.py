@@ -713,7 +713,14 @@ def main():
          {"force_scan": True, "predictor_spec": "neural:mlp-32-32"}),
         ("rpgd_neural_mlp32_K16k_kernel",
          {"predictor_spec": "neural:mlp-32-32"}),
+        # Gradient MPC over the sparse GP: AD through the scan streams the
+        # [K, M] RBF blocks through HBM both ways, so the fused GP gradient
+        # kernel pays more than the neural one (measured 2.5x at K=16k).
+        ("rpgd_gp128_K16k_xla", {"force_scan": True, "gp": True}),
+        ("rpgd_gp128_K16k_kernel", {"gp": True}),
     ):
+        if kw.pop("gp", False):
+            kw["predictor_spec"] = f"SGP_128:{_gp_checkpoint(128)}"
         ms = measure_step(build_rpgd(16384, H, **kw), n1=5, n2=25)
         results[name] = round(ms, 3)
         print(f"{name:22s}: {ms:7.3f} ms", flush=True)

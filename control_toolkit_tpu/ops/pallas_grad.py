@@ -76,6 +76,19 @@ def grad_tile_for(num_states: int, horizon: int) -> int:
     return tile
 
 
+def gp_grad_tile_for(num_states: int, horizon: int, num_inducing: int) -> int:
+    """Grad tile for the GP gradient kernel: the state-history budget of
+    ``grad_tile_for`` plus the transient [M, T] RBF blocks (forward
+    recompute + transpose live at once in the backward) capped at ~4 MB.
+    Returns 0 when no tile >= 256 fits both."""
+    tile = grad_tile_for(num_states, horizon)
+    while tile > 256 and num_inducing * tile * 4 > 4 * 2**20:
+        tile //= 2
+    if tile < 256 or num_inducing * tile * 4 > 4 * 2**20:
+        return 0
+    return tile
+
+
 def _make_fwd_bwd_kernel(
     make_step: Callable,          # (p, ws) -> step(xs, us) -> xs'
     stage_cost_soa: Callable,     # (xs, us, prev_us, p) -> [1, T]
@@ -355,4 +368,62 @@ def build_neural_grad_cost_rollout_kernel(
     return _make_grad_runner(
         kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
         len(slot_keys), n_w=n_w,
+    )
+
+
+def build_gp_grad_cost_rollout_kernel(
+    stage_cost_soa: Callable,
+    terminal_cost_soa: Callable,
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    param_keys: Sequence[str],
+    tile_k: int = None,
+    interpret: bool = False,
+    slot_keys: Sequence[str] = (),
+):
+    """Gradient twin of ops/pallas_neural.build_gp_cost_rollout_kernel:
+    ``fn(s0, Q, pvec, [pslot], *gp_ops) -> (cost [K], dQ [K,H,U])`` for
+    sparse-GP dynamics ``x' = x + GP([x,u])``.
+
+    ``gp_ops`` is the ops/pallas_neural.flatten_gp_weights operand list, so
+    posterior re-fits flow in without recompiling.  The ``jax.vjp``
+    re-linearization recomputes the per-step [M, T] RBF block in VMEM (two
+    MXU matmuls + VPU exp) and transposes it (two more matmuls); only dJ/dQ
+    is produced."""
+    if tile_k is None:
+        tile_k = grad_tile_for(num_states, horizon)
+    S = num_states
+    slot_keys = tuple(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
+    from control_toolkit_tpu.ops.pallas_neural import GP_N_OPERANDS
+
+    def make_step(p, ws):
+        Zs, zn2, alphaT, in_mean, inv_in, out_mean, out_std, var = ws
+        var_s = var[0, 0]
+
+        def gp_step(xs, us):
+            a = jnp.concatenate(xs + us, axis=0)           # [D, T]
+            an = (a - in_mean) * inv_in
+            g = jax.lax.dot_general(
+                Zs, an, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [M, T]
+            an2 = jnp.sum(an * an, axis=0, keepdims=True)  # [1, T]
+            d2 = jnp.maximum(an2 - 2.0 * g + zn2, 0.0)
+            kmat = var_s * jnp.exp(-0.5 * d2)              # [M, T]
+            delta = jax.lax.dot_general(
+                alphaT, kmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * out_std + out_mean
+            return tuple(xs[i] + delta[i : i + 1, :] for i in range(S))
+
+        return gp_step
+
+    kernel, S_pad = _make_fwd_bwd_kernel(
+        make_step, stage_cost_soa, terminal_cost_soa,
+        num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
+        n_w=GP_N_OPERANDS,
+    )
+    return _make_grad_runner(
+        kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
+        len(slot_keys), n_w=GP_N_OPERANDS,
     )

@@ -839,6 +839,14 @@ class Optimizer:
 
             return grad_fn, self._make_cost_only()
 
+        if not self.optimizer_logging and self._can_use_pallas_gp_grad():
+            gp_grad = self._build_pallas_gp_grad()
+
+            def grad_fn(Q, s_tiled, u_prev, params):
+                return gp_grad(s_tiled, Q, u_prev, params)[1]
+
+            return grad_fn, self._make_cost_only()
+
         cost_only = (
             None if self.optimizer_logging
             else self._make_cost_only(differentiable=True)
@@ -926,20 +934,82 @@ class Optimizer:
 
         return grad_fn
 
+    def _can_use_pallas_gp_grad(self) -> bool:
+        """Eligibility for the fused GP gradient kernel: sparse-GP
+        predictor with a VMEM-feasible tile (state-history scratch + [M,T]
+        RBF blocks)."""
+        from control_toolkit_tpu.ops.pallas_grad import gp_grad_tile_for
+
+        if not self._pallas_gp_compatible_model() or self.force_scan:
+            return False
+        tile = gp_grad_tile_for(
+            self.num_states, self.mpc_horizon, self._gp_num_inducing()
+        )
+        return (
+            tile > 0
+            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
+        )
+
+    def _build_pallas_gp_grad(self, interpret: bool = False,
+                              tile_k: int = None):
+        """Bind a GPPredictor + cost into the fused GP gradient kernel:
+        ``fn(s_tiled, Q, u_prev, params) -> (cost [K], dQ [K,H,U])``.  GP
+        parameters flow as VMEM operands from ``params['dyn']['gp']`` —
+        posterior re-fits never recompile (cf. _build_pallas_gp_cost)."""
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_gp_grad_cost_rollout_kernel,
+            gp_grad_tile_for,
+        )
+        from control_toolkit_tpu.ops.pallas_neural import (
+            GP_N_OPERANDS,
+            flatten_gp_weights,
+        )
+
+        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        kernel = build_gp_grad_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon,
+            param_keys=param_keys,
+            tile_k=tile_k or gp_grad_tile_for(
+                self.num_states, self.mpc_horizon, self._gp_num_inducing()
+            ),
+            interpret=interpret,
+        )
+        if self._mesh is not None:
+            kernel = self._shard_map_kernel(
+                kernel,
+                lambda PS, first: (PS(first), PS(first, None, None)),
+                n_replicated_extra=GP_N_OPERANDS,
+            )
+
+        def grad_fn(s_tiled, Q, u_prev, params):
+            return kernel(s_tiled, Q, pack(params, u_prev),
+                          *flatten_gp_weights(params["dyn"]["gp"]))
+
+        return grad_fn
+
     def _grad_kernel_model_ok(self, has_per_slot_dyn: bool = False) -> bool:
         """Model-compatibility half of the batched gradient-kernel gates
         (BatchedMPC._batched_{rpgd,gradient}_eligible and the ClosedLoop
-        sweep gate): SOA ODE models always qualify; neural MLP models
-        qualify when no per-slot dynamics are requested (net weights ride
-        as shared VMEM operands, so heterogeneous-fleet models would need
-        per-lane weights) and the net is not recurrent."""
+        sweep gate): SOA ODE models always qualify; neural MLP and
+        sparse-GP models qualify when no per-slot dynamics are requested
+        (their parameters ride as shared VMEM operands, so
+        heterogeneous-fleet models would need per-lane arrays) and, for
+        neural, the net is not recurrent."""
         if self._pallas_compatible_model():
             return True
+        if has_per_slot_dyn:
+            return False
         pred = getattr(self.predictor, "predictor", self.predictor)
+        if self._pallas_gp_compatible_model():
+            return True
         return (
             self._pallas_neural_compatible_model()
             and not getattr(pred, "recurrent", False)
-            and not has_per_slot_dyn
         )
 
     def _bind_batched_grad_kernels(self, num_slots: int, tile_k: int = None,
@@ -956,19 +1026,25 @@ class Optimizer:
         * neural MLP dynamics → the neural twins (weights as shared VMEM
           operands appended per call from ``dyn['net']``, so per-session
           sysid installs/checkpoint swaps never recompile — but per-slot
-          DYNAMICS are unsupported: weights are shared across sessions).
+          DYNAMICS are unsupported: weights are shared across sessions);
+        * sparse-GP dynamics → the GP twins (same operand treatment, from
+          ``dyn['gp']``).
 
         Returns ``(gcall, ccall, pack)`` where
         ``gcall(s0flat, Qflat, pvec, pslot, dyn) -> (cost [B*K], dQ)`` and
         ``ccall(...) -> cost [B*K]``."""
+        from control_toolkit_tpu.models.gp_predictor import GPPredictor
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
         from control_toolkit_tpu.ops.pallas_grad import (
+            build_gp_grad_cost_rollout_kernel,
             build_grad_cost_rollout_kernel,
             build_neural_grad_cost_rollout_kernel,
             grad_tile_dividing,
         )
         from control_toolkit_tpu.ops.pallas_neural import (
+            build_gp_cost_rollout_kernel,
             build_neural_cost_rollout_kernel,
+            flatten_gp_weights,
             flatten_mlp_weights,
             mlp_layer_count,
         )
@@ -987,13 +1063,14 @@ class Optimizer:
 
         pred0 = getattr(self.predictor, "predictor", self.predictor)
         neural = isinstance(pred0, NeuralPredictor)
-        if neural:
+        gp = isinstance(pred0, GPPredictor)
+        if neural or gp:
             if per_slot_dyn:
                 raise ValueError(
-                    "per-slot dynamics require an ODE predictor: neural "
-                    "weights ride as shared VMEM operands"
+                    "per-slot dynamics require an ODE predictor: learned-"
+                    "model parameters ride as shared VMEM operands"
                 )
-            if pred0.recurrent:
+            if neural and pred0.recurrent:
                 raise ValueError(
                     "recurrent predictors keep the vmapped scan path "
                     "(their backward needs the per-step hidden history)"
@@ -1037,6 +1114,32 @@ class Optimizer:
 
             def extra_ops(dyn):
                 return tuple(flatten_mlp_weights(dyn["net"]))
+        elif gp:
+            # The GP backward also holds [M, tile] RBF blocks in VMEM;
+            # shrink the tile below the grad default if M is large.
+            M = int(pred.gp_params["Z"].shape[0])
+            while tk > 256 and (M * tk * 4 > 4 * 2**20
+                                or (B * K) % tk != 0):
+                tk //= 2
+            if M * tk * 4 > 4 * 2**20 or (B * K) % tk != 0:
+                raise ValueError(
+                    f"no VMEM-feasible GP grad tile divides B*K "
+                    f"(B={B}, K={K}, M={M})"
+                )
+            gkargs = dict(
+                num_states=S, num_controls=U, horizon=H,
+                param_keys=param_keys,
+                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            )
+            gkernel = build_gp_grad_cost_rollout_kernel(
+                stage_soa, terminal_soa, **gkargs
+            )
+            ckernel = build_gp_cost_rollout_kernel(
+                stage_soa, terminal_soa, **gkargs
+            )
+
+            def extra_ops(dyn):
+                return tuple(flatten_gp_weights(dyn["gp"]))
         else:
             kargs = dict(
                 num_states=S, num_controls=U, horizon=H, dt=pred.dt,

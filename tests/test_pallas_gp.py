@@ -128,3 +128,110 @@ def test_gp_gating_requires_tpu_and_gp_predictor(gp_ckpt):
     assert opt._pallas_gp_compatible_model() is (jax.default_backend() == "tpu")
     if jax.default_backend() != "tpu":
         assert not opt._can_use_pallas_gp()
+
+
+# ---- gradient twin (ops/pallas_grad.py build_gp_grad_cost_rollout_kernel) --
+def make_gp_rpgd(gp_ckpt, K=128, H=12, **over):
+    cfg = {
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "outer_its": 1, "SAMPLING_DISTRIBUTION": "uniform",
+        "period_interpolation_inducing_points": 5, "learning_rate": 0.05,
+        "gradmax_clip": 5, "opt_keep_k_ratio": 0.25, "resamp_per": 2,
+        "sample_stdev": 0.5, "warmup": False, "warmup_iterations": 2,
+    }
+    cfg.update(over)
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.3},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="rpgd-tf",
+                   predictor_specification=f"SGP_64:{gp_ckpt}",
+                   optimizer_config=cfg)
+    return ctrl
+
+
+def test_gp_grad_kernel_matches_xla_ad(gp_ckpt):
+    K, H = 128, 12
+    ctrl = make_gp_rpgd(gp_ckpt, K, H)
+    opt = ctrl.optimizer
+    grad_fn = opt._build_pallas_gp_grad(interpret=True, tile_k=64)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H)
+
+    ref_costs = opt._fused_cost(s_tiled, Q, u_prev, params)
+    ref_grad = jax.grad(
+        lambda q: jnp.sum(opt._fused_cost(s_tiled, q, u_prev, params))
+    )(Q)
+    cost, dQ = grad_fn(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(cost), np.asarray(ref_costs),
+                               rtol=1e-3, atol=1e-5)
+    # exp(-0.5 d2) amplifies the affine-transform reassociation through the
+    # backward too — tolerance mirrors the forward GP kernel's (near-zero
+    # gradient elements show ~2e-4 absolute wobble).
+    np.testing.assert_allclose(np.asarray(dQ), np.asarray(ref_grad),
+                               rtol=2e-3, atol=5e-4)
+
+
+def test_gp_grad_refit_flows_without_rebuild(gp_ckpt):
+    """A re-fit posterior (operands) must flow through the SAME built
+    kernel and change the gradient accordingly."""
+    K, H = 64, 8
+    ctrl = make_gp_rpgd(gp_ckpt, K, H)
+    opt = ctrl.optimizer
+    grad_fn = opt._build_pallas_gp_grad(interpret=True, tile_k=64)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H)
+    _, dQ_a = grad_fn(s_tiled, Q, u_prev, params)
+
+    params_b = jax.tree_util.tree_map(lambda x: x, params)
+    params_b["dyn"] = {"gp": dict(params["dyn"]["gp"])}
+    params_b["dyn"]["gp"]["alpha"] = params["dyn"]["gp"]["alpha"] * 1.2
+    ref_b = jax.grad(
+        lambda q: jnp.sum(opt._fused_cost(s_tiled, q, u_prev, params_b))
+    )(Q)
+    _, dQ_b = grad_fn(s_tiled, Q, u_prev, params_b)
+    assert not np.allclose(np.asarray(dQ_a), np.asarray(dQ_b))
+    np.testing.assert_allclose(np.asarray(dQ_b), np.asarray(ref_b),
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_batched_rpgd_gp_matches_single_session(gp_ckpt):
+    """Batched RPGD over a sparse-GP predictor (columns-mode GP
+    gradient+cost kernels) == the single-session step_fn per session,
+    through both surgery branches."""
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = make_gp_rpgd(gp_ckpt, K, H)
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_rpgd_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(B)]
+    )
+    states = jax.vmap(opt._init_state)(keys)
+    rng = np.random.default_rng(19)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    for tick in range(2):
+        u, new_states, costs = kstep(
+            states, s_b, params["dyn"], params["cost"],
+            {"target_position": attrs_vec},
+        )
+        for b in range(B):
+            st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+            p_b = {
+                "dyn": params["dyn"], "cost": params["cost"],
+                "attrs": {"target_position": attrs_vec[b]},
+            }
+            u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+                atol=5e-4, rtol=5e-4,
+            )
+        states = new_states
