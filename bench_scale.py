@@ -142,6 +142,48 @@ def build_rpgd(K, H, remat=False, force_scan=False, predictor_spec="ODE"):
     return ctrl
 
 
+def build_residual_ctrl(K, H, optimizer="mppi", force_scan=False):
+    """Adaptive-MPC predictor ('ODE+res': analytic base + fitted MLP
+    residual) with a nonzero residual installed, so the MLP path is live.
+    force_scan pins the fused-scan baseline; default takes the fused
+    residual kernels (forward for MPPI, gradient twin for RPGD)."""
+    import jax
+
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    cfgs = {
+        "mppi": {
+            "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+            "SQRTRHOINV": 0.05,
+        },
+        "rpgd-tf": {
+            "outer_its": 2, "SAMPLING_DISTRIBUTION": "uniform",
+            "learning_rate": 0.05, "gradmax_clip": 5,
+            "opt_keep_k_ratio": 0.25, "resamp_per": 10, "sample_stdev": 0.5,
+            "warmup": False, "warmup_iterations": 2,
+        },
+    }
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": optimizer, "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name=optimizer, predictor_specification="ODE+res",
+                   optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "period_interpolation_inducing_points": 10, "force_scan": force_scan,
+        **cfgs[optimizer]})
+    pred = ctrl.optimizer.predictor.predictor
+    key = jax.random.PRNGKey(11)
+    res = {k: (0.02 * jax.random.normal(jax.random.fold_in(key, i), v.shape)
+               if k.startswith("w") else v)
+           for i, (k, v) in enumerate(sorted(pred._res.items()))}
+    pred.set_residual(res)
+    ctrl._dyn_params = None
+    return ctrl
+
+
 def build_ilqr(H=50, iters=30, device=None):
     """NLP slot: single-start iLQR, optionally pinned (config 'device')."""
     from control_toolkit_tpu.controllers.mpc import MPCController
@@ -636,6 +678,22 @@ def main():
             results[f"{name}_error"] = str(e)[:200]
             print(f"{name}: ERROR {e}", flush=True)
 
+    # Residual ('ODE+res') adaptive-MPC rows: fused residual kernel vs the
+    # fused scan (measured 6.5x at K=16k — the scan streams both the rk4
+    # intermediates and the MLP activations through HBM per step).
+    for name, kw in (
+        ("res_mppi_K16k_scan", {"force_scan": True}),
+        ("res_mppi_K16k_kernel", {}),
+    ):
+        try:
+            ms = measure_step(build_residual_ctrl(16384, H, **kw),
+                              n1=20, n2=100)
+            results[name] = round(ms, 3)
+            print(f"{name:28s}: {ms:7.3f} ms", flush=True)
+        except Exception as e:
+            results[f"{name}_error"] = str(e)[:200]
+            print(f"{name}: ERROR {e}", flush=True)
+
     # Sparse-GP predictor rows: M=128 inducing points, per-step [K,128]
     # RBF kernel block + [128,S] posterior weights — XLA scan (HBM-resident
     # blocks) vs the fused Pallas GP kernel (blocks live in VMEM).
@@ -718,10 +776,18 @@ def main():
         # kernel pays more than the neural one (measured 2.5x at K=16k).
         ("rpgd_gp128_K16k_xla", {"force_scan": True, "gp": True}),
         ("rpgd_gp128_K16k_kernel", {"gp": True}),
+        # Adaptive-MPC gradient path: RPGD over 'ODE+res' (fused residual
+        # gradient twin — measured 3.7x XLA-AD at K=16k).
+        ("rpgd_res_K16k_xla", {"force_scan": True, "residual": True}),
+        ("rpgd_res_K16k_kernel", {"residual": True}),
     ):
         if kw.pop("gp", False):
             kw["predictor_spec"] = f"SGP_128:{_gp_checkpoint(128)}"
-        ms = measure_step(build_rpgd(16384, H, **kw), n1=5, n2=25)
+        if kw.pop("residual", False):
+            ctrl = build_residual_ctrl(16384, H, optimizer="rpgd-tf", **kw)
+        else:
+            ctrl = build_rpgd(16384, H, **kw)
+        ms = measure_step(ctrl, n1=5, n2=25)
         results[name] = round(ms, 3)
         print(f"{name:22s}: {ms:7.3f} ms", flush=True)
 

@@ -10,9 +10,12 @@ recompile (the same mechanism the reference reserves for cost-YAML
 hot-reload, CostFunctionUpdater.py:65-68, extended here to the model).
 
 The reference delegates model mismatch entirely to offline SI_Toolkit
-retraining; this module closes the loop online.  Not Pallas-eligible (the
-MLP lives inside the rollout); uses the fused scan path and supports AD, so
-every optimizer family (sampling and gradient) runs on top of it.
+retraining; this module closes the loop online.  Supports AD, so every
+optimizer family (sampling and gradient) runs on top of it; on TPU the
+fused residual kernels (ops/pallas_neural.build_residual_cost_rollout_kernel
+and its gradient twin in ops/pallas_grad.py) keep the whole rollout in VMEM
+— base constants in SMEM, residual weights as VMEM operands, so sysid
+installs never recompile the compiled hot path either.
 """
 from __future__ import annotations
 

@@ -336,29 +336,75 @@ def build_neural_grad_cost_rollout_kernel(
     n_w = 2 * n_layers + (2 if has_norm_in else 0) + (2 if has_norm_out else 0)
 
     def make_step(p, ws):
+        from control_toolkit_tpu.ops.pallas_neural import mlp_rows
+
         idx = 2 * n_layers
         norm_in = ws[idx : idx + 2] if has_norm_in else None
         idx += 2 if has_norm_in else 0
         norm_out = ws[idx : idx + 2] if has_norm_out else None
 
         def net_step(xs, us):
-            a = jnp.concatenate(xs + us, axis=0)          # [S+U, T]
-            if norm_in is not None:
-                a = (a - norm_in[0]) / norm_in[1]
-            for i in range(n_layers):
-                a = jax.lax.dot_general(
-                    ws[2 * i], a, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + ws[2 * i + 1]
-                if i < n_layers - 1:
-                    a = activation(a)
-            if norm_out is not None:
-                a = a * norm_out[1] + norm_out[0]
+            a = mlp_rows(ws, jnp.concatenate(xs + us, axis=0), n_layers,
+                         activation, norm_in=norm_in, norm_out=norm_out)
             if predict_delta:
                 return tuple(xs[i] + a[i : i + 1, :] for i in range(S))
             return tuple(a[i : i + 1, :] for i in range(S))
 
         return net_step
+
+    kernel, S_pad = _make_fwd_bwd_kernel(
+        make_step, stage_cost_soa, terminal_cost_soa,
+        num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
+        n_w=n_w,
+    )
+    return _make_grad_runner(
+        kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
+        len(slot_keys), n_w=n_w,
+    )
+
+
+def build_residual_grad_cost_rollout_kernel(
+    derivs_soa: Callable,
+    stage_cost_soa: Callable,
+    terminal_cost_soa: Callable,
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    dt: float,
+    param_keys: Sequence[str],
+    n_layers: int,
+    integrator: str = "rk4",
+    intermediate_steps: int = 1,
+    activation: Callable = jnp.tanh,
+    tile_k: int = None,
+    interpret: bool = False,
+    slot_keys: Sequence[str] = (),
+):
+    """Gradient twin of ops/pallas_neural.build_residual_cost_rollout_kernel
+    ('ODE+res' adaptive-MPC predictor): ``x' = ode_step(x,u) + mlp([x,u])``
+    with the base's scalar constants in SMEM and the residual weights as
+    VMEM operands — online-sysid installs never recompile the gradient
+    path either.  The vjp re-linearization transposes both the integrator
+    (VPU) and the MLP (MXU)."""
+    if tile_k is None:
+        tile_k = grad_tile_for(num_states, horizon)
+    S = num_states
+    slot_keys = tuple(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
+    n_w = 2 * n_layers
+    one_step_ode = make_soa_stepper(derivs_soa, integrator, dt,
+                                    intermediate_steps)
+
+    def make_step(p, ws):
+        from control_toolkit_tpu.ops.pallas_neural import mlp_rows
+
+        def res_step(xs, us):
+            xb = one_step_ode(xs, us, p)
+            a = mlp_rows(ws, jnp.concatenate(xs + us, axis=0), n_layers,
+                         activation)
+            return tuple(xb[i] + a[i : i + 1, :] for i in range(S))
+
+        return res_step
 
     kernel, S_pad = _make_fwd_bwd_kernel(
         make_step, stage_cost_soa, terminal_cost_soa,

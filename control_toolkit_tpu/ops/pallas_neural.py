@@ -82,6 +82,33 @@ def flatten_mlp_weights(net: Dict) -> List[jnp.ndarray]:
     return ops
 
 
+def mlp_rows(ws, a, n_layers, activation=jnp.tanh, norm_in=None,
+             norm_out=None, mxu_bf16=False):
+    """Evaluate a flatten_mlp_weights MLP on stacked rows ``a [feat, T]``
+    (lanes = rollouts): each layer is one MXU ``dot_general`` with the
+    pre-transposed [out, in] weight.  The single source of the row-MLP
+    used by the forward neural kernel, its gradient twin and the residual
+    kernels."""
+    if norm_in is not None:
+        a = (a - norm_in[0]) / norm_in[1]
+    for i in range(n_layers):
+        lhs, rhs = ws[2 * i], a
+        if mxu_bf16:
+            # bf16 operands, f32 accumulation: one MXU pass instead of the
+            # f32 multi-pass — pays when matmul-issue-bound.
+            lhs = lhs.astype(jnp.bfloat16)
+            rhs = rhs.astype(jnp.bfloat16)
+        a = jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ws[2 * i + 1]
+        if i < n_layers - 1:
+            a = activation(a)
+    if norm_out is not None:
+        a = a * norm_out[1] + norm_out[0]
+    return a
+
+
 def build_neural_cost_rollout_kernel(
     stage_cost_soa: Callable,     # (xs, us, prev_us, p) -> [1, T]
     terminal_cost_soa: Callable,  # (xs, p) -> [1, T]
@@ -141,27 +168,15 @@ def build_neural_cost_rollout_kernel(
         )
         acc = jnp.zeros((1, tile_k), jnp.float32)
 
+        ws = [r[:] for r in w_refs[: 2 * n_layers]]
+        norm_in_v = [r[:] for r in norm_in] if norm_in is not None else None
+        norm_out_v = [r[:] for r in norm_out] if norm_out is not None else None
+
         def net_step(xs, us):
             a = jnp.concatenate(xs + us, axis=0)          # [S+U, T]
-            if norm_in is not None:
-                a = (a - norm_in[0][:]) / norm_in[1][:]
-            for i in range(n_layers):
-                w = w_refs[2 * i][:]                       # [out, in]
-                b = w_refs[2 * i + 1][:]                   # [out, 1]
-                lhs, rhs = w, a
-                if mxu_bf16:
-                    # bf16 operands, f32 accumulation: one MXU pass instead
-                    # of the f32 multi-pass — pays when matmul-issue-bound.
-                    lhs = lhs.astype(jnp.bfloat16)
-                    rhs = rhs.astype(jnp.bfloat16)
-                a = jax.lax.dot_general(
-                    lhs, rhs, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + b
-                if i < n_layers - 1:
-                    a = activation(a)
-            if norm_out is not None:
-                a = a * norm_out[1][:] + norm_out[0][:]
+            a = mlp_rows(ws, a, n_layers, activation,
+                         norm_in=norm_in_v, norm_out=norm_out_v,
+                         mxu_bf16=mxu_bf16)
             if predict_delta:
                 return tuple(xs[i] + a[i : i + 1, :] for i in range(S))
             return tuple(a[i : i + 1, :] for i in range(S))
@@ -242,6 +257,79 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
         return cost[0]
 
     return run
+
+
+def build_residual_cost_rollout_kernel(
+    derivs_soa: Callable,
+    stage_cost_soa: Callable,
+    terminal_cost_soa: Callable,
+    num_states: int,
+    num_controls: int,
+    horizon: int,
+    dt: float,
+    param_keys: Sequence[str],
+    n_layers: int,
+    integrator: str = "rk4",
+    intermediate_steps: int = 1,
+    activation: Callable = jnp.tanh,
+    tile_k: int = DEFAULT_NEURAL_TILE_K,
+    interpret: bool = False,
+    slot_keys: Sequence[str] = (),
+):
+    """Fused rollout+cost for the RESIDUAL predictor ('ODE+res',
+    models/residual_predictor.py): ``x' = ode_step(x, u) + mlp([x, u])``.
+
+    The analytic base's scalar constants ride in the SMEM pvec exactly like
+    the pure-ODE kernel (ops/pallas_rollout.py); the residual MLP weights
+    are resident VMEM operands (flatten_mlp_weights order, no norm
+    entries), so every online-sysid install (models/online_sysid.py) flows
+    in without recompiling — the adaptive-MPC hot path stays compiled.
+    """
+    from control_toolkit_tpu.ops.soa_integrators import make_soa_stepper
+
+    S, U, H = num_states, num_controls, horizon
+    n_w = 2 * n_layers
+    slot_keys = tuple(slot_keys)
+    n_slot = len(slot_keys)
+    shared_keys = [k for k in param_keys if k not in slot_keys]
+    one_step_ode = make_soa_stepper(derivs_soa, integrator, dt,
+                                    intermediate_steps)
+
+    def kernel(pvec_ref, s0_ref, q_ref, *rest):
+        if n_slot:
+            pslot_ref, rest = rest[0], rest[1:]
+        w_refs = rest[:n_w]
+        cost_ref = rest[n_w]
+        p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
+        for i, k in enumerate(slot_keys):
+            p[k] = pslot_ref[i : i + 1, :]
+        ws = [r[:] for r in w_refs]
+
+        xs = tuple(s0_ref[i : i + 1, :] for i in range(S))
+        prev_us = tuple(
+            p[f"__u_prev_{j}"] if f"__u_prev_{j}" in slot_keys
+            else jnp.full((1, tile_k), p[f"__u_prev_{j}"]) for j in range(U)
+        )
+        acc = jnp.zeros((1, tile_k), jnp.float32)
+
+        def res_step(xs, us):
+            xb = one_step_ode(xs, us, p)
+            a = mlp_rows(ws, jnp.concatenate(xs + us, axis=0), n_layers,
+                         activation)
+            return tuple(xb[i] + a[i : i + 1, :] for i in range(S))
+
+        def body(h, carry):
+            xs, prev_us, acc = carry
+            u_slab = q_ref[h]
+            us = tuple(u_slab[j : j + 1, :] for j in range(U))
+            acc = acc + stage_cost_soa(xs, us, prev_us, p)
+            xs = res_step(xs, us)
+            return xs, us, acc
+
+        xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
+        cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot)
 
 
 # ----------------------------------------------------- recurrent dynamics

@@ -364,6 +364,8 @@ class Optimizer:
             return self._build_pallas_neural_cost()
         if not differentiable and self._can_use_pallas_gp():
             return self._build_pallas_gp_cost()
+        if not differentiable and self._can_use_pallas_residual():
+            return self._build_pallas_residual_cost()
         if self._can_fuse_rollout():
             return self._fused_cost
         return None
@@ -432,11 +434,20 @@ class Optimizer:
         not SMEM scalars."""
         import jax.numpy as jnp
 
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
+
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         pred = getattr(self.predictor, "predictor", self.predictor)
         U = self.num_control_inputs
 
-        dyn_keys = sorted(pred.default_params()) if include_dyn else []
+        # Residual ('ODE+res') predictors wrap an analytic base whose scalar
+        # constants are the SMEM dyn params; the residual MLP weights ride
+        # separately as VMEM operands (_build_pallas_residual_*).
+        dyn_src = pred.base if isinstance(pred, ResidualPredictor) else pred
+        dyn_nested = dyn_src is not pred
+        dyn_keys = sorted(dyn_src.default_params()) if include_dyn else []
         cost_keys = sorted(cf.dynamic_config_keys)
         attr_keys = sorted(getattr(cf, "attr_keys", ()))
         param_keys = (
@@ -470,7 +481,7 @@ class Optimizer:
 
         def derivs(xs, us, p):
             dyn, _ = split_p(p)
-            return pred.dynamics.soa(xs, us, dyn)
+            return dyn_src.dynamics.soa(xs, us, dyn)
 
         if not include_dyn:
             derivs = None
@@ -479,8 +490,11 @@ class Optimizer:
 
         def pack(params, u_prev):
             vals = {}
+            dyn_leaves = (
+                params["dyn"]["base"] if dyn_nested else params["dyn"]
+            )
             for k in dyn_keys:
-                vals[f"d_{k}"] = params["dyn"][k]
+                vals[f"d_{k}"] = dyn_leaves[k]
             for k in cost_keys:
                 vals[f"c_{k}"] = params["cost"][k]
             for k in attr_keys:
@@ -812,6 +826,146 @@ class Optimizer:
 
         return cost_fn
 
+    # ---- Pallas fused RESIDUAL ('ODE+res') kernels -------------------------
+    def _pallas_residual_compatible_model(self) -> bool:
+        """Backend + model/cost eligibility for the fused residual kernels
+        (analytic SOA base + MLP correction) — same contract as
+        _pallas_neural_compatible_model."""
+        import jax
+
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return (
+            jax.default_backend() == "tpu"
+            and (self._device is None or self._device.platform == "tpu")
+            and isinstance(pred, ResidualPredictor)
+            and getattr(pred.base.dynamics, "soa", None) is not None
+            and cf is not None
+            and getattr(cf, "supports_fused_rollout", False)
+            and all(
+                np.ndim(v) == 0
+                for v in getattr(cf, "attr_defaults", {}).values()
+            )
+        )
+
+    def _can_use_pallas_residual(self, tile_k: int = None) -> bool:
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+
+        tile = tile_k or neural_tile_for(
+            self.num_rollouts, self._n_shard_devices()
+        )
+        return (
+            tile > 0
+            and not self.force_scan
+            and self._pallas_residual_compatible_model()
+            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
+        )
+
+    def _can_use_pallas_residual_grad(self) -> bool:
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_for
+
+        tile = grad_tile_for(self.num_states, self.mpc_horizon)
+        return (
+            tile > 0
+            and not self.force_scan
+            and self._pallas_residual_compatible_model()
+            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
+        )
+
+    def _residual_kernel_bits(self):
+        """(n_layers, flatten) shared by the residual builders: the MLP
+        weight operands come from ``params['dyn']['res']``."""
+        from control_toolkit_tpu.ops.pallas_neural import (
+            flatten_mlp_weights,
+            mlp_layer_count,
+        )
+
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        n_layers = mlp_layer_count(pred._res)
+
+        def flatten(params):
+            return flatten_mlp_weights(params["dyn"]["res"])
+
+        return n_layers, flatten
+
+    def _build_pallas_residual_cost(self, interpret: bool = False,
+                                    tile_k: int = None):
+        """Bind a ResidualPredictor + cost into the fused residual
+        rollout+cost kernel: base constants in SMEM (hot-reloadable), MLP
+        weights as VMEM operands (online-sysid installs never recompile)."""
+        from control_toolkit_tpu.ops.pallas_neural import (
+            build_residual_cost_rollout_kernel,
+            neural_tile_for,
+        )
+
+        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        n_layers, flatten = self._residual_kernel_bits()
+        kernel = build_residual_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon, dt=pred.dt,
+            param_keys=param_keys, n_layers=n_layers,
+            integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tile_k or neural_tile_for(
+                self.num_rollouts, self._n_shard_devices()
+            ),
+            interpret=interpret,
+        )
+        if self._mesh is not None:
+            kernel = self._shard_map_kernel(
+                kernel, lambda PS, first: PS(first),
+                n_replicated_extra=2 * n_layers,
+            )
+
+        def cost_fn(s_tiled, Q, u_prev, params):
+            return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
+
+        return cost_fn
+
+    def _build_pallas_residual_grad(self, interpret: bool = False,
+                                    tile_k: int = None):
+        """Gradient twin: ``fn(s_tiled, Q, u_prev, params) -> (cost, dQ)``
+        for the residual predictor (cf. _build_pallas_residual_cost)."""
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_residual_grad_cost_rollout_kernel,
+            grad_tile_for,
+        )
+
+        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        n_layers, flatten = self._residual_kernel_bits()
+        kernel = build_residual_grad_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon, dt=pred.dt,
+            param_keys=param_keys, n_layers=n_layers,
+            integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
+            interpret=interpret,
+        )
+        if self._mesh is not None:
+            kernel = self._shard_map_kernel(
+                kernel,
+                lambda PS, first: (PS(first), PS(first, None, None)),
+                n_replicated_extra=2 * n_layers,
+            )
+
+        def grad_fn(s_tiled, Q, u_prev, params):
+            return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
+
+        return grad_fn
+
     def _make_grad_and_cost_only(self):
         """The gradient-path pair every AD optimizer uses:
 
@@ -844,6 +998,14 @@ class Optimizer:
 
             def grad_fn(Q, s_tiled, u_prev, params):
                 return gp_grad(s_tiled, Q, u_prev, params)[1]
+
+            return grad_fn, self._make_cost_only()
+
+        if not self.optimizer_logging and self._can_use_pallas_residual_grad():
+            res_grad = self._build_pallas_residual_grad()
+
+            def grad_fn(Q, s_tiled, u_prev, params):
+                return res_grad(s_tiled, Q, u_prev, params)[1]
 
             return grad_fn, self._make_cost_only()
 
@@ -1002,6 +1164,10 @@ class Optimizer:
         neural, the net is not recurrent."""
         if self._pallas_compatible_model():
             return True
+        # Residual models: per-slot dyn IS supported (the per-slot leaves
+        # are the base's scalar constants; only the MLP weights are shared).
+        if self._pallas_residual_compatible_model():
+            return True
         if has_per_slot_dyn:
             return False
         pred = getattr(self.predictor, "predictor", self.predictor)
@@ -1028,22 +1194,31 @@ class Optimizer:
           sysid installs/checkpoint swaps never recompile — but per-slot
           DYNAMICS are unsupported: weights are shared across sessions);
         * sparse-GP dynamics → the GP twins (same operand treatment, from
-          ``dyn['gp']``).
+          ``dyn['gp']``);
+        * residual ('ODE+res') dynamics → the residual twins: base scalar
+          constants in SMEM (per-slot dyn rows SUPPORTED — heterogeneous
+          fleets of sysid'd base constants), residual MLP weights shared
+          VMEM operands from ``dyn['res']``.
 
         Returns ``(gcall, ccall, pack)`` where
         ``gcall(s0flat, Qflat, pvec, pslot, dyn) -> (cost [B*K], dQ)`` and
         ``ccall(...) -> cost [B*K]``."""
         from control_toolkit_tpu.models.gp_predictor import GPPredictor
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
         from control_toolkit_tpu.ops.pallas_grad import (
             build_gp_grad_cost_rollout_kernel,
             build_grad_cost_rollout_kernel,
             build_neural_grad_cost_rollout_kernel,
+            build_residual_grad_cost_rollout_kernel,
             grad_tile_dividing,
         )
         from control_toolkit_tpu.ops.pallas_neural import (
             build_gp_cost_rollout_kernel,
             build_neural_cost_rollout_kernel,
+            build_residual_cost_rollout_kernel,
             flatten_gp_weights,
             flatten_mlp_weights,
             mlp_layer_count,
@@ -1064,6 +1239,7 @@ class Optimizer:
         pred0 = getattr(self.predictor, "predictor", self.predictor)
         neural = isinstance(pred0, NeuralPredictor)
         gp = isinstance(pred0, GPPredictor)
+        residual = isinstance(pred0, ResidualPredictor)
         if neural or gp:
             if per_slot_dyn:
                 raise ValueError(
@@ -1140,6 +1316,24 @@ class Optimizer:
 
             def extra_ops(dyn):
                 return tuple(flatten_gp_weights(dyn["gp"]))
+        elif residual:
+            n_layers, _ = self._residual_kernel_bits()
+            rkargs = dict(
+                num_states=S, num_controls=U, horizon=H, dt=pred.dt,
+                param_keys=param_keys, n_layers=n_layers,
+                integrator=pred.integrator,
+                intermediate_steps=pred.intermediate_steps,
+                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            )
+            gkernel = build_residual_grad_cost_rollout_kernel(
+                derivs, stage_soa, terminal_soa, **rkargs
+            )
+            ckernel = build_residual_cost_rollout_kernel(
+                derivs, stage_soa, terminal_soa, **rkargs
+            )
+
+            def extra_ops(dyn):
+                return tuple(flatten_mlp_weights(dyn["res"]))
         else:
             kargs = dict(
                 num_states=S, num_controls=U, horizon=H, dt=pred.dt,
@@ -1161,6 +1355,13 @@ class Optimizer:
         pack = make_slot_packer(
             shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
         )
+        if residual:
+            # The packer reads scalar dyn leaves; the residual's live as
+            # the 'base' subtree (the 'res' weights go via extra_ops).
+            inner_pack = pack
+
+            def pack(u_prev_b, dyn, cost, attrs):
+                return inner_pack(u_prev_b, dyn["base"], cost, attrs)
 
         def gcall(s0flat, Qflat, pvec, pslot, dyn):
             return gkernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))

@@ -261,3 +261,41 @@ def test_batched_neural_grad_rejects_per_slot_dyn():
         opt._make_batched_rpgd_step(
             2, interpret=True, tile_k=64, per_slot_dyn=("net",)
         )
+
+
+def test_kernel_sweep_neural_rpgd_dispatch_and_parity():
+    """Monte-Carlo sweep over an RPGD controller with a NEURAL predictor:
+    _build_kernel_sweep dispatches to the batched RPGD step (which binds
+    the neural gradient kernels) and matches the eager per-tick loop."""
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    N, K, H, tile, T = 2, 32, 8, 32, 3
+    ctrl = make_neural_rpgd(K, H)
+    opt = ctrl.optimizer
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0)
+    assert not loop._kernel_sweep_eligible(N)   # CPU backend -> vmap path
+    sweep = loop._build_kernel_sweep(N, interpret=True, tile_k=tile)
+
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states0 = _stacked_states(opt, N)
+    rng = np.random.default_rng(5)
+    s0s = jnp.asarray(rng.uniform(-0.2, 0.2, size=(N, 4)), jnp.float32)
+    sub = jax.random.PRNGKey(23)
+    noise_keys = jax.random.split(sub, N * T).reshape((N, T) + sub.shape)
+    _, sT, ss, us, stage, _ = sweep(states0, s0s, params, noise_keys, T)
+
+    kstep = opt._make_batched_rpgd_step(N, interpret=True, tile_k=tile)
+    s, st = s0s, states0
+    for t in range(T):
+        u, st, _ = kstep(st, s[:, None, :], params["dyn"], params["cost"],
+                         params["attrs"])
+        u = jnp.clip(u, -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(us)[:, t], np.asarray(u),
+                                   atol=1e-5, rtol=1e-5)
+        s = env.step_dynamics(s, u, env.dt)
+    np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
+                               atol=1e-5, rtol=1e-5)
