@@ -106,10 +106,23 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         B = self.num_slots
 
-        # Per-slot dynamics constants (heterogeneous fleet models).
+        # Per-slot dynamics constants (heterogeneous fleet models).  For
+        # residual ('ODE+res') predictors the scalar constants live in the
+        # 'base' subtree of the dyn pytree (the 'res' MLP weights are
+        # shared); every per-slot consumer below is subtree-aware.
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
+
+        pred0 = getattr(self.predictor, "predictor", self.predictor)
+        self._dyn_subtree = (
+            "base" if isinstance(pred0, ResidualPredictor) else None
+        )
         self._per_slot_dyn = tuple(per_slot_dyn)
         if self._per_slot_dyn:
             pred = getattr(self.predictor, "predictor", self.predictor)
+            if self._dyn_subtree:
+                pred = pred.base
             defaults = pred.default_params()
             for k in self._per_slot_dyn:
                 if k not in defaults or np.ndim(defaults[k]) != 0:
@@ -133,7 +146,15 @@ class BatchedMPCController(MPCController):
         def dyn_axes(dyn):
             """vmap in_axes / shard_map spec selector for the dyn tree:
             per-slot leaves carry the slot axis, everything else (scalars,
-            net-weight subtrees) broadcasts whole."""
+            net-weight subtrees) broadcasts whole.  Residual predictors
+            nest the per-slot leaves under the 'base' subtree."""
+            sub = self._dyn_subtree
+            if sub is not None and psd:
+                return {
+                    k: ({kk: (0 if kk in psd else None) for kk in dyn[k]}
+                        if k == sub else None)
+                    for k in dyn
+                }
             return {k: (0 if k in psd else None) for k in dyn}
 
         self._slot_mesh = mesh
@@ -263,6 +284,7 @@ class BatchedMPCController(MPCController):
         elif (
             self._batched_kernel_eligible()
             or self._batched_neural_eligible()
+            or self._batched_residual_eligible()
             or self._batched_gp_eligible()
             or self._batched_rpgd_eligible()
             or self._batched_gradient_eligible()
@@ -292,6 +314,13 @@ class BatchedMPCController(MPCController):
             elif self._batched_neural_eligible():
                 kstep, _ = opt._make_batched_neural_step(self._B_build)
                 kind = "neural MLP"
+            elif self._batched_residual_eligible():
+                kstep, _ = opt._make_batched_residual_step(
+                    self._B_build, per_slot_dyn=self._per_slot_dyn
+                )
+                kind = "residual ODE+res"
+                if self._per_slot_dyn:
+                    kind += f" (per-slot dyn: {', '.join(self._per_slot_dyn)})"
             elif self._batched_gp_eligible():
                 kstep, _ = opt._make_batched_gp_step(self._B_build)
                 kind = "sparse GP"
@@ -375,11 +404,20 @@ class BatchedMPCController(MPCController):
                 # spec dict is a pytree prefix keyed on the ASSEMBLED dyn
                 # keys (minus the hidden the stateful path strips).
                 pred = getattr(self.predictor, "predictor", self.predictor)
-                dyn_spec = {
-                    k: (sb if k in psd else rep)
-                    for k in pred.default_params()
-                    if not (self._stateful and k == "hidden")
-                }
+                sub = self._dyn_subtree
+                if sub is not None:
+                    dyn_spec = {
+                        k: ({kk: (sb if kk in psd else rep)
+                             for kk in pred.base.default_params()}
+                            if k == sub else rep)
+                        for k in pred.default_params()
+                    }
+                else:
+                    dyn_spec = {
+                        k: (sb if k in psd else rep)
+                        for k in pred.default_params()
+                        if not (self._stateful and k == "hidden")
+                    }
             else:
                 dyn_spec = rep
             if self._stateful:
@@ -446,6 +484,25 @@ class BatchedMPCController(MPCController):
 
     def _batched_neural_eligible(self) -> bool:
         return self._batched_neural_like_eligible(recurrent=False)
+
+    def _batched_residual_eligible(self) -> bool:
+        """Columnwise RESIDUAL-kernel eligibility: plain MPPI over an
+        'ODE+res' predictor on an unmeshed TPU with B*K dividing a neural
+        tile.  Per-slot dyn IS supported (the per-slot leaves are base
+        scalar constants; the residual MLP weights are shared)."""
+        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+        from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+        from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+        opt = self.optimizer
+        return (
+            type(opt) is MPPIOptimizer
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            and not opt.bounded_update
+            and opt.optim_steps == 0
+            and opt._pallas_residual_compatible_model()
+            and neural_tile_for(self._B_build * opt.num_rollouts) > 0
+        )
 
     def _batched_gp_eligible(self) -> bool:
         """Columnwise GP-kernel eligibility: plain MPPI over a GPPredictor
@@ -587,6 +644,17 @@ class BatchedMPCController(MPCController):
                 h.at[i].set(z) for h, z in zip(self.slot_hidden, zero)
             )
 
+    def _dyn_with_slots(self, dyn: Dict, slot_vals: Optional[Dict] = None
+                        ) -> Dict:
+        """Overlay the per-slot [B] dyn leaves onto the assembled dyn tree
+        — at the top level, or inside the residual predictor's 'base'
+        subtree."""
+        vals = self.slot_dyn if slot_vals is None else slot_vals
+        if self._dyn_subtree is not None:
+            sub = dict(dyn[self._dyn_subtree], **vals)
+            return dict(dyn, **{self._dyn_subtree: sub})
+        return dict(dyn, **vals)
+
     def update_slot_dyn(self, i: int, updated: Optional[Dict]) -> None:
         """Update slot ``i``'s per-session dynamics constants (keys must
         have been named in ``configure(per_slot_dyn=...)``) — e.g. commit a
@@ -665,7 +733,7 @@ class BatchedMPCController(MPCController):
         if self._per_slot_dyn:
             # Per-session dynamics constants override the shared scalars as
             # [B] leaves (placed with the slot sharding under a mesh, below).
-            params = dict(params, dyn=dict(params["dyn"], **self.slot_dyn))
+            params = dict(params, dyn=self._dyn_with_slots(params["dyn"]))
 
         mask_np = (
             np.ones((B,), bool) if mask is None else np.asarray(mask, bool)
@@ -703,12 +771,16 @@ class BatchedMPCController(MPCController):
                 # [B] per-session dyn leaves shard with the slots (the
                 # shard_map in_specs expect it; replicating then resharding
                 # would bounce them through the interconnect every step).
-                dyn = dict(params["dyn"])
-                for k in self._per_slot_dyn:
-                    dyn[k] = jax.device_put(
+                placed = {
+                    k: jax.device_put(
                         np.asarray(self.slot_dyn[k]), self._slot_sharding
                     )
-                params = dict(params, dyn=dyn)
+                    for k in self._per_slot_dyn
+                }
+                params = dict(
+                    params,
+                    dyn=self._dyn_with_slots(params["dyn"], placed),
+                )
         else:
             mask_arr = jnp.asarray(mask_np)
             s_dev = jnp.asarray(s_np)

@@ -152,7 +152,9 @@ class ClosedLoop:
         whole grid rides the columnwise kernel: one launch per tick (per
         Adam iteration for the gradient kinds) for all N configs.  Returns
         None when any swept leaf needs the general vmapped path."""
-        if self._sweep_kernel_kind(N) not in ("ode", "rpgd", "gradient"):
+        if self._sweep_kernel_kind(N) not in (
+            "ode", "rpgd", "gradient", "residual",
+        ):
             return None
         cf = self.controller.cost_function.cost_function
         pred = getattr(self.optimizer.predictor, "predictor",
@@ -279,6 +281,16 @@ class ClosedLoop:
             ) > 0
         ):
             return "gp"
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
+
+        if (
+            isinstance(pred, ResidualPredictor)
+            and opt._pallas_residual_compatible_model()
+            and neural_tile_for(N * opt.num_rollouts) > 0
+        ):
+            return "residual"
         return None
 
     def _kernel_sweep_eligible(self, N: int) -> bool:
@@ -301,12 +313,18 @@ class ClosedLoop:
         # CPU).
         from control_toolkit_tpu.models.gp_predictor import GPPredictor
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
         from control_toolkit_tpu.optimizers.cem import CEMOptimizer
         from control_toolkit_tpu.optimizers.mppi_var import MPPIVarOptimizer
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
         from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+        def _is_residual(p):
+            return isinstance(p, ResidualPredictor)
 
         pred = getattr(opt.predictor, "predictor", opt.predictor)
         if (per_slot_dyn or per_slot_cost) and not (
@@ -344,6 +362,11 @@ class ClosedLoop:
         elif type(opt) is MPPIOptimizer and isinstance(pred, NeuralPredictor):
             kstep, _ = opt._make_batched_neural_step(
                 N, interpret=interpret, tile_k=tile_k
+            )
+        elif type(opt) is MPPIOptimizer and _is_residual(pred):
+            kstep, _ = opt._make_batched_residual_step(
+                N, interpret=interpret, tile_k=tile_k,
+                per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
             )
         elif type(opt) is MPPIOptimizer and isinstance(pred, GPPredictor):
             kstep, _ = opt._make_batched_gp_step(

@@ -269,8 +269,20 @@ class MPPIOptimizer(Optimizer):
         cost, attrs) -> (u [B,U], states', costs [B,K])`` over the stacked
         (vmap-layout) MPPIState, and ``update_from_eps`` exposes the
         deterministic part for testing with injected noise."""
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
         from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
 
+        if isinstance(getattr(self.predictor, "predictor", self.predictor),
+                      ResidualPredictor):
+            # _soa_bindings resolves the BASE dynamics for residual
+            # predictors; this kernel would silently drop the MLP
+            # correction. Residual sessions take _make_batched_residual_step.
+            raise ValueError(
+                "semi-fused batched MPPI covers SOA ODE models; residual "
+                "('ODE+res') sessions take _make_batched_residual_step"
+            )
         tile = tile_k or DEFAULT_TILE_K
         B, K = int(num_slots), self.num_rollouts
         H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
@@ -418,6 +430,62 @@ class MPPIOptimizer(Optimizer):
             shared_keys, slot_keys,
         )
 
+    def _make_batched_residual_step(self, num_slots: int,
+                                    interpret: bool = False,
+                                    tile_k: int = None,
+                                    per_slot_dyn=(), per_slot_cost=()):
+        """B-session MPPI step over the RESIDUAL ('ODE+res') predictor —
+        the adaptive-MPC fleet form: one columns-mode residual kernel
+        launch (ops/pallas_neural.build_residual_cost_rollout_kernel,
+        ``slot_keys``) evaluates all B sessions' rollouts.  Base scalar
+        constants ride the SMEM pvec, and ``per_slot_dyn`` moves chosen
+        base constants to per-lane rows — each robot plans against ITS
+        sysid'd plant; the residual MLP weights are shared VMEM operands
+        (installs swap without recompiling)."""
+        from control_toolkit_tpu.ops.pallas_neural import (
+            build_residual_cost_rollout_kernel,
+            flatten_mlp_weights,
+            mlp_layer_count,
+            neural_tile_for,
+        )
+
+        B, K = int(num_slots), self.num_rollouts
+        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
+        tk = tile_k or neural_tile_for(B * K)
+        if tk == 0:
+            raise ValueError(
+                f"batched residual kernel needs a tile dividing B*K; "
+                f"got B={B}, K={K}"
+            )
+
+        param_keys, _, derivs, stage_soa, terminal_soa, pred = (
+            self._soa_bindings()
+        )
+        slot_prefixes = ("a_", "__u_prev_")
+        extra = {f"d_{k}" for k in per_slot_dyn} | {
+            f"c_{k}" for k in per_slot_cost}
+        unknown = extra - set(param_keys)
+        if unknown:
+            raise ValueError(f"per-slot keys {sorted(unknown)} not in "
+                             "the packed scalar params")
+        slot_keys = [k for k in param_keys
+                     if k.startswith(slot_prefixes) or k in extra]
+        shared_keys = [k for k in param_keys if k not in slot_keys]
+        n_layers = mlp_layer_count(pred._res)
+        kernel = build_residual_cost_rollout_kernel(
+            derivs, stage_soa, terminal_soa,
+            num_states=S, num_controls=U, horizon=H, dt=pred.dt,
+            param_keys=param_keys, n_layers=n_layers,
+            integrator=pred.integrator,
+            intermediate_steps=pred.intermediate_steps,
+            tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+        )
+        return self._batched_columns_step_from_kernel(
+            B, kernel, lambda dyn: flatten_mlp_weights(dyn["res"]),
+            shared_keys, slot_keys,
+            dyn_leaves_fn=lambda dyn: dyn["base"],
+        )
+
     def _make_batched_gp_step(self, num_slots: int,
                               interpret: bool = False,
                               tile_k: int = None):
@@ -464,11 +532,14 @@ class MPPIOptimizer(Optimizer):
         )
 
     def _batched_columns_step_from_kernel(self, B, kernel, weights_fn,
-                                          shared_keys, slot_keys):
+                                          shared_keys, slot_keys,
+                                          dyn_leaves_fn=None):
         """Shared tail of the columns-mode batched MPPI steps: per-session
         sampling/interpolation/softmax in XLA around ONE packed kernel
         launch.  ``weights_fn(dyn)`` flattens the model-specific VMEM
-        operand list (MLP layers / GP params)."""
+        operand list (MLP layers / GP params); ``dyn_leaves_fn(dyn)``
+        selects the scalar-leaf subtree the packer reads (the residual
+        predictor's base constants — identity otherwise)."""
         K = self.num_rollouts
         H, U = self.mpc_horizon, self.num_control_inputs
         P = self.interp.number_of_interpolation_inducing_points
@@ -482,6 +553,7 @@ class MPPIOptimizer(Optimizer):
         pack_slots = make_slot_packer(
             shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
         )
+        dyn_leaves_fn = dyn_leaves_fn or (lambda dyn: dyn)
 
         def update_from_eps(states, s, dyn, cost, attrs, delta_b):
             unom_b = jnp.concatenate(
@@ -495,7 +567,9 @@ class MPPIOptimizer(Optimizer):
             Q = u_run.reshape(B * K, H, U)
             s0 = jnp.repeat(s[:, 0, :], K, axis=0)              # [B*K, S]
 
-            pvec, pslot = pack_slots(states.u_prev, dyn, cost, attrs)
+            pvec, pslot = pack_slots(
+                states.u_prev, dyn_leaves_fn(dyn), cost, attrs
+            )
 
             base = kernel(
                 s0, Q, pvec, pslot, *weights_fn(dyn)

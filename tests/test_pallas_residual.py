@@ -187,3 +187,129 @@ def test_batched_rpgd_residual_matches_single_session():
                 atol=5e-4, rtol=5e-4,
             )
         states = new_states
+
+
+def test_batched_residual_kernel_matches_xla_reference():
+    """Columns-mode RESIDUAL kernel (B MPPI sessions, one launch,
+    PER-SLOT base constant) == per-session XLA reference (residual scan
+    rollout + trajectory cost + correction + softmax) with the same
+    injected inducing-point noise."""
+    B, K, H, tile = 2, 64, 10, 128
+    ctrl = make_residual_ctrl(K, H, optimizer="mppi")
+    opt = ctrl.optimizer
+    pred = opt.predictor.predictor
+    slot_key = sorted(pred.base.default_params())[0]
+    _, update_from_eps = opt._make_batched_residual_step(
+        B, interpret=True, tile_k=tile, per_slot_dyn=(slot_key,)
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(0), i) for i in range(B)]
+    )
+    states = jax.vmap(opt._init_state)(keys)
+    rng = np.random.default_rng(17)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    base_v = float(params["dyn"]["base"][slot_key])
+    slot_vals = jnp.asarray([base_v, base_v * 1.4], jnp.float32)
+    dyn_b = {
+        "base": dict(params["dyn"]["base"], **{slot_key: slot_vals}),
+        "res": params["dyn"]["res"],
+    }
+    delta_b = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(B, K, P, U)), jnp.float32
+    )
+
+    u_nom_new, costs = update_from_eps(
+        states, s_b, dyn_b, params["cost"], attrs, delta_b
+    )
+
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:],
+             np.asarray(states.u_nom)[b, 0, -1:]], axis=0)
+        delta = np.asarray(opt.interp.interpolate(delta_b[b]))
+        Q = np.clip(un_shift[None] + delta, -1.0, 1.0)
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        dyn_ref = {
+            "base": dict(params["dyn"]["base"], **{slot_key: slot_vals[b]}),
+            "res": params["dyn"]["res"],
+        }
+        traj = opt.predictor.rollout(s_tiled, jnp.asarray(Q), dyn_ref)
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        base = opt.cost_function.get_trajectory_cost(
+            traj, jnp.asarray(Q), states.u_prev[b], cparams
+        )
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * delta**2
+                + opt.R * Q * delta + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        ref_cost = np.asarray(base) + corr
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=2e-4
+        )
+        rho = ref_cost.min()
+        w = np.exp(-(ref_cost - rho) / opt.LBD)
+        upd = np.einsum("k,khu->hu", w, delta) / w.sum()
+        ref_unom = np.clip(un_shift + upd, -1.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(u_nom_new)[b], ref_unom, atol=1e-5, rtol=1e-5
+        )
+
+
+def _cartpole_base_key():
+    from control_toolkit_tpu.models.predictors import ODEPredictor
+
+    return sorted(ODEPredictor(environment_name="cartpole").default_params())[0]
+
+
+def test_batched_mpc_residual_per_slot_dyn_vmap_path():
+    """BatchedMPCController over 'ODE+res' with per_slot_dyn: the per-slot
+    leaves nest under the 'base' subtree (dyn_axes / params overlay), and a
+    sysid push to one slot changes ONLY that slot's control (CPU vmap
+    path — the same overlay feeds the kernel path on TPU)."""
+    from control_toolkit_tpu.controllers.batched_mpc import (
+        BatchedMPCController,
+    )
+
+    B = 2
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification="ODE+res",
+        optimizer_config={
+            "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": 8,
+            "num_rollouts": 32, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+            "NU": 1000.0, "SQRTRHOINV": 0.05,
+            "period_interpolation_inducing_points": 4,
+        },
+        num_slots=B,
+        per_slot_dyn=(_cartpole_base_key(),),
+    )
+    slot_key = ctrl._per_slot_dyn[0]
+    s = np.tile(np.array([0.1, 0.0, 0.2, 0.0], np.float32), (B, 1))
+    snap = jax.tree_util.tree_map(lambda x: x, ctrl.slot_states)
+    u_a = np.asarray(ctrl.step_batch(s))
+
+    # Replay the SAME slot states (incl. PRNG keys) with a sysid push to
+    # slot 1 only: slot 0's control must be unchanged, slot 1's must move.
+    ctrl.slot_states = snap
+    ctrl.update_slot_dyn(1, {slot_key: ctrl._slot_dyn_defaults[slot_key] * 2.0})
+    u_b = np.asarray(ctrl.step_batch(s))
+    np.testing.assert_allclose(u_b[0], u_a[0], atol=1e-6)
+    assert not np.allclose(u_b[1], u_a[1], atol=1e-6)
