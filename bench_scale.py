@@ -219,7 +219,8 @@ def measure_host_loop(ctrl, n=20):
 
 
 def _measure_batched_steps(optimizer_name, opt_cfg, B, n_state=4,
-                           N=20, reps=2, predictor_specification=None):
+                           N=20, reps=2, predictor_specification=None,
+                           post_configure=None):
     """Shared timing harness for every batched-serving row: build a
     B-slot controller, warm-compile one device step, and time ``reps*N``
     pipelined steps (single block at the end — dispatch overlaps).  All
@@ -242,6 +243,8 @@ def _measure_batched_steps(optimizer_name, opt_cfg, B, n_state=4,
         kw["predictor_specification"] = predictor_specification
     ctrl.configure(optimizer_name=optimizer_name, optimizer_config=opt_cfg,
                    num_slots=B, **kw)
+    if post_configure is not None:
+        post_configure(ctrl)
     params = ctrl._assemble_params()
     s = jnp.zeros((B, 1, n_state), jnp.float32)
     attrs = {k: jnp.asarray(v) for k, v in ctrl.slot_attrs.items()}
@@ -484,6 +487,33 @@ def measure_batched_gp(B=128, K_per_slot=512, H=35, num_inducing=128,
         "NU": 1000.0, "SQRTRHOINV": 0.05, "force_scan": force_scan,
         "period_interpolation_inducing_points": 10}, B,
         predictor_specification=f"SGP_{num_inducing}:{_gp_checkpoint(num_inducing)}")
+
+
+def _install_bench_residual(ctrl):
+    """Install a nonzero MLP residual on a configured 'ODE+res' controller
+    (mirrors build_residual_ctrl) so the correction path is live."""
+    import jax
+
+    pred = getattr(ctrl.predictor, "predictor", ctrl.predictor)
+    key = jax.random.PRNGKey(11)
+    res = {k: (0.02 * jax.random.normal(jax.random.fold_in(key, i), v.shape)
+               if k.startswith("w") else v)
+           for i, (k, v) in enumerate(sorted(pred._res.items()))}
+    pred.set_residual(res)
+    ctrl._dyn_params = None
+
+
+def measure_batched_residual(B=128, K_per_slot=512, H=35, force_scan=False):
+    """Steps/s for B adaptive-MPC sessions over 'ODE+res' (columns residual
+    kernel — base scalars in SMEM, shared residual-MLP weights as VMEM
+    operands — vs the vmapped scan path with force_scan=True)."""
+    return _measure_batched_steps("mppi", {
+        "seed": 1, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.05, "force_scan": force_scan,
+        "period_interpolation_inducing_points": 10}, B,
+        predictor_specification="ODE+res",
+        post_configure=_install_bench_residual)
 
 
 def measure_grid_sweep(N=512, K=512, H=50, T1=40, T2=80, reps=5, trials=3):
@@ -877,6 +907,14 @@ def main():
     results["batched_gp_sgp128_B128_K512_H35"] = round(ms_k, 3)
     results["batched_gp_sgp128_B128_K512_H35_vmap_scan"] = round(ms_s, 3)
     print(f"batched SGP-128 B=128 K=512 H=35: kernel {ms_k:.3f} ms/step "
+          f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
+
+    ms_k = measure_batched_residual(B=128, K_per_slot=512, H=35)
+    ms_s = measure_batched_residual(B=128, K_per_slot=512, H=35,
+                                    force_scan=True)
+    results["batched_residual_B128_K512_H35"] = round(ms_k, 3)
+    results["batched_residual_B128_K512_H35_vmap_scan"] = round(ms_s, 3)
+    print(f"batched ODE+res B=128 K=512 H=35: kernel {ms_k:.3f} ms/step "
           f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
 
     # Batched fully-fused CEM (columns counter-PRNG kernel, opt-in flag).
