@@ -42,10 +42,18 @@ def serve_batched(
     evict_after_s: float = 30.0,
     report_every: int = 500,
     stop_event=None,
+    checkpoint_path: Optional[str] = None,
 ) -> None:
     """Run the batched request loop.  ``max_batches`` bounds the loop and
     ``stop_event`` (a threading.Event) requests a graceful shutdown — the
     loop exits within ~200 ms of it being set.
+
+    ``checkpoint_path`` enables warm restarts: if the file exists the fleet
+    (every slot's optimizer state, RNN hidden, attributes, dynamics
+    constants) plus the identity->slot session table are restored before
+    serving, and both are saved on shutdown.  A returning client that set
+    an explicit ZMQ identity lands back on its old slot with its warm-start
+    state intact; auto-identity clients simply get fresh slots.
 
     The batch closes when every KNOWN client has a pending request or the
     window expires; during the initial discovery burst (clients connecting
@@ -75,6 +83,31 @@ def serve_batched(
 
     slots: Dict[bytes, int] = {}          # identity -> slot
     last_seen: Dict[bytes, float] = {}
+    if checkpoint_path is not None:
+        import os
+
+        if not checkpoint_path.endswith(".npz"):
+            # np.savez appends .npz itself; keep save/exists/load agreeing.
+            checkpoint_path += ".npz"
+        sessions_path = checkpoint_path + ".sessions.json"
+        if os.path.exists(checkpoint_path):
+            from control_toolkit_tpu.utils.checkpoint import load_fleet
+
+            load_fleet(checkpoint_path, ctrl)
+            if os.path.exists(sessions_path):
+                with open(sessions_path, "r", encoding="utf-8") as f:
+                    saved = json.load(f)
+                now = time.perf_counter()
+                for ident_hex, slot in saved.items():
+                    if 0 <= int(slot) < B:
+                        slots[bytes.fromhex(ident_hex)] = int(slot)
+                        # perf_counter is process-relative: returning
+                        # clients start their eviction clock now.
+                        last_seen[bytes.fromhex(ident_hex)] = now
+            logger.info(
+                f"fleet restored from {checkpoint_path} "
+                f"({len(slots)} sessions resume warm)"
+            )
     tracker = LatencyTracker()
     # Authoritative state width from the controller itself — a client with
     # a wrong-length state must never be able to define (and poison) it.
@@ -213,4 +246,17 @@ def serve_batched(
                 msg = [identity, b"", reply] if framing3 else [identity, reply]
                 sock.send_multipart(msg)
     finally:
+        if checkpoint_path is not None:
+            try:
+                from control_toolkit_tpu.utils.checkpoint import save_fleet
+
+                save_fleet(checkpoint_path, ctrl)
+                with open(sessions_path, "w", encoding="utf-8") as f:
+                    json.dump({i.hex(): s for i, s in slots.items()}, f)
+                logger.info(
+                    f"fleet checkpointed to {checkpoint_path} "
+                    f"({len(slots)} sessions)"
+                )
+            except Exception as e:
+                logger.warning(f"fleet checkpoint on shutdown failed: {e}")
         sock.close(0)

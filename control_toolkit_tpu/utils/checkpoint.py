@@ -118,6 +118,53 @@ def load_optimizer(path, optimizer) -> None:
     )
 
 
+def save_fleet(path, controller) -> None:
+    """Checkpoint a BatchedMPCController's FULL fleet: every slot's
+    warm-start optimizer state, per-slot RNN hidden (stateful predictors),
+    per-slot environment attributes, and per-slot dynamics constants
+    (heterogeneous fleets).  A serving process can be stopped and a new one
+    resumed with every session's warm start intact — the production-serving
+    counterpart of ``save_controller`` (the reference has no checkpointing
+    at all, SURVEY §5).
+
+    Multi-process meshes are out of scope: the slot leaves must be fully
+    addressable from this process (single-process meshes are fine).
+    """
+    save_state(path, _fleet_payload(controller))
+
+
+def _fleet_payload(controller):
+    if getattr(controller, "slot_states", None) is None:
+        raise RuntimeError("controller not configured; call configure() first")
+    return {
+        "slot_states": controller.slot_states,
+        "slot_hidden": tuple(getattr(controller, "slot_hidden", ()) or ()),
+        "slot_attrs": dict(controller.slot_attrs),
+        "slot_dyn": dict(controller.slot_dyn),
+    }
+
+
+def load_fleet(path, controller) -> None:
+    """Restore a ``save_fleet`` checkpoint into an identically-configured
+    BatchedMPCController (same optimizer/predictor/num_slots/per_slot_dyn).
+    Slot leaves go through the controller's placement plan (device pin or
+    slot-axis sharding) so resuming never flips the jit cache key."""
+    payload = load_state(path, _fleet_payload(controller))
+    controller.slot_states = controller._place_slots(payload["slot_states"])
+    if payload["slot_hidden"]:
+        controller.slot_hidden = controller._place_slots(
+            tuple(payload["slot_hidden"])
+        )
+    # Host-side [B] rows, mutated IN PLACE by update_slot_* — must be
+    # writable numpy copies (np.asarray over a jax buffer is read-only).
+    controller.slot_attrs = {
+        k: np.array(v) for k, v in payload["slot_attrs"].items()
+    }
+    controller.slot_dyn = {
+        k: np.array(v) for k, v in payload["slot_dyn"].items()
+    }
+
+
 def save_controller(path, controller) -> None:
     """Checkpoint an MPC controller: optimizer state + variable parameters."""
     payload = {
