@@ -209,7 +209,7 @@ def test_batched_server_two_clients():
     clients = []
     for i in range(2):
         c = ctx.socket(zmq.DEALER)
-        c.setsockopt(zmq.RCVTIMEO, 5000)
+        c.setsockopt(zmq.RCVTIMEO, 20000)
         c.connect(endpoint.replace("*", "127.0.0.1"))
         clients.append(c)
 
@@ -254,8 +254,8 @@ def test_slot_eviction_reassigns_idle_slots():
     time.sleep(0.3)
 
     ctx = zmq.Context.instance()
-    a = ctx.socket(zmq.DEALER); a.setsockopt(zmq.RCVTIMEO, 5000); a.connect(endpoint)
-    b = ctx.socket(zmq.DEALER); b.setsockopt(zmq.RCVTIMEO, 5000); b.connect(endpoint)
+    a = ctx.socket(zmq.DEALER); a.setsockopt(zmq.RCVTIMEO, 20000); a.connect(endpoint)
+    b = ctx.socket(zmq.DEALER); b.setsockopt(zmq.RCVTIMEO, 20000); b.connect(endpoint)
     try:
         a.send_json({"rid": 1, "state": [0, 0, 0.1, 0], "time": 0.0,
                      "updated_attributes": {}})
@@ -272,7 +272,7 @@ def test_slot_eviction_reassigns_idle_slots():
             pass
 
         time.sleep(0.4)  # A goes idle past evict_after_s
-        b.setsockopt(zmq.RCVTIMEO, 5000)
+        b.setsockopt(zmq.RCVTIMEO, 20000)
         b.send_json({"rid": 3, "state": [0, 0, 0.1, 0], "time": 0.0,
                      "updated_attributes": {}})
         assert b.recv_json()["rid"] == 3
