@@ -1,0 +1,288 @@
+"""Export trained policy networks as standalone C controllers.
+
+The reference's deployment story for a trained imitator is SI_Toolkit ->
+hls4ml / hand-written firmware: the network that `controller_neural_imitator`
+evaluates on the PC (/root/reference/Controllers/controller_neural_imitator.py:21-26)
+is re-implemented on the embedded target and driven over UART
+(/root/reference/Controllers/controller_embedded.py) or compiled C
+(/root/reference/Controllers/controller_C.py:22-357).  This module closes
+that loop natively: it emits a single self-contained ``.c`` translation unit
+implementing the ``ControllerOps`` ABI (native/cwrapper/controller_api.h)
+with the trained weights baked in as ``static const float`` arrays, so the
+exported policy runs
+
+* on the PC through the runtime-gcc ``CController`` path, and
+* unmodified on any firmware target that links the same ABI
+
+with NO Python, JAX, or runtime dependency beyond libm.
+
+Supported architectures mirror models/networks.py: MLP (tanh hidden
+activations), stacked GRU, stacked LSTM.  Recurrent exports keep their
+hidden state in ``static float`` arrays that persist across ``evaluate``
+calls and reset in ``init`` — the same lifecycle the JAX imitator gives its
+explicit hidden-state pytree (controller_reset).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _fmt(v: float) -> str:
+    """Format a float32 exactly enough to round-trip (9 sig digits)."""
+    s = f"{float(np.float32(v)):.9g}"
+    if "." not in s and "e" not in s and "n" not in s:  # 0 -> 0.0f, not 0f
+        s += ".0"
+    return s + "f"
+
+
+def _c_array(name: str, arr: np.ndarray, per_line: int = 8) -> str:
+    flat = np.asarray(arr, np.float32).reshape(-1)
+    body: List[str] = []
+    for i in range(0, flat.size, per_line):
+        body.append("    " + ", ".join(_fmt(v) for v in flat[i:i + per_line]) + ",")
+    joined = "\n".join(body)
+    return f"static const float {name}[{flat.size}] = {{\n{joined}\n}};\n"
+
+
+_HELPERS = """\
+static float ctt_sigmoid(float x) { return 1.0f / (1.0f + expf(-x)); }
+
+/* y[n_out] = x[n_in] @ W[n_in][n_out] + b[n_out] (row-major W). */
+static void ctt_matvec(const float *x, const float *W, const float *b,
+                       float *y, int n_in, int n_out) {
+    for (int j = 0; j < n_out; ++j) y[j] = b[j];
+    for (int k = 0; k < n_in; ++k) {
+        const float xk = x[k];
+        const float *row = W + (size_t)k * n_out;
+        for (int j = 0; j < n_out; ++j) y[j] += xk * row[j];
+    }
+}
+"""
+
+
+def _spec_block(name: str, input_names: Sequence[str], n_out: int) -> str:
+    names = ", ".join(f'"{n}"' for n in input_names)
+    return (
+        f"static const ControllerSpec {name}_spec = {{\n"
+        f"    .version = 1,\n"
+        f"    .n_inputs = {len(input_names)},\n"
+        f"    .n_outputs = {n_out},\n"
+        f"    .names = {{{names}}},\n"
+        f"}};\n"
+        f"static const ControllerSpec *{name}_get_spec(void) "
+        f"{{ return &{name}_spec; }}\n"
+    )
+
+
+def _clip_block(n_out: int, clip: bool) -> str:
+    if not clip:
+        return ""
+    return (
+        f"    for (int j = 0; j < {n_out}; ++j) {{\n"
+        f"        if (outputs[j] > 1.0f) outputs[j] = 1.0f;\n"
+        f"        if (outputs[j] < -1.0f) outputs[j] = -1.0f;\n"
+        f"    }}\n"
+    )
+
+
+def _mlp_source(name: str, params: Dict, sizes: List[int],
+                input_names: Sequence[str], clip_output: bool) -> str:
+    n_layers = len(sizes) - 1
+    parts: List[str] = []
+    for i in range(n_layers):
+        w = np.asarray(params[f"w{i}"], np.float32)
+        b = np.asarray(params[f"b{i}"], np.float32)
+        assert w.shape == (sizes[i], sizes[i + 1]), (w.shape, sizes)
+        parts.append(_c_array(f"{name}_W{i}", w))
+        parts.append(_c_array(f"{name}_B{i}", b))
+    max_width = max(sizes)
+    body = [
+        f"static void {name}_evaluate(const float *inputs, float *outputs) {{",
+        f"    float a[{max_width}], b[{max_width}];",
+        f"    const float *x = inputs;",
+        f"    float *y = a;",
+    ]
+    for i in range(n_layers):
+        last = i == n_layers - 1
+        dst = "outputs" if last else "y"
+        body.append(
+            f"    ctt_matvec(x, {name}_W{i}, {name}_B{i}, {dst}, "
+            f"{sizes[i]}, {sizes[i + 1]});"
+        )
+        if not last:
+            body.append(
+                f"    for (int j = 0; j < {sizes[i + 1]}; ++j) y[j] = tanhf(y[j]);"
+            )
+            body.append(f"    x = y; y = (y == a) ? b : a;")
+    body.append(_clip_block(sizes[-1], clip_output).rstrip("\n"))
+    body.append("}")
+    parts.append("\n".join(ln for ln in body if ln) + "\n")
+    parts.append(f"static void {name}_init(void) {{}}\n")
+    return "".join(parts)
+
+
+def _rnn_source(name: str, kind: str, params: Dict, in_dim: int,
+                hiddens: Sequence[int], out_dim: int,
+                input_names: Sequence[str], clip_output: bool) -> str:
+    gates = 3 if kind == "gru" else 4
+    parts: List[str] = []
+    dims = [in_dim] + list(hiddens)
+    for i, h in enumerate(hiddens):
+        cell = params[f"cell{i}"]
+        parts.append(_c_array(f"{name}_WI{i}", cell["wi"]))
+        parts.append(_c_array(f"{name}_WH{i}", cell["wh"]))
+        parts.append(_c_array(f"{name}_BI{i}", cell["bi"]))
+        parts.append(_c_array(f"{name}_BH{i}", cell["bh"]))
+        parts.append(f"static float {name}_h{i}[{h}];\n")
+        if kind == "lstm":
+            parts.append(f"static float {name}_c{i}[{h}];\n")
+    parts.append(_c_array(f"{name}_WO", params["wo"]))
+    parts.append(_c_array(f"{name}_BO", params["bo"]))
+
+    resets = []
+    for i, h in enumerate(hiddens):
+        resets.append(
+            f"    for (int j = 0; j < {h}; ++j) {name}_h{i}[j] = 0.0f;"
+        )
+        if kind == "lstm":
+            resets.append(
+                f"    for (int j = 0; j < {h}; ++j) {name}_c{i}[j] = 0.0f;"
+            )
+    parts.append(
+        f"static void {name}_init(void) {{\n" + "\n".join(resets) + "\n}\n"
+    )
+
+    max_h = max(hiddens)
+    body = [
+        f"static void {name}_evaluate(const float *inputs, float *outputs) {{",
+        f"    float gi[{gates * max_h}], gh[{gates * max_h}], hn[{max_h}];",
+        f"    const float *x = inputs;",
+    ]
+    for i, h in enumerate(hiddens):
+        d = dims[i]
+        body.append(
+            f"    ctt_matvec(x, {name}_WI{i}, {name}_BI{i}, gi, {d}, {gates * h});"
+        )
+        body.append(
+            f"    ctt_matvec({name}_h{i}, {name}_WH{i}, {name}_BH{i}, gh, "
+            f"{h}, {gates * h});"
+        )
+        if kind == "gru":
+            # Gate order r, z, n — matches networks.gru_cell_apply.
+            body.append(f"""\
+    for (int j = 0; j < {h}; ++j) {{
+        const float r = ctt_sigmoid(gi[j] + gh[j]);
+        const float z = ctt_sigmoid(gi[{h} + j] + gh[{h} + j]);
+        const float n = tanhf(gi[{2 * h} + j] + r * gh[{2 * h} + j]);
+        hn[j] = (1.0f - z) * n + z * {name}_h{i}[j];
+    }}
+    for (int j = 0; j < {h}; ++j) {name}_h{i}[j] = hn[j];""")
+        else:
+            # Gate order i, f, g, o — matches networks.lstm_cell_apply.
+            body.append(f"""\
+    for (int j = 0; j < {h}; ++j) {{
+        const float gsum_i = gi[j] + gh[j];
+        const float gsum_f = gi[{h} + j] + gh[{h} + j];
+        const float gsum_g = gi[{2 * h} + j] + gh[{2 * h} + j];
+        const float gsum_o = gi[{3 * h} + j] + gh[{3 * h} + j];
+        const float ig = ctt_sigmoid(gsum_i);
+        const float fg = ctt_sigmoid(gsum_f);
+        const float gg = tanhf(gsum_g);
+        const float og = ctt_sigmoid(gsum_o);
+        {name}_c{i}[j] = fg * {name}_c{i}[j] + ig * gg;
+        hn[j] = og * tanhf({name}_c{i}[j]);
+    }}
+    for (int j = 0; j < {h}; ++j) {name}_h{i}[j] = hn[j];""")
+        body.append(f"    x = {name}_h{i};")
+    body.append(
+        f"    ctt_matvec(x, {name}_WO, {name}_BO, outputs, "
+        f"{hiddens[-1]}, {out_dim});"
+    )
+    body.append(_clip_block(out_dim, clip_output).rstrip("\n"))
+    body.append("}")
+    parts.append("\n".join(ln for ln in body if ln) + "\n")
+    return "".join(parts)
+
+
+def export_policy_c(
+    params: Dict,
+    arch: Dict,
+    input_names: Sequence[str],
+    out_path,
+    *,
+    n_outputs: int = 1,
+    name: Optional[str] = None,
+    clip_output: bool = True,
+) -> Path:
+    """Write ``out_path`` (.c) implementing the policy as a ControllerOps.
+
+    ``params``/``arch`` follow models/networks.py conventions (arch from
+    ``parse_net_name``).  The ops symbol is ``<STEM>_Ops`` where STEM is the
+    upper-cased file stem — exactly what CController derives by default, so
+    ``config={"controller_file": out_path.name, "firmware_path": out_path.parent}``
+    just works.  ``clip_output`` bakes the imitator's [-1, 1] clamp
+    (reference controller_neural_imitator.py:74-75) into the firmware.
+    """
+    out_path = Path(out_path)
+    stem = out_path.stem
+    name = name or stem.upper().replace("-", "_").replace(".", "_")
+    kind = arch["kind"]
+    n_in = len(input_names)
+
+    if kind == "mlp":
+        sizes = [n_in] + list(arch["hiddens"]) + [n_outputs]
+        net_src = _mlp_source(name, params, sizes, input_names, clip_output)
+    elif kind in ("gru", "lstm"):
+        net_src = _rnn_source(
+            name, kind, params, n_in, list(arch["hiddens"]), n_outputs,
+            input_names, clip_output,
+        )
+    else:
+        raise ValueError(f"cannot export network kind {kind!r}")
+
+    header = (
+        f"/* Auto-generated by control_toolkit_tpu.models.export_c.\n"
+        f" * Policy: {kind} {list(arch.get('hiddens', []))}, "
+        f"{n_in} inputs -> {n_outputs} outputs.\n"
+        f" * Self-contained: needs only controller_api.h and libm. */\n"
+        f"#include <math.h>\n"
+        f"#include <stddef.h>\n"
+        f'#include "controller_api.h"\n\n'
+    )
+    ops = (
+        f"const ControllerOps {name}_Ops = {{\n"
+        f"    {name}_init, {name}_evaluate, {name}_get_spec, 0,\n"
+        f"}};\n"
+    )
+    src = (
+        header
+        + _HELPERS + "\n"
+        + _spec_block(name, input_names, n_outputs) + "\n"
+        + net_src + "\n"
+        + ops
+    )
+    out_path.write_text(src)
+    return out_path
+
+
+def export_npz_policy_c(npz_path, out_path, **kwargs) -> Path:
+    """Export a checkpoint written by models.networks.save_net (the
+    imitator's on-disk format) straight to C.  Reads arch/inputs/outputs
+    from the embedded meta."""
+    from control_toolkit_tpu.models import networks as nets
+
+    params, meta = nets.load_net(npz_path)
+    arch = meta.get("arch")
+    if arch is None:
+        raise ValueError(f"{npz_path} has no 'arch' meta; pass arch explicitly "
+                         "via export_policy_c")
+    inputs = meta.get("inputs")
+    if inputs is None:
+        raise ValueError(f"{npz_path} has no 'inputs' meta")
+    outputs = meta.get("outputs", ["Q"])
+    return export_policy_c(
+        params, arch, inputs, out_path, n_outputs=len(outputs), **kwargs
+    )

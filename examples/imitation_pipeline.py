@@ -71,6 +71,25 @@ def main():
         s, *_ = env.step(u)
     print(f"   imitator closed loop: final angle {float(s[0, 2]):+.3f} rad")
 
+    print("== 4b. export the policy to firmware C and run it natively ==")
+    from control_toolkit_tpu.controllers.c_controller import CController
+    from control_toolkit_tpu.models.export_c import export_npz_policy_c
+
+    cfile = export_npz_policy_c(workdir / "mlp-32-32.npz", workdir / "policy_fw.c")
+    native = CController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)), {},
+        config={"controller_file": cfile.name, "firmware_path": str(workdir),
+                "controller_logging": False},
+    )
+    native.configure()
+    s, _ = env.reset(seed=99)
+    for _ in range(150):
+        Q = native.step(s[0])
+        s, *_ = env.step(Q[0, 0])
+    print(f"   exported-C closed loop: final angle {float(s[0, 2]):+.3f} rad "
+          f"({cfile.stat().st_size} bytes of C)")
+
     print("== 5. bonus: learn the dynamics and run MPC on the model ==")
     env16 = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
     x, u, xn = collect_transitions(env16, 400, seed=0)
