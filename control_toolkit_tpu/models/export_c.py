@@ -207,6 +207,238 @@ def _rnn_source(name: str, kind: str, params: Dict, in_dim: int,
     return "".join(parts)
 
 
+# --------------------------------------------------------------- fixed point
+# Integer-only datapath mirroring the hls4ml ap_fixed<16,6> emulation in
+# models/networks.py (*_apply_fixed): data int16 Q10, accumulators int32 Q20,
+# activations via 1025-entry Q15 LUTs with linear interpolation over [-8, 8]
+# (the same table-based scheme hls4ml synthesizes).  The only float ops are
+# the ABI boundary (input quantize / output dequantize) — the network itself
+# needs NO FPU.  Matches the JAX fixed emulation to ~1-2 Q10 LSBs (integer
+# matmuls are exact where float32 accumulation is not; rounding is
+# half-up vs numpy's half-even on exact ties).
+
+_FIXED_HELPERS = """\
+typedef int16_t ctt_q10;  /* data: ap_fixed<16,6>  = Q10 */
+typedef int32_t ctt_q20;  /* accum: ap_fixed<32,12> = Q20 */
+
+static int16_t ctt_sat16(int32_t v) {
+    return v > 32767 ? 32767 : (v < -32768 ? (int16_t)-32768 : (int16_t)v);
+}
+static int32_t ctt_sat32(int64_t v) {
+    return v > 2147483647ll ? 2147483647
+         : (v < -2147483648ll ? (int32_t)-2147483648ll : (int32_t)v);
+}
+/* Round a Q(10+s) value to Q10, half-up, saturating. */
+static int16_t ctt_rshr16(int64_t v, int s) {
+    return ctt_sat16((int32_t)((v + (1ll << (s - 1))) >> s));
+}
+static int32_t ctt_q20_add(int32_t a, int32_t b) {
+    return ctt_sat32((int64_t)a + (int64_t)b);
+}
+static int16_t ctt_quant_in(float v) {
+    float s = v * 1024.0f;
+    return ctt_sat16((int32_t)(s >= 0.0f ? s + 0.5f : s - 0.5f));
+}
+
+/* y_q20[j] = sat32(B[j] + sum_k x[k] * W[k*n_out + j]); x,W Q10, B Q20.
+ * Integer accumulation is exact (qa quantization is pure saturation). */
+static void ctt_matvec_q(const int16_t *x, const int16_t *W, const int32_t *b,
+                         int32_t *y, int n_in, int n_out) {
+    for (int j = 0; j < n_out; ++j) {
+        int64_t acc = b[j];
+        for (int k = 0; k < n_in; ++k)
+            acc += (int32_t)x[k] * (int32_t)W[(size_t)k * n_out + j];
+        y[j] = ctt_sat32(acc);
+    }
+}
+
+/* LUT eval: x in Q20 clamped to [-8, 8), 1/64 step, linear interpolation,
+ * entries Q15, result requantized to Q10 (half-up). */
+static int16_t ctt_lut_eval(const int16_t *lut, int32_t x_q20) {
+    if (x_q20 < -(8 << 20)) x_q20 = -(8 << 20);
+    if (x_q20 > (8 << 20) - 1) x_q20 = (8 << 20) - 1;
+    uint32_t u = (uint32_t)(x_q20 + (8 << 20));
+    uint32_t idx = u >> 14, frac = u & 16383u;
+    int32_t lo = lut[idx], hi = lut[idx + 1];
+    int32_t v15 = lo + (int32_t)(((int64_t)(hi - lo) * (int64_t)frac) >> 14);
+    return ctt_sat16((v15 + 16) >> 5);
+}
+"""
+
+
+def _c_i16_array(name: str, arr: np.ndarray, per_line: int = 12) -> str:
+    flat = np.asarray(arr, np.int64).reshape(-1)
+    assert flat.min() >= -32768 and flat.max() <= 32767, name
+    body = []
+    for i in range(0, flat.size, per_line):
+        body.append("    " + ", ".join(str(int(v)) for v in flat[i:i + per_line]) + ",")
+    return (f"static const int16_t {name}[{flat.size}] = {{\n"
+            + "\n".join(body) + "\n};\n")
+
+
+def _c_i32_array(name: str, arr: np.ndarray, per_line: int = 8) -> str:
+    flat = np.asarray(arr, np.int64).reshape(-1)
+    assert flat.min() >= -2**31 and flat.max() < 2**31, name
+    body = []
+    for i in range(0, flat.size, per_line):
+        body.append("    " + ", ".join(str(int(v)) for v in flat[i:i + per_line]) + ",")
+    return (f"static const int32_t {name}[{flat.size}] = {{\n"
+            + "\n".join(body) + "\n};\n")
+
+
+def _q10_w(w) -> np.ndarray:
+    """Weight -> int16 Q10 with numpy round-half-even (== fixed_q/quantize_params)."""
+    return np.clip(np.round(np.asarray(w, np.float64) * 1024.0),
+                   -32768, 32767).astype(np.int64)
+
+
+def _q20_b(b) -> np.ndarray:
+    """Bias -> int32 Q20 (Q10 quantize, then exact shift — matches fixed_q)."""
+    return _q10_w(b) * 1024
+
+
+def _lut_block(name: str, fn) -> str:
+    xs = -8.0 + np.arange(1025) / 64.0
+    vals = np.clip(np.round(fn(xs) * 32768.0), -32768, 32767)
+    return _c_i16_array(name, vals)
+
+
+def _act_luts(need_sigmoid: bool) -> str:
+    out = _lut_block("ctt_tanh_lut", np.tanh)
+    if need_sigmoid:
+        out += _lut_block("ctt_sig_lut", lambda x: 1.0 / (1.0 + np.exp(-x)))
+    return out
+
+
+def _fixed_io_blocks(n_in: int, n_out: int, clip_output: bool) -> tuple:
+    quant = (f"    int16_t xq[{n_in}];\n"
+             f"    for (int j = 0; j < {n_in}; ++j) xq[j] = ctt_quant_in(inputs[j]);")
+    clip = ""
+    if clip_output:
+        clip = (f"    for (int j = 0; j < {n_out}; ++j) {{\n"
+                f"        if (oq[j] > 1024) oq[j] = 1024;\n"
+                f"        if (oq[j] < -1024) oq[j] = -1024;\n"
+                f"    }}\n")
+    dequant = (clip
+               + f"    for (int j = 0; j < {n_out}; ++j) "
+               f"outputs[j] = (float)oq[j] * (1.0f / 1024.0f);")
+    return quant, dequant
+
+
+def _mlp_source_fixed(name: str, params: Dict, sizes: List[int],
+                      clip_output: bool) -> str:
+    n_layers = len(sizes) - 1
+    parts: List[str] = []
+    for i in range(n_layers):
+        parts.append(_c_i16_array(f"{name}_W{i}", _q10_w(params[f"w{i}"])))
+        parts.append(_c_i32_array(f"{name}_B{i}", _q20_b(params[f"b{i}"])))
+    max_width = max(sizes)
+    quant, dequant = _fixed_io_blocks(sizes[0], sizes[-1], clip_output)
+    body = [
+        f"static void {name}_evaluate(const float *inputs, float *outputs) {{",
+        quant,
+        f"    int16_t a[{max_width}], b[{max_width}], oq[{sizes[-1]}];",
+        f"    int32_t acc[{max_width}];",
+        f"    const int16_t *x = xq;",
+        f"    int16_t *y = a;",
+    ]
+    for i in range(n_layers):
+        last = i == n_layers - 1
+        body.append(f"    ctt_matvec_q(x, {name}_W{i}, {name}_B{i}, acc, "
+                    f"{sizes[i]}, {sizes[i + 1]});")
+        if last:
+            body.append(f"    for (int j = 0; j < {sizes[-1]}; ++j) "
+                        f"oq[j] = ctt_rshr16(acc[j], 10);")
+        else:
+            body.append(f"    for (int j = 0; j < {sizes[i + 1]}; ++j) "
+                        f"y[j] = ctt_lut_eval(ctt_tanh_lut, acc[j]);")
+            body.append(f"    x = y; y = (y == a) ? b : a;")
+    body.append(dequant)
+    body.append("}")
+    parts.append("\n".join(ln for ln in body if ln) + "\n")
+    parts.append(f"static void {name}_init(void) {{}}\n")
+    return "".join(parts)
+
+
+def _rnn_source_fixed(name: str, kind: str, params: Dict, in_dim: int,
+                      hiddens: Sequence[int], out_dim: int,
+                      clip_output: bool) -> str:
+    gates = 3 if kind == "gru" else 4
+    parts: List[str] = []
+    dims = [in_dim] + list(hiddens)
+    for i, h in enumerate(hiddens):
+        cell = params[f"cell{i}"]
+        parts.append(_c_i16_array(f"{name}_WI{i}", _q10_w(cell["wi"])))
+        parts.append(_c_i16_array(f"{name}_WH{i}", _q10_w(cell["wh"])))
+        parts.append(_c_i32_array(f"{name}_BI{i}", _q20_b(cell["bi"])))
+        parts.append(_c_i32_array(f"{name}_BH{i}", _q20_b(cell["bh"])))
+        parts.append(f"static int16_t {name}_h{i}[{h}];\n")
+        if kind == "lstm":
+            parts.append(f"static int16_t {name}_c{i}[{h}];\n")
+    parts.append(_c_i16_array(f"{name}_WO", _q10_w(params["wo"])))
+    parts.append(_c_i32_array(f"{name}_BO", _q20_b(params["bo"])))
+
+    resets = []
+    for i, h in enumerate(hiddens):
+        resets.append(f"    for (int j = 0; j < {h}; ++j) {name}_h{i}[j] = 0;")
+        if kind == "lstm":
+            resets.append(f"    for (int j = 0; j < {h}; ++j) {name}_c{i}[j] = 0;")
+    parts.append(f"static void {name}_init(void) {{\n" + "\n".join(resets) + "\n}\n")
+
+    max_h = max(hiddens)
+    quant, dequant = _fixed_io_blocks(in_dim, out_dim, clip_output)
+    body = [
+        f"static void {name}_evaluate(const float *inputs, float *outputs) {{",
+        quant,
+        f"    int32_t gi[{gates * max_h}], gh[{gates * max_h}], oacc[{out_dim}];",
+        f"    int16_t hn[{max_h}], oq[{out_dim}];",
+        f"    const int16_t *x = xq;",
+    ]
+    for i, h in enumerate(hiddens):
+        d = dims[i]
+        body.append(f"    ctt_matvec_q(x, {name}_WI{i}, {name}_BI{i}, gi, "
+                    f"{d}, {gates * h});")
+        body.append(f"    ctt_matvec_q({name}_h{i}, {name}_WH{i}, {name}_BH{i}, gh, "
+                    f"{h}, {gates * h});")
+        if kind == "gru":
+            # r, z, n gate order == networks.gru_cell_apply_fixed.
+            body.append(f"""\
+    for (int j = 0; j < {h}; ++j) {{
+        const int32_t r = ctt_lut_eval(ctt_sig_lut, ctt_q20_add(gi[j], gh[j]));
+        const int32_t z = ctt_lut_eval(ctt_sig_lut, ctt_q20_add(gi[{h} + j], gh[{h} + j]));
+        const int32_t rgh = ctt_rshr16((int64_t)r * (int64_t)gh[{2 * h} + j], 20);
+        const int32_t n = ctt_lut_eval(ctt_tanh_lut,
+                                       ctt_q20_add(gi[{2 * h} + j], rgh << 10));
+        hn[j] = ctt_rshr16((int64_t)(1024 - z) * n
+                           + (int64_t)z * {name}_h{i}[j], 10);
+    }}
+    for (int j = 0; j < {h}; ++j) {name}_h{i}[j] = hn[j];""")
+        else:
+            # i, f, g, o gate order == networks.lstm_cell_apply_fixed.
+            body.append(f"""\
+    for (int j = 0; j < {h}; ++j) {{
+        const int32_t ig = ctt_lut_eval(ctt_sig_lut, ctt_q20_add(gi[j], gh[j]));
+        const int32_t fg = ctt_lut_eval(ctt_sig_lut, ctt_q20_add(gi[{h} + j], gh[{h} + j]));
+        const int32_t gg = ctt_lut_eval(ctt_tanh_lut, ctt_q20_add(gi[{2 * h} + j], gh[{2 * h} + j]));
+        const int32_t og = ctt_lut_eval(ctt_sig_lut, ctt_q20_add(gi[{3 * h} + j], gh[{3 * h} + j]));
+        const int32_t fc = ctt_rshr16((int64_t)fg * {name}_c{i}[j], 10);
+        const int32_t igg = ctt_rshr16((int64_t)ig * gg, 10);
+        {name}_c{i}[j] = ctt_sat16(fc + igg);
+        const int32_t th = ctt_lut_eval(ctt_tanh_lut, (int32_t){name}_c{i}[j] << 10);
+        hn[j] = ctt_rshr16((int64_t)og * th, 10);
+    }}
+    for (int j = 0; j < {h}; ++j) {name}_h{i}[j] = hn[j];""")
+        body.append(f"    x = {name}_h{i};")
+    body.append(f"    ctt_matvec_q(x, {name}_WO, {name}_BO, oacc, "
+                f"{hiddens[-1]}, {out_dim});")
+    body.append(f"    for (int j = 0; j < {out_dim}; ++j) "
+                f"oq[j] = ctt_rshr16(oacc[j], 10);")
+    body.append(dequant)
+    body.append("}")
+    parts.append("\n".join(ln for ln in body if ln) + "\n")
+    return "".join(parts)
+
+
 def export_policy_c(
     params: Dict,
     arch: Dict,
@@ -216,6 +448,7 @@ def export_policy_c(
     n_outputs: int = 1,
     name: Optional[str] = None,
     clip_output: bool = True,
+    fixed_point: bool = False,
 ) -> Path:
     """Write ``out_path`` (.c) implementing the policy as a ControllerOps.
 
@@ -225,6 +458,11 @@ def export_policy_c(
     ``config={"controller_file": out_path.name, "firmware_path": out_path.parent}``
     just works.  ``clip_output`` bakes the imitator's [-1, 1] clamp
     (reference controller_neural_imitator.py:74-75) into the firmware.
+
+    ``fixed_point=True`` emits the integer-only hls4ml-style datapath
+    (Q10 data / Q20 accumulators / LUT activations — see _FIXED_HELPERS):
+    the firmware needs no FPU and tracks ``networks.*_apply_fixed`` on
+    ``quantize_params``-quantized weights to a couple of Q10 LSBs.
     """
     out_path = Path(out_path)
     stem = out_path.stem
@@ -234,23 +472,36 @@ def export_policy_c(
 
     if kind == "mlp":
         sizes = [n_in] + list(arch["hiddens"]) + [n_outputs]
-        net_src = _mlp_source(name, params, sizes, input_names, clip_output)
+        if fixed_point:
+            net_src = (_act_luts(need_sigmoid=False)
+                       + _mlp_source_fixed(name, params, sizes, clip_output))
+        else:
+            net_src = _mlp_source(name, params, sizes, input_names, clip_output)
     elif kind in ("gru", "lstm"):
-        net_src = _rnn_source(
-            name, kind, params, n_in, list(arch["hiddens"]), n_outputs,
-            input_names, clip_output,
-        )
+        if fixed_point:
+            net_src = (_act_luts(need_sigmoid=True)
+                       + _rnn_source_fixed(name, kind, params, n_in,
+                                           list(arch["hiddens"]), n_outputs,
+                                           clip_output))
+        else:
+            net_src = _rnn_source(
+                name, kind, params, n_in, list(arch["hiddens"]), n_outputs,
+                input_names, clip_output,
+            )
     else:
         raise ValueError(f"cannot export network kind {kind!r}")
 
+    datapath = ("integer-only Q10/Q20 fixed point (no FPU needed)"
+                if fixed_point else "float32, needs only libm")
     header = (
         f"/* Auto-generated by control_toolkit_tpu.models.export_c.\n"
         f" * Policy: {kind} {list(arch.get('hiddens', []))}, "
         f"{n_in} inputs -> {n_outputs} outputs.\n"
-        f" * Self-contained: needs only controller_api.h and libm. */\n"
-        f"#include <math.h>\n"
-        f"#include <stddef.h>\n"
-        f'#include "controller_api.h"\n\n'
+        f" * Datapath: {datapath}. */\n"
+        + ("" if fixed_point else "#include <math.h>\n")
+        + "#include <stddef.h>\n"
+        + ("#include <stdint.h>\n" if fixed_point else "")
+        + '#include "controller_api.h"\n\n'
     )
     ops = (
         f"const ControllerOps {name}_Ops = {{\n"
@@ -259,7 +510,7 @@ def export_policy_c(
     )
     src = (
         header
-        + _HELPERS + "\n"
+        + (_FIXED_HELPERS if fixed_point else _HELPERS) + "\n"
         + _spec_block(name, input_names, n_outputs) + "\n"
         + net_src + "\n"
         + ops

@@ -108,6 +108,63 @@ def test_rnn_export_sequence_parity_and_reset(tmp_path, kind):
     np.testing.assert_allclose(replay, got, rtol=0, atol=0)
 
 
+def test_mlp_fixed_export_tracks_hls4ml_emulation(tmp_path):
+    """Integer-only export == networks.mlp_apply_fixed to ~2 Q10 LSBs, and
+    the generated C must not need libm (no-FPU firmware claim)."""
+    key = jax.random.PRNGKey(11)
+    params = nets.mlp_init(key, [4, 16, 16, 1])
+    qparams = nets.quantize_params(params)
+    cfile = export_policy_c(
+        params, {"kind": "mlp", "hiddens": [16, 16]}, CARTPOLE_INPUTS,
+        tmp_path / "mlp_fx.c", fixed_point=True,
+    )
+    src = cfile.read_text()
+    assert "math.h" not in src and "tanhf" not in src and "expf" not in src
+    ctrl = _make_ctrl(tmp_path, cfile)
+    for s in _rand_states(32, 13):
+        got = float(ctrl.step(s)[0, 0, 0])
+        want = float(np.clip(
+            nets.mlp_apply_fixed(qparams, jnp.asarray(s))[0], -1.0, 1.0))
+        assert got == pytest.approx(want, abs=2.5 / 1024), (got, want, s)
+        # Output sits exactly on the Q10 grid.
+        assert abs(got * 1024 - round(got * 1024)) < 1e-4
+
+
+@pytest.mark.parametrize("kind", ["gru", "lstm"])
+def test_rnn_fixed_export_tracks_hls4ml_emulation(tmp_path, kind):
+    key = jax.random.PRNGKey(21 if kind == "gru" else 22)
+    init, _, state0 = nets.RECURRENT_FNS[kind]
+    apply_fixed = nets.gru_apply_fixed if kind == "gru" else nets.lstm_apply_fixed
+    hiddens = [12, 8]
+    params = init(key, 4, hiddens, 1)
+    qparams = nets.quantize_params(params)
+    cfile = export_policy_c(
+        params, {"kind": kind, "hiddens": hiddens}, CARTPOLE_INPUTS,
+        tmp_path / f"{kind}_fx.c", fixed_point=True,
+    )
+    assert "math.h" not in cfile.read_text()
+    ctrl = _make_ctrl(tmp_path, cfile)
+
+    states = _rand_states(10, 23)
+    hs = state0(hiddens, 1)
+    worst = 0.0
+    for s in states:
+        got = float(ctrl.step(s)[0, 0, 0])
+        out, hs = apply_fixed(qparams, jnp.asarray(s)[None, :], hs)
+        want = float(np.clip(out[0, 0], -1.0, 1.0))
+        worst = max(worst, abs(got - want))
+    # Hidden-state feedback compounds LSB rounding differences; bound the
+    # drift at 1% of full scale over a 10-step rollout.
+    assert worst < 0.01, worst
+
+    # Determinism + reset: integer datapath replays bitwise after init().
+    ctrl.lib_ctypes.controller_init()
+    replay = [float(ctrl.step(s)[0, 0, 0]) for s in states]
+    ctrl.lib_ctypes.controller_init()
+    replay2 = [float(ctrl.step(s)[0, 0, 0]) for s in states]
+    np.testing.assert_array_equal(replay, replay2)
+
+
 def test_export_requires_arch_meta(tmp_path):
     params = nets.mlp_init(jax.random.PRNGKey(0), [4, 8, 1])
     npz = tmp_path / "bare.npz"
