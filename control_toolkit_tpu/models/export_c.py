@@ -519,6 +519,38 @@ def export_policy_c(
     return out_path
 
 
+def build_soc_firmware(controller_c, out_binary, ops_name: Optional[str] = None) -> Path:
+    """Compile an exported controller into the UART SoC firmware image.
+
+    Links ``controller_c`` (any ControllerOps translation unit — e.g. the
+    output of :func:`export_policy_c`) against the PC-compilable firmware
+    main loop (native/firmware/soc_main.c: framed UART protocol, SOF 0xAA,
+    CRC-8, GET_SPEC handshake — the protocol the reference's embedded
+    controller drives, /root/reference/Controllers/controller_embedded.py).
+    The result is a binary taking a pty/tty device path as argv[1]; drive it
+    with EmbeddedController for the full train -> export -> flash -> UART
+    closed loop without leaving the framework.
+    """
+    import subprocess
+
+    controller_c = Path(controller_c)
+    out_binary = Path(out_binary)
+    ops_name = ops_name or f"{controller_c.stem.upper().replace('-', '_').replace('.', '_')}_Ops"
+    native = Path(__file__).resolve().parent.parent / "native"
+    cmd = [
+        "gcc", "-O2", f"-DCONTROLLER_OPS={ops_name}",
+        "-o", str(out_binary),
+        str(native / "firmware" / "soc_main.c"),
+        str(controller_c),
+        "-I", str(native / "cwrapper"),
+        "-lm",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(f"firmware build failed:\n{res.stderr}")
+    return out_binary
+
+
 def export_npz_policy_c(npz_path, out_path, **kwargs) -> Path:
     """Export a checkpoint written by models.networks.save_net (the
     imitator's on-disk format) straight to C.  Reads arch/inputs/outputs

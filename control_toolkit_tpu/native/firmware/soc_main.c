@@ -30,9 +30,15 @@
 #define TOKEN_LEN 24
 #define MAX_FRAME 256
 
-/* The controller this firmware image hosts. */
+/* The controller this firmware image hosts.  Override at build time with
+ * -DCONTROLLER_OPS=<NAME>_Ops to flash any ControllerOps implementation
+ * (e.g. a policy exported by models/export_c.py). */
+#ifdef CONTROLLER_OPS
+extern const ControllerOps CONTROLLER_OPS;
+#else
 extern const ControllerOps LQR_Ops;
 #define CONTROLLER_OPS LQR_Ops
+#endif
 
 static uint8_t crc8(const uint8_t *msg, int len) {
     uint8_t crc = 0;

@@ -165,6 +165,57 @@ def test_rnn_fixed_export_tracks_hls4ml_emulation(tmp_path, kind):
     np.testing.assert_array_equal(replay, replay2)
 
 
+def test_exported_policy_over_uart_matches_local_bitwise(tmp_path):
+    """Full deployment chain: export (fixed-point GRU) -> compile into the
+    UART SoC firmware -> drive over the pty with EmbeddedController.  The
+    integer datapath is deterministic, so the firmware's replies must equal
+    the local ctypes build of the same .c bitwise, hidden state included."""
+    import os
+    import subprocess
+    import time as time_mod
+    import tty
+
+    from control_toolkit_tpu.controllers.embedded import EmbeddedController
+    from control_toolkit_tpu.models.export_c import build_soc_firmware
+    from control_toolkit_tpu.native.uart_interface import UartInterface
+
+    params = nets.gru_init(jax.random.PRNGKey(33), 4, [8], 1)
+    cfile = export_policy_c(
+        params, {"kind": "gru", "hiddens": [8]}, CARTPOLE_INPUTS,
+        tmp_path / "uart_pol.c", fixed_point=True,
+    )
+    binary = build_soc_firmware(cfile, tmp_path / "soc_fw")
+
+    master, slave = os.openpty()
+    tty.setraw(master)
+    tty.setraw(slave)
+    proc = subprocess.Popen([str(binary), os.ttyname(slave)])
+    try:
+        time_mod.sleep(0.2)
+        assert proc.poll() is None, "firmware exited prematurely"
+        iface = UartInterface()
+        iface.open_fd(master)
+        ctrl = EmbeddedController(
+            environment_name="cartpole",
+            control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+            initial_environment_attributes={},
+            config={"controller_logging": False},
+        )
+        ctrl.configure(interface=iface)
+        assert ctrl.input_names == CARTPOLE_INPUTS
+
+        local = _make_ctrl(tmp_path, cfile)
+        for t, s in enumerate(_rand_states(8, 31)):
+            over_uart = float(ctrl.step(s, time=t * 0.02)[0, 0, 0])
+            local_q = float(local.step(s)[0, 0, 0])
+            assert over_uart == local_q, (t, over_uart, local_q)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=5)
+        os.close(master)
+        os.close(slave)
+
+
 def test_export_requires_arch_meta(tmp_path):
     params = nets.mlp_init(jax.random.PRNGKey(0), [4, 8, 1])
     npz = tmp_path / "bare.npz"
