@@ -17,6 +17,11 @@ OPTIMIZER_CONFIGS = {
                           "learning_rate": 0.1, "gradmax_clip": 10},
     "cem-gmm-tf": {"cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
                    "cem_stdev_min": 0.01, "cem_best_k": 8},
+    "icem-tf": {"cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
+                "cem_stdev_min": 0.01, "cem_best_k": 8,
+                "icem_colored_noise_beta": 2.0,
+                "icem_keep_elites_frac": 0.3,
+                "icem_add_mean_sample": True},
     "cem-grad-bharadhwaj-tf": {"cem_outer_it": 2, "cem_best_k": 8,
                                "cem_initial_action_stdev": 2.0,
                                "cem_stdev_min": 1e-6, "learning_rate": 0.05,
