@@ -119,6 +119,7 @@ class Optimizer:
         remat: bool = False,
         force_scan: bool = False,
         logging_lazy: bool = False,
+        initial_guess_policy=None,
         **kwargs,
     ):
         self.predictor = predictor
@@ -135,6 +136,18 @@ class Optimizer:
         # Keep per-step diagnostics as device arrays (transfer deferred to
         # Controller.get_outputs) instead of syncing [K,H+1,S] every step.
         self.logging_lazy = bool(logging_lazy)
+        # Heuristic-policy warm start (reference FORCES
+        # initial_trajectory_guess, optimizer_nlp_forces.py:261-279), for
+        # sampling/gradient optimizers: a callable (x [S], params) -> u [U]
+        # rolled closed-loop through the predictor at the FIRST step after
+        # every optimizer_reset; the resulting [H, U] plan seeds the
+        # optimizer's warm-start state via the per-class
+        # ``_apply_policy_guess`` hook (optimizers without the hook — e.g.
+        # iLQR, which has its own richer multi-start mechanism — ignore
+        # this attribute).  Constructor-only (a callable can't ride YAML).
+        self.initial_guess_policy = initial_guess_policy
+        self._policy_plan_fn = None
+        self._policy_seed_pending = False
 
         # A typo'd hyperparameter in config_optimizers.yml would otherwise
         # be swallowed silently by **kwargs and the default value used.
@@ -228,6 +241,46 @@ class Optimizer:
             self.u = self.place_state(
                 jnp.zeros((self.num_control_inputs,), dtype=jnp.float32)
             )
+        # Re-arm the policy warm start on every reset (incl. the NaN-guard
+        # auto-reset): the next step() re-seeds from the policy rollout.
+        self._policy_seed_pending = (
+            self.initial_guess_policy is not None
+            and hasattr(self, "_apply_policy_guess")
+        )
+
+    # ---- heuristic-policy warm start ---------------------------------------
+    def _policy_plan(self):
+        """Jitted closed-loop rollout of ``initial_guess_policy`` through
+        the predictor: (s [1+, S], params) -> [H, U] clipped plan
+        (reference FORCES initial_trajectory_guess,
+        optimizer_nlp_forces.py:261-279, generalized to the sampling zoo)."""
+        if self._policy_plan_fn is None:
+            policy = self.initial_guess_policy
+            step = getattr(self.predictor, "single_step", None)
+            if step is None:
+                raise ValueError(
+                    "initial_guess_policy requires a predictor exposing "
+                    "single_step (ODE / neural predictors)"
+                )
+            H, U = self.mpc_horizon, self.num_control_inputs
+            low, high = self.action_low, self.action_high
+
+            def plan(s, params):
+                def body(x, _):
+                    u = jnp.clip(
+                        jnp.reshape(
+                            jnp.asarray(policy(x[0], params), jnp.float32),
+                            (U,),
+                        ),
+                        low, high,
+                    )
+                    return step(x, u[None], params["dyn"]), u
+
+                _, us = jax.lax.scan(body, s[:1], None, length=H)
+                return us
+
+            self._policy_plan_fn = jax.jit(plan)
+        return self._policy_plan_fn
 
     # ---- hot path ---------------------------------------------------------
     def step(self, s: np.ndarray, time=None, params: Optional[Dict] = None) -> np.ndarray:
@@ -245,6 +298,15 @@ class Optimizer:
         with device_scope(self._device):
             s_dev = jnp.atleast_2d(jnp.asarray(s, dtype=jnp.float32))
             params = params if params is not None else self.default_params()
+            if self._policy_seed_pending:
+                # First step after a reset: seed the warm start from a
+                # closed-loop policy rollout (reference FORCES
+                # initial_trajectory_guess, optimizer_nlp_forces.py:261-279).
+                self._policy_seed_pending = False
+                plan = self._policy_plan()(s_dev, params)
+                self.opt_state = self.place_state(
+                    self._apply_policy_guess(self.opt_state, plan)
+                )
             u, self.opt_state, diag = self._step_jit(self.opt_state, s_dev, params)
         self.u = u
 

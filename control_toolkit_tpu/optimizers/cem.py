@@ -83,6 +83,12 @@ class CEMOptimizer(Optimizer):
             u_prev=jnp.zeros((U,), jnp.float32),
         )
 
+    def _apply_policy_guess(self, state, plan):
+        """Center the sampling distribution on a heuristic-policy rollout
+        (base Optimizer ``initial_guess_policy``); stdev keeps its reset
+        width so the first elite selection can still move away."""
+        return state._replace(dist_mue=plan[None].astype(state.dist_mue.dtype))
+
     def _can_fully_fuse(self) -> bool:
         return (
             self.fully_fused

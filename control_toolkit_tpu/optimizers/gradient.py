@@ -81,6 +81,19 @@ class GradientOptimizer(Optimizer):
             u_prev=jnp.zeros((U,), jnp.float32),
         )
 
+    def _apply_policy_guess(self, state, plan):
+        """Replace population member 0 with a heuristic-policy rollout
+        (base Optimizer ``initial_guess_policy``), zeroing its Adam
+        moments so the first update steps from a clean optimizer state."""
+        plan = plan.astype(state.Q.dtype)
+        return state._replace(
+            Q=state.Q.at[0].set(plan),
+            adam=state.adam._replace(
+                m=state.adam.m.at[0].set(0.0),
+                v=state.adam.v.at[0].set(0.0),
+            ),
+        )
+
     def _make_batched_gradient_step(self, num_slots: int,
                                     interpret: bool = False,
                                     tile_k: int = None,

@@ -109,6 +109,17 @@ class ICEMOptimizer(Optimizer):
             u_prev=jnp.zeros((U,), jnp.float32),
         )
 
+    def _apply_policy_guess(self, state, plan):
+        """Center the sampling distribution AND the elite buffer on a
+        heuristic-policy rollout (base Optimizer ``initial_guess_policy``):
+        iCEM re-injects elites into every population, so a stale mid-range
+        elite row would otherwise compete with the seeded mean."""
+        plan = plan.astype(state.dist_mue.dtype)
+        return state._replace(
+            dist_mue=plan[None],
+            elites=jnp.broadcast_to(plan, state.elites.shape),
+        )
+
     def _make_step_fn(self):
         K, H, U = self.num_rollouts, self.mpc_horizon, self.num_control_inputs
         low, high = self.action_low, self.action_high

@@ -179,6 +179,12 @@ class MPPIOptimizer(Optimizer):
             u_prev=jnp.zeros((self.num_control_inputs,), jnp.float32),
         )
 
+    def _apply_policy_guess(self, state, plan):
+        """Seed the nominal plan from a heuristic-policy rollout (base
+        Optimizer ``initial_guess_policy``; _replace keeps the mppi-var
+        subclass' extra stdev field intact)."""
+        return state._replace(u_nom=plan[None].astype(state.u_nom.dtype))
+
     def _build_fused_mppi(self, interpret: bool = False, tile_k: int = None,
                           build_step: bool = True, slot_extra_keys=()):
         """Bind dynamics + cost into the fully-fused two-pass MPPI kernel.

@@ -182,6 +182,21 @@ class RPGDOptimizer(Optimizer):
             u_prev=jnp.zeros((U,), jnp.float32),
         )
 
+    def _apply_policy_guess(self, state, plan):
+        """Replace population member 0 with a heuristic-policy rollout
+        (base Optimizer ``initial_guess_policy``), zeroing its Adam
+        moments (fresh-sequence surgery semantics) and marking it fresh so
+        the age-based resampling doesn't immediately evict it."""
+        plan = plan.astype(state.Q.dtype)
+        return state._replace(
+            Q=state.Q.at[0].set(plan),
+            adam=state.adam._replace(
+                m=state.adam.m.at[0].set(0.0),
+                v=state.adam.v.at[0].set(0.0),
+            ),
+            trajectory_ages=state.trajectory_ages.at[0].set(0.0),
+        )
+
     def _make_batched_rpgd_step(self, num_slots: int, interpret: bool = False,
                                 tile_k: int = None, per_slot_dyn=(),
                                 per_slot_cost=()):
