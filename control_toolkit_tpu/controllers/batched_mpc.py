@@ -536,7 +536,6 @@ class BatchedMPCController(MPCController):
         only — per-slot dyn needs scalar SMEM rows) on an unmeshed TPU,
         warmup off (shared Adam-loop trip count), with B*K packing into
         whole gradient-kernel tiles."""
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
@@ -549,9 +548,7 @@ class BatchedMPCController(MPCController):
             and opt._grad_kernel_model_ok(bool(self._per_slot_dyn))
         ):
             return False
-        return grad_tile_dividing(
-            opt.num_states, opt.mpc_horizon, self._B_build * opt.num_rollouts
-        ) > 0
+        return opt._grad_kernel_tile_ok(self._B_build * opt.num_rollouts)
 
     def _batched_fused_cem_eligible(self) -> bool:
         """Columns-mode FULLY-FUSED CEM eligibility: plain CEM with the
@@ -608,7 +605,6 @@ class BatchedMPCController(MPCController):
         over an SOA ODE model OR a neural MLP (shared weights only) on an
         unmeshed TPU, warmup off, with B*K packing into whole
         gradient-kernel tiles."""
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
         from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
 
         from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
@@ -621,9 +617,7 @@ class BatchedMPCController(MPCController):
             and opt._grad_kernel_model_ok(bool(self._per_slot_dyn))
         ):
             return False
-        return grad_tile_dividing(
-            opt.num_states, opt.mpc_horizon, self._B_build * opt.num_rollouts
-        ) > 0
+        return opt._grad_kernel_tile_ok(self._B_build * opt.num_rollouts)
 
     # ---- slot management ---------------------------------------------------
     def slot_key(self, i: int):

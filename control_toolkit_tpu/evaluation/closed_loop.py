@@ -208,7 +208,6 @@ class ClosedLoop:
         ``_build_kernel_sweep`` still accepts one for callers composing
         one-launch sweeps explicitly."""
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
         from control_toolkit_tpu.ops.pallas_mppi import DEFAULT_TILE_K, ROWS
         from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
         from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
@@ -234,9 +233,9 @@ class ClosedLoop:
         def grad_tiles_ok():
             # ODE or neural-MLP models (opt._grad_kernel_model_ok); the
             # binder dispatches to the matching kernel family.
-            return opt._grad_kernel_model_ok() and grad_tile_dividing(
-                opt.num_states, opt.mpc_horizon, N * opt.num_rollouts
-            ) > 0
+            return opt._grad_kernel_model_ok() and opt._grad_kernel_tile_ok(
+                N * opt.num_rollouts
+            )
 
         if type(opt) is CEMOptimizer:
             if opt.fully_fused and not opt.warmup and tiles_ok():

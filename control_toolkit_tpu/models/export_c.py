@@ -32,8 +32,15 @@ import numpy as np
 
 def _fmt(v: float) -> str:
     """Format a float32 exactly enough to round-trip (9 sig digits)."""
+    if not np.isfinite(np.float32(v)):
+        # 'inf'/'nan' would render as the undeclared identifiers inff/nanf
+        # and fail deep inside the C build with no hint about the cause.
+        raise ValueError(
+            f"non-finite weight {v!r} in exported policy (diverged "
+            "checkpoint?) — refusing to emit invalid C"
+        )
     s = f"{float(np.float32(v)):.9g}"
-    if "." not in s and "e" not in s and "n" not in s:  # 0 -> 0.0f, not 0f
+    if "." not in s and "e" not in s:  # 0 -> 0.0f, not 0f
         s += ".0"
     return s + "f"
 
@@ -408,7 +415,7 @@ def _rnn_source_fixed(name: str, kind: str, params: Dict, in_dim: int,
         const int32_t z = ctt_lut_eval(ctt_sig_lut, ctt_q20_add(gi[{h} + j], gh[{h} + j]));
         const int32_t rgh = ctt_rshr16((int64_t)r * (int64_t)gh[{2 * h} + j], 20);
         const int32_t n = ctt_lut_eval(ctt_tanh_lut,
-                                       ctt_q20_add(gi[{2 * h} + j], rgh << 10));
+                                       ctt_q20_add(gi[{2 * h} + j], rgh * 1024));
         hn[j] = ctt_rshr16((int64_t)(1024 - z) * n
                            + (int64_t)z * {name}_h{i}[j], 10);
     }}
@@ -424,7 +431,7 @@ def _rnn_source_fixed(name: str, kind: str, params: Dict, in_dim: int,
         const int32_t fc = ctt_rshr16((int64_t)fg * {name}_c{i}[j], 10);
         const int32_t igg = ctt_rshr16((int64_t)ig * gg, 10);
         {name}_c{i}[j] = ctt_sat16(fc + igg);
-        const int32_t th = ctt_lut_eval(ctt_tanh_lut, (int32_t){name}_c{i}[j] << 10);
+        const int32_t th = ctt_lut_eval(ctt_tanh_lut, (int32_t){name}_c{i}[j] * 1024);
         hn[j] = ctt_rshr16((int64_t)og * th, 10);
     }}
     for (int j = 0; j < {h}; ++j) {name}_h{i}[j] = hn[j];""")

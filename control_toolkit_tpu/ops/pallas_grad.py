@@ -76,6 +76,21 @@ def grad_tile_for(num_states: int, horizon: int) -> int:
     return tile
 
 
+def gp_grad_tile_dividing(num_states: int, horizon: int, num_inducing: int,
+                          total_k: int) -> int:
+    """GP-aware ``grad_tile_dividing``: the GP backward also holds [M, tile]
+    RBF blocks in VMEM, so large inducing sets shrink the tile further.
+    Power-of-two halving preserves divisibility.  Returns 0 when no tile
+    >= 256 both fits and divides ``total_k`` (caller falls back to the
+    vmapped scan path instead of failing inside the binder)."""
+    tile = grad_tile_dividing(num_states, horizon, total_k)
+    while tile >= 256 and num_inducing * tile * 4 > 4 * 2**20:
+        tile //= 2
+    if tile < 256 or num_inducing * tile * 4 > 4 * 2**20:
+        return 0
+    return tile
+
+
 def gp_grad_tile_for(num_states: int, horizon: int, num_inducing: int) -> int:
     """Grad tile for the GP gradient kernel: the state-history budget of
     ``grad_tile_for`` plus the transient [M, T] RBF blocks (forward

@@ -32,6 +32,26 @@ from control_toolkit_tpu.utils.rng import make_key
 logger = get_logger(__name__)
 
 
+def split_slot_keys(param_keys, per_slot_dyn=(), per_slot_cost=()):
+    """Partition the packed scalar param keys into ``(shared_keys,
+    slot_keys)`` for the columns-mode kernels: attrs (``a_*``) and the
+    per-session previous control (``__u_prev_*``) are always per-lane;
+    requested dynamics constants (``d_<name>``) / cost weights
+    (``c_<name>``) join them for heterogeneous fleets.  The single source
+    of truth for this partition — pair with ``make_slot_packer``."""
+    slot_prefixes = ("a_", "__u_prev_")
+    extra = {f"d_{k}" for k in per_slot_dyn} | {
+        f"c_{k}" for k in per_slot_cost}
+    unknown = extra - set(param_keys)
+    if unknown:
+        raise ValueError(f"per-slot keys {sorted(unknown)} not in "
+                         "the packed scalar params")
+    slot_keys = [k for k in param_keys
+                 if k.startswith(slot_prefixes) or k in extra]
+    shared_keys = [k for k in param_keys if k not in slot_keys]
+    return shared_keys, slot_keys
+
+
 def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int,
                      K: int = None):
     """Operand packer for the columnwise batched-session kernels
@@ -1240,6 +1260,29 @@ class Optimizer:
             and not getattr(pred, "recurrent", False)
         )
 
+    def _grad_kernel_tile_ok(self, total_k: int) -> bool:
+        """Tile-feasibility half of the batched gradient-kernel gates: a
+        VMEM-feasible grad tile must divide ``total_k`` (= B*K for fleets,
+        N*K for sweeps).  Sparse-GP models additionally budget the [M, tile]
+        RBF blocks the GP backward holds in VMEM — without this the gate
+        would admit a fleet whose binder then fails, instead of falling
+        back to the vmapped path."""
+        from control_toolkit_tpu.models.gp_predictor import GPPredictor
+        from control_toolkit_tpu.ops.pallas_grad import (
+            gp_grad_tile_dividing,
+            grad_tile_dividing,
+        )
+
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        if isinstance(pred, GPPredictor):
+            return gp_grad_tile_dividing(
+                self.num_states, self.mpc_horizon,
+                self._gp_num_inducing(), total_k,
+            ) > 0
+        return grad_tile_dividing(
+            self.num_states, self.mpc_horizon, total_k
+        ) > 0
+
     def _bind_batched_grad_kernels(self, num_slots: int, tile_k: int = None,
                                    per_slot_dyn=(), per_slot_cost=(),
                                    interpret: bool = False):
@@ -1321,16 +1364,9 @@ class Optimizer:
                 self._soa_bindings()
             )
 
-        slot_prefixes = ("a_", "__u_prev_")
-        extra = {f"d_{k}" for k in per_slot_dyn} | {
-            f"c_{k}" for k in per_slot_cost}
-        unknown = extra - set(param_keys)
-        if unknown:
-            raise ValueError(f"per-slot keys {sorted(unknown)} not in "
-                             "the packed scalar params")
-        slot_keys = [k for k in param_keys
-                     if k.startswith(slot_prefixes) or k in extra]
-        shared_keys = [k for k in param_keys if k not in slot_keys]
+        shared_keys, slot_keys = split_slot_keys(
+            param_keys, per_slot_dyn, per_slot_cost
+        )
 
         if neural:
             net = pred.net_params

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from control_toolkit_tpu.ops.common import elite_indices
-from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.optimizers.base import Optimizer, split_slot_keys
 from control_toolkit_tpu.utils import registry
 
 
@@ -168,9 +168,7 @@ class CEMOptimizer(Optimizer):
         param_keys, _, derivs, stage_soa, terminal_soa, pred = (
             self._soa_bindings()
         )
-        slot_prefixes = ("a_", "__u_prev_")
-        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
-        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        shared_keys, slot_keys = split_slot_keys(param_keys)
         kernel = build_cost_rollout_kernel(
             derivs, stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H, dt=pred.dt,
@@ -304,9 +302,7 @@ class CEMOptimizer(Optimizer):
         param_keys, _, derivs, stage_soa, terminal_soa, pred = (
             self._soa_bindings()
         )
-        slot_prefixes = ("a_", "__u_prev_")
-        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
-        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        shared_keys, slot_keys = split_slot_keys(param_keys)
         make_run_cols, regen_cols = build_fused_cem_cols(
             derivs, stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H,

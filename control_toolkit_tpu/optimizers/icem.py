@@ -85,6 +85,15 @@ class ICEMOptimizer(Optimizer):
                 f"cem_best_k={self.cem_best_k} exceeds num_rollouts="
                 f"{self.num_rollouts}"
             )
+        if self.n_keep > self.cem_best_k:
+            # The elite buffer refills from the top-best_k rows each outer
+            # iteration; a larger buffer would fail at trace time with an
+            # opaque fori_loop carry-structure error.
+            raise ValueError(
+                f"icem_keep_elites_frac={icem_keep_elites_frac} keeps "
+                f"{self.n_keep} elites but only cem_best_k={self.cem_best_k} "
+                "are selected (frac must be <= 1)"
+            )
         self._n_fresh = self.num_rollouts - self.n_keep - int(self.add_mean)
         if self._n_fresh <= 0:
             raise ValueError(

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from control_toolkit_tpu.ops.interpolation import Interpolator
-from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.optimizers.base import Optimizer, split_slot_keys
 from control_toolkit_tpu.utils import registry
 
 
@@ -418,9 +418,7 @@ class MPPIOptimizer(Optimizer):
                 "batched neural kernel covers MLP models; recurrent "
                 "predictors are stateful and take the vmapped path"
             )
-        slot_prefixes = ("a_", "__u_prev_")
-        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
-        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        shared_keys, slot_keys = split_slot_keys(param_keys)
         net = pred.net_params
         kernel = build_neural_cost_rollout_kernel(
             stage_soa, terminal_soa,
@@ -467,16 +465,9 @@ class MPPIOptimizer(Optimizer):
         param_keys, _, derivs, stage_soa, terminal_soa, pred = (
             self._soa_bindings()
         )
-        slot_prefixes = ("a_", "__u_prev_")
-        extra = {f"d_{k}" for k in per_slot_dyn} | {
-            f"c_{k}" for k in per_slot_cost}
-        unknown = extra - set(param_keys)
-        if unknown:
-            raise ValueError(f"per-slot keys {sorted(unknown)} not in "
-                             "the packed scalar params")
-        slot_keys = [k for k in param_keys
-                     if k.startswith(slot_prefixes) or k in extra]
-        shared_keys = [k for k in param_keys if k not in slot_keys]
+        shared_keys, slot_keys = split_slot_keys(
+            param_keys, per_slot_dyn, per_slot_cost
+        )
         n_layers = mlp_layer_count(pred._res)
         kernel = build_residual_cost_rollout_kernel(
             derivs, stage_soa, terminal_soa,
@@ -523,9 +514,7 @@ class MPPIOptimizer(Optimizer):
         param_keys, _, _, stage_soa, terminal_soa, _ = self._soa_bindings(
             include_dyn=False
         )
-        slot_prefixes = ("a_", "__u_prev_")
-        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
-        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        shared_keys, slot_keys = split_slot_keys(param_keys)
         kernel = build_gp_cost_rollout_kernel(
             stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H,
@@ -654,9 +643,7 @@ class MPPIOptimizer(Optimizer):
                 "batched recurrent step requires a recurrent (GRU/LSTM) "
                 "NeuralPredictor; MLP models take _make_batched_neural_step"
             )
-        slot_prefixes = ("a_", "__u_prev_")
-        slot_keys = [k for k in param_keys if k.startswith(slot_prefixes)]
-        shared_keys = [k for k in param_keys if not k.startswith(slot_prefixes)]
+        shared_keys, slot_keys = split_slot_keys(param_keys)
         kernel = build_recurrent_cost_rollout_kernel(
             stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H,

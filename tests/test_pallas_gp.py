@@ -235,3 +235,36 @@ def test_batched_rpgd_gp_matches_single_session(gp_ckpt):
                 atol=5e-4, rtol=5e-4,
             )
         states = new_states
+
+
+def test_grad_tile_gate_is_gp_aware(gp_ckpt):
+    """The batched/sweep gradient-kernel gates must budget the GP backward's
+    [M, tile] RBF blocks: a huge inducing set makes the gate return False
+    (vmap fallback) instead of letting the binder raise (review finding)."""
+    from control_toolkit_tpu.ops.pallas_grad import (
+        gp_grad_tile_dividing,
+        grad_tile_dividing,
+    )
+
+    # The plain tile fits, the GP-aware one must refuse: M so large that
+    # even tile=256 blows the 4 MiB RBF-block budget.
+    S, H, total_k = 4, 12, 2 ** 15
+    assert grad_tile_dividing(S, H, total_k) > 0
+    assert gp_grad_tile_dividing(S, H, 8192, total_k) == 0
+    # Moderate M shrinks but stays feasible (and divides).
+    t = gp_grad_tile_dividing(S, H, 512, total_k)
+    assert t >= 256 and total_k % t == 0 and 512 * t * 4 <= 4 * 2 ** 20
+
+    ctrl = make_gp_rpgd(gp_ckpt, K=128, H=12)
+    opt = ctrl.optimizer
+    # Gate method dispatches to the GP-aware helper for GP predictors.
+    assert opt._grad_kernel_tile_ok(2 ** 15) == (
+        gp_grad_tile_dividing(opt.num_states, opt.mpc_horizon, 64, 2 ** 15) > 0
+    )
+    # Simulate a monster inducing set: the gate must refuse, not crash.
+    real = opt._gp_num_inducing
+    opt._gp_num_inducing = lambda: 8192
+    try:
+        assert not opt._grad_kernel_tile_ok(2 ** 15)
+    finally:
+        opt._gp_num_inducing = real
