@@ -247,6 +247,23 @@ class PredictorWrapper:
                 fast_math=fast_math,
                 **kwargs,
             )
+        elif head == "ensemble" and len(spec_parts) > 1:
+            # "ensemble:<net>:<E>[:<path>][:ts1]" — PETS-style bootstrap
+            # ensemble with trajectory sampling
+            # (models/ensemble_predictor.py).  E defaults to 5.
+            from control_toolkit_tpu.models.ensemble_predictor import (
+                EnsemblePredictor,
+            )
+            opts = list(spec_parts[2:])
+            if opts and opts[-1].lower() in ("ts1", "ts-1"):
+                kwargs.setdefault("ts", "1")
+                opts.pop()
+            n_members = int(opts.pop(0)) if opts and opts[0].isdigit() else 5
+            self.predictor = EnsemblePredictor(
+                environment_name=environment_name, dt=dt,
+                net_name=spec_parts[1], n_members=n_members,
+                path_to_models=opts[0] if opts else None, **kwargs,
+            )
         elif head == "neural" and len(spec_parts) > 1:
             # "neural:<net_name>[:<path>][:bf16]"
             opts = list(spec_parts[2:])

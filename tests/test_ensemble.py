@@ -1,0 +1,219 @@
+"""Probabilistic-ensemble predictor (PETS-style): training, trajectory
+sampling semantics, and MPC over the learned ensemble."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from control_toolkit_tpu.controllers.mpc import MPCController
+from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+from control_toolkit_tpu.models import networks as nets
+from control_toolkit_tpu.models.ensemble_predictor import (
+    EnsemblePredictor,
+    ensemble_checkpoint_name,
+)
+from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+from control_toolkit_tpu.models.training import (
+    collect_transitions,
+    fit_ensemble_mlp_dynamics,
+)
+
+
+def _constant_members(consts, S=2, U=1):
+    """Hand-built ensemble params: member e predicts x_{t+1} = x + c_e
+    (zero weights, output bias c_e)."""
+    E = len(consts)
+    sizes = [S + U, 4, S]
+    params = {}
+    for i, (fi, fo) in enumerate(zip(sizes[:-1], sizes[1:])):
+        params[f"w{i}"] = jnp.zeros((E, fi, fo), jnp.float32)
+        params[f"b{i}"] = jnp.zeros((E, fo), jnp.float32)
+    params["b1"] = jnp.stack(
+        [jnp.full((S,), c, jnp.float32) for c in consts]
+    )
+    return params
+
+
+@pytest.fixture(scope="module")
+def ens_fit(tmp_path_factory):
+    env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+    x, u, xn = collect_transitions(env, 400, seed=0)
+    params, mses = fit_ensemble_mlp_dynamics(
+        x, u, xn, n_members=4, hiddens=(32, 32), epochs=2500, seed=0
+    )
+    d = tmp_path_factory.mktemp("ens")
+    path = d / ensemble_checkpoint_name("mlp-32-32", 4)
+    nets.save_net(path, params, meta={"predict_delta": True, "n_members": 4})
+    return params, mses, str(d)
+
+
+def test_ensemble_fit_quality_and_diversity(ens_fit):
+    params, mses, _ = ens_fit
+    assert mses.shape == (4,)
+    assert np.all(mses < 5e-2), f"ensemble members fit poorly: {mses}"
+    # Bootstrap + independent inits must produce distinct members.
+    w0 = np.asarray(params["w0"])
+    for e in range(1, 4):
+        assert not np.allclose(w0[0], w0[e]), "members collapsed to one net"
+
+
+def test_e1_matches_single_neural_predictor():
+    """An E=1 ensemble is exactly the single-net predictor."""
+    single = NeuralPredictor(
+        "cartpole", dt=0.02, net_name="mlp-16", seed=3, predict_delta=True
+    )
+    stacked = jax.tree_util.tree_map(lambda w: w[None], single.net_params)
+    ens = EnsemblePredictor(
+        "cartpole", dt=0.02, net_name="mlp-16", n_members=1, params=stacked
+    )
+    s0 = np.random.default_rng(0).normal(size=(8, 4)).astype(np.float32)
+    Q = np.random.default_rng(1).normal(size=(8, 12, 1)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ens.rollout(s0, Q)),
+        np.asarray(single.rollout(s0, Q)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_tsinf_blockwise_assignment():
+    """K divisible by E: block e of K/E rollouts scans under member e."""
+    params = _constant_members([1.0, -2.0])
+    ens = EnsemblePredictor(
+        net_name="mlp-4", n_members=2, num_states=2, num_control_inputs=1,
+        params=params,
+    )
+    s0 = np.zeros((4, 2), np.float32)
+    Q = np.zeros((4, 3, 1), np.float32)
+    traj = np.asarray(ens.rollout(s0, Q))
+    # First block: +1 per step; second block: -2 per step.
+    np.testing.assert_allclose(traj[0], traj[1])
+    np.testing.assert_allclose(traj[2], traj[3])
+    np.testing.assert_allclose(traj[0, -1], np.full(2, 3.0), atol=1e-6)
+    np.testing.assert_allclose(traj[2, -1], np.full(2, -6.0), atol=1e-6)
+
+
+def test_mean_fallback_for_odd_batches():
+    """Batch sizes that don't split over members (incl. the batch-1 nominal
+    replay) use the ensemble-mean dynamics."""
+    params = _constant_members([1.0, -2.0])
+    ens = EnsemblePredictor(
+        net_name="mlp-4", n_members=2, num_states=2, num_control_inputs=1,
+        params=params,
+    )
+    for K in (1, 3):
+        traj = np.asarray(
+            ens.rollout(np.zeros((K, 2), np.float32), np.zeros((K, 3, 1), np.float32))
+        )
+        np.testing.assert_allclose(
+            traj[:, -1], np.full((K, 2), 3 * (1.0 - 2.0) / 2), atol=1e-6
+        )
+
+
+def test_ts1_mixes_members_deterministically():
+    params = _constant_members([1.0, -2.0])
+    ens = EnsemblePredictor(
+        net_name="mlp-4", n_members=2, num_states=2, num_control_inputs=1,
+        params=params, ts="1",
+    )
+    s0 = np.zeros((4, 2), np.float32)
+    Q = np.zeros((4, 8, 1), np.float32)
+    traj = np.asarray(ens.rollout(s0, Q))
+    incs = np.diff(traj[:, :, 0], axis=1)  # per-step increments, [K, H]
+    # Every step uses one of the two members...
+    assert np.all(np.isclose(incs, 1.0, atol=1e-5) | np.isclose(incs, -2.0, atol=1e-5))
+    # ...and the hash actually mixes them across (rollout, step).
+    assert np.any(np.isclose(incs, 1.0, atol=1e-5))
+    assert np.any(np.isclose(incs, -2.0, atol=1e-5))
+    # Deterministic: same inputs -> same trajectory.
+    np.testing.assert_allclose(traj, np.asarray(ens.rollout(s0, Q)))
+
+
+def test_disagreement_orders_uncertainty():
+    """Identical members -> zero disagreement; distinct members -> positive."""
+    same = _constant_members([0.5, 0.5])
+    diff = _constant_members([1.0, -2.0])
+    s0 = np.zeros((4, 2), np.float32)
+    Q = np.zeros((4, 5, 1), np.float32)
+    kw = dict(net_name="mlp-4", n_members=2, num_states=2, num_control_inputs=1)
+    d_same = np.asarray(EnsemblePredictor(params=same, **kw).disagreement(s0, Q))
+    d_diff = np.asarray(EnsemblePredictor(params=diff, **kw).disagreement(s0, Q))
+    assert d_same.shape == (4,)
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-6)
+    assert np.all(d_diff > 0.1)
+
+
+def test_checkpoint_roundtrip_via_spec(ens_fit):
+    params, _, d = ens_fit
+    from control_toolkit_tpu.models.predictors import PredictorWrapper
+
+    pw = PredictorWrapper()
+    pw.configure(
+        dt=0.02, environment_name="cartpole",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+    )
+    assert isinstance(pw.predictor, EnsemblePredictor)
+    assert pw.num_states == 4 and pw.num_control_inputs == 1
+    direct = EnsemblePredictor("cartpole", dt=0.02, net_name="mlp-32-32",
+                               n_members=4, params=params)
+    s0 = np.random.default_rng(2).normal(size=(8, 4)).astype(np.float32) * 0.1
+    Q = np.random.default_rng(3).normal(size=(8, 10, 1)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(pw.rollout(s0, Q)), np.asarray(direct.rollout(s0, Q)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_pets_mpc_stabilizes_cartpole(ens_fit):
+    """PETS = CEM planning over the bootstrap ensemble with trajectory
+    sampling: the learned model controls the real cartpole."""
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 20,
+                          "num_rollouts": 256, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 5},
+    )
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=5)
+    s, _ = env.reset()
+    for _ in range(60):
+        u = ctrl.step(s[0])
+        s, *_ = env.step(u)
+    assert abs(float(s[0, 2])) < 0.35, f"PETS-style MPC failed: {s[0]}"
+
+
+def test_gradient_optimizer_over_ensemble(ens_fit):
+    """AD flows through the member-vmapped fused scan: RPGD plans over the
+    ensemble and returns finite controls."""
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="rpgd-tf",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 15,
+                          "num_rollouts": 16, "outer_its": 2,
+                          "sample_stdev": 0.3, "sample_mean": 0.0,
+                          "sample_whole_control_space": False,
+                          "uniform_dist_min": -1.0, "uniform_dist_max": 1.0,
+                          "resamp_per": 5, "opt_keep_k_ratio": 0.25,
+                          "learning_rate": 0.05, "gradmax_clip": 5.0,
+                          "period_interpolation_inducing_points": 5,
+                          "SAMPLING_DISTRIBUTION": "normal",
+                          "warmup": False, "warmup_iterations": 0},
+    )
+    s = np.array([0.0, 0.0, 0.05, 0.0], np.float32)
+    for _ in range(3):
+        u = ctrl.step(s)
+        assert np.all(np.isfinite(u))

@@ -71,6 +71,35 @@ def test_mlp_dp_rounds_indivisible_batch():
     assert np.isfinite(mse)
 
 
+def test_ensemble_member_axis_parity():
+    """Ensemble fitting sharded over the MEMBER axis (ensemble parallelism)
+    matches unsharded tightly: members are independent, so sharding changes
+    no reduction order inside any member."""
+    from control_toolkit_tpu.models.training import fit_ensemble_mlp_dynamics
+
+    x, u, x_next = _linear_data()
+    mesh = make_rollout_mesh()
+    p0, m0 = fit_ensemble_mlp_dynamics(x, u, x_next, n_members=8,
+                                       hiddens=(8,), epochs=50,
+                                       batch_size=64, seed=4)
+    p1, m1 = fit_ensemble_mlp_dynamics(x, u, x_next, n_members=8,
+                                       hiddens=(8,), epochs=50,
+                                       batch_size=64, seed=4, mesh=mesh)
+    _tree_allclose(p0, p1, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(m0, m1, rtol=2e-4, atol=2e-6)
+
+
+def test_ensemble_member_axis_requires_divisibility():
+    from control_toolkit_tpu.models.training import fit_ensemble_mlp_dynamics
+    import pytest
+
+    x, u, x_next = _linear_data(n=128)
+    mesh = make_rollout_mesh()
+    with pytest.raises(ValueError, match="divide"):
+        fit_ensemble_mlp_dynamics(x, u, x_next, n_members=3, hiddens=(8,),
+                                  epochs=1, mesh=mesh)
+
+
 def test_policy_dp_single_step_parity():
     rng = np.random.default_rng(5)
     states = rng.standard_normal((256, 4)).astype(np.float32)
