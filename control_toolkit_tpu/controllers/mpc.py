@@ -33,7 +33,13 @@ class MPCController(Controller):
         predictor_specification: Optional[str] = None,
         optimizer_config: Optional[Dict] = None,
         mesh=None,
+        predictor_config: Optional[Dict] = None,
     ) -> None:
+        """``predictor_config`` forwards extra kwargs to the resolved
+        predictor's constructor (e.g. pre-fitted ``params`` for a neural /
+        ensemble predictor, ``predict_delta``, ``ts``) — the reference's
+        PredictorWrapper.configure likewise passes model kwargs through
+        (controller_mpc.py:67-73)."""
         if not optimizer_name:
             optimizer_name = str(self.config_controller["optimizer"])
             logger.info(f"Using optimizer {optimizer_name!r} from controller config")
@@ -72,6 +78,7 @@ class MPCController(Controller):
             predictor_specification=predictor_specification,
             environment_name=self.environment_name,
             variable_parameters=self.variable_parameters,
+            **(predictor_config or {}),
         )
 
         self.cost_function.configure(
@@ -121,50 +128,52 @@ class MPCController(Controller):
         from control_toolkit_tpu.utils.device import device_scope
 
         with device_scope(self.device):
-            if self._dyn_params is None or getattr(self.predictor, "is_stateful", False):
-                # Stateful (RNN) predictors re-thread their hidden state into
-                # the params every step; stateless params are cached on device.
-                # jnp.asarray is a no-op on EXISTING jax arrays (residual/NN
-                # weights, RNN hidden live on the default device), so a pin
-                # must device_put explicitly or the step would silently
-                # bounce those leaves through the interconnect every call.
-                conv = (
-                    (lambda v: jax.device_put(
-                        jnp.asarray(v, dtype=jnp.float32), self.device))
-                    if self.device is not None
-                    else (lambda v: jnp.asarray(v, dtype=jnp.float32))
+            # Every step re-reads the predictor's CURRENT params and
+            # identity-compares the non-hidden leaves against what was
+            # placed last tick (a few 'is' checks — microseconds).  Same
+            # objects -> reuse the placed cache (re-placing only the RNN
+            # hidden for stateful predictors, ADVICE r2); any swapped leaf
+            # (checkpoint load, online-sysid install, hand hot-swap like
+            # ``pred.net_params = new``) -> full re-place, so weight swaps
+            # reach the jitted step WITHOUT poking ``_dyn_params = None``.
+            # jnp.asarray is a no-op on EXISTING jax arrays (residual/NN
+            # weights, RNN hidden live on the default device), so a pin
+            # must device_put explicitly or the step would silently
+            # bounce those leaves through the interconnect every call.
+            conv = (
+                (lambda v: jax.device_put(
+                    jnp.asarray(v, dtype=jnp.float32), self.device))
+                if self.device is not None
+                else (lambda v: jnp.asarray(v, dtype=jnp.float32))
+            )
+            fresh = self.predictor.default_params()
+            static = (
+                {k: v for k, v in fresh.items() if k != "hidden"}
+                if isinstance(fresh, dict) else fresh
+            )
+            static_leaves = jax.tree_util.tree_leaves(static)
+            cache_ok = (
+                self._dyn_params is not None
+                and self._dyn_net_raw is not None
+                and len(self._dyn_net_raw) == len(static_leaves)
+                and all(
+                    a is b for a, b in zip(self._dyn_net_raw, static_leaves)
                 )
-                fresh = self.predictor.default_params()
-                fresh_net_leaves = (
-                    jax.tree_util.tree_leaves(fresh["net"])
-                    if isinstance(fresh, dict) and "net" in fresh else None
-                )
-                if (
-                    self._dyn_params is not None
-                    and isinstance(fresh, dict) and "hidden" in fresh
-                    # Fast path ONLY while the weight leaves are the same
-                    # objects we placed last tick — a checkpoint swap or
-                    # in-place weight update must take the full re-place
-                    # below or the jitted step would keep stale weights.
-                    and self._dyn_net_raw is not None
-                    and len(self._dyn_net_raw) == len(fresh_net_leaves)
-                    and all(
-                        a is b for a, b in
-                        zip(self._dyn_net_raw, fresh_net_leaves)
-                    )
-                ):
+            )
+            if cache_ok:
+                if isinstance(fresh, dict) and "hidden" in fresh:
                     # Stateful re-assembly: only the hidden-state leaves
                     # changed since last step — re-place just those instead
                     # of tree_map+device_put over the whole weight tree
-                    # every control tick (ADVICE r2).
+                    # every control tick.
                     placed = dict(self._dyn_params)
                     placed["hidden"] = jax.tree_util.tree_map(
                         conv, fresh["hidden"]
                     )
                     self._dyn_params = placed
-                else:
-                    self._dyn_params = jax.tree_util.tree_map(conv, fresh)
-                    self._dyn_net_raw = fresh_net_leaves
+            else:
+                self._dyn_params = jax.tree_util.tree_map(conv, fresh)
+                self._dyn_net_raw = static_leaves
             if self._cost_params is None:
                 self._cost_params = self.cost_function.current_params()["cost"]
                 if self.device is not None:

