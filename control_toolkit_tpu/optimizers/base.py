@@ -140,6 +140,7 @@ class Optimizer:
         force_scan: bool = False,
         logging_lazy: bool = False,
         initial_guess_policy=None,
+        risk_weight: float = 0.0,
         **kwargs,
     ):
         self.predictor = predictor
@@ -166,6 +167,14 @@ class Optimizer:
         # iLQR, which has its own richer multi-start mechanism — ignore
         # this attribute).  Constructor-only (a callable can't ride YAML).
         self.initial_guess_policy = initial_guess_policy
+        # Risk-averse planning: adds ``risk_weight * disagreement(s, Q)``
+        # (the predictor's per-rollout epistemic uncertainty, e.g. the
+        # cross-member trajectory std of an EnsemblePredictor) to every
+        # trajectory cost — sampling optimizers then prefer plans the model
+        # family AGREES on, and gradient optimizers descend the penalty too
+        # (disagreement is differentiable).  Requires a predictor exposing
+        # ``disagreement`` (validated at configure).
+        self.risk_weight = float(risk_weight)
         self._policy_plan_fn = None
         self._policy_seed_pending = False
 
@@ -217,6 +226,12 @@ class Optimizer:
         self.num_states = int(num_states)
         self.num_control_inputs = int(num_control_inputs)
         self.dt = dt
+        if self.risk_weight and self._disagreement_fn() is None:
+            raise ValueError(
+                "risk_weight requires a predictor exposing disagreement() "
+                "(e.g. an 'ensemble:<net>:<E>' EnsemblePredictor); got "
+                f"{type(getattr(self.predictor, 'predictor', self.predictor)).__name__}"
+            )
         self._build()
         if default_configure:
             self.optimizer_reset()
@@ -398,11 +413,36 @@ class Optimizer:
     def _cost_params(self, params: Dict) -> Dict:
         return {"cost": params["cost"], "attrs": params["attrs"]}
 
+    def _disagreement_fn(self):
+        return getattr(
+            getattr(self.predictor, "predictor", self.predictor),
+            "disagreement", None,
+        )
+
+    def _wrap_risk(self, cost_fn):
+        """Add the epistemic-uncertainty penalty to a cost-only evaluator
+        (``(s_tiled, Q, u_prev, params) -> [K]``) when risk_weight is on."""
+        if not self.risk_weight or cost_fn is None:
+            return cost_fn
+        w = self.risk_weight
+        dis = self._disagreement_fn()
+
+        def wrapped(s_tiled, Q, u_prev, params):
+            return cost_fn(s_tiled, Q, u_prev, params) + w * dis(
+                s_tiled, Q, params["dyn"]
+            )
+
+        return wrapped
+
     def _rollout_and_cost(self, s_tiled, Q, u_prev, params):
         traj = self.predictor.rollout(s_tiled, Q, params["dyn"])
         cost = self.cost_function.get_trajectory_cost(
             traj, Q, u_prev, self._cost_params(params)
         )
+        if self.risk_weight:
+            cost = cost + self.risk_weight * self._disagreement_fn()(
+                s_tiled, Q, params["dyn"]
+            )
         return cost, traj
 
     def _can_fuse_rollout(self) -> bool:
@@ -441,15 +481,15 @@ class Optimizer:
         gradient-based optimizers differentiate through the fused scan.
         """
         if not differentiable and self._can_use_pallas():
-            return self._build_pallas_cost()
+            return self._wrap_risk(self._build_pallas_cost())
         if not differentiable and self._can_use_pallas_neural():
-            return self._build_pallas_neural_cost()
+            return self._wrap_risk(self._build_pallas_neural_cost())
         if not differentiable and self._can_use_pallas_gp():
-            return self._build_pallas_gp_cost()
+            return self._wrap_risk(self._build_pallas_gp_cost())
         if not differentiable and self._can_use_pallas_residual():
-            return self._build_pallas_residual_cost()
+            return self._wrap_risk(self._build_pallas_residual_cost())
         if self._can_fuse_rollout():
-            return self._fused_cost
+            return self._wrap_risk(self._fused_cost)
         return None
 
     # ---- Pallas fused kernel ---------------------------------------------

@@ -299,9 +299,8 @@ class MPPIVarOptimizer(MPPIOptimizer):
                 base_cost = cost_only(s_tiled, u_run, state.u_prev, params)
                 traj = None
             else:
-                traj = self.predictor.rollout(s_tiled, u_run, params["dyn"])
-                base_cost = self.cost_function.get_trajectory_cost(
-                    traj, u_run, state.u_prev, self._cost_params(params)
+                base_cost, traj = self._rollout_and_cost(
+                    s_tiled, u_run, state.u_prev, params
                 )
             S = base_cost + correction_cost(u_run, delta_u)
 

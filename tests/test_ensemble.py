@@ -217,3 +217,92 @@ def test_gradient_optimizer_over_ensemble(ens_fit):
     for _ in range(3):
         u = ctrl.step(s)
         assert np.all(np.isfinite(u))
+
+
+def _mk_mppi_ens(d, risk_weight=0.0, logging=True, seed=1):
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": logging},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+        optimizer_config={"seed": seed, "mpc_timestep": 0.02, "mpc_horizon": 12,
+                          "num_rollouts": 64, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 4,
+                          "risk_weight": risk_weight},
+    )
+    return ctrl
+
+
+def test_risk_weight_adds_disagreement_penalty(ens_fit):
+    """J under risk_weight=w equals J under w=0 plus w * disagreement of the
+    SAME sampled plans (same seed, first step from reset)."""
+    _, _, d = ens_fit
+    s = np.array([0.1, 0.0, 0.15, 0.0], np.float32)
+    c0 = _mk_mppi_ens(d, risk_weight=0.0)
+    c2 = _mk_mppi_ens(d, risk_weight=2.0)
+    c0.step(s); c2.step(s)
+    J0 = np.asarray(c0.optimizer.logging_values["J_logged"])
+    J2 = np.asarray(c2.optimizer.logging_values["J_logged"])
+    Q0 = np.asarray(c0.optimizer.logging_values["Q_logged"])
+    Q2 = np.asarray(c2.optimizer.logging_values["Q_logged"])
+    np.testing.assert_allclose(Q0, Q2, atol=1e-6)  # same seed, same samples
+    ens = c0.predictor.predictor
+    s_tiled = np.tile(s[None], (Q0.shape[0], 1))
+    dis = np.asarray(ens.disagreement(s_tiled, Q0))
+    np.testing.assert_allclose(J2 - J0, 2.0 * dis, rtol=2e-4, atol=2e-5)
+
+
+def test_risk_weight_requires_disagreement():
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    with pytest.raises(ValueError, match="disagreement"):
+        ctrl.configure(
+            optimizer_name="mppi",
+            predictor_specification="ODE",
+            optimizer_config={"seed": 1, "mpc_timestep": 0.02,
+                              "mpc_horizon": 10, "num_rollouts": 32,
+                              "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+                              "NU": 1000.0, "SQRTRHOINV": 0.1,
+                              "period_interpolation_inducing_points": 5,
+                              "risk_weight": 1.0},
+        )
+
+
+def test_risk_weight_gradient_path(ens_fit):
+    """Gradient optimizers descend the (differentiable) disagreement
+    penalty too: RPGD with risk_weight returns finite controls."""
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="rpgd-tf",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 12,
+                          "num_rollouts": 16, "outer_its": 2,
+                          "sample_stdev": 0.3, "sample_mean": 0.0,
+                          "sample_whole_control_space": False,
+                          "uniform_dist_min": -1.0, "uniform_dist_max": 1.0,
+                          "resamp_per": 5, "opt_keep_k_ratio": 0.25,
+                          "learning_rate": 0.05, "gradmax_clip": 5.0,
+                          "period_interpolation_inducing_points": 4,
+                          "SAMPLING_DISTRIBUTION": "normal",
+                          "warmup": False, "warmup_iterations": 0,
+                          "risk_weight": 0.5},
+    )
+    s = np.array([0.0, 0.0, 0.05, 0.0], np.float32)
+    for _ in range(3):
+        u = ctrl.step(s)
+        assert np.all(np.isfinite(u))
