@@ -422,6 +422,29 @@ def build_neural_mppi(K, H, net="mlp-32-32", force_scan=False):
     return ctrl
 
 
+def build_ensemble_mppi(K, H, E=4, net="mlp-32-32", force_scan=False):
+    """MPPI over a PETS bootstrap ensemble (TS-inf blockwise member
+    assignment) — member-vmapped scan baseline vs the ensemble form of the
+    fused neural kernel (per-tile member weight blocks)."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi",
+                   predictor_specification=f"ensemble:{net}:{E}",
+                   optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 10,
+        "force_scan": force_scan,
+    })
+    return ctrl
+
+
 _GP_CKPTS = {}
 
 
@@ -700,6 +723,26 @@ def main():
             # measured NEGATIVE), so small K gets the 20/100 slope.
             n1, n2 = (20, 100) if Kn <= 16384 else (5, 25)
             ms = measure_step(build_neural_mppi(Kn, H, **kw), n1=n1, n2=n2)
+            results[name] = round(ms, 3)
+            results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
+            print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",
+                  flush=True)
+        except Exception as e:
+            results[f"{name}_error"] = str(e)[:200]
+            print(f"{name}: ERROR {e}", flush=True)
+
+    # PETS ensemble rows: TS-inf blockwise trajectory sampling over a
+    # 4-member mlp-32-32 bootstrap ensemble — member-vmapped scan vs the
+    # ensemble form of the neural kernel (per-tile member weight blocks;
+    # probe: 0.176 vs 0.415 ms = 2.4x at K=16k, ~= the single-net kernel).
+    for name, Kn, kw in (
+        ("ensemble_mlp32x4_K16k_scan", 16384, {"force_scan": True}),
+        ("ensemble_mlp32x4_K16k_kernel", 16384, {}),
+        ("ensemble_mlp32x4_K262k_kernel", 1 << 18, {}),
+    ):
+        try:
+            n1, n2 = (20, 100) if Kn <= 16384 else (5, 25)
+            ms = measure_step(build_ensemble_mppi(Kn, H, **kw), n1=n1, n2=n2)
             results[name] = round(ms, 3)
             results[f"{name}_rollouts_per_sec"] = round(Kn / (ms / 1e3))
             print(f"{name:28s}: {ms:7.3f} ms ({Kn/(ms/1e3)/1e6:.1f}M rollouts/s)",

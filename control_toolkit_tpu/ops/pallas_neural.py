@@ -58,6 +58,23 @@ def neural_tile_for(K: int, n_shard_devices: int = 1) -> int:
     return 0
 
 
+def ensemble_tile_for(K: int, n_members: int, n_shard_devices: int = 1) -> int:
+    """Tile for the ensemble form of the neural kernel: the per-tile member
+    mapping (tile i -> member i // tiles_per_member) needs every member
+    block to tile evenly, i.e. (K / E) % tile == 0.  Sharded meshes split
+    the K axis mid-member-block, so the ensemble kernel is gated to
+    unsharded launches (returns 0; caller keeps the member-vmapped scan)."""
+    if n_shard_devices > 1 or n_members < 1 or K % n_members:
+        return 0
+    per_member = K // n_members
+    tile = DEFAULT_NEURAL_TILE_K
+    while tile >= _MIN_NEURAL_TILE_K:
+        if per_member % tile == 0:
+            return tile
+        tile //= 2
+    return 0
+
+
 def mlp_layer_count(net: Dict) -> int:
     return sum(1 for k in net if k.startswith("w"))
 
@@ -79,6 +96,26 @@ def flatten_mlp_weights(net: Dict) -> List[jnp.ndarray]:
     if "norm_out_mean" in net:
         ops.append(jnp.reshape(jnp.asarray(net["norm_out_mean"], jnp.float32), (-1, 1)))
         ops.append(jnp.reshape(jnp.asarray(net["norm_out_std"], jnp.float32), (-1, 1)))
+    return ops
+
+
+def flatten_ensemble_mlp_weights(net: Dict) -> List[jnp.ndarray]:
+    """``flatten_mlp_weights`` for a STACKED ensemble dict (leading member
+    axis E on every leaf): same operand order, each with shape
+    [E, <flatten_mlp_weights shape>].  The runner's per-tile member
+    index_map then slices one member's block per grid tile."""
+    ops: List[jnp.ndarray] = []
+    n = mlp_layer_count(net)
+    E = net["w0"].shape[0]
+    for i in range(n):
+        ops.append(jnp.transpose(jnp.asarray(net[f"w{i}"], jnp.float32), (0, 2, 1)))
+        ops.append(jnp.reshape(jnp.asarray(net[f"b{i}"], jnp.float32), (E, -1, 1)))
+    if "norm_in_mean" in net:
+        ops.append(jnp.reshape(jnp.asarray(net["norm_in_mean"], jnp.float32), (E, -1, 1)))
+        ops.append(jnp.reshape(jnp.asarray(net["norm_in_std"], jnp.float32), (E, -1, 1)))
+    if "norm_out_mean" in net:
+        ops.append(jnp.reshape(jnp.asarray(net["norm_out_mean"], jnp.float32), (E, -1, 1)))
+        ops.append(jnp.reshape(jnp.asarray(net["norm_out_std"], jnp.float32), (E, -1, 1)))
     return ops
 
 
@@ -125,9 +162,18 @@ def build_neural_cost_rollout_kernel(
     interpret: bool = False,
     mxu_bf16: bool = False,
     slot_keys: Sequence[str] = (),
+    n_members: int = None,
 ):
     """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N], *weights) -> cost [K]`` for
     an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
+
+    ``n_members`` switches to the ENSEMBLE form (PETS TS-inf blockwise
+    member assignment, models/ensemble_predictor.py): weights arrive
+    stacked with a leading member axis (``flatten_ensemble_mlp_weights``)
+    and grid tile i computes under member ``i // tiles_per_member`` — the
+    same contiguous-block layout the predictor's vmapped scan uses, so an
+    E-member ensemble costs EXACTLY one net's FLOPs per rollout.  Requires
+    (K / E) % tile_k == 0 (``ensemble_tile_for``).
 
     ``weights`` is the ``flatten_mlp_weights`` operand list.  Semantics match
     NeuralPredictor.single_step (models/neural_predictor.py) composed with
@@ -168,9 +214,12 @@ def build_neural_cost_rollout_kernel(
         )
         acc = jnp.zeros((1, tile_k), jnp.float32)
 
-        ws = [r[:] for r in w_refs[: 2 * n_layers]]
-        norm_in_v = [r[:] for r in norm_in] if norm_in is not None else None
-        norm_out_v = [r[:] for r in norm_out] if norm_out is not None else None
+        # Ensemble operands carry a leading member axis; the runner's
+        # index_map already selected this tile's member block of extent 1.
+        sel = (lambda r: r[0]) if n_members else (lambda r: r[:])
+        ws = [sel(r) for r in w_refs[: 2 * n_layers]]
+        norm_in_v = [sel(r) for r in norm_in] if norm_in is not None else None
+        norm_out_v = [sel(r) for r in norm_out] if norm_out is not None else None
 
         def net_step(xs, us):
             a = jnp.concatenate(xs + us, axis=0)          # [S+U, T]
@@ -192,17 +241,20 @@ def build_neural_cost_rollout_kernel(
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
 
-    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot)
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot,
+                        n_members=n_members)
 
 
 def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
-                 n_lane_ops=0):
+                 n_lane_ops=0, n_members=None):
     """Shared pallas_call wrapper: fn(s0 [K,S], Q [K,H,U], pvec, *ops) —
     with ``n_slot`` > 0, fn(s0, Q, pvec, pslot [n_slot, K], *ops).
     ``n_lane_ops`` marks the LAST n operands of the weight list as
     per-LANE arrays ``[rows, K]`` (sliced per tile like pslot) instead of
     whole-array resident operands — used for per-session recurrent hidden
-    columns in the batched (columns) recurrent kernel."""
+    columns in the batched (columns) recurrent kernel.
+    ``n_members`` (ensemble form): every weight operand has a leading
+    member axis; tile i fetches member block ``i // tiles_per_member``."""
 
     @jax.jit
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
@@ -220,6 +272,11 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
             weights, slot_ops, slot_specs = rest, (), []
         assert len(weights) == n_w, (len(weights), n_w)
         n_tiles = K // tile_k
+        if n_members:
+            assert K % n_members == 0 and (K // n_members) % tile_k == 0, (
+                f"ensemble kernel needs (K/E) % tile == 0; K={K}, "
+                f"E={n_members}, tile={tile_k}")
+        tpm = (K // n_members) // tile_k if n_members else 0
         s0_t = s0.T                        # [S, K]
         q_t = jnp.transpose(Q, (1, 2, 0))  # [H, U, K]
 
@@ -229,6 +286,13 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
                 assert w.shape[1] == K, (w.shape, K)
                 w_specs.append(pl.BlockSpec(
                     (w.shape[0], tile_k), lambda i, pv: (0, i),
+                    memory_space=pltpu.VMEM,
+                ))
+            elif n_members:                     # member block per tile
+                assert w.shape[0] == n_members, (w.shape, n_members)
+                w_specs.append(pl.BlockSpec(
+                    (1,) + w.shape[1:],
+                    (lambda i, pv, _nd=w.ndim: (i // tpm,) + (0,) * (_nd - 1)),
                     memory_space=pltpu.VMEM,
                 ))
             else:

@@ -484,6 +484,8 @@ class Optimizer:
             return self._wrap_risk(self._build_pallas_cost())
         if not differentiable and self._can_use_pallas_neural():
             return self._wrap_risk(self._build_pallas_neural_cost())
+        if not differentiable and self._can_use_pallas_ensemble():
+            return self._wrap_risk(self._build_pallas_ensemble_cost())
         if not differentiable and self._can_use_pallas_gp():
             return self._wrap_risk(self._build_pallas_gp_cost())
         if not differentiable and self._can_use_pallas_residual():
@@ -865,6 +867,90 @@ class Optimizer:
 
         def cost_fn(s_tiled, Q, u_prev, params):
             return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
+
+        return cost_fn
+
+    # ---- Pallas fused ENSEMBLE kernel --------------------------------------
+    def _pallas_ensemble_compatible_model(self) -> bool:
+        """Ensemble form of the neural kernel: TPU backend, TS-inf
+        EnsemblePredictor (blockwise member assignment — exactly the
+        kernel's tile->member mapping), SOA-capable cost with scalar attrs.
+        Gated to unsharded launches: a sharded K axis splits member blocks
+        mid-shard (ensemble_tile_for returns 0 there)."""
+        import jax
+
+        from control_toolkit_tpu.models.ensemble_predictor import (
+            EnsemblePredictor,
+        )
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        return (
+            jax.default_backend() == "tpu"
+            and (self._device is None or self._device.platform == "tpu")
+            and isinstance(pred, EnsemblePredictor)
+            and pred.ts == "inf"
+            and cf is not None
+            and getattr(cf, "supports_fused_rollout", False)
+            and all(
+                np.ndim(v) == 0
+                for v in getattr(cf, "attr_defaults", {}).values()
+            )
+        )
+
+    def _can_use_pallas_ensemble(self, tile_k: int = None) -> bool:
+        if not self._pallas_ensemble_compatible_model():
+            return False
+        from control_toolkit_tpu.ops.pallas_neural import ensemble_tile_for
+
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        tile = tile_k or ensemble_tile_for(
+            self.num_rollouts, pred.n_members, self._n_shard_devices()
+        )
+        return tile > 0 and not self.force_scan
+
+    def _build_pallas_ensemble_cost(self, interpret: bool = False,
+                                    tile_k: int = None):
+        """Bind an EnsemblePredictor + cost function into the ensemble form
+        of the fused neural kernel: stacked member weights ride as one
+        leading-axis VMEM operand set and each grid tile computes under its
+        block's member — an E-member PETS rollout costs one net's FLOPs.
+        Weights flow from ``params['dyn']['net']`` every call, so PETS
+        re-fits hot-swap with zero recompiles."""
+        from control_toolkit_tpu.ops.pallas_neural import (
+            build_neural_cost_rollout_kernel,
+            ensemble_tile_for,
+            flatten_ensemble_mlp_weights,
+            mlp_layer_count,
+        )
+
+        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        net = pred.net_params
+        E = pred.n_members
+        tk = tile_k or ensemble_tile_for(
+            self.num_rollouts, E, self._n_shard_devices()
+        )
+        kernel = build_neural_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon,
+            param_keys=param_keys,
+            n_layers=mlp_layer_count(net),
+            predict_delta=pred.predict_delta,
+            has_norm_in="norm_in_mean" in net,
+            has_norm_out="norm_out_mean" in net,
+            tile_k=tk, interpret=interpret,
+            n_members=E,
+        )
+
+        def cost_fn(s_tiled, Q, u_prev, params):
+            return kernel(
+                s_tiled, Q, pack(params, u_prev),
+                *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
+            )
 
         return cost_fn
 

@@ -189,3 +189,70 @@ def test_recurrent_kernel_sharded():
     out = kernel_cost(s_tiled, Q, u_prev, params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- ensemble
+def make_ensemble_mppi(K=256, H=20, E=4, net="mlp-16"):
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.3},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"ensemble:{net}:{E}",
+        optimizer_config={
+            "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+            "num_rollouts": K, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+            "NU": 1000.0, "SQRTRHOINV": 0.05,
+            "period_interpolation_inducing_points": 5,
+        },
+    )
+    return ctrl
+
+
+def test_ensemble_kernel_matches_member_vmapped_scan():
+    """Ensemble form of the neural kernel (stacked weights, per-tile member
+    block) vs the predictor's blockwise fused scan."""
+    K, H, E = 256, 20, 4
+    ctrl = make_ensemble_mppi(K, H, E)
+    opt = ctrl.optimizer
+    kernel_cost = opt._build_pallas_ensemble_cost(interpret=True, tile_k=32)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H)
+    ref = opt._fused_cost(s_tiled, Q, u_prev, params)
+    out = kernel_cost(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ensemble_kernel_norm_and_absolute_form():
+    K, H, E = 128, 10, 2
+    ctrl = make_ensemble_mppi(K, H, E)
+    opt = ctrl.optimizer
+    pred = opt.predictor.predictor
+    pred.predict_delta = False
+    in_dim = pred.num_states + pred.num_control_inputs
+    key = jax.random.PRNGKey(9)
+    pred.net_params = dict(pred.net_params)
+    pred.net_params["norm_in_mean"] = 0.1 * jax.random.normal(key, (E, in_dim))
+    pred.net_params["norm_in_std"] = jnp.full((E, in_dim), 1.3, jnp.float32)
+    pred.net_params["norm_out_mean"] = jnp.full((E, pred.num_states), 0.02, jnp.float32)
+    pred.net_params["norm_out_std"] = jnp.full((E, pred.num_states), 0.9, jnp.float32)
+
+    kernel_cost = opt._build_pallas_ensemble_cost(interpret=True, tile_k=32)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H, seed=4)
+    ref = opt._fused_cost(s_tiled, Q, u_prev, params)
+    out = kernel_cost(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=1e-4)
+
+
+def test_ensemble_tile_for_arithmetic():
+    from control_toolkit_tpu.ops.pallas_neural import ensemble_tile_for
+
+    assert ensemble_tile_for(16384, 4) == 4096
+    assert ensemble_tile_for(32768, 4) == 8192
+    assert ensemble_tile_for(16384, 4, n_shard_devices=2) == 0  # sharded: off
+    assert ensemble_tile_for(16384, 3) == 0   # K % E != 0
+    assert ensemble_tile_for(4096, 4) == 0    # per-member 1024 < min tile
