@@ -844,6 +844,14 @@ def main():
          {"force_scan": True, "predictor_spec": "neural:mlp-32-32"}),
         ("rpgd_neural_mlp32_K16k_kernel",
          {"predictor_spec": "neural:mlp-32-32"}),
+        # Gradient MPC over a PETS ensemble (TS-inf): the ensemble form of
+        # the neural gradient kernel (probe: 4.14 vs 5.04 ms = 1.22x at
+        # K=16k E=4 — same margin class as the single net, i.e. the
+        # 4-member backward costs one net's backward).
+        ("rpgd_ensemble_mlp32x4_K16k_xla",
+         {"force_scan": True, "predictor_spec": "ensemble:mlp-32-32:4"}),
+        ("rpgd_ensemble_mlp32x4_K16k_kernel",
+         {"predictor_spec": "ensemble:mlp-32-32:4"}),
         # Gradient MPC over the sparse GP: AD through the scan streams the
         # [K, M] RBF blocks through HBM both ways, so the fused GP gradient
         # kernel pays more than the neural one (measured 2.5x at K=16k).

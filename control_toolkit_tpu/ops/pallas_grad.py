@@ -115,8 +115,13 @@ def _make_fwd_bwd_kernel(
     shared_keys: Sequence[str],
     slot_keys: Sequence[str],
     n_w: int,
+    ensemble: bool = False,
 ):
     """Shared forward-store / backward-sweep kernel body.
+
+    ``ensemble``: weight refs carry a leading member axis of extent 1 (the
+    runner's per-tile member index_map already selected this tile's
+    block) — read ``r[0]`` instead of ``r[:]``.
 
     Operand order (after the pvec scalar prefetch): s0 [S,T], q [H,U,T],
     then ``pslot [n_slot, T]`` when slot_keys are used, then ``n_w``
@@ -137,7 +142,7 @@ def _make_fwd_bwd_kernel(
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         for i, k in enumerate(slot_keys):
             p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
-        ws = [r[:] for r in w_refs]
+        ws = [(r[0] if ensemble else r[:]) for r in w_refs]
         one_step = make_step(p, ws)
         xs0 = tuple(s0_ref[i : i + 1, :] for i in range(S))
         u_prev0 = tuple(
@@ -208,7 +213,8 @@ def _make_fwd_bwd_kernel(
     return kernel, S_pad
 
 
-def _make_grad_runner(kernel, S, U, H, S_pad, tile_k, interpret, n_slot, n_w):
+def _make_grad_runner(kernel, S, U, H, S_pad, tile_k, interpret, n_slot, n_w,
+                      n_members=None):
     """pallas_call wrapper shared by the gradient kernels:
     ``run(s0 [K,S], Q [K,H,U], pvec, [pslot [n_slot,K]], *weights)
     -> (cost [K], dQ [K,H,U])``."""
@@ -231,11 +237,26 @@ def _make_grad_runner(kernel, S, U, H, S_pad, tile_k, interpret, n_slot, n_w):
         else:
             weights, slot_ops, slot_specs = rest, (), []
         assert len(weights) == n_w, (len(weights), n_w)
-        w_specs = [
-            pl.BlockSpec(w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
-                         memory_space=pltpu.VMEM)
-            for w in weights
-        ]
+        if n_members:
+            # Ensemble form: stacked member weights, tile i fetches member
+            # block i // tiles_per_member (cf. ops/pallas_neural._make_runner).
+            assert K % n_members == 0 and (K // n_members) % tile_k == 0, (
+                f"ensemble grad kernel needs (K/E) % tile == 0; K={K}, "
+                f"E={n_members}, tile={tile_k}")
+            tpm = (K // n_members) // tile_k
+            w_specs = [
+                pl.BlockSpec(
+                    (1,) + w.shape[1:],
+                    (lambda i, pv, _nd=w.ndim: (i // tpm,) + (0,) * (_nd - 1)),
+                    memory_space=pltpu.VMEM)
+                for w in weights
+            ]
+        else:
+            w_specs = [
+                pl.BlockSpec(w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
+                             memory_space=pltpu.VMEM)
+                for w in weights
+            ]
 
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -329,9 +350,15 @@ def build_neural_grad_cost_rollout_kernel(
     tile_k: int = None,
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
+    n_members: int = None,
 ):
     """Build ``fn(s0, Q, pvec, [pslot], *weights) -> (cost [K], dQ [K,H,U])``
     for an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
+
+    ``n_members``: ensemble form — stacked member weights
+    (flatten_ensemble_mlp_weights), per-tile member block selection; the
+    gradient twin of the forward ensemble kernel (docs/KERNELS.md §7a).
+    Gradient MPC (RPGD) over a PETS ensemble at one net's backward cost.
 
     ``weights`` is the ops/pallas_neural.flatten_mlp_weights operand list —
     the same resident-VMEM layout as the forward neural kernel, so online
@@ -370,11 +397,11 @@ def build_neural_grad_cost_rollout_kernel(
     kernel, S_pad = _make_fwd_bwd_kernel(
         make_step, stage_cost_soa, terminal_cost_soa,
         num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
-        n_w=n_w,
+        n_w=n_w, ensemble=bool(n_members),
     )
     return _make_grad_runner(
         kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
-        len(slot_keys), n_w=n_w,
+        len(slot_keys), n_w=n_w, n_members=n_members,
     )
 
 

@@ -1201,6 +1201,14 @@ class Optimizer:
 
             return grad_fn, self._make_cost_only()
 
+        if not self.optimizer_logging and self._can_use_pallas_ensemble_grad():
+            ens_grad = self._build_pallas_ensemble_grad()
+
+            def grad_fn(Q, s_tiled, u_prev, params):
+                return ens_grad(s_tiled, Q, u_prev, params)[1]
+
+            return grad_fn, self._make_cost_only()
+
         if not self.optimizer_logging and self._can_use_pallas_gp_grad():
             gp_grad = self._build_pallas_gp_grad()
 
@@ -1238,6 +1246,75 @@ class Optimizer:
             and self._can_use_pallas()
             and self.num_rollouts % (tile * self._n_shard_devices()) == 0
         )
+
+    def _ensemble_grad_tile(self) -> int:
+        """Grad tile for the ensemble gradient kernel: VMEM-feasible AND
+        dividing the per-member block K/E (so every tile sees one member).
+        0 when infeasible (caller keeps the AD-through-scan path)."""
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
+
+        pred = getattr(self.predictor, "predictor", self.predictor)
+        E = pred.n_members
+        if self.num_rollouts % E:
+            return 0
+        return grad_tile_dividing(
+            self.num_states, self.mpc_horizon, self.num_rollouts // E
+        )
+
+    def _can_use_pallas_ensemble_grad(self) -> bool:
+        """Gradient twin of the ensemble kernel: same model gate as the
+        forward form, a feasible member-dividing grad tile, and NO
+        risk_weight (the kernel's dQ excludes the disagreement penalty;
+        risk-averse gradient planning keeps AD through the scan)."""
+        return (
+            self._pallas_ensemble_compatible_model()
+            and not self.force_scan
+            and not self.risk_weight
+            and self._n_shard_devices() == 1
+            and self._ensemble_grad_tile() > 0
+        )
+
+    def _build_pallas_ensemble_grad(self, interpret: bool = False,
+                                    tile_k: int = None):
+        """Bind an EnsemblePredictor + cost into the ensemble form of the
+        fused neural gradient kernel: ``fn(s_tiled, Q, u_prev, params) ->
+        (cost [K], dQ [K,H,U])`` — RPGD/gradient-tf over a PETS ensemble at
+        one net's backward cost; stacked weights are per-call operands, so
+        PETS re-fits never recompile."""
+        from control_toolkit_tpu.ops.pallas_grad import (
+            build_neural_grad_cost_rollout_kernel,
+        )
+        from control_toolkit_tpu.ops.pallas_neural import (
+            flatten_ensemble_mlp_weights,
+            mlp_layer_count,
+        )
+
+        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
+            include_dyn=False
+        )
+        net = pred.net_params
+        kernel = build_neural_grad_cost_rollout_kernel(
+            stage_soa, terminal_soa,
+            num_states=self.num_states,
+            num_controls=self.num_control_inputs,
+            horizon=self.mpc_horizon,
+            param_keys=param_keys,
+            n_layers=mlp_layer_count(net),
+            predict_delta=pred.predict_delta,
+            has_norm_in="norm_in_mean" in net,
+            has_norm_out="norm_out_mean" in net,
+            tile_k=tile_k or self._ensemble_grad_tile(),
+            interpret=interpret,
+            n_members=pred.n_members,
+        )
+
+        def fn(s_tiled, Q, u_prev, params):
+            return kernel(
+                s_tiled, Q, pack(params, u_prev),
+                *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
+            )
+
+        return fn
 
     def _can_use_pallas_neural_grad(self) -> bool:
         """Eligibility for the fused neural gradient kernel

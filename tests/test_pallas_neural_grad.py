@@ -299,3 +299,60 @@ def test_kernel_sweep_neural_rpgd_dispatch_and_parity():
         s = env.step_dynamics(s, u, env.dt)
     np.testing.assert_allclose(np.asarray(sT), np.asarray(s),
                                atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- ensemble
+def make_ensemble_rpgd(K=128, H=12, E=4, net="mlp-16"):
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.3},
+        config={"optimizer": "rpgd-tf", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="rpgd-tf",
+        predictor_specification=f"ensemble:{net}:{E}",
+        optimizer_config={
+            "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+            "num_rollouts": K, "outer_its": 1,
+            "SAMPLING_DISTRIBUTION": "uniform",
+            "period_interpolation_inducing_points": 5,
+            "learning_rate": 0.05, "gradmax_clip": 5,
+            "opt_keep_k_ratio": 0.25, "resamp_per": 10,
+            "sample_stdev": 0.5, "warmup": False, "warmup_iterations": 2,
+        },
+    )
+    return ctrl
+
+
+def test_ensemble_grad_kernel_matches_xla_ad():
+    """Ensemble form of the gradient kernel (stacked member weights,
+    per-tile member block) vs jax.grad through the blockwise fused scan."""
+    K, H, E = 128, 12, 4
+    ctrl = make_ensemble_rpgd(K, H, E)
+    opt = ctrl.optimizer
+    grad_fn = opt._build_pallas_ensemble_grad(interpret=True, tile_k=16)
+    s_tiled, Q, u_prev, params = _inputs(ctrl, K, H)
+
+    ref_costs = opt._fused_cost(s_tiled, Q, u_prev, params)
+    ref_grad = jax.grad(
+        lambda q: jnp.sum(opt._fused_cost(s_tiled, q, u_prev, params))
+    )(Q)
+
+    cost, dQ = grad_fn(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(cost), np.asarray(ref_costs),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dQ), np.asarray(ref_grad),
+                               rtol=1e-3, atol=5e-4)
+
+
+def test_ensemble_grad_gate_excludes_risk_weight(tmp_path):
+    """risk_weight produces a penalty gradient the kernel can't see — the
+    gate must route risk-averse gradient planning to AD-through-scan."""
+    ctrl = make_ensemble_rpgd(64, 10, 2)
+    opt = ctrl.optimizer
+    opt.risk_weight = 1.0
+    assert not opt._can_use_pallas_ensemble_grad()
+    opt.risk_weight = 0.0
+    # Grad tile must divide K/E; K=64, E=2 -> per-member 32 < 256 min tile.
+    assert opt._ensemble_grad_tile() == 0 or opt.num_rollouts // 2 >= 256
