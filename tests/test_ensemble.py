@@ -306,3 +306,66 @@ def test_risk_weight_gradient_path(ens_fit):
     for _ in range(3):
         u = ctrl.step(s)
         assert np.all(np.isfinite(u))
+
+
+def test_closed_loop_harness_over_ensemble(ens_fit):
+    """The on-device closed-loop harness (one jitted scan) composes with
+    the ensemble predictor: run + run_batch produce finite, stabilizing
+    episodes (generic scan path — the predictor is an opaque rollout)."""
+    from control_toolkit_tpu.evaluation import ClosedLoop
+
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 20,
+                          "num_rollouts": 256, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 5},
+    )
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=3)
+    loop = ClosedLoop(ctrl, env)
+    out = loop.run(np.array([0.0, 0.0, 0.15, 0.0], np.float32), ticks=30)
+    states = np.asarray(out["states"])
+    assert np.all(np.isfinite(states))
+    assert abs(float(states[-1, 2])) < 0.4
+
+    s0s = np.tile(np.array([0.0, 0.0, 0.12, 0.0], np.float32), (4, 1))
+    batch = loop.run_batch(s0s, ticks=20)
+    assert np.asarray(batch["final_states"]).shape == (4, 4)
+    assert np.all(np.isfinite(np.asarray(batch["final_states"])))
+    assert np.all(np.isfinite(np.asarray(batch["mean_costs"])))
+
+
+def test_icem_over_ensemble_is_pets(ens_fit):
+    """iCEM + bootstrap ensemble + TS-inf = the canonical PETS planner;
+    rides the same _make_cost_only path (ensemble kernel on TPU)."""
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "icem", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="icem",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 20,
+                          "num_rollouts": 128, "cem_outer_it": 2,
+                          "cem_best_k": 16,
+                          "icem_colored_noise_beta": 2.0,
+                          "icem_keep_elites_frac": 0.3},
+    )
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=5)
+    s, _ = env.reset()
+    for _ in range(50):
+        u = ctrl.step(s[0])
+        assert np.all(np.isfinite(u))
+        s, *_ = env.step(u)
+    assert abs(float(s[0, 2])) < 0.4, f"iCEM-PETS failed: {s[0]}"
