@@ -369,3 +369,50 @@ def test_icem_over_ensemble_is_pets(ens_fit):
         assert np.all(np.isfinite(u))
         s, *_ = env.step(u)
     assert abs(float(s[0, 2])) < 0.4, f"iCEM-PETS failed: {s[0]}"
+
+
+def test_batched_sessions_over_ensemble(ens_fit):
+    """BatchedMPC fleets compose with the ensemble predictor through the
+    generic vmapped path: slot == scalar controller with the slot's key."""
+    from control_toolkit_tpu.controllers.batched_mpc import BatchedMPCController
+
+    _, _, d = ens_fit
+    cfg = {"seed": 11, "mpc_timestep": 0.02, "mpc_horizon": 8,
+           "num_rollouts": 32, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+           "NU": 1000.0, "SQRTRHOINV": 0.05,
+           "period_interpolation_inducing_points": 4}
+    limits = (np.array([-1.0], np.float32), np.array([1.0], np.float32))
+    spec = f"ensemble:mlp-32-32:4:{d}"
+    B = 3
+
+    batched = BatchedMPCController(
+        environment_name="cartpole", control_limits=limits,
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    batched.configure(optimizer_name="mppi", optimizer_config=cfg,
+                      predictor_specification=spec, num_slots=B)
+
+    single = MPCController(
+        environment_name="cartpole", control_limits=limits,
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    scfg = dict(cfg); scfg["force_scan"] = True
+    single.configure(optimizer_name="mppi", optimizer_config=scfg,
+                     predictor_specification=spec)
+    slot = 1
+    single.optimizer.opt_state = single.optimizer._init_state(
+        batched.slot_key(slot)
+    )
+
+    s = np.array([0.1, 0.0, 0.2, -0.1], np.float32)
+    s_batch = np.tile(s, (B, 1))
+    for _ in range(3):
+        u_b = batched.step_batch(s_batch)
+        u_s = single.step(s)
+        np.testing.assert_allclose(
+            np.asarray(u_b[slot]).ravel(), np.asarray(u_s).ravel(),
+            rtol=2e-5, atol=2e-6,
+        )
+        assert np.all(np.isfinite(np.asarray(u_b)))
