@@ -248,16 +248,23 @@ class PredictorWrapper:
                 **kwargs,
             )
         elif head == "ensemble" and len(spec_parts) > 1:
-            # "ensemble:<net>:<E>[:<path>][:ts1]" — PETS-style bootstrap
-            # ensemble with trajectory sampling
-            # (models/ensemble_predictor.py).  E defaults to 5.
+            # "ensemble:<net>:<E>[:<path>][:ts1][:prob]" — PETS-style
+            # bootstrap ensemble with trajectory sampling
+            # (models/ensemble_predictor.py).  E defaults to 5; ':prob'
+            # selects Gaussian-head members with propagated aleatoric
+            # noise (the PE model class).
             from control_toolkit_tpu.models.ensemble_predictor import (
                 EnsemblePredictor,
             )
-            opts = list(spec_parts[2:])
-            if opts and opts[-1].lower() in ("ts1", "ts-1"):
-                kwargs.setdefault("ts", "1")
-                opts.pop()
+            opts = []
+            for o in spec_parts[2:]:
+                lo_ = o.lower()
+                if lo_ in ("ts1", "ts-1"):
+                    kwargs.setdefault("ts", "1")
+                elif lo_ in ("prob", "pe"):
+                    kwargs.setdefault("probabilistic", True)
+                else:
+                    opts.append(o)
             n_members = int(opts.pop(0)) if opts and opts[0].isdigit() else 5
             self.predictor = EnsemblePredictor(
                 environment_name=environment_name, dt=dt,

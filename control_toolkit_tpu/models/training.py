@@ -162,6 +162,7 @@ def fit_ensemble_mlp_dynamics(
     n_members: int = 5, hiddens=(32, 32), epochs: int = 500,
     batch_size: int = 1024, learning_rate: float = 1e-3, seed: int = 0,
     predict_delta: bool = True, mesh: Optional[Mesh] = None,
+    probabilistic: bool = False,
 ) -> Tuple[Dict, np.ndarray]:
     """Fit a bootstrap ensemble of E delta-dynamics MLPs (PETS-style).
 
@@ -171,6 +172,12 @@ def fit_ensemble_mlp_dynamics(
     classic diversity sources — under one jitted, member-vmapped Adam step.
     Normalization constants are shared (full-dataset statistics, tiled per
     member so the stacked pytree stays uniform).
+
+    ``probabilistic=True`` (the PETS 'PE' model class): members output a
+    Gaussian head (mean + log-variance, output width 2S) trained with the
+    heteroscedastic NLL; the log-variance is soft-bounded
+    (ensemble_predictor.bound_logvar).  The returned per-member metric is
+    always the MEAN-head normalized MSE, comparable across modes.
 
     With ``mesh``, the MEMBER axis is sharded over every mesh axis (the
     ensemble is embarrassingly parallel — XLA partitions the vmapped step
@@ -188,7 +195,7 @@ def fit_ensemble_mlp_dynamics(
 
     key, sub = jax.random.split(key)
     keys = jax.random.split(sub, E)
-    sizes = [S + U] + list(hiddens) + [S]
+    sizes = [S + U] + list(hiddens) + [2 * S if probabilistic else S]
     core = jax.vmap(lambda k: nets.mlp_init(k, sizes))(keys)
 
     inp = jnp.asarray((inp_np - in_mean) / in_std, jnp.float32)
@@ -226,8 +233,22 @@ def fit_ensemble_mlp_dynamics(
         opt_state = member_sharded(opt_state)
         boot = member_sharded(boot)
 
-    def loss_fn(p, xb, yb):
-        return jnp.mean((nets.mlp_apply(p, xb) - yb) ** 2)
+    if probabilistic:
+        from control_toolkit_tpu.models.ensemble_predictor import bound_logvar
+
+        def loss_fn(p, xb, yb):
+            out = nets.mlp_apply(p, xb)
+            mean, raw_lv = out[..., :S], out[..., S:]
+            lv = bound_logvar(raw_lv)
+            return jnp.mean(jnp.exp(-lv) * (mean - yb) ** 2 + lv)
+
+        def mse_fn(p, xb, yb):
+            return jnp.mean((nets.mlp_apply(p, xb)[..., :S] - yb) ** 2)
+    else:
+        def loss_fn(p, xb, yb):
+            return jnp.mean((nets.mlp_apply(p, xb) - yb) ** 2)
+
+        mse_fn = loss_fn
 
     @jax.jit
     def train_step(p, o, data, tgt, pos):
@@ -247,7 +268,7 @@ def fit_ensemble_mlp_dynamics(
         p, opt_state, losses = train_step(p, opt_state, inp, target, pos)
 
     per_member = np.asarray(
-        jax.jit(jax.vmap(lambda m: loss_fn(m, inp, target)))(p)
+        jax.jit(jax.vmap(lambda m: mse_fn(m, inp, target)))(p)
     )
     logger.info(
         f"ensemble fit (E={E}): per-member normalized MSE "

@@ -890,6 +890,10 @@ class Optimizer:
             and (self._device is None or self._device.platform == "tpu")
             and isinstance(pred, EnsemblePredictor)
             and pred.ts == "inf"
+            # Probabilistic members propagate per-(rollout, step) aleatoric
+            # noise the kernel doesn't generate — they keep the full
+            # rollout path so the sampling semantics survive.
+            and not pred.probabilistic
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
             and all(

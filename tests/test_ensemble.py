@@ -416,3 +416,145 @@ def test_batched_sessions_over_ensemble(ens_fit):
             rtol=2e-5, atol=2e-6,
         )
         assert np.all(np.isfinite(np.asarray(u_b)))
+
+
+# ------------------------------------------------------- probabilistic (PE)
+def _constant_prob_members(mean_consts, lv_raw, S=2, U=1):
+    """Members with zero weights, output bias = [mean_c..., lv_raw...]:
+    predict delta-mean c and a constant raw log-variance head."""
+    E = len(mean_consts)
+    sizes = [S + U, 4, 2 * S]
+    params = {}
+    for i, (fi, fo) in enumerate(zip(sizes[:-1], sizes[1:])):
+        params[f"w{i}"] = jnp.zeros((E, fi, fo), jnp.float32)
+        params[f"b{i}"] = jnp.zeros((E, fo), jnp.float32)
+    params["b1"] = jnp.stack([
+        jnp.concatenate([jnp.full((S,), c, jnp.float32),
+                         jnp.full((S,), lv_raw, jnp.float32)])
+        for c in mean_consts
+    ])
+    return params
+
+
+def test_bound_logvar_band():
+    from control_toolkit_tpu.models.ensemble_predictor import bound_logvar
+
+    raw = jnp.linspace(-50.0, 50.0, 101)
+    lv = np.asarray(bound_logvar(raw))
+    assert np.all(lv > -8.001) and np.all(lv < 2.001)
+    assert np.all(np.diff(lv) >= 0)  # monotone squash
+    # Near-identity in the interior (softplus squash costs ~0.13 at 0).
+    np.testing.assert_allclose(
+        np.asarray(bound_logvar(jnp.zeros(1))), 0.0, atol=0.2
+    )
+
+
+def test_counter_normal_is_standard_normal_and_deterministic():
+    from control_toolkit_tpu.models.ensemble_predictor import counter_normal
+
+    rows = jnp.arange(8192)
+    z = np.asarray(counter_normal(rows, 3, 4, seed=0))
+    assert z.shape == (8192, 4)
+    assert abs(z.mean()) < 0.03
+    assert abs(z.std() - 1.0) < 0.03
+    z2 = np.asarray(counter_normal(rows, 3, 4, seed=0))
+    np.testing.assert_array_equal(z, z2)
+    z3 = np.asarray(counter_normal(rows, 4, 4, seed=0))
+    assert not np.allclose(z, z3)  # step decorrelates
+
+
+def test_probabilistic_rollout_propagates_aleatoric_noise():
+    """Constant Gaussian heads: one-step increments across many rollouts
+    have the head's mean and std (TS-inf blockwise)."""
+    from control_toolkit_tpu.models.ensemble_predictor import bound_logvar
+
+    lv_raw = -2.0
+    params = _constant_prob_members([0.3, 0.3], lv_raw)
+    ens = EnsemblePredictor(
+        net_name="mlp-4", n_members=2, num_states=2, num_control_inputs=1,
+        params=params, probabilistic=True,
+    )
+    assert ens.single_step is None  # cost paths must take the noisy rollout
+    K, H = 1024, 8
+    traj = np.asarray(ens.rollout(np.zeros((K, 2), np.float32),
+                                  np.zeros((K, H, 1), np.float32)))
+    incs = np.diff(traj, axis=1)  # [K, H, S]
+    want_std = float(np.exp(0.5 * np.asarray(bound_logvar(jnp.array(lv_raw)))))
+    assert abs(incs.mean() - 0.3) < 0.01
+    assert abs(incs.std() - want_std) < 0.02
+    # Deterministic: same inputs -> same sampled trajectories.
+    np.testing.assert_array_equal(
+        traj, np.asarray(ens.rollout(np.zeros((K, 2), np.float32),
+                                     np.zeros((K, H, 1), np.float32))))
+    # Batch-1 replay: noise-free expected model.
+    one = np.asarray(ens.rollout(np.zeros((1, 2), np.float32),
+                                 np.zeros((1, 4, 1), np.float32)))
+    np.testing.assert_allclose(np.diff(one, axis=1), 0.3, atol=1e-6)
+
+
+def test_nll_fit_learns_heteroscedastic_noise():
+    """NLL training recovers input-dependent noise: the learned std is
+    much larger in the high-noise input regime."""
+    from control_toolkit_tpu.models.training import fit_ensemble_mlp_dynamics
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    x = rng.uniform(-1, 1, (n, 1)).astype(np.float32)
+    u = rng.uniform(-1, 1, (n, 1)).astype(np.float32)
+    noise_std = np.where(u > 0, 0.5, 0.02).astype(np.float32)
+    x_next = x + 0.1 * u + noise_std * rng.standard_normal((n, 1)).astype(np.float32)
+
+    params, mses = fit_ensemble_mlp_dynamics(
+        x, u, x_next, n_members=2, hiddens=(16,), epochs=2000, seed=0,
+        probabilistic=True,
+    )
+    ens = EnsemblePredictor(
+        net_name="mlp-16", n_members=2, num_states=1, num_control_inputs=1,
+        params=params, probabilistic=True,
+    )
+    net0 = jax.tree_util.tree_map(lambda w: w[0], params)
+    xq = jnp.zeros((64, 1), jnp.float32)
+    _, std_hi = ens._member_heads(net0, xq, jnp.full((64, 1), 0.8, jnp.float32))
+    _, std_lo = ens._member_heads(net0, xq, jnp.full((64, 1), -0.8, jnp.float32))
+    hi, lo = float(np.mean(np.asarray(std_hi))), float(np.mean(np.asarray(std_lo)))
+    assert hi > 3 * lo, f"heteroscedastic std not learned: hi={hi} lo={lo}"
+    assert hi > 0.25 and lo < 0.15
+
+
+def test_pe_mpc_stabilizes_cartpole():
+    """MPC over a probabilistic (PE-TS) ensemble controls the real plant;
+    the kernel gate routes the noisy rollout to the scan path."""
+    from control_toolkit_tpu.models.training import (
+        collect_transitions as _ct,
+        fit_ensemble_mlp_dynamics as _fit,
+    )
+
+    env = CartpoleEnv(batch_size=16, dt=0.02, seed=0)
+    x, u, xn = _ct(env, 400, seed=0)
+    params, _ = _fit(x, u, xn, n_members=2, hiddens=(32, 32), epochs=2500,
+                     seed=0, probabilistic=True)
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification="ensemble:mlp-32-32:2:prob",
+        predictor_config={"params": params},
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 20,
+                          "num_rollouts": 256, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 5},
+    )
+    opt = ctrl.optimizer
+    assert opt.predictor.predictor.probabilistic
+    assert not opt._pallas_ensemble_compatible_model() or \
+        __import__("jax").default_backend() != "tpu"
+    plant = CartpoleEnv(batch_size=1, dt=0.02, seed=5)
+    s, _ = plant.reset()
+    for _ in range(60):
+        uu = ctrl.step(s[0])
+        s, *_ = plant.step(uu)
+    assert abs(float(s[0, 2])) < 0.35, f"PE-TS MPC failed: {s[0]}"
