@@ -141,6 +141,7 @@ class Optimizer:
         logging_lazy: bool = False,
         initial_guess_policy=None,
         risk_weight: float = 0.0,
+        robust_eval: Optional[str] = None,
         **kwargs,
     ):
         self.predictor = predictor
@@ -175,6 +176,23 @@ class Optimizer:
         # (disagreement is differentiable).  Requires a predictor exposing
         # ``disagreement`` (validated at configure).
         self.risk_weight = float(risk_weight)
+        # Robust evaluation over ensemble members: instead of PETS
+        # trajectory sampling (each plan under ONE member), score every
+        # plan under ALL E members (``rollout_all_members``) and aggregate:
+        # 'mean' (model averaging), 'worst' (min-max robust MPC), or
+        # 'cvar:<frac>' (mean of the worst ceil(frac*E) member costs per
+        # plan).  Costs E x the rollout FLOPs; composes with risk_weight.
+        if robust_eval is not None:
+            r = str(robust_eval)
+            if not (r in ("mean", "worst") or r.startswith("cvar:")):
+                raise ValueError(
+                    f"robust_eval must be 'mean', 'worst' or 'cvar:<frac>', "
+                    f"got {robust_eval!r}")
+            if r.startswith("cvar:"):
+                frac = float(r.split(":", 1)[1])
+                if not 0.0 < frac <= 1.0:
+                    raise ValueError(f"cvar fraction must be in (0, 1], got {frac}")
+        self.robust_eval = robust_eval
         self._policy_plan_fn = None
         self._policy_seed_pending = False
 
@@ -230,6 +248,16 @@ class Optimizer:
             raise ValueError(
                 "risk_weight requires a predictor exposing disagreement() "
                 "(e.g. an 'ensemble:<net>:<E>' EnsemblePredictor); got "
+                f"{type(getattr(self.predictor, 'predictor', self.predictor)).__name__}"
+            )
+        if self.robust_eval and not hasattr(
+            getattr(self.predictor, "predictor", self.predictor),
+            "rollout_all_members",
+        ):
+            raise ValueError(
+                "robust_eval requires a predictor exposing "
+                "rollout_all_members() (an 'ensemble:<net>:<E>' "
+                "EnsemblePredictor); got "
                 f"{type(getattr(self.predictor, 'predictor', self.predictor)).__name__}"
             )
         self._build()
@@ -434,11 +462,53 @@ class Optimizer:
 
         return wrapped
 
+    def _robust_aggregate(self, member_costs):
+        """[E, K] per-member costs -> [K] per the robust_eval mode."""
+        r = str(self.robust_eval)
+        if r == "mean":
+            return jnp.mean(member_costs, axis=0)
+        if r == "worst":
+            return jnp.max(member_costs, axis=0)
+        frac = float(r.split(":", 1)[1])
+        E = member_costs.shape[0]
+        n = max(1, int(np.ceil(frac * E)))
+        worst = jax.lax.top_k(member_costs.T, n)[0]          # [K, n]
+        return jnp.mean(worst, axis=1)
+
+    def _robust_member_cost(self):
+        """Cost-only evaluator for robust_eval: every plan rolls under ALL
+        E members (per-member MEAN dynamics — aleatoric heads are not
+        sampled here) and the per-member trajectory costs aggregate.
+        Differentiable, so gradient optimizers descend the robust
+        objective (subgradient through max for 'worst'/'cvar')."""
+        pred = getattr(self.predictor, "predictor", self.predictor)
+
+        def cost_fn(s_tiled, Q, u_prev, params):
+            trajs = pred.rollout_all_members(s_tiled, Q, params["dyn"])
+            costs = jax.vmap(
+                lambda tr: self.cost_function.get_trajectory_cost(
+                    tr, Q, u_prev, self._cost_params(params)
+                )
+            )(trajs)                                          # [E, K]
+            return self._robust_aggregate(costs)
+
+        return cost_fn
+
     def _rollout_and_cost(self, s_tiled, Q, u_prev, params):
-        traj = self.predictor.rollout(s_tiled, Q, params["dyn"])
-        cost = self.cost_function.get_trajectory_cost(
-            traj, Q, u_prev, self._cost_params(params)
-        )
+        if self.robust_eval:
+            pred = getattr(self.predictor, "predictor", self.predictor)
+            trajs = pred.rollout_all_members(s_tiled, Q, params["dyn"])
+            cost = self._robust_aggregate(jax.vmap(
+                lambda tr: self.cost_function.get_trajectory_cost(
+                    tr, Q, u_prev, self._cost_params(params)
+                )
+            )(trajs))
+            traj = jnp.mean(trajs, axis=0)  # diagnostics: the mean model
+        else:
+            traj = self.predictor.rollout(s_tiled, Q, params["dyn"])
+            cost = self.cost_function.get_trajectory_cost(
+                traj, Q, u_prev, self._cost_params(params)
+            )
         if self.risk_weight:
             cost = cost + self.risk_weight * self._disagreement_fn()(
                 s_tiled, Q, params["dyn"]
@@ -480,6 +550,10 @@ class Optimizer:
         ``differentiable=True`` excludes the Pallas kernel (no AD rules) —
         gradient-based optimizers differentiate through the fused scan.
         """
+        if self.robust_eval:
+            # Robust member evaluation replaces the TS rollout entirely
+            # (every plan under every member); kernels don't apply.
+            return self._wrap_risk(self._robust_member_cost())
         if not differentiable and self._can_use_pallas():
             return self._wrap_risk(self._build_pallas_cost())
         if not differentiable and self._can_use_pallas_neural():
@@ -1274,6 +1348,7 @@ class Optimizer:
             self._pallas_ensemble_compatible_model()
             and not self.force_scan
             and not self.risk_weight
+            and not self.robust_eval
             and self._n_shard_devices() == 1
             and self._ensemble_grad_tile() > 0
         )

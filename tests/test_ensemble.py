@@ -558,3 +558,116 @@ def test_pe_mpc_stabilizes_cartpole():
         uu = ctrl.step(s[0])
         s, *_ = plant.step(uu)
     assert abs(float(s[0, 2])) < 0.35, f"PE-TS MPC failed: {s[0]}"
+
+
+# ---------------------------------------------------------- robust_eval
+def test_robust_aggregation_matches_manual():
+    """_robust_aggregate arithmetic: mean / elementwise-worst / cvar
+    fraction over the member axis."""
+    from control_toolkit_tpu.optimizers.random_action import (
+        RandomActionOptimizer,
+    )
+
+    ens = EnsemblePredictor(
+        net_name="mlp-4", n_members=4, num_states=2, num_control_inputs=1,
+        params=_constant_members([1.0, -2.0, 0.5, -0.5]),
+    )
+
+    def mk(mode):
+        return RandomActionOptimizer(
+            predictor=ens, cost_function=None,
+            control_limits=(np.array([-1.0], np.float32),
+                            np.array([1.0], np.float32)),
+            num_rollouts=8, mpc_horizon=5, seed=0, robust_eval=mode,
+        )
+
+    mc = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mk("mean")._robust_aggregate(mc)), np.asarray(mc).mean(0),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mk("worst")._robust_aggregate(mc)),
+        np.asarray(mc).max(0), rtol=1e-6)
+    # cvar:0.5 with E=4 -> mean of the worst 2 per plan
+    arr = np.sort(np.asarray(mc), axis=0)[-2:].mean(0)
+    np.testing.assert_allclose(
+        np.asarray(mk("cvar:0.5")._robust_aggregate(mc)), arr, rtol=1e-6)
+
+
+def test_robust_eval_requires_ensemble_and_validates_mode(ens_fit):
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    with pytest.raises(ValueError, match="rollout_all_members"):
+        ctrl.configure(
+            optimizer_name="mppi", predictor_specification="ODE",
+            optimizer_config={"seed": 1, "mpc_timestep": 0.02,
+                              "mpc_horizon": 10, "num_rollouts": 32,
+                              "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+                              "NU": 1000.0, "SQRTRHOINV": 0.1,
+                              "period_interpolation_inducing_points": 5,
+                              "robust_eval": "worst"},
+        )
+    with pytest.raises(ValueError, match="robust_eval"):
+        MPCController(
+            "cartpole",
+            (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+            {"target_position": 0.0},
+            config={"optimizer": "mppi", "controller_logging": False},
+        ).configure(
+            optimizer_name="mppi",
+            predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+            optimizer_config={"seed": 1, "mpc_timestep": 0.02,
+                              "mpc_horizon": 10, "num_rollouts": 32,
+                              "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+                              "NU": 1000.0, "SQRTRHOINV": 0.1,
+                              "period_interpolation_inducing_points": 5,
+                              "robust_eval": "median"},
+        )
+
+
+def test_robust_mpc_closed_loop_and_cost_ordering(ens_fit):
+    """Min-max robust MPC over the learned ensemble stabilizes the real
+    plant, and per-plan 'worst' J dominates 'mean' J on identical plans."""
+    _, _, d = ens_fit
+
+    def mk(mode):
+        ctrl = MPCController(
+            "cartpole",
+            (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+            {"target_position": 0.0},
+            config={"optimizer": "mppi", "controller_logging": True},
+        )
+        ctrl.configure(
+            optimizer_name="mppi",
+            predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+            optimizer_config={"seed": 1, "mpc_timestep": 0.02,
+                              "mpc_horizon": 20, "num_rollouts": 128,
+                              "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+                              "NU": 1000.0, "SQRTRHOINV": 0.05,
+                              "period_interpolation_inducing_points": 5,
+                              "robust_eval": mode},
+        )
+        return ctrl
+
+    s = np.array([0.0, 0.0, 0.12, 0.0], np.float32)
+    c_mean, c_worst = mk("mean"), mk("worst")
+    c_mean.step(s); c_worst.step(s)
+    J_mean = np.asarray(c_mean.optimizer.logging_values["J_logged"])
+    J_worst = np.asarray(c_worst.optimizer.logging_values["J_logged"])
+    Q1 = np.asarray(c_mean.optimizer.logging_values["Q_logged"])
+    Q2 = np.asarray(c_worst.optimizer.logging_values["Q_logged"])
+    np.testing.assert_allclose(Q1, Q2, atol=1e-6)  # same seed -> same plans
+    assert np.all(J_worst >= J_mean - 1e-5)
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=5)
+    s_run, _ = env.reset()
+    ctrl = mk("worst")
+    for _ in range(60):
+        u = ctrl.step(s_run[0])
+        s_run, *_ = env.step(u)
+    assert abs(float(s_run[0, 2])) < 0.35, f"robust MPC failed: {s_run[0]}"
