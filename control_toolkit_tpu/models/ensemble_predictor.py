@@ -247,12 +247,14 @@ class EnsemblePredictor(Predictor):
         — evaluates all members and returns the ensemble-mean next state.
         Shapes are static under jit, so the branch resolves at trace time.
 
-        Probabilistic ensembles return None: a step function has no
-        (rollout, step) counter to seed the aleatoric draw, so a fused
-        mean-propagating scan would silently drop the sampling semantics —
-        cost paths must take the full ``rollout``.
+        Probabilistic and TS-1 ensembles return None: a step function has
+        no (rollout, step) counter to seed the aleatoric draw or the
+        member re-draw, so a fused blockwise/mean scan would silently
+        drop the sampling semantics — cost paths must take the full
+        ``rollout`` (review finding: ts='1' used to leak onto the fused
+        scan as TS-inf).
         """
-        if self.probabilistic:
+        if self.probabilistic or self.ts == "1":
             return None
         return self._mean_step
 
@@ -310,7 +312,10 @@ class EnsemblePredictor(Predictor):
                     )(net)                                          # [E,K,S]
                 else:
                     xn_all = jax.vmap(lambda n: member_step(n, x, u))(net)
-                m = ((k_idx * _HASH_K) ^ (t * _HASH_T)) % jnp.uint32(E)
+                # _mix32 finalizer: without it, power-of-two E degenerates
+                # to (k mod E) XOR (t mod E) — a rigid round-robin, not
+                # sampling (review finding).
+                m = _mix32((k_idx * _HASH_K) ^ (t * _HASH_T)) % jnp.uint32(E)
                 xn = xn_all[m.astype(jnp.int32), rows]
                 return xn, xn
 

@@ -251,9 +251,13 @@ def fit_ensemble_mlp_dynamics(
         mse_fn = loss_fn
 
     @jax.jit
-    def train_step(p, o, data, tgt, pos):
-        # pos [E, bs] positions into each member's bootstrap row.
-        idx = jnp.take_along_axis(boot, pos, axis=1)
+    def train_step(p, o, data, tgt, boot_tab, pos):
+        # pos [E, bs] positions into each member's bootstrap row.  The
+        # [E, n] bootstrap table arrives as an ARGUMENT — closing over it
+        # would bake megabytes of int32 constants into every re-trace as
+        # the PETS loop's dataset grows (review finding; cf.
+        # fit_mlp_dynamics passing idx).
+        idx = jnp.take_along_axis(boot_tab, pos, axis=1)
         xb = jnp.take(data, idx, axis=0)   # [E, bs, S+U]
         yb = jnp.take(tgt, idx, axis=0)
         losses, grads = jax.vmap(jax.value_and_grad(loss_fn))(p, xb, yb)
@@ -265,7 +269,7 @@ def fit_ensemble_mlp_dynamics(
     for _ in range(epochs):
         key, sub = jax.random.split(key)
         pos = jax.random.randint(sub, (E, bs), 0, n)
-        p, opt_state, losses = train_step(p, opt_state, inp, target, pos)
+        p, opt_state, losses = train_step(p, opt_state, inp, target, boot, pos)
 
     per_member = np.asarray(
         jax.jit(jax.vmap(lambda m: mse_fn(m, inp, target)))(p)

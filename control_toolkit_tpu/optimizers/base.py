@@ -260,6 +260,23 @@ class Optimizer:
                 "EnsemblePredictor); got "
                 f"{type(getattr(self.predictor, 'predictor', self.predictor)).__name__}"
             )
+        _pred = getattr(self.predictor, "predictor", self.predictor)
+        _E = getattr(_pred, "n_members", None)
+        if (
+            _E and _E > 1 and self.num_rollouts > 1
+            and self.num_rollouts % _E != 0
+            and not getattr(self, "robust_eval", None)
+        ):
+            # Silently falling back to ensemble-MEAN dynamics for the whole
+            # population (at E x the FLOPs) is a trap — the user asked for
+            # trajectory sampling (review finding).
+            raise ValueError(
+                f"num_rollouts={self.num_rollouts} does not divide over the "
+                f"{_E} ensemble members: trajectory sampling needs "
+                "num_rollouts % n_members == 0 (pick E in {2,4,8} for "
+                "power-of-two populations, or set robust_eval to score "
+                "every plan under every member instead)"
+            )
         self._build()
         if default_configure:
             self.optimizer_reset()
@@ -475,34 +492,33 @@ class Optimizer:
         worst = jax.lax.top_k(member_costs.T, n)[0]          # [K, n]
         return jnp.mean(worst, axis=1)
 
-    def _robust_member_cost(self):
-        """Cost-only evaluator for robust_eval: every plan rolls under ALL
-        E members (per-member MEAN dynamics — aleatoric heads are not
-        sampled here) and the per-member trajectory costs aggregate.
-        Differentiable, so gradient optimizers descend the robust
-        objective (subgradient through max for 'worst'/'cvar')."""
+    def _robust_cost_and_members(self, s_tiled, Q, u_prev, params):
+        """The single source of the robust member-cost semantics: every
+        plan rolls under ALL E members (per-member MEAN dynamics —
+        aleatoric heads are not sampled here), per-member trajectory
+        costs aggregate per ``robust_eval``.  Returns (cost [K],
+        trajs [E, K, H+1, S]).  Differentiable, so gradient optimizers
+        descend the robust objective (subgradient through the max)."""
         pred = getattr(self.predictor, "predictor", self.predictor)
+        trajs = pred.rollout_all_members(s_tiled, Q, params["dyn"])
+        costs = jax.vmap(
+            lambda tr: self.cost_function.get_trajectory_cost(
+                tr, Q, u_prev, self._cost_params(params)
+            )
+        )(trajs)                                              # [E, K]
+        return self._robust_aggregate(costs), trajs
 
+    def _robust_member_cost(self):
         def cost_fn(s_tiled, Q, u_prev, params):
-            trajs = pred.rollout_all_members(s_tiled, Q, params["dyn"])
-            costs = jax.vmap(
-                lambda tr: self.cost_function.get_trajectory_cost(
-                    tr, Q, u_prev, self._cost_params(params)
-                )
-            )(trajs)                                          # [E, K]
-            return self._robust_aggregate(costs)
+            return self._robust_cost_and_members(s_tiled, Q, u_prev, params)[0]
 
         return cost_fn
 
     def _rollout_and_cost(self, s_tiled, Q, u_prev, params):
         if self.robust_eval:
-            pred = getattr(self.predictor, "predictor", self.predictor)
-            trajs = pred.rollout_all_members(s_tiled, Q, params["dyn"])
-            cost = self._robust_aggregate(jax.vmap(
-                lambda tr: self.cost_function.get_trajectory_cost(
-                    tr, Q, u_prev, self._cost_params(params)
-                )
-            )(trajs))
+            cost, trajs = self._robust_cost_and_members(
+                s_tiled, Q, u_prev, params
+            )
             traj = jnp.mean(trajs, axis=0)  # diagnostics: the mean model
         else:
             traj = self.predictor.rollout(s_tiled, Q, params["dyn"])

@@ -671,3 +671,74 @@ def test_robust_mpc_closed_loop_and_cost_ordering(ens_fit):
         u = ctrl.step(s_run[0])
         s_run, *_ = env.step(u)
     assert abs(float(s_run[0, 2])) < 0.35, f"robust MPC failed: {s_run[0]}"
+
+
+# ----------------------------------------------------- review regressions
+def test_ts1_excluded_from_fused_cost_paths(ens_fit):
+    """ts='1' predictors must not expose single_step: the fused scan would
+    silently plan under TS-inf/mean semantics (review finding)."""
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(
+        optimizer_name="mppi",
+        predictor_specification=f"ensemble:mlp-32-32:4:{d}:ts1",
+        optimizer_config={"seed": 1, "mpc_timestep": 0.02, "mpc_horizon": 10,
+                          "num_rollouts": 64, "cc_weight": 1.0, "R": 1.0,
+                          "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+                          "period_interpolation_inducing_points": 5},
+    )
+    opt = ctrl.optimizer
+    assert opt.predictor.predictor.ts == "1"
+    assert opt.predictor.single_step is None
+    assert opt._make_cost_only() is None  # trajectory path carries TS-1
+    u = ctrl.step(np.array([0.0, 0.0, 0.1, 0.0], np.float32))
+    assert np.all(np.isfinite(u))
+
+
+def test_configure_rejects_indivisible_population(ens_fit):
+    """K % E != 0 used to silently degrade the whole population to the
+    ensemble-MEAN dynamics at E x the FLOPs (review finding)."""
+    _, _, d = ens_fit
+    ctrl = MPCController(
+        "cartpole",
+        (np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        {"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    with pytest.raises(ValueError, match="divide"):
+        ctrl.configure(
+            optimizer_name="mppi",
+            predictor_specification=f"ensemble:mlp-32-32:4:{d}",
+            optimizer_config={"seed": 1, "mpc_timestep": 0.02,
+                              "mpc_horizon": 10, "num_rollouts": 50,
+                              "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+                              "NU": 1000.0, "SQRTRHOINV": 0.05,
+                              "period_interpolation_inducing_points": 5},
+        )
+
+
+def test_ts1_member_hash_is_not_round_robin():
+    """Power-of-two E must still mix: without the _mix32 finalizer the
+    member pattern degenerated to (k XOR t) mod E (review finding)."""
+    params = _constant_members([1.0, 2.0, 3.0, 4.0], S=2)
+    ens = EnsemblePredictor(
+        net_name="mlp-4", n_members=4, num_states=2, num_control_inputs=1,
+        params=params, ts="1",
+    )
+    K, H = 8, 16
+    traj = np.asarray(ens.rollout(np.zeros((K, 2), np.float32),
+                                  np.zeros((K, H, 1), np.float32)))
+    members = np.rint(np.diff(traj[:, :, 0], axis=1)).astype(int)  # [K, H]
+    # Not E-periodic in time for at least one rollout...
+    assert any(
+        not np.array_equal(members[k, :4], members[k, 4:8]) for k in range(K)
+    ), "TS-1 member sequence is a rigid period-E round-robin"
+    # ...and rollouts k and k+E see different member sequences.
+    assert any(
+        not np.array_equal(members[k], members[k + 4]) for k in range(4)
+    ), "rollouts k and k+E share identical member sequences"
