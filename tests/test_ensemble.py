@@ -308,6 +308,7 @@ def test_risk_weight_gradient_path(ens_fit):
         assert np.all(np.isfinite(u))
 
 
+@pytest.mark.slow
 def test_closed_loop_harness_over_ensemble(ens_fit):
     """The on-device closed-loop harness (one jitted scan) composes with
     the ensemble predictor: run + run_batch produce finite, stabilizing
@@ -343,6 +344,7 @@ def test_closed_loop_harness_over_ensemble(ens_fit):
     assert np.all(np.isfinite(np.asarray(batch["mean_costs"])))
 
 
+@pytest.mark.slow
 def test_icem_over_ensemble_is_pets(ens_fit):
     """iCEM + bootstrap ensemble + TS-inf = the canonical PETS planner;
     rides the same _make_cost_only path (ensemble kernel on TPU)."""
@@ -521,6 +523,7 @@ def test_nll_fit_learns_heteroscedastic_noise():
     assert hi > 0.25 and lo < 0.15
 
 
+@pytest.mark.slow
 def test_pe_mpc_stabilizes_cartpole():
     """MPC over a probabilistic (PE-TS) ensemble controls the real plant;
     the kernel gate routes the noisy rollout to the scan path."""
@@ -630,6 +633,7 @@ def test_robust_eval_requires_ensemble_and_validates_mode(ens_fit):
         )
 
 
+@pytest.mark.slow
 def test_robust_mpc_closed_loop_and_cost_ordering(ens_fit):
     """Min-max robust MPC over the learned ensemble stabilizes the real
     plant, and per-plan 'worst' J dominates 'mean' J on identical plans."""
