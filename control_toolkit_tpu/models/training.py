@@ -216,22 +216,33 @@ def fit_ensemble_mlp_dynamics(
             raise ValueError(
                 f"n_members {E} must divide by mesh size {mesh.size} for "
                 "member-axis ensemble parallelism")
-        from control_toolkit_tpu.parallel.mesh import population_spec
+        from control_toolkit_tpu.parallel.mesh import population_spec, replicated
 
-        def member_sharded(tree):
+        # Host arrays enter REPLICATED (valid on multi-process meshes where
+        # this process can't address every device); the member-axis layout
+        # is imposed with in-program sharding constraints, so XLA keeps
+        # params/moments member-sharded across steps — same recipe as the
+        # data-parallel fitters above.
+        repl = replicated(mesh)
+        core, opt_state, boot = (
+            jax.tree_util.tree_map(lambda v: jax.device_put(v, repl), t)
+            for t in (core, opt_state, boot)
+        )
+
+        def constrain_members(tree):
             from jax.sharding import PartitionSpec as P
 
-            def place(v):
+            def c(v):
                 # Scalar leaves (the Adam step count) replicate; array
                 # leaves shard their leading member axis.
                 spec = P() if jnp.ndim(v) == 0 else population_spec(
                     mesh, jnp.ndim(v))
-                return jax.device_put(v, NamedSharding(mesh, spec))
-            return jax.tree_util.tree_map(place, tree)
-
-        core = member_sharded(core)
-        opt_state = member_sharded(opt_state)
-        boot = member_sharded(boot)
+                return jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, spec))
+            return jax.tree_util.tree_map(c, tree)
+    else:
+        def constrain_members(tree):
+            return tree
 
     if probabilistic:
         from control_toolkit_tpu.models.ensemble_predictor import bound_logvar
@@ -257,12 +268,14 @@ def fit_ensemble_mlp_dynamics(
         # would bake megabytes of int32 constants into every re-trace as
         # the PETS loop's dataset grows (review finding; cf.
         # fit_mlp_dynamics passing idx).
+        p, o = constrain_members(p), constrain_members(o)
         idx = jnp.take_along_axis(boot_tab, pos, axis=1)
         xb = jnp.take(data, idx, axis=0)   # [E, bs, S+U]
         yb = jnp.take(tgt, idx, axis=0)
         losses, grads = jax.vmap(jax.value_and_grad(loss_fn))(p, xb, yb)
         updates, o = tx.update(grads, o)   # Adam is elementwise: stacked
-        return optax.apply_updates(p, updates), o, losses
+        return (constrain_members(optax.apply_updates(p, updates)),
+                constrain_members(o), losses)
 
     bs = min(batch_size, n)
     p = core
@@ -271,6 +284,16 @@ def fit_ensemble_mlp_dynamics(
         pos = jax.random.randint(sub, (E, bs), 0, n)
         p, opt_state, losses = train_step(p, opt_state, inp, target, boot, pos)
 
+    if mesh is not None:
+        # De-shard to replicated before anything crosses the host boundary:
+        # on a multi-process mesh the member-sharded leaves are not fully
+        # addressable here, so eager reads (np.asarray, checkpoint saves)
+        # would fail — and callers expect ordinary usable params.
+        rep = replicated(mesh)
+        p = jax.jit(
+            lambda t: t,
+            out_shardings=jax.tree_util.tree_map(lambda _: rep, p),
+        )(p)
     per_member = np.asarray(
         jax.jit(jax.vmap(lambda m: mse_fn(m, inp, target)))(p)
     )

@@ -204,6 +204,27 @@ def run_training_trace(mesh) -> np.ndarray:
     return np.concatenate([np.asarray(l, np.float32).ravel() for l in leaves])
 
 
+def run_ensemble_training_trace(mesh) -> np.ndarray:
+    """Member-axis-parallel ``fit_ensemble_mlp_dynamics`` on the (possibly
+    multi-process) global mesh: E=8 bootstrap members shard one-per-device
+    over 2 processes x 4 devices — the expert-parallel analog, with zero
+    collectives in the step (members are independent).  Returns the
+    stacked params flattened; must agree across processes and match the
+    unsharded single-process fit tightly (no reduction-order change inside
+    any member)."""
+    import jax
+
+    from control_toolkit_tpu.models.training import fit_ensemble_mlp_dynamics
+
+    x, u, xn = training_data()
+    params, _ = fit_ensemble_mlp_dynamics(
+        x, u, xn, n_members=8, hiddens=(8,), epochs=TRAIN_EPOCHS,
+        batch_size=64, seed=3, mesh=mesh)
+    leaves = jax.tree_util.tree_leaves(
+        {k: v for k, v in sorted(params.items())})
+    return np.concatenate([np.asarray(l, np.float32).ravel() for l in leaves])
+
+
 def _worker_main(argv: Optional[List[str]] = None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--process-id", type=int, required=True)
@@ -252,6 +273,9 @@ def _worker_main(argv: Optional[List[str]] = None) -> None:
         elif name == "train":
             # Data-parallel predictor training across the process boundary.
             out[name] = run_training_trace(mesh)
+        elif name == "train-ens":
+            # Member-axis (expert-parallel analog) ensemble training.
+            out[name] = run_ensemble_training_trace(mesh)
         else:
             out[name] = run_sharded_trace(name, mesh, args.steps)
     np.savez(args.out, **out)

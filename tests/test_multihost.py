@@ -117,3 +117,23 @@ def test_training_across_processes():
 
     single = run_training_trace(None)            # unsharded reference
     np.testing.assert_allclose(a, single, atol=2e-5, rtol=0)
+
+
+@pytest.mark.slow
+def test_ensemble_training_across_processes():
+    """Member-axis ensemble training across OS processes: E=8 bootstrap
+    members shard one-per-device over the 2-process x 4-device global mesh
+    (the expert-parallel analog; zero collectives — members are
+    independent).  Both processes produce identical stacked params, equal
+    to the unsharded single-process fit (members see no reduction-order
+    change, so parity is tight)."""
+    from control_toolkit_tpu.parallel.launch import run_ensemble_training_trace
+
+    traces = launch_workers(
+        num_processes=2, local_devices=4, optimizers="train-ens"
+    )
+    a, b = traces[0]["train-ens"], traces[1]["train-ens"]
+    np.testing.assert_array_equal(a, b)
+
+    single = run_ensemble_training_trace(None)   # unsharded reference
+    np.testing.assert_allclose(a, single, atol=2e-5, rtol=0)
