@@ -80,6 +80,7 @@ def _load_builtins() -> None:
         "control_toolkit_tpu.optimizers.cem_gmm",
         "control_toolkit_tpu.optimizers.cem_grad_bharadhwaj",
         "control_toolkit_tpu.optimizers.icem",
+        "control_toolkit_tpu.optimizers.cma_es",
         "control_toolkit_tpu.optimizers.gradient",
         "control_toolkit_tpu.optimizers.mppi",
         "control_toolkit_tpu.optimizers.mppi_var",

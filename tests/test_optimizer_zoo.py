@@ -22,6 +22,10 @@ OPTIMIZER_CONFIGS = {
                 "icem_colored_noise_beta": 2.0,
                 "icem_keep_elites_frac": 0.3,
                 "icem_add_mean_sample": True},
+    "cma-es-tf": {"cma_outer_it": 2, "cma_mu": 8,
+                  "cma_initial_step_size": 0.3,
+                  "cma_step_size_min": 0.01,
+                  "cma_add_mean_sample": True},
     "cem-grad-bharadhwaj-tf": {"cem_outer_it": 2, "cem_best_k": 8,
                                "cem_initial_action_stdev": 2.0,
                                "cem_stdev_min": 1e-6, "learning_rate": 0.05,
