@@ -13,6 +13,7 @@ import pytest
 from control_toolkit_tpu.models.dynamics import soa_to_aos
 from control_toolkit_tpu.models.predictors import ODEPredictor
 from control_toolkit_tpu.optimizers.cem import CEMOptimizer
+from control_toolkit_tpu.optimizers.cma_es import CMAESOptimizer
 from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
 from control_toolkit_tpu.optimizers.icem import ICEMOptimizer
 from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
@@ -42,6 +43,10 @@ OPT_CONFIGS = {
         "cem_stdev_min": 0.01, "cem_best_k": 8,
         "icem_colored_noise_beta": 2.0, "icem_keep_elites_frac": 0.3,
         "icem_add_mean_sample": True,
+    }),
+    "cma": (CMAESOptimizer, {
+        "cma_outer_it": 2, "cma_mu": 8, "cma_initial_step_size": 0.3,
+        "cma_add_mean_sample": True,
     }),
     "rpgd": (RPGDOptimizer, {
         "outer_its": 2, "SAMPLING_DISTRIBUTION": "uniform",
@@ -107,6 +112,9 @@ def test_guess_seeds_state_exactly(name):
     seeded = opt._apply_policy_guess(opt.opt_state, plan)
     if name == "mppi":
         np.testing.assert_array_equal(np.asarray(seeded.u_nom[0]), np.asarray(plan))
+    elif name == "cma":
+        np.testing.assert_array_equal(
+            np.asarray(seeded.mean.reshape(H, 1)), np.asarray(plan))
     elif name in ("cem", "icem"):
         np.testing.assert_array_equal(
             np.asarray(seeded.dist_mue[0]), np.asarray(plan))
