@@ -1,0 +1,137 @@
+"""Learned terminal value function as a cost-function wrapper.
+
+Beyond-the-reference capability (the reference's cost contract has a
+zero-default terminal cost, /root/reference/Cost_Functions/__init__.py:38-47,
+and no way to learn one): wrap ANY cost function so its terminal cost adds a
+trained value net ``V(x_terminal)`` estimating the cost-to-go beyond the
+horizon — the MBVE / TD-MPC recipe that lets a SHORT planning horizon act
+with LONG-horizon foresight.  Shorter horizons shrink the sequential
+``lax.scan`` (the one axis the TPU cannot parallelize), so amortizing
+horizon into a value net is a throughput lever, not just a quality one.
+
+Workflow (all pieces in-tree):
+
+1. run a long-horizon expert (or any data-collection policy) and record
+   per-tick realized stage costs (``MPCController`` fills
+   ``realized_cost_logged``);
+2. ``models.training.discounted_cost_to_go`` turns episode stage costs into
+   value targets; ``models.training.fit_value_mlp`` fits ``V``;
+3. ``attach_value_terminal(ctrl, value_params)`` wraps the controller's
+   cost in-place (re-jits the optimizer step once);
+4. re-fits hot-swap through ``update_value_params`` — the net's weights are
+   jit ARGUMENTS (they ride ``params["cost"]``), so no recompile.
+
+The wrapped cost keeps the fused-scan rollout path (the MLP is ordinary XLA
+traced into the trajectory program) but opts out of the Pallas cost kernels
+(``pallas_eligible = False``) whose cost bodies take scalar operands only.
+
+Trajectory-cost semantics are unchanged (mean over H stage costs +
+terminal, costs/base.py): with ``value_scale=1`` the optimizer ranks plans
+by ``sum(stage) + V(x_H)`` — the Bellman-consistent objective.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from control_toolkit_tpu.costs.base import CostFunction
+from control_toolkit_tpu.models import networks as nets
+
+
+class ValueTerminalCost(CostFunction):
+    """Wrap ``base`` so ``terminal_cost = base_terminal + scale * V(x)``.
+
+    ``value_params`` is an ``mlp_init``-style pytree mapping the state
+    vector to a single cost-to-go scalar.  The params travel in
+    ``params["cost"]["_value_net"]`` (a jit argument), so re-assigning
+    ``self.value_params`` after a re-fit reaches the next step without
+    recompiling.
+    """
+
+    # Kernel cost bodies take scalar operands; the value net is XLA-only.
+    pallas_eligible = False
+
+    def __init__(self, base: CostFunction, value_params: Dict,
+                 value_scale: float = 1.0):
+        self.base = base
+        self.value_params = value_params
+        self.value_scale = float(value_scale)
+        # Share the base's mutable config dict so YAML hot-reload keeps
+        # working through the wrapper.
+        self.config = base.config
+        self.attr_defaults = dict(getattr(base, "attr_defaults", {}))
+        self.dynamic_config_keys = tuple(
+            getattr(base, "dynamic_config_keys", ())
+        )
+        self.logged_attributes = getattr(base, "logged_attributes", {})
+        self.reload_cost_parameters_from_config_flag = False
+        self.attr_keys = tuple(getattr(base, "attr_keys", ()))
+        self.mirrored_dynamics_keys = tuple(
+            getattr(base, "mirrored_dynamics_keys", ())
+        )
+        self.MAX_COST = base.MAX_COST
+        self.MIN_COST = base.MIN_COST
+        self.batch_size = base.batch_size
+        self.horizon = base.horizon
+
+    # ---- delegation --------------------------------------------------------
+    def configure(self, batch_size: int, horizon: int, **kwargs) -> None:
+        self.base.configure(batch_size=batch_size, horizon=horizon, **kwargs)
+        self.batch_size = batch_size
+        self.horizon = horizon
+
+    def sync_with_dynamics(self, dyn_params: Dict) -> None:
+        self.base.sync_with_dynamics(dyn_params)
+
+    def reload_cost_parameters_from_config(self) -> None:
+        self.base.reload_cost_parameters_from_config()
+
+    def _stage_cost_core_soa(self, xs, us, params):
+        return self.base._stage_cost_core_soa(xs, us, params)
+
+    def control_change_cost_soa(self, us, prev_us, params):
+        return self.base.control_change_cost_soa(us, prev_us, params)
+
+    def terminal_cost_soa(self, xs, params):
+        x = jnp.stack(xs, axis=-1)
+        v = nets.mlp_apply(params["cost"]["_value_net"], x)[..., 0]
+        return (
+            self.base.terminal_cost_soa(xs, params)
+            + params["cost"]["_value_scale"] * v
+        )
+
+    def current_params(self, attrs: Optional[Dict] = None) -> Dict:
+        p = self.base.current_params(attrs)
+        p["cost"] = dict(p["cost"])
+        p["cost"]["_value_net"] = self.value_params
+        p["cost"]["_value_scale"] = jnp.asarray(self.value_scale, jnp.float32)
+        return p
+
+
+def attach_value_terminal(ctrl, value_params: Dict,
+                          value_scale: float = 1.0) -> ValueTerminalCost:
+    """Wrap an ``MPCController``'s cost with a learned terminal value,
+    in place.  Re-jits the optimizer step (the traced cost changed) and
+    invalidates the controller's cached cost params; returns the wrapper
+    for later ``update_value_params`` hot-swaps."""
+    wrapper = ctrl.cost_function  # the CostFunctionWrapper
+    vt = ValueTerminalCost(wrapper.cost_function, value_params, value_scale)
+    wrapper.cost_function = vt
+    ctrl._cost_params = None
+    if hasattr(ctrl, "_realized_cost_jit"):
+        del ctrl._realized_cost_jit  # retrace against the wrapped cost
+    ctrl.optimizer._build()
+    return vt
+
+
+def update_value_params(ctrl, value_params: Dict) -> None:
+    """Hot-swap a re-fit value net into a wrapped controller: the params
+    pytree structure is unchanged, so the next step picks the new weights
+    up as jit arguments with zero recompiles."""
+    cf = ctrl.cost_function.cost_function
+    if not isinstance(cf, ValueTerminalCost):
+        raise ValueError("controller's cost is not a ValueTerminalCost; "
+                         "call attach_value_terminal first")
+    cf.value_params = value_params
+    ctrl._cost_params = None  # re-assemble from the new leaves

@@ -441,3 +441,81 @@ def fit_policy(states: np.ndarray, controls: np.ndarray, hiddens=(32, 32),
     final = float(jax.jit(loss_fn)(params, xs, ys))
     logger.info(f"policy fit: full MSE {final:.3e}")
     return params, final
+
+
+def discounted_cost_to_go(stage_costs: np.ndarray, gamma: float = 0.97,
+                          ) -> np.ndarray:
+    """Per-tick discounted cost-to-go of ONE episode's realized stage costs:
+    ``G_t = g_t + gamma * G_{t+1}`` — the regression targets for a terminal
+    value net (costs/value_terminal.py).  [T] -> [T].  gamma<1 bounds the
+    tail-truncation bias of finite episodes."""
+    g = np.asarray(stage_costs, np.float64).reshape(-1)
+    out = np.empty_like(g)
+    acc = 0.0
+    for t in range(g.shape[0] - 1, -1, -1):
+        acc = g[t] + gamma * acc
+        out[t] = acc
+    return out.astype(np.float32)
+
+
+def fit_value_mlp(states: np.ndarray, returns: np.ndarray, hiddens=(32, 32),
+                  epochs: int = 2000, learning_rate: float = 1e-3,
+                  seed: int = 0, batch_size: int = 1024,
+                  mesh: Optional[Mesh] = None) -> Tuple[Dict, float]:
+    """Fit a state-value net ``V(s) ~= cost-to-go`` for use as a learned
+    terminal cost (costs/value_terminal.py).  Returns (params, mse).
+
+    ``states`` [N,S], ``returns`` [N] (e.g. from ``discounted_cost_to_go``
+    over recorded episodes).  With ``mesh``, each Adam step runs
+    data-parallel over the mesh like every other fitter here."""
+    S = states.shape[-1]
+    key = make_key(seed, "fit_value_mlp")
+    key, sub = jax.random.split(key)
+    params = nets.mlp_init(sub, [S] + list(hiddens) + [1])
+    # Standardize inputs and targets for the fit, then FOLD the affine
+    # normalizations into the first/last layers so the returned params are
+    # a plain mlp_apply net in raw units (what the cost wrapper evaluates).
+    x_raw = np.asarray(states, np.float32)
+    y_raw = np.asarray(returns, np.float32).reshape(-1, 1)
+    x_mu, x_sd = x_raw.mean(0), x_raw.std(0) + 1e-6
+    y_mu, y_sd = float(y_raw.mean()), float(y_raw.std()) + 1e-6
+    xs = jnp.asarray((x_raw - x_mu) / x_sd)
+    ys = jnp.asarray((y_raw - y_mu) / y_sd)
+
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    constrain, replicate = _dp_helpers(mesh)
+    params, opt_state = replicate(params), replicate(opt_state)
+
+    def loss_fn(p, xb, yb):
+        return jnp.mean((nets.mlp_apply(p, xb) - yb) ** 2)
+
+    @jax.jit
+    def train_step(p, o, data, tgt, idx):
+        xb = constrain(jnp.take(data, idx, axis=0))
+        yb = constrain(jnp.take(tgt, idx, axis=0))
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+        updates, o = tx.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    n = xs.shape[0]
+    bs = _dp_batch_size(min(batch_size, n), mesh)
+    for _ in range(epochs):
+        key, sub = jax.random.split(key)
+        idx = jax.random.randint(sub, (bs,), 0, n)
+        params, opt_state, _ = train_step(params, opt_state, xs, ys, idx)
+    final = float(jax.jit(loss_fn)(params, xs, ys)) * y_sd * y_sd
+    logger.info(f"value fit: full MSE {final:.3e} (raw units)")
+    # Fold x-standardization into layer 0 and y-de-standardization into the
+    # last layer: net(raw x) == y_mu + y_sd * trained((x - x_mu)/x_sd).
+    params = dict(params)
+    n_layers = sum(1 for k in params if k.startswith("w"))
+    mu = jnp.asarray(x_mu); sd = jnp.asarray(x_sd)
+    w0, b0 = params["w0"], params["b0"]
+    params["w0"] = w0 / sd[:, None]
+    params["b0"] = b0 - (mu / sd) @ w0
+    last = n_layers - 1
+    params[f"w{last}"] = params[f"w{last}"] * y_sd
+    params[f"b{last}"] = params[f"b{last}"] * y_sd + y_mu
+    return params, final

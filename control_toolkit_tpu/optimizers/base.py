@@ -606,8 +606,11 @@ class Optimizer:
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
             # The kernels carry attributes as SMEM scalars; a cost declaring
-            # array-valued attr defaults (e.g. a reference trajectory) stays
-            # on the scan path, which handles array attrs natively.
+            # array-valued attr defaults (e.g. a reference trajectory) or
+            # non-scalar learned cost params (pallas_eligible=False, e.g. a
+            # value-net terminal) stays on the scan path, which handles
+            # array-valued cost params natively.
+            and getattr(cf, "pallas_eligible", True)
             and all(
                 np.ndim(v) == 0
                 for v in getattr(cf, "attr_defaults", {}).values()
@@ -865,6 +868,10 @@ class Optimizer:
             and pred.compute_dtype == jnp.float32
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
+            # Costs carrying non-scalar learned params (e.g. a value-net
+            # terminal) evaluate in XLA only — the kernels' cost bodies
+            # take scalar operands.
+            and getattr(cf, "pallas_eligible", True)
             and all(
                 np.ndim(v) == 0
                 for v in getattr(cf, "attr_defaults", {}).values()
@@ -986,6 +993,10 @@ class Optimizer:
             and not pred.probabilistic
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
+            # Costs carrying non-scalar learned params (e.g. a value-net
+            # terminal) evaluate in XLA only — the kernels' cost bodies
+            # take scalar operands.
+            and getattr(cf, "pallas_eligible", True)
             and all(
                 np.ndim(v) == 0
                 for v in getattr(cf, "attr_defaults", {}).values()
@@ -1065,6 +1076,10 @@ class Optimizer:
             and isinstance(pred, GPPredictor)
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
+            # Costs carrying non-scalar learned params (e.g. a value-net
+            # terminal) evaluate in XLA only — the kernels' cost bodies
+            # take scalar operands.
+            and getattr(cf, "pallas_eligible", True)
             and all(
                 np.ndim(v) == 0
                 for v in getattr(cf, "attr_defaults", {}).values()
@@ -1148,6 +1163,10 @@ class Optimizer:
             and getattr(pred.base.dynamics, "soa", None) is not None
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
+            # Costs carrying non-scalar learned params (e.g. a value-net
+            # terminal) evaluate in XLA only — the kernels' cost bodies
+            # take scalar operands.
+            and getattr(cf, "pallas_eligible", True)
             and all(
                 np.ndim(v) == 0
                 for v in getattr(cf, "attr_defaults", {}).values()
