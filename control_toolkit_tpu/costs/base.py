@@ -119,6 +119,21 @@ class CostFunction:
         """Component-form terminal cost. Default 0 (reference :38-47)."""
         return jnp.zeros_like(xs[0])
 
+    # Extra terminal cost evaluated OUTSIDE the Pallas kernels on the
+    # kernel-emitted terminal states: ``post_terminal_cost(x_term [K,S],
+    # params) -> [K]`` (un-normalized — the caller divides by H+1).  None
+    # for plain costs; ValueTerminalCost overrides it with the value net
+    # so learned-terminal MPC rides the kernel fast paths (the kernels'
+    # in-body cost takes scalar operands only).
+    post_terminal_cost = None
+
+    def kernel_terminal_soa(self, xs, params) -> jnp.ndarray:
+        """Terminal cost evaluated INSIDE the Pallas kernels (the
+        scalar-operand part).  Costs with a non-scalar terminal component
+        override this to the scalar part and expose the remainder via
+        ``post_terminal_cost``; for everything else it IS the terminal."""
+        return self.terminal_cost_soa(xs, params)
+
     # ---- array-of-structs forms (derived) ---------------------------------
     def _stage_cost_core(self, states, inputs, params) -> jnp.ndarray:
         """[..., S], [..., U] -> [...]: stage cost sans control-change term."""

@@ -21,9 +21,15 @@ Workflow (all pieces in-tree):
 4. re-fits hot-swap through ``update_value_params`` — the net's weights are
    jit ARGUMENTS (they ride ``params["cost"]``), so no recompile.
 
-The wrapped cost keeps the fused-scan rollout path (the MLP is ordinary XLA
-traced into the trajectory program) but opts out of the Pallas cost kernels
-(``pallas_eligible = False``) whose cost bodies take scalar operands only.
+Kernel fast path: the Pallas cost kernels evaluate the scalar-operand part
+of the cost in-body and EMIT the terminal states ``x_H`` ([K, S]); the
+optimizer then adds ``scale * V(x_H) / (H+1)`` outside the kernel as one
+MXU matmul chain (``post_terminal_cost`` hook, costs/base.py).  So MPPI/CEM
+/iCEM/CMA-ES with a learned terminal keep the kernel path whenever the BASE
+cost is kernel-eligible (``pallas_eligible`` delegates).  The GRADIENT
+kernels stay excluded — their in-kernel backward sweep would silently drop
+``dV/dQ`` — so RPGD/gradient-tf with a value terminal differentiate through
+the fused scan (V participates in AD there).
 
 Trajectory-cost semantics are unchanged (mean over H stage costs +
 terminal, costs/base.py): with ``value_scale=1`` the optimizer ranks plans
@@ -47,13 +53,21 @@ class ValueTerminalCost(CostFunction):
     ``params["cost"]["_value_net"]`` (a jit argument), so re-assigning
     ``self.value_params`` after a re-fit reaches the next step without
     recompiling.
-    """
 
-    # Kernel cost bodies take scalar operands; the value net is XLA-only.
-    pallas_eligible = False
+    Delegation covers the FULL cost surface — both the SOA primitives and
+    the AoS methods — so a base cost that overrides ``_get_stage_cost`` /
+    ``get_terminal_cost`` directly (e.g. the pointmass obstacle costs)
+    keeps its custom behavior under the wrapper (ADVICE r3).
+    """
 
     def __init__(self, base: CostFunction, value_params: Dict,
                  value_scale: float = 1.0):
+        if isinstance(base, ValueTerminalCost):
+            raise ValueError(
+                "refusing to nest ValueTerminalCost wrappers (V would apply "
+                "twice); use attach_value_terminal, which updates an "
+                "existing wrapper in place"
+            )
         self.base = base
         self.value_params = value_params
         self.value_scale = float(value_scale)
@@ -75,7 +89,13 @@ class ValueTerminalCost(CostFunction):
         self.batch_size = base.batch_size
         self.horizon = base.horizon
 
-    # ---- delegation --------------------------------------------------------
+    # ---- the value term ----------------------------------------------------
+    def _value(self, x, params):
+        """V on stacked states: [..., S] -> [...] (scaled)."""
+        v = nets.mlp_apply(params["cost"]["_value_net"], x)[..., 0]
+        return params["cost"]["_value_scale"] * v
+
+    # ---- delegation: lifecycle ----------------------------------------------
     def configure(self, batch_size: int, horizon: int, **kwargs) -> None:
         self.base.configure(batch_size=batch_size, horizon=horizon, **kwargs)
         self.batch_size = batch_size
@@ -87,6 +107,7 @@ class ValueTerminalCost(CostFunction):
     def reload_cost_parameters_from_config(self) -> None:
         self.base.reload_cost_parameters_from_config()
 
+    # ---- delegation: SOA primitives -----------------------------------------
     def _stage_cost_core_soa(self, xs, us, params):
         return self.base._stage_cost_core_soa(xs, us, params)
 
@@ -95,11 +116,44 @@ class ValueTerminalCost(CostFunction):
 
     def terminal_cost_soa(self, xs, params):
         x = jnp.stack(xs, axis=-1)
-        v = nets.mlp_apply(params["cost"]["_value_net"], x)[..., 0]
+        return self.base.terminal_cost_soa(xs, params) + self._value(x, params)
+
+    def kernel_terminal_soa(self, xs, params):
+        # The scalar-operand part evaluated INSIDE the Pallas kernels; the
+        # value net is added outside via post_terminal_cost.
+        return self.base.kernel_terminal_soa(xs, params)
+
+    def post_terminal_cost(self, x_term, params):
+        """[K, S] kernel-emitted terminal states -> [K] value term."""
+        base_post = getattr(self.base, "post_terminal_cost", None)
+        v = self._value(x_term, params)
+        return v if base_post is None else v + base_post(x_term, params)
+
+    # ---- delegation: AoS surface (bases may override these directly) --------
+    def _get_stage_cost(self, states, inputs, previous_input, params):
+        return self.base._get_stage_cost(states, inputs, previous_input, params)
+
+    def get_stage_cost(self, states, inputs, previous_input, params):
+        return self.base.get_stage_cost(states, inputs, previous_input, params)
+
+    def stage_cost_step(self, x, u, u_prev, params):
+        return self.base.stage_cost_step(x, u, u_prev, params)
+
+    def get_terminal_cost(self, terminal_states, params):
         return (
-            self.base.terminal_cost_soa(xs, params)
-            + params["cost"]["_value_scale"] * v
+            self.base.get_terminal_cost(terminal_states, params)
+            + self._value(terminal_states, params)
         )
+
+    @property
+    def supports_fused_rollout(self) -> bool:
+        return self.base.supports_fused_rollout
+
+    @property
+    def pallas_eligible(self) -> bool:
+        # Kernel-eligible whenever the base is: the kernels evaluate the
+        # base terminal in-body and the value net rides post_terminal_cost.
+        return getattr(self.base, "pallas_eligible", True)
 
     def current_params(self, attrs: Optional[Dict] = None) -> Dict:
         p = self.base.current_params(attrs)
@@ -114,14 +168,30 @@ def attach_value_terminal(ctrl, value_params: Dict,
     """Wrap an ``MPCController``'s cost with a learned terminal value,
     in place.  Re-jits the optimizer step (the traced cost changed) and
     invalidates the controller's cached cost params; returns the wrapper
-    for later ``update_value_params`` hot-swaps."""
+    for later ``update_value_params`` hot-swaps.  Calling it again on an
+    already-wrapped controller UPDATES the existing wrapper (same pytree
+    structure -> zero recompiles) instead of nesting a second V."""
     wrapper = ctrl.cost_function  # the CostFunctionWrapper
-    vt = ValueTerminalCost(wrapper.cost_function, value_params, value_scale)
+    inner = getattr(wrapper, "cost_function", None)
+    if inner is None:
+        raise ValueError(
+            "attach_value_terminal expects a controller whose cost_function "
+            "is a CostFunctionWrapper (MPCController); got "
+            f"{type(wrapper).__name__}"
+        )
+    if isinstance(inner, ValueTerminalCost):
+        inner.value_params = value_params
+        inner.value_scale = float(value_scale)
+        ctrl._cost_params = None
+        return inner
+    vt = ValueTerminalCost(inner, value_params, value_scale)
     wrapper.cost_function = vt
     ctrl._cost_params = None
     if hasattr(ctrl, "_realized_cost_jit"):
         del ctrl._realized_cost_jit  # retrace against the wrapped cost
     ctrl.optimizer._build()
+    ctrl.optimizer._log_kernel_path()  # the path may have changed (e.g.
+    # gradient kernels -> XLA-AD); re-announce it.
     return vt
 
 
@@ -129,7 +199,7 @@ def update_value_params(ctrl, value_params: Dict) -> None:
     """Hot-swap a re-fit value net into a wrapped controller: the params
     pytree structure is unchanged, so the next step picks the new weights
     up as jit arguments with zero recompiles."""
-    cf = ctrl.cost_function.cost_function
+    cf = getattr(ctrl.cost_function, "cost_function", None)
     if not isinstance(cf, ValueTerminalCost):
         raise ValueError("controller's cost is not a ValueTerminalCost; "
                          "call attach_value_terminal first")

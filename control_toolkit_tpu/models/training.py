@@ -509,13 +509,20 @@ def fit_value_mlp(states: np.ndarray, returns: np.ndarray, hiddens=(32, 32),
     logger.info(f"value fit: full MSE {final:.3e} (raw units)")
     # Fold x-standardization into layer 0 and y-de-standardization into the
     # last layer: net(raw x) == y_mu + y_sd * trained((x - x_mu)/x_sd).
-    params = dict(params)
+    # Jitted: eager jnp ops on replicated GLOBAL params are illegal on a
+    # multi-process mesh (same reason the loss eval above is jitted).
     n_layers = sum(1 for k in params if k.startswith("w"))
-    mu = jnp.asarray(x_mu); sd = jnp.asarray(x_sd)
-    w0, b0 = params["w0"], params["b0"]
-    params["w0"] = w0 / sd[:, None]
-    params["b0"] = b0 - (mu / sd) @ w0
     last = n_layers - 1
-    params[f"w{last}"] = params[f"w{last}"] * y_sd
-    params[f"b{last}"] = params[f"b{last}"] * y_sd + y_mu
-    return params, final
+    mu = jnp.asarray(x_mu); sd = jnp.asarray(x_sd)
+
+    @jax.jit
+    def fold(p):
+        p = dict(p)
+        w0, b0 = p["w0"], p["b0"]
+        p["w0"] = w0 / sd[:, None]
+        p["b0"] = b0 - (mu / sd) @ w0
+        p[f"w{last}"] = p[f"w{last}"] * y_sd
+        p[f"b{last}"] = p[f"b{last}"] * y_sd + y_mu
+        return p
+
+    return fold(params), final

@@ -213,9 +213,13 @@ def build_fused_mppi_step(
     # ---------------- pass 1: rollout + cost -------------------------------
     # s0 and u_nom ride in SMEM (scalar prefetch): dynamic scalar reads from
     # degenerate VMEM blocks crash the Mosaic compiler.
-    def rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref):
+    def rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref,
+                          xterm_ref=None):
         """Shared H-step rollout + stage/correction cost accumulation over a
-        [ROWS, C] tile, reading per-step perturbations from delta_ref."""
+        [ROWS, C] tile, reading per-step perturbations from delta_ref.
+        With ``xterm_ref`` ([S, ROWS, C]) the terminal states are emitted
+        too — consumed by a post-terminal hook (learned value terminal)
+        evaluated outside the kernel (costs/base.py post_terminal_cost)."""
         xs = tuple(jnp.full((ROWS, C), s0_ref[i]) for i in range(S))
         prev_us = tuple(
             jnp.full((ROWS, C), p[f"__u_prev_{j}"]) for j in range(U)
@@ -246,6 +250,9 @@ def build_fused_mppi_step(
 
         xs, _, acc, corr = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc, corr))
         cost_ref[:, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1) + corr
+        if xterm_ref is not None:
+            for i in range(S):
+                xterm_ref[i] = xs[i]
 
     def kernel1(seed_ref, pvec_ref, s0_ref, unom_ref, wk_ref, cost_ref, delta_ref):
         p = unpack(pvec_ref)
@@ -267,6 +274,18 @@ def build_fused_mppi_step(
                 Wk, eps_ref[0, j], preferred_element_type=jnp.float32
             )
         rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref)
+
+    # emit_terminal twin: second output block [S, ROWS, C] carries x_H.
+    def kernel1_ext_emit(pvec_ref, s0_ref, unom_ref, eps_ref, wk_ref,
+                         cost_ref, xterm_ref, delta_ref):
+        p = unpack(pvec_ref)
+        Wk = wk_ref[:, :]
+        for j in range(U):
+            delta_ref[j] = jnp.dot(
+                Wk, eps_ref[0, j], preferred_element_type=jnp.float32
+            )
+        rollout_cost_core(p, s0_ref, unom_ref, cost_ref, delta_ref,
+                          xterm_ref=xterm_ref)
 
     # Columnwise-context variant (batched sessions): initial state, nominal
     # plan, attrs and u_prev vary PER ROLLOUT COLUMN (each lane column of a
@@ -468,7 +487,8 @@ def build_fused_mppi_step(
         )
         return jax.jit(inner)
 
-    def make_cost_run(K: int, mesh=None, axis=None):
+    def make_cost_run(K: int, mesh=None, axis=None,
+                      emit_terminal: bool = False):
         """Semi-fused mode: external jax.random noise at the inducing points.
 
         Returns ``cost(s0 [S], u_nom [H,U], pvec [N], eps) -> costs2d`` where
@@ -478,6 +498,11 @@ def build_fused_mppi_step(
         softmax weights and exploits the LINEARITY of interpolation to take
         the weighted average over the small inducing-point tensor:
         sum_k w_k (W eps_k) == W (sum_k w_k eps_k).
+
+        ``emit_terminal=True`` returns ``(costs2d, xterm)`` with ``xterm``
+        [S, ROWS, n_tiles*C] — the terminal states in the SAME tile layout
+        as costs2d, for a post-terminal hook (learned value terminal)
+        added to costs2d before the softmax.
         """
         assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
         if mesh is not None:
@@ -496,6 +521,15 @@ def build_fused_mppi_step(
         K_local = K // n_dev
         Wk = jnp.asarray(Wk_np)
 
+        out_specs = [pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((ROWS, K_local // ROWS), jnp.float32)]
+        if emit_terminal:
+            out_specs.append(pl.BlockSpec((S, ROWS, C), lambda i, *_: (0, 0, i),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((S, ROWS, K_local // ROWS), jnp.float32)
+            )
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # pvec, s0, unom_flat
             grid=(n_tiles,),
@@ -505,17 +539,14 @@ def build_fused_mppi_step(
                 pl.BlockSpec((H * ROWS, P * ROWS), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs if emit_terminal else out_specs[0],
             scratch_shapes=[pltpu.VMEM((U, H * ROWS, C), jnp.float32)],
         )
 
         def local_cost(s0, u_nom, pvec, eps):
             return pl.pallas_call(
-                kernel1_ext,
-                out_shape=jax.ShapeDtypeStruct(
-                    (ROWS, K_local // ROWS), jnp.float32
-                ),
+                kernel1_ext_emit if emit_terminal else kernel1_ext,
+                out_shape=out_shape if emit_terminal else out_shape[0],
                 grid_spec=gs,
                 interpret=interpret,
             )(pvec, s0, u_nom.reshape(-1), eps, Wk)
@@ -533,7 +564,10 @@ def build_fused_mppi_step(
         inner = shard_map(
             local_cost, mesh=mesh,
             in_specs=(PS(), PS(), PS(), PS(first, None, None, None)),
-            out_specs=PS(None, first),
+            out_specs=(
+                (PS(None, first), PS(None, None, first))
+                if emit_terminal else PS(None, first)
+            ),
             check_vma=False,
         )
         return jax.jit(inner)

@@ -61,10 +61,18 @@ def neural_tile_for(K: int, n_shard_devices: int = 1) -> int:
 def ensemble_tile_for(K: int, n_members: int, n_shard_devices: int = 1) -> int:
     """Tile for the ensemble form of the neural kernel: the per-tile member
     mapping (tile i -> member i // tiles_per_member) needs every member
-    block to tile evenly, i.e. (K / E) % tile == 0.  Sharded meshes split
-    the K axis mid-member-block, so the ensemble kernel is gated to
-    unsharded launches (returns 0; caller keeps the member-vmapped scan)."""
-    if n_shard_devices > 1 or n_members < 1 or K % n_members:
+    block to tile evenly, i.e. (K / E) % tile == 0.
+
+    Sharded meshes compose when the member blocks NEST inside the device
+    shards — E % n_dev == 0, so device d owns members
+    [d*E/D, (d+1)*E/D) whole: the stacked weight operands shard on their
+    member axis and each device runs a local E/D-member kernel over its
+    K/D rollouts (Optimizer._build_pallas_ensemble_cost).  Shards that
+    would split a member block mid-device return 0 (caller keeps the
+    member-vmapped scan)."""
+    if n_members < 1 or K % n_members:
+        return 0
+    if n_shard_devices > 1 and n_members % n_shard_devices:
         return 0
     per_member = K // n_members
     tile = DEFAULT_NEURAL_TILE_K
@@ -163,6 +171,7 @@ def build_neural_cost_rollout_kernel(
     mxu_bf16: bool = False,
     slot_keys: Sequence[str] = (),
     n_members: int = None,
+    emit_terminal: bool = False,
 ):
     """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N], *weights) -> cost [K]`` for
     an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
@@ -198,6 +207,7 @@ def build_neural_cost_rollout_kernel(
             pslot_ref, rest = rest[0], rest[1:]
         w_refs = rest[:n_w]
         cost_ref = rest[n_w]
+        xterm_ref = rest[n_w + 1] if emit_terminal else None
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         for i, k in enumerate(slot_keys):
             p[k] = pslot_ref[i:i + 1, :]                   # [1, T] row
@@ -240,13 +250,16 @@ def build_neural_cost_rollout_kernel(
 
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+        if emit_terminal:
+            for i in range(S):
+                xterm_ref[i : i + 1, :] = xs[i]
 
     return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot,
-                        n_members=n_members)
+                        n_members=n_members, emit_terminal=emit_terminal)
 
 
 def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
-                 n_lane_ops=0, n_members=None):
+                 n_lane_ops=0, n_members=None, emit_terminal=False):
     """Shared pallas_call wrapper: fn(s0 [K,S], Q [K,H,U], pvec, *ops) —
     with ``n_slot`` > 0, fn(s0, Q, pvec, pslot [n_slot, K], *ops).
     ``n_lane_ops`` marks the LAST n operands of the weight list as
@@ -254,7 +267,9 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
     whole-array resident operands — used for per-session recurrent hidden
     columns in the batched (columns) recurrent kernel.
     ``n_members`` (ensemble form): every weight operand has a leading
-    member axis; tile i fetches member block ``i // tiles_per_member``."""
+    member axis; tile i fetches member block ``i // tiles_per_member``.
+    ``emit_terminal``: second output, the terminal states ``x_H [K, S]``
+    (for a learned terminal value evaluated outside the kernel)."""
 
     @jax.jit
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
@@ -309,16 +324,26 @@ def _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot=0,
                 pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
                              memory_space=pltpu.VMEM),
             ] + slot_specs + w_specs,
-            out_specs=pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM),
+            ] + ([
+                pl.BlockSpec((S, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM),
+            ] if emit_terminal else []),
         )
-        cost = pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((1, K), jnp.float32)]
+        if emit_terminal:
+            out_shape.append(jax.ShapeDtypeStruct((S, K), jnp.float32))
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+            out_shape=out_shape,
             grid_spec=gs,
             interpret=interpret,
         )(pvec, s0_t, q_t, *slot_ops, *weights)
-        return cost[0]
+        if emit_terminal:
+            return out[0][0], out[1].T
+        return out[0][0]
 
     return run
 
@@ -339,6 +364,7 @@ def build_residual_cost_rollout_kernel(
     tile_k: int = DEFAULT_NEURAL_TILE_K,
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
+    emit_terminal: bool = False,
 ):
     """Fused rollout+cost for the RESIDUAL predictor ('ODE+res',
     models/residual_predictor.py): ``x' = ode_step(x, u) + mlp([x, u])``.
@@ -364,6 +390,7 @@ def build_residual_cost_rollout_kernel(
             pslot_ref, rest = rest[0], rest[1:]
         w_refs = rest[:n_w]
         cost_ref = rest[n_w]
+        xterm_ref = rest[n_w + 1] if emit_terminal else None
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         for i, k in enumerate(slot_keys):
             p[k] = pslot_ref[i : i + 1, :]
@@ -392,8 +419,12 @@ def build_residual_cost_rollout_kernel(
 
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+        if emit_terminal:
+            for i in range(S):
+                xterm_ref[i : i + 1, :] = xs[i]
 
-    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot)
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot,
+                        emit_terminal=emit_terminal)
 
 
 # ----------------------------------------------------- recurrent dynamics
@@ -432,6 +463,7 @@ def build_recurrent_cost_rollout_kernel(
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
     hidden_per_lane: bool = False,
+    emit_terminal: bool = False,
 ):
     """Fused rollout+cost for stacked GRU/LSTM next-state models.
 
@@ -466,6 +498,7 @@ def build_recurrent_cost_rollout_kernel(
             pslot_ref, rest = rest[0], rest[1:]
         w_refs = rest[:n_w]
         cost_ref = rest[n_w]
+        xterm_ref = rest[n_w + 1] if emit_terminal else None
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         for i, k in enumerate(slot_keys):
             p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
@@ -551,10 +584,14 @@ def build_recurrent_cost_rollout_kernel(
             0, H, body, (xs, hs, prev_us, acc)
         )
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+        if emit_terminal:
+            for i in range(S):
+                xterm_ref[i : i + 1, :] = xs[i]
 
     return _make_runner(
         kernel, S, U, H, n_w, tile_k, interpret, n_slot,
         n_lane_ops=n_cells if hidden_per_lane else 0,
+        emit_terminal=emit_terminal,
     )
 
 
@@ -611,6 +648,7 @@ def build_gp_cost_rollout_kernel(
     tile_k: int = DEFAULT_NEURAL_TILE_K,
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
+    emit_terminal: bool = False,
 ):
     """Fused rollout+cost for sparse-GP dynamics ``x' = x + GP([x,u])``.
 
@@ -635,6 +673,7 @@ def build_gp_cost_rollout_kernel(
             pslot_ref, rest = rest[0], rest[1:]
         w_refs = rest[:n_w]
         cost_ref = rest[n_w]
+        xterm_ref = rest[n_w + 1] if emit_terminal else None
         Zs, zn2, alphaT, in_mean, inv_in, out_mean, out_std, var = (
             r[:] for r in w_refs)
         var_s = var[0, 0]
@@ -673,5 +712,9 @@ def build_gp_cost_rollout_kernel(
 
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+        if emit_terminal:
+            for i in range(S):
+                xterm_ref[i : i + 1, :] = xs[i]
 
-    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot)
+    return _make_runner(kernel, S, U, H, n_w, tile_k, interpret, n_slot,
+                        emit_terminal=emit_terminal)

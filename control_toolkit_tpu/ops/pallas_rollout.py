@@ -45,12 +45,17 @@ def build_cost_rollout_kernel(
     tile_k: int = DEFAULT_TILE_K,
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
+    emit_terminal: bool = False,
 ):
     """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> cost [K]``.
 
     ``pvec`` packs all scalar parameters in ``param_keys`` order; the SOA
     callbacks receive them as a dict.  K must be a multiple of ``tile_k``
     (the caller pads or falls back to the scan path otherwise).
+
+    ``emit_terminal=True`` adds a second output: the terminal states
+    ``x_H [K, S]`` — what a learned terminal value (costs/value_terminal.py
+    ``post_terminal_cost``) is evaluated on outside the kernel.
 
     ``slot_keys`` switches to the batched-session ("columns") form used by
     the batched CEM step (optimizers/cem.py): the listed params (attrs /
@@ -71,6 +76,7 @@ def build_cost_rollout_kernel(
         if n_slot:
             pslot_ref, rest = rest[0], rest[1:]
         cost_ref = rest[0]
+        xterm_ref = rest[1] if emit_terminal else None
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         for i, k in enumerate(slot_keys):
             p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
@@ -91,6 +97,9 @@ def build_cost_rollout_kernel(
 
         xs, _, acc = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc))
         cost_ref[0:1, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1)
+        if emit_terminal:
+            for i in range(S):
+                xterm_ref[i : i + 1, :] = xs[i]
 
     @partial(jax.jit, static_argnames=())
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
@@ -119,16 +128,26 @@ def build_cost_rollout_kernel(
                 pl.BlockSpec((H, U, tile_k), lambda i, pv: (0, 0, i),
                              memory_space=pltpu.VMEM),
             ] + slot_specs,
-            out_specs=pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((1, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM),
+            ] + ([
+                pl.BlockSpec((S, tile_k), lambda i, pv: (0, i),
+                             memory_space=pltpu.VMEM),
+            ] if emit_terminal else []),
         )
-        cost = pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((1, K), jnp.float32)]
+        if emit_terminal:
+            out_shape.append(jax.ShapeDtypeStruct((S, K), jnp.float32))
+        out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((1, K), jnp.float32),
+            out_shape=out_shape,
             grid_spec=gs,
             interpret=interpret,
         )(pvec, s0_t, q_t, *slot_ops)
-        return cost[0]
+        if emit_terminal:
+            return out[0][0], out[1].T
+        return out[0][0]
 
     return run
 

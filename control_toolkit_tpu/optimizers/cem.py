@@ -99,6 +99,11 @@ class CEMOptimizer(Optimizer):
             # kernel, which does split across devices.
             and self._mesh is None
             and self._can_use_pallas()
+            # The fused CEM kernel evaluates cost fully in-body (no
+            # terminal-state output): a post-terminal hook (learned value
+            # terminal) keeps the modular path, whose cost kernel emits
+            # x_H for V evaluated outside (_build_pallas_cost).
+            and self._post_terminal_fn() is None
         )
 
     def _build_fused_cem(self, interpret: bool = False, tile_k: int = None):

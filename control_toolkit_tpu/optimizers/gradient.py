@@ -41,6 +41,8 @@ class GradientState(NamedTuple):
 @registry.optimizers.register("gradient-tf")
 @registry.optimizers.register("gradient")
 class GradientOptimizer(Optimizer):
+    uses_gradient_kernels = True  # configure-time notice (_log_kernel_path)
+
     def __init__(
         self,
         *,

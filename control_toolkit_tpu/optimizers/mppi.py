@@ -50,7 +50,8 @@ def make_correction_cost(cc_weight: float, R: float, NU: float):
 
 
 def make_semi_fused_update(cost_kernel, pack, W_mat, LBD, low, high,
-                           ROWS, T, C, P, U):
+                           ROWS, T, C, P, U,
+                           post=None, cost_params=None, horizon=None):
     """The semi-fused MPPI nominal update shared by MPPI and mppi-var:
     run the fused interp+rollout+cost kernel on tile-layout perturbations,
     softmax-weight them, average at the INDUCING points (linearity of
@@ -59,10 +60,20 @@ def make_semi_fused_update(cost_kernel, pack, W_mat, LBD, low, high,
     One definition on purpose: mppi-var's semi-fused path differs only in
     how eps is scaled (per-input sigma) and in its extra adaptation step —
     the update body itself must never be able to drift between the two
-    optimizers (see ops/pallas_mppi.py for the layout algebra)."""
+    optimizers (see ops/pallas_mppi.py for the layout algebra).
+
+    ``post`` (with ``cost_params``/``horizon``): the cost's post-terminal
+    hook (learned value terminal, costs/base.py) — the kernel must then be
+    built with ``emit_terminal=True`` so it also returns the terminal
+    states, and ``post(x_H)/(H+1)`` joins costs2d BEFORE the softmax."""
     def update(s, u_nom, u_prev, params, eps):
         pvec = pack(params, u_prev)
-        costs2d = cost_kernel(s[0], u_nom[0], pvec, eps)     # [R, T*C]
+        if post is None:
+            costs2d = cost_kernel(s[0], u_nom[0], pvec, eps)  # [R, T*C]
+        else:
+            costs2d, xterm = cost_kernel(s[0], u_nom[0], pvec, eps)
+            x = jnp.moveaxis(xterm, 0, -1)                    # [R, T*C, S]
+            costs2d = costs2d + post(x, cost_params(params)) / (horizon + 1)
         rho = jnp.min(costs2d)
         w = jnp.exp(-(costs2d - rho) * (1.0 / LBD))
         a = jnp.sum(w)
@@ -253,6 +264,11 @@ class MPPIOptimizer(Optimizer):
             and not self.optimizer_logging
             and not self.calculate_optimal_trajectory
             and self._can_use_pallas()
+            # The fully-fused kernels evaluate the cost entirely in-body
+            # (no terminal-state output yet) — a post-terminal hook
+            # (learned value terminal) keeps the semi-fused path, whose
+            # kernel emits x_H for V evaluated outside.
+            and self._post_terminal_fn() is None
             and self.num_rollouts % DEFAULT_TILE_K == 0
         )
 
@@ -787,17 +803,25 @@ class MPPIOptimizer(Optimizer):
             )
 
             _, pack, make_run = self._build_fused_mppi(build_step=False)
+            # Learned value terminal: the kernel emits x_H and V joins the
+            # costs before the softmax (make_semi_fused_update post hook).
+            post = self._post_terminal_fn()
             if self._mesh is not None:
                 cost_kernel = make_run.external(
-                    K, mesh=self._mesh, axis=self._shard_axes
+                    K, mesh=self._mesh, axis=self._shard_axes,
+                    emit_terminal=post is not None,
                 )
             else:
-                cost_kernel = make_run.external(K)
+                cost_kernel = make_run.external(
+                    K, emit_terminal=post is not None
+                )
             T = K // DEFAULT_TILE_K
             C = DEFAULT_TILE_K // ROWS
             W_mat = jnp.asarray(self.interp.matrix, jnp.float32)  # [P, H]
             sf_update = make_semi_fused_update(
-                cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U
+                cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U,
+                post=post, cost_params=self._cost_params,
+                horizon=self.mpc_horizon,
             )
 
             def semi_fused_step_fn(state: MPPIState, s, params):

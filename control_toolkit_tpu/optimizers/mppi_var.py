@@ -233,12 +233,18 @@ class MPPIVarOptimizer(MPPIOptimizer):
             )
 
             _, pack, make_run = self._build_fused_mppi(build_step=False)
+            # Learned value terminal rides the same emit_terminal + post
+            # machinery as plain MPPI (see optimizers/mppi.py).
+            post = self._post_terminal_fn()
             if self._mesh is not None:
                 cost_kernel = make_run.external(
-                    K, mesh=self._mesh, axis=self._shard_axes
+                    K, mesh=self._mesh, axis=self._shard_axes,
+                    emit_terminal=post is not None,
                 )
             else:
-                cost_kernel = make_run.external(K)
+                cost_kernel = make_run.external(
+                    K, emit_terminal=post is not None
+                )
             T = K // DEFAULT_TILE_K
             C = DEFAULT_TILE_K // ROWS
             W_mat = jnp.asarray(self.interp.matrix, jnp.float32)  # [P, H]
@@ -246,7 +252,9 @@ class MPPIVarOptimizer(MPPIOptimizer):
                 make_semi_fused_update,
             )
             sf_update = make_semi_fused_update(
-                cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U
+                cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U,
+                post=post, cost_params=self._cost_params,
+                horizon=self.mpc_horizon,
             )
 
             def semi_fused_step_fn(state: MPPIVarState, s, params):

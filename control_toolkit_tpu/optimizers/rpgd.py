@@ -75,6 +75,8 @@ def rpgd_keep_surgery(m, v):
 @registry.optimizers.register("rpgd")
 @registry.optimizers.register("dist-adam-resamp2-tf")
 class RPGDOptimizer(Optimizer):
+    uses_gradient_kernels = True  # configure-time notice (_log_kernel_path)
+
     def __init__(
         self,
         *,

@@ -1,0 +1,112 @@
+"""Configure-time kernel-path eligibility notice (VERDICT r3 weak #2):
+`Optimizer.kernel_path_report` names every documented gate conjunct that
+blocks the Pallas fast path, and `configure()` logs one INFO line so a
+silent 2-6x fallback is legible.  The PATH decision itself always comes
+from the real gates (`_can_use_pallas*`), never re-derived."""
+import logging
+
+import numpy as np
+import pytest
+
+from control_toolkit_tpu.controllers.mpc import MPCController
+from tests.test_optimizer_zoo import make
+
+
+@pytest.fixture
+def ctt_propagate():
+    """The package logger sets propagate=False (single colored handler);
+    caplog needs propagation to the root logger."""
+    root = logging.getLogger("control_toolkit_tpu")
+    old = root.propagate
+    root.propagate = True
+    yield
+    root.propagate = old
+
+
+def _mpc(optimizer="mppi", env="cartpole", cost=None, pred_spec=None,
+         attrs=None, opt_cfg=None, n_u=1):
+    cfg = {"optimizer": optimizer, "controller_logging": False}
+    if cost:
+        cfg["cost_function_specification"] = cost
+    ctrl = MPCController(
+        environment_name=env,
+        control_limits=(np.full((n_u,), -1.0, np.float32),
+                        np.full((n_u,), 1.0, np.float32)),
+        initial_environment_attributes=attrs or {"target_position": 0.0},
+        config=cfg,
+    )
+    kw = {}
+    if pred_spec:
+        kw["predictor_specification"] = pred_spec
+    ctrl.configure(optimizer_name=optimizer, optimizer_config={
+        "seed": 1, "mpc_timestep": 0.05, "mpc_horizon": 10,
+        "num_rollouts": 64, **(opt_cfg or {}),
+    }, **kw)
+    return ctrl
+
+
+def test_report_names_backend_on_cpu():
+    ctrl = make("mppi", logging=False)
+    family, path, reasons = ctrl.optimizer.kernel_path_report()
+    assert family == "ode"
+    assert path == "fused-scan"  # CPU tests: kernels are TPU-only
+    assert any("backend" in r for r in reasons), reasons
+
+
+def test_report_names_value_terminal_gradient_exclusion(caplog, ctt_propagate):
+    """A gradient optimizer with a learned value terminal logs WHY its
+    gradient kernels are off (dV/dQ must ride XLA-AD)."""
+    import jax
+
+    from control_toolkit_tpu.costs.value_terminal import (
+        attach_value_terminal,
+    )
+    from control_toolkit_tpu.models import networks as nets
+
+    ctrl = make("rpgd-tf", logging=False)
+    vp = nets.mlp_init(jax.random.PRNGKey(0), [4, 8, 1])
+    with caplog.at_level(logging.INFO,
+                         logger="control_toolkit_tpu.optimizers.base"):
+        attach_value_terminal(ctrl, vp)  # re-jits -> re-logs the notice
+    assert ctrl.optimizer._post_terminal_fn() is not None
+    msgs = [r.message for r in caplog.records]
+    assert any("gradient kernels disabled" in m and "value terminal" in m
+               for m in msgs), msgs
+
+
+def test_report_names_force_scan():
+    ctrl = make("mppi", logging=False, force_scan=True)
+    _, path, reasons = ctrl.optimizer.kernel_path_report()
+    assert path == "fused-scan"
+    assert any("force_scan" in r for r in reasons), reasons
+
+
+def test_report_names_array_attrs():
+    ctrl = _mpc(env="pointmass", cost="pointmass/trajectory", attrs={},
+                n_u=2)
+    _, path, reasons = ctrl.optimizer.kernel_path_report()
+    assert path in ("fused-scan", "trajectory")
+    # time-indexed trajectory cost: AoS override + array attrs
+    assert any("AoS" in r or "array-valued" in r for r in reasons), reasons
+
+
+def test_report_robust_eval_path():
+    ctrl = _mpc(pred_spec="ensemble:mlp-16:4",
+                opt_cfg={"robust_eval": "worst"})
+    _, path, reasons = ctrl.optimizer.kernel_path_report()
+    assert path == "robust-member-eval"
+    assert reasons and "robust_eval" in reasons[0]
+
+
+def test_report_prob_ensemble_named():
+    ctrl = _mpc(pred_spec="ensemble:mlp-16:4:prob")
+    _, path, reasons = ctrl.optimizer.kernel_path_report()
+    assert path in ("fused-scan", "trajectory")
+    assert any("prob" in r for r in reasons), reasons
+
+
+def test_configure_logs_one_info_line(caplog, ctt_propagate):
+    with caplog.at_level(logging.INFO,
+                         logger="control_toolkit_tpu.optimizers.base"):
+        make("mppi", logging=False)
+    assert any("rollout-cost path" in r.message for r in caplog.records)

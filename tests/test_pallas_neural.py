@@ -253,6 +253,39 @@ def test_ensemble_tile_for_arithmetic():
 
     assert ensemble_tile_for(16384, 4) == 4096
     assert ensemble_tile_for(32768, 4) == 8192
-    assert ensemble_tile_for(16384, 4, n_shard_devices=2) == 0  # sharded: off
+    # Sharded: composes when member blocks nest inside device shards
+    # (E % D == 0); the tile still keys off the per-member block.
+    assert ensemble_tile_for(16384, 4, n_shard_devices=2) == 4096
+    assert ensemble_tile_for(16384, 4, n_shard_devices=8) == 0  # 4 % 8
+    assert ensemble_tile_for(1 << 20, 8, n_shard_devices=8) == 8192
     assert ensemble_tile_for(16384, 3) == 0   # K % E != 0
     assert ensemble_tile_for(4096, 4) == 0    # per-member 1024 < min tile
+
+
+def test_ensemble_kernel_sharded_matches_unsharded():
+    """Member blocks nest inside device shards: the stacked weights shard
+    on the member axis, each device runs a local E/D-member kernel, and
+    the result equals the unsharded kernel and the member-vmapped scan."""
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    K, H, E = 256, 10, 8
+    ctrl_a = make_ensemble_mppi(K, H, E)
+    opt_a = ctrl_a.optimizer
+    unsharded = opt_a._build_pallas_ensemble_cost(interpret=True, tile_k=32)
+
+    ctrl_b = make_ensemble_mppi(K, H, E)
+    # Same weights on both controllers (independent random inits otherwise).
+    ctrl_b.optimizer.predictor.predictor.net_params = \
+        opt_a.predictor.predictor.net_params
+    opt_b = ctrl_b.optimizer
+    opt_b.plan_sharding(make_rollout_mesh())
+    sharded = opt_b._build_pallas_ensemble_cost(interpret=True, tile_k=32)
+
+    s_tiled, Q, u_prev, params = _inputs(ctrl_a, K, H, seed=6)
+    a = unsharded(s_tiled, Q, u_prev, params)
+    b = sharded(s_tiled, Q, u_prev, ctrl_b._assemble_params())
+    ref = opt_a._fused_cost(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)

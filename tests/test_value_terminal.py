@@ -79,12 +79,19 @@ def test_trajectory_cost_shifts_by_value_over_h_plus_1():
     np.testing.assert_allclose(np.asarray(d), np.asarray(want), atol=1e-5)
 
 
-def test_wrapper_keeps_fused_scan_but_not_pallas():
+def test_wrapper_delegates_eligibility_and_scan_agrees():
+    """The wrapper inherits the BASE cost's kernel eligibility (the cost
+    kernels emit x_H and V rides post_terminal_cost outside the kernel) —
+    while the GRADIENT kernels stay excluded via _post_terminal_fn."""
     vt = ValueTerminalCost(QuadCost(), _rand_value_net(jax.random.PRNGKey(4), 2))
     assert vt.supports_fused_rollout
-    assert vt.pallas_eligible is False
+    assert vt.pallas_eligible is True  # delegates to QuadCost
     # the fused-scan cost path agrees with the trajectory path through the net
     opt = _make_mppi(vt, horizon=6, K=64)
+    assert opt._post_terminal_fn() is not None  # gradient kernels excluded
+    assert not opt._can_use_pallas_grad()
+    from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+    assert not batched_kernel_core_ok(opt, force_scan=False)
     cost_only = opt._make_cost_only()
     assert cost_only is not None  # fused scan engaged (CPU: no Pallas)
     params = opt.default_params()
@@ -95,6 +102,218 @@ def test_wrapper_keeps_fused_scan_but_not_pallas():
     a = cost_only(s_tiled, Q, u_prev, params)
     b = opt._rollout_and_cost(s_tiled, Q, u_prev, params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+# ---- kernel fast path (interpret mode) --------------------------------------
+
+def _mpc_ctrl(env="cartpole", optimizer="mppi", K=256, H=20, pred_spec=None):
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name=env,
+        control_limits=(np.array([-1.0], np.float32),
+                        np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.3},
+        config={"optimizer": optimizer, "controller_logging": False},
+    )
+    kw = {}
+    if pred_spec:
+        kw["predictor_specification"] = pred_spec
+    ctrl.configure(optimizer_name=optimizer, optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cc_weight": 1.0, "R": 1.0, "LBD": 100.0, "NU": 1000.0,
+        "SQRTRHOINV": 0.05, "period_interpolation_inducing_points": 5,
+    }, **kw)
+    return ctrl
+
+
+def _kernel_vs_scan(ctrl, build, K, H, tile):
+    """Shared body: kernel+post vs fused scan (which evaluates the FULL
+    wrapped terminal, V included, through XLA)."""
+    opt = ctrl.optimizer
+    assert opt._post_terminal_fn() is not None
+    kernel_cost = build(opt, tile)
+    key = jax.random.PRNGKey(11)
+    S = opt.num_states
+    s_tiled = jnp.tile(
+        jax.random.uniform(key, (1, S), minval=-0.3, maxval=0.3), (K, 1)
+    )
+    Q = jax.random.uniform(jax.random.PRNGKey(12), (K, H, 1),
+                           minval=-1.0, maxval=1.0)
+    u_prev = jnp.array([0.25], jnp.float32)
+    params = ctrl._assemble_params()
+    ref = opt._fused_cost(s_tiled, Q, u_prev, params)
+    out = kernel_cost(s_tiled, Q, u_prev, params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_value_terminal_rides_ode_cost_kernel():
+    K, H = 256, 20
+    ctrl = _mpc_ctrl(K=K, H=H)
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(6), 4),
+                          value_scale=3.0)
+    _kernel_vs_scan(
+        ctrl, lambda opt, t: opt._build_pallas_cost(interpret=True, tile_k=t),
+        K, H, 128,
+    )
+
+
+def test_value_terminal_rides_neural_cost_kernel():
+    K, H = 256, 10
+    ctrl = _mpc_ctrl(K=K, H=H, pred_spec="neural:mlp-16")
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(7), 4),
+                          value_scale=2.0)
+    _kernel_vs_scan(
+        ctrl,
+        lambda opt, t: opt._build_pallas_neural_cost(interpret=True, tile_k=t),
+        K, H, 128,
+    )
+
+
+def test_value_terminal_sharded_cost_kernel_matches_unsharded():
+    """The emit_terminal output threads through shard_map with the
+    _cost_out_specs partitioning ([K] costs + [K,S] terminal states)."""
+    from control_toolkit_tpu.parallel.mesh import make_rollout_mesh
+
+    K, H, tile = 256, 10, 32
+    ctrl_a = _mpc_ctrl(K=K, H=H)
+    vp = _rand_value_net(jax.random.PRNGKey(8), 4)
+    attach_value_terminal(ctrl_a, vp, value_scale=1.5)
+    opt_a = ctrl_a.optimizer
+    unsharded = opt_a._build_pallas_cost(interpret=True, tile_k=tile)
+
+    ctrl_b = _mpc_ctrl(K=K, H=H)
+    attach_value_terminal(ctrl_b, vp, value_scale=1.5)
+    opt_b = ctrl_b.optimizer
+    opt_b.plan_sharding(make_rollout_mesh())
+    sharded = opt_b._build_pallas_cost(interpret=True, tile_k=tile)
+
+    key = jax.random.PRNGKey(13)
+    s_tiled = jnp.tile(jnp.array([[0.1, -0.2, 0.3, 0.05]], jnp.float32), (K, 1))
+    Q = jax.random.uniform(key, (K, H, 1), minval=-1.0, maxval=1.0)
+    u_prev = jnp.array([0.25], jnp.float32)
+    pa = ctrl_a._assemble_params()
+    pb = ctrl_b._assemble_params()
+    a = unsharded(s_tiled, Q, u_prev, pa)
+    b = sharded(s_tiled, Q, u_prev, pb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_value_terminal_semi_fused_mppi_kernel():
+    """The semi-fused MPPI kernel with emit_terminal: costs2d gains
+    V(x_H)/(H+1) before the softmax, and the resulting nominal update
+    matches the modular XLA path on the SAME noise."""
+    from control_toolkit_tpu.ops.pallas_mppi import ROWS
+    from control_toolkit_tpu.optimizers.mppi import make_semi_fused_update
+
+    K, H, tile = 256, 20, 128
+    ctrl = _mpc_ctrl(K=K, H=H)
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(9), 4),
+                          value_scale=4.0)
+    opt = ctrl.optimizer
+    post = opt._post_terminal_fn()
+    assert post is not None
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    _, pack, _ = opt._build_fused_mppi(interpret=True, tile_k=tile)
+    cost_run = opt._last_fused_make_run.external(K, emit_terminal=True)
+
+    U = 1
+    P = opt.interp.number_of_interpolation_inducing_points
+    T, C = K // tile, tile // ROWS
+    eps = jax.random.normal(jax.random.PRNGKey(5), (T, U, P * ROWS, C)) \
+        * opt.SQRTRHODTINV
+
+    sf_update = make_semi_fused_update(
+        cost_run, pack, jnp.asarray(opt.interp.matrix, jnp.float32),
+        opt.LBD, opt.action_low, opt.action_high, ROWS, T, C, P, U,
+        post=post, cost_params=opt._cost_params, horizon=H,
+    )
+    s0 = jnp.array([0.1, -0.05, 0.3, 0.2], jnp.float32)
+    u_nom = 0.1 * jnp.ones((1, H, U), jnp.float32)
+    u_prev = jnp.array([0.2], jnp.float32)
+    u_new, costs2d = sf_update(s0[None], u_nom, u_prev, params, eps)
+
+    # Modular reference on the same noise: full terminal (V included)
+    # through the fused scan + the MPPI correction cost.
+    eps5 = np.asarray(eps).reshape(T, U, P, ROWS, C)
+    eps_flat = np.transpose(eps5, (0, 3, 4, 2, 1)).reshape(K, P, U)
+    delta = opt.interp.interpolate(jnp.asarray(eps_flat))
+    u_run = jnp.clip(u_nom[0][None] + delta, -1.0, 1.0)
+    s_tiled = jnp.tile(s0[None], (K, 1))
+    base = opt._fused_cost(s_tiled, u_run, u_prev, params)
+    corr = jnp.sum(
+        opt.cc_weight * (0.5 * (1 - 1 / opt.NU) * opt.R * delta ** 2
+                         + opt.R * u_run * delta + 0.5 * opt.R * u_run ** 2),
+        axis=(1, 2),
+    )
+    ref = np.asarray(base + corr)
+    got = np.zeros(K, np.float32)
+    c2 = np.asarray(costs2d)
+    for t in range(T):
+        got[t * tile:(t + 1) * tile] = c2[:, t * C:(t + 1) * C].reshape(-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # Nominal update equals the full-tensor weighted average with V in
+    # the weights.
+    w = np.exp(-(ref - ref.min()) / opt.LBD)
+    b_ref = np.asarray(
+        jnp.sum(jnp.asarray(w)[:, None, None] * delta, axis=0) / w.sum()
+    )
+    u_ref = np.clip(np.asarray(u_nom[0]) + b_ref, -1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(u_new[0]), u_ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+# ---- AoS delegation (ADVICE r3) ---------------------------------------------
+
+def test_wrapper_preserves_aos_overrides():
+    """A base cost that overrides _get_stage_cost / get_terminal_cost
+    directly (e.g. the trajectory-tracking pointmass cost) keeps its
+    custom behavior under the wrapper — the stage cost keeps its
+    time-indexed reference terms and the custom terminal is the one V is
+    added to."""
+    from control_toolkit_tpu.costs.pointmass import PointMassTrajectoryCost
+
+    base = PointMassTrajectoryCost()
+    base.configure(batch_size=8, horizon=5)
+    vp = _rand_value_net(jax.random.PRNGKey(10), 4)
+    vt = ValueTerminalCost(base, vp, value_scale=2.0)
+    assert vt.supports_fused_rollout == base.supports_fused_rollout
+    params = vt.current_params()
+    rng = np.random.default_rng(4)
+    states = jnp.asarray(rng.normal(size=(8, 5, 4)), jnp.float32)
+    inputs = jnp.asarray(rng.normal(size=(8, 5, 2)), jnp.float32)
+    term = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(vt._get_stage_cost(states, inputs, None, params)),
+        np.asarray(base._get_stage_cost(states, inputs, None, params)),
+        atol=1e-6,
+    )
+    want = (base.get_terminal_cost(term, params)
+            + 2.0 * nets.mlp_apply(vp, term)[..., 0])
+    np.testing.assert_allclose(
+        np.asarray(vt.get_terminal_cost(term, params)), np.asarray(want),
+        atol=1e-5,
+    )
+
+
+def test_attach_twice_updates_instead_of_nesting():
+    from test_optimizer_zoo import make
+
+    ctrl = make("mppi", logging=False)
+    vp1 = _rand_value_net(jax.random.PRNGKey(14), 4)
+    w1 = attach_value_terminal(ctrl, vp1, value_scale=1.0)
+    vp2 = jax.tree_util.tree_map(lambda w: w * 0.5, vp1)
+    w2 = attach_value_terminal(ctrl, vp2, value_scale=2.0)
+    assert w1 is w2  # updated in place, not nested
+    assert not isinstance(w2.base, ValueTerminalCost)
+    assert w2.value_scale == 2.0
+    with pytest.raises(ValueError):
+        ValueTerminalCost(w2, vp1)  # direct nesting refused
 
 
 # ---- training utilities ----------------------------------------------------
