@@ -335,11 +335,19 @@ class BatchedMPCController(MPCController):
                 )
                 kind = "Adam gradient"
             elif self._batched_fused_cem_eligible():
-                kstep = opt._make_batched_fused_cem_step(self._B_build)
+                kstep = opt._make_batched_fused_cem_step(
+                    self._B_build, per_slot_dyn=self._per_slot_dyn
+                )
                 kind = "fully-fused CEM"
+                if self._per_slot_dyn:
+                    kind += f" (per-slot dyn {list(self._per_slot_dyn)})"
             else:
-                kstep = opt._make_batched_var_step(self._B_build)
+                kstep = opt._make_batched_var_step(
+                    self._B_build, per_slot_dyn=self._per_slot_dyn
+                )
                 kind = "mppi-var semi-fused"
+                if self._per_slot_dyn:
+                    kind += f" (per-slot dyn {list(self._per_slot_dyn)})"
             shard_note = (
                 f" per device x {B // self._B_build} devices"
                 if mesh is not None else ""
@@ -566,7 +574,6 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is CEMOptimizer
-            and not self._per_slot_dyn  # fused CEM packs dyn into pvec
             and opt.fully_fused
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and not opt.warmup
@@ -587,7 +594,6 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is MPPIVarOptimizer
-            and not self._per_slot_dyn  # var builder packs dyn into pvec
             and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
             and opt.semi_fused
             and opt._pallas_compatible_model()

@@ -153,7 +153,7 @@ class ClosedLoop:
         Adam iteration for the gradient kinds) for all N configs.  Returns
         None when any swept leaf needs the general vmapped path."""
         if self._sweep_kernel_kind(N) not in (
-            "ode", "rpgd", "gradient", "residual",
+            "ode", "rpgd", "gradient", "residual", "mppi-var", "cem-fused",
         ):
             return None
         cf = self.controller.cost_function.cost_function
@@ -327,17 +327,20 @@ class ClosedLoop:
 
         pred = getattr(opt.predictor, "predictor", opt.predictor)
         if (per_slot_dyn or per_slot_cost) and not (
-            (type(opt) is MPPIOptimizer and not isinstance(
-                pred, (NeuralPredictor, GPPredictor)))
+            (type(opt) in (MPPIOptimizer, MPPIVarOptimizer)
+             and not isinstance(pred, (NeuralPredictor, GPPredictor)))
             or isinstance(opt, (RPGDOptimizer, GradientOptimizer))
+            or type(opt) is CEMOptimizer
         ):
             raise NotImplementedError(
                 "per-episode dyn/cost sweeps ride the kernel path only for "
-                "plain MPPI / RPGD / gradient-tf over SOA ODE models"
+                "plain MPPI / mppi-var / CEM / RPGD / gradient-tf over SOA "
+                "ODE models"
             )
         if isinstance(opt, MPPIVarOptimizer):
             kstep = opt._make_batched_var_step(
-                N, interpret=interpret, tile_k=tile_k
+                N, interpret=interpret, tile_k=tile_k,
+                per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
             )
         elif isinstance(opt, RPGDOptimizer):
             kstep = opt._make_batched_rpgd_step(
@@ -352,11 +355,13 @@ class ClosedLoop:
         elif isinstance(opt, CEMOptimizer):
             if opt.fully_fused:
                 kstep = opt._make_batched_fused_cem_step(
-                    N, interpret=interpret, tile_k=tile_k
+                    N, interpret=interpret, tile_k=tile_k,
+                    per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
                 )
             else:
                 kstep, _ = opt._make_batched_cem_step(
-                    N, interpret=interpret, tile_k=tile_k
+                    N, interpret=interpret, tile_k=tile_k,
+                    per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
                 )
         elif type(opt) is MPPIOptimizer and isinstance(pred, NeuralPredictor):
             kstep, _ = opt._make_batched_neural_step(

@@ -130,7 +130,8 @@ class CEMOptimizer(Optimizer):
         return make_run(self.num_rollouts, pred.dt), regen, pack
 
     def _make_batched_cem_step(self, num_slots: int, interpret: bool = False,
-                               tile_k: int = None):
+                               tile_k: int = None,
+                               per_slot_dyn=(), per_slot_cost=()):
         """B-session CEM step for BatchedMPC (columnwise kernel path).
 
         All B sessions' K rollouts evaluate through ONE Pallas launch per
@@ -173,7 +174,9 @@ class CEMOptimizer(Optimizer):
         param_keys, _, derivs, stage_soa, terminal_soa, pred = (
             self._soa_bindings()
         )
-        shared_keys, slot_keys = split_slot_keys(param_keys)
+        shared_keys, slot_keys = split_slot_keys(
+            param_keys, per_slot_dyn, per_slot_cost
+        )
         kernel = build_cost_rollout_kernel(
             derivs, stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H, dt=pred.dt,
@@ -264,7 +267,8 @@ class CEMOptimizer(Optimizer):
 
     def _make_batched_fused_cem_step(self, num_slots: int,
                                      interpret: bool = False,
-                                     tile_k: int = None):
+                                     tile_k: int = None,
+                                     per_slot_dyn=(), per_slot_cost=()):
         """B-session FULLY-FUSED CEM step for BatchedMPC.
 
         The columns-mode fused CEM kernel (ops/pallas_cem.py
@@ -307,7 +311,12 @@ class CEMOptimizer(Optimizer):
         param_keys, _, derivs, stage_soa, terminal_soa, pred = (
             self._soa_bindings()
         )
-        shared_keys, slot_keys = split_slot_keys(param_keys)
+        # Per-slot dynamics constants / cost weights join the attrs+u_prev
+        # pslot rows (heterogeneous fleets / kernel-path parameter grids)
+        # exactly as in the semi-fused MPPI columns step.
+        shared_keys, slot_keys = split_slot_keys(
+            param_keys, per_slot_dyn, per_slot_cost
+        )
         make_run_cols, regen_cols = build_fused_cem_cols(
             derivs, stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H,

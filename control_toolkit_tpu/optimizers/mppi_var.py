@@ -147,7 +147,8 @@ class MPPIVarOptimizer(MPPIOptimizer):
         return self._apply_stdev_update(stdev, grad)
 
     def _make_batched_var_step(self, num_slots: int, interpret: bool = False,
-                               tile_k: int = None):
+                               tile_k: int = None,
+                               per_slot_dyn=(), per_slot_cost=()):
         """B-session mppi-var step for BatchedMPC (columnwise kernel path).
 
         Reuses the batched semi-fused MPPI machinery
@@ -174,7 +175,8 @@ class MPPIVarOptimizer(MPPIOptimizer):
         T = (B * K) // tile
         C = tile // ROWS
         _, update_from_eps = self._make_batched_semi_fused_step(
-            B, interpret=interpret, tile_k=tile
+            B, interpret=interpret, tile_k=tile,
+            per_slot_dyn=per_slot_dyn, per_slot_cost=per_slot_cost,
         )
 
         def step(states, s, dyn, cost, attrs):

@@ -289,3 +289,101 @@ def test_rpgd_kernel_per_slot_dyn_matches_single_sessions():
                 atol=5e-4, rtol=5e-4,
             )
         states = new_states
+
+
+def test_var_kernel_per_slot_dyn_matches_global_dyn_slots():
+    """Batched mppi-var step with per-slot L rows: slot b == slot b of the
+    same step built WITHOUT per-slot dyn but run under slot b's L globally
+    (identical per-session PRNG streams — dyn never enters the sampling)."""
+    from control_toolkit_tpu.optimizers.mppi_var import MPPIVarState
+    from test_pallas_batched import make_var_ctrl
+
+    B, K, H, tile = 4, 64, 10, 128
+    ctrl = make_var_ctrl(K, H, LR=50.0)
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_var_step(
+        B, interpret=True, tile_k=tile, per_slot_dyn=("L",)
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    L = np.array([0.35, 0.5, 0.8, 0.5], np.float32)
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(B)]
+    )
+    states = jax.vmap(opt._init_state)(keys)
+    rng = np.random.default_rng(17)
+    s_b = jnp.asarray(rng.uniform(-0.25, 0.25, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.zeros((B,), jnp.float32)}
+
+    u, new_states, costs = kstep(
+        states, s_b, dict(params["dyn"], L=jnp.asarray(L)),
+        params["cost"], attrs,
+    )
+    ref_step = opt._make_batched_var_step(B, interpret=True, tile_k=tile)
+    for lval in np.unique(L):
+        u_r, new_r, c_r = ref_step(
+            states, s_b, dict(params["dyn"], L=jnp.asarray(float(lval))),
+            params["cost"], attrs,
+        )
+        for b in np.flatnonzero(L == lval):
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_r)[b], atol=1e-6, rtol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(costs)[b], np.asarray(c_r)[b], atol=1e-5, rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.stdev)[b], np.asarray(new_r.stdev)[b],
+                atol=1e-6, rtol=0,
+            )
+    # Different L genuinely changes the result.
+    assert not np.allclose(np.asarray(u)[0], np.asarray(u)[1], atol=1e-5)
+
+
+def test_fused_cem_kernel_per_slot_dyn_matches_global_dyn_slots():
+    """Batched fully-fused CEM step with per-slot L rows: slot b == slot b
+    of the no-per-slot step under slot b's global L (counter PRNG seeds
+    derive from each session's key only)."""
+    from test_pallas_cem import make_cem_ctrl
+
+    B, K, H, tile = 4, 128, 10, 128
+    ctrl = make_cem_ctrl(K, H, fully_fused=True)
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_fused_cem_step(
+        B, interpret=True, tile_k=tile, per_slot_dyn=("L",)
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    L = np.array([0.35, 0.5, 0.8, 0.5], np.float32)
+    keys = jnp.stack(
+        [jax.random.fold_in(jax.random.PRNGKey(9), i) for i in range(B)]
+    )
+    states = jax.vmap(opt._init_state)(keys)
+    rng = np.random.default_rng(19)
+    s_b = jnp.asarray(rng.uniform(-0.25, 0.25, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.zeros((B,), jnp.float32)}
+
+    u, new_states, costs = kstep(
+        states, s_b, dict(params["dyn"], L=jnp.asarray(L)),
+        params["cost"], attrs,
+    )
+    ref_step = opt._make_batched_fused_cem_step(B, interpret=True, tile_k=tile)
+    for lval in np.unique(L):
+        u_r, new_r, c_r = ref_step(
+            states, s_b, dict(params["dyn"], L=jnp.asarray(float(lval))),
+            params["cost"], attrs,
+        )
+        for b in np.flatnonzero(L == lval):
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_r)[b], atol=1e-6, rtol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(costs)[b], np.asarray(c_r)[b], atol=1e-5, rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.dist_mue)[b],
+                np.asarray(new_r.dist_mue)[b], atol=1e-6, rtol=0,
+            )
+    assert not np.allclose(np.asarray(u)[0], np.asarray(u)[1], atol=1e-5)
