@@ -76,6 +76,45 @@ def build_cem(K, H, fully_fused, predictor_spec="ODE"):
     return ctrl
 
 
+def build_cma(K, H, diagonal=False):
+    """CMA-ES over the flattened [H*U] plan (optimizers/cma_es.py): the
+    per-generation [N,N] eigh inside fori_loop is the open question this
+    row answers (VERDICT r3 missing #1)."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "cma-es-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="cma-es-tf", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cma_outer_it": 3, "cma_initial_step_size": 0.3,
+        "cma_diagonal": diagonal, "warmup": False,
+    })
+    return ctrl
+
+
+def build_icem(K, H):
+    """iCEM (colored-noise CEM with elite buffer, optimizers/icem.py)."""
+    from control_toolkit_tpu.controllers.mpc import MPCController
+
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "icem-tf", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="icem-tf", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
+        "cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
+        "cem_stdev_min": 0.01, "cem_best_k": min(256, K // 4),
+        "icem_colored_noise_beta": 2.0, "warmup": False,
+    })
+    return ctrl
+
+
 def build_quad3d_mppi(K, H, predictor_spec="ODE:rk4:1:fast"):
     """12-state / 4-input semi-fused MPPI — the heavy model family."""
     from control_toolkit_tpu.controllers.mpc import MPCController
@@ -606,12 +645,15 @@ def measure_grid_sweep(N=512, K=512, H=50, T1=40, T2=80, reps=5, trials=3):
     return (ts[T2] - ts[T1]) / (T2 - T1) * 1e3
 
 
-def measure_served_mppi(K, H=50, n_requests=30):
+def measure_served_mppi(K, H=50, n_requests=100):
     """BASELINE.md scale-out sentence as one measurement: the ZMQ
     controller server fronting a K-rollout MPPI on this chip; reports the
-    served round-trip p50 (request -> step -> reply over tcp://127.0.0.1).
-    The device step underneath is the semi-fused kernel; the delta vs the
-    bare device time is serving overhead (json + zmq + dispatch)."""
+    served round-trip (p50, p99) over tcp://127.0.0.1 — steady state,
+    post-warmup (first 5 requests excluded), so the p99 is the serving
+    SLO row against the reference's 50 ms deadline
+    (controller_remote.py:11-12), not compile noise.  The device step
+    underneath is the semi-fused kernel; the delta vs the bare device
+    time is serving overhead (json + zmq + dispatch)."""
     import threading
     import zmq
 
@@ -652,7 +694,253 @@ def measure_served_mppi(K, H=50, n_requests=30):
             lat.append(time.perf_counter() - t0)
     sock.close(0)
     t.join(timeout=10)
-    return float(np.percentile(np.asarray(lat) * 1e3, 50))
+    lat_ms = np.asarray(lat) * 1e3
+    return (float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99)))
+
+
+def measure_served_batched_percentiles(B=32, K_per_slot=512, H=35,
+                                       steps=60):
+    """Steady-state round-trip (p50, p99) for the dynamically-batching
+    multi-slot server: B DEALER clients (own threads, own identities)
+    against a B-slot BatchedMPC — the fleet-serving SLO row."""
+    import socket as _socket
+    import threading
+    import zmq
+
+    from control_toolkit_tpu.controllers.batched_mpc import (
+        BatchedMPCController,
+    )
+    from control_toolkit_tpu.serving.batched_server import serve_batched
+
+    ctrl = BatchedMPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32),
+                        np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H,
+        "num_rollouts": K_per_slot, "cc_weight": 1.0, "R": 1.0,
+        "LBD": 100.0, "NU": 1000.0, "SQRTRHOINV": 0.05,
+        "period_interpolation_inducing_points": 5,
+    }, num_slots=B)
+    with _socket.socket() as _s:
+        _s.bind(("127.0.0.1", 0))
+        endpoint = f"tcp://127.0.0.1:{_s.getsockname()[1]}"
+    stop = threading.Event()
+    server = threading.Thread(
+        target=serve_batched,
+        kwargs=dict(ctrl=ctrl, endpoint=endpoint, batch_window_ms=3.0,
+                    warmup_state=np.zeros(4, np.float32), stop_event=stop),
+        daemon=True,
+    )
+    server.start()
+    time.sleep(0.5)
+
+    lat, lock = [], threading.Lock()
+
+    def client(i):
+        ctx = zmq.Context.instance()
+        sock = ctx.socket(zmq.DEALER)
+        sock.setsockopt(zmq.IDENTITY, f"bench-{i}".encode())
+        sock.setsockopt(zmq.RCVTIMEO, 120000)
+        sock.connect(endpoint)
+        mine = []
+        try:
+            for r in range(steps):
+                t0 = time.perf_counter()
+                sock.send_json({"rid": r, "state": [0.0, 0.0, 0.1, 0.0],
+                                "time": 0.0, "updated_attributes": {}})
+                resp = sock.recv_json()
+                assert resp["rid"] == r
+                if r >= 10:  # steady state only
+                    mine.append(time.perf_counter() - t0)
+        finally:
+            sock.close(0)
+        with lock:
+            lat.extend(mine)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(B)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    server.join(timeout=15)
+    lat_ms = np.asarray(lat) * 1e3
+    return (float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99)))
+
+
+def measure_value_terminal(K=16384, H_full=50, H_short=3, ticks=40):
+    """The horizon-amortization claim measured end to end (VERDICT r3
+    missing #2): fit V(x) on noisy-LQR cost-to-go (the test_value_terminal
+    recipe — position-only stage cost on a double integrator, exploration
+    noise + start-grid coverage), then record per-step device time AND
+    closed-loop realized cost (scored under the plain stage cost) for
+    plain H=50, plain H=3 and H=3 + V.  The H=3+V MPPI rides the
+    semi-fused kernel with emit_terminal (V joins costs2d pre-softmax).
+
+    Returns a dict of rows to merge into the results."""
+    import jax
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.costs.base import CostFunction
+    from control_toolkit_tpu.costs.value_terminal import ValueTerminalCost
+    from control_toolkit_tpu.models.dynamics import soa_to_aos
+    from control_toolkit_tpu.models.predictors import ODEPredictor
+    from control_toolkit_tpu.models.training import (
+        discounted_cost_to_go, fit_value_mlp,
+    )
+    from control_toolkit_tpu.optimizers.mppi import MPPIOptimizer
+
+    DT = 0.1
+
+    class PosCost(CostFunction):
+        dynamic_config_keys = ("r",)
+
+        def __init__(self, config=None):
+            super().__init__({"r": 0.1, **(config or {})})
+
+        def _stage_cost_core_soa(self, xs, us, params):
+            return (0.5 * xs[0] * xs[0]
+                    + 0.5 * params["cost"]["r"] * sum(u * u for u in us))
+
+    def make_plant():
+        def derivs_soa(xs, us, p):
+            pos, vel = xs
+            return (vel, us[0])
+        return ODEPredictor(dynamics=soa_to_aos(derivs_soa, 2, 1),
+                            num_states=2, num_control_inputs=1, dt=DT,
+                            integrator="euler", params={})
+
+    def make_mppi(cost, horizon):
+        opt = MPPIOptimizer(
+            predictor=make_plant(), cost_function=cost,
+            control_limits=(np.array([-2.0], np.float32),
+                            np.array([2.0], np.float32)),
+            optimizer_logging=False, seed=7, mpc_horizon=horizon,
+            num_rollouts=K, cc_weight=0.0, R=1.0, LBD=10.0, NU=1000.0,
+            SQRTRHOINV=0.4, period_interpolation_inducing_points=1,
+        )
+        opt.configure(num_states=2, num_control_inputs=1, dt=DT)
+        return opt
+
+    # 1) expert data: noisy LQR from a start grid (coverage off-manifold).
+    A = np.array([[1, DT], [0, 1]], np.float64)
+    Bm = np.array([[0], [DT]], np.float64)
+    Q, R = np.diag([1.0, 1e-3]), np.array([[0.1]])
+    P = Q.copy()
+    for _ in range(500):
+        Kg = np.linalg.solve(R + Bm.T @ P @ Bm, Bm.T @ P @ A)
+        P = Q + A.T @ P @ (A - Bm @ Kg)
+    Kg = np.linalg.solve(R + Bm.T @ P @ Bm, Bm.T @ P @ A).astype(np.float32)
+
+    plant, base = make_plant(), PosCost()
+    cp = base.current_params()
+    dynp = plant.default_params()
+    rng = np.random.default_rng(0)
+    states, ctgs = [], []
+    for s0 in [(a, b) for a in (-1.5, -0.75, 0.0, 0.75, 1.5)
+               for b in (-1.0, 0.0, 1.0)]:
+        x = jnp.asarray(s0, jnp.float32)[None]
+        u_prev = jnp.zeros((1, 1), jnp.float32)
+        ep_s, ep_g = [], []
+        for _ in range(60):
+            u = jnp.clip(-(x @ jnp.asarray(Kg).T) + 0.3 * rng.normal(),
+                         -2.0, 2.0)
+            ep_g.append(float(base.stage_cost_step(
+                x, u, u_prev, {"cost": cp["cost"], "attrs": {}})[0]))
+            ep_s.append(np.asarray(x[0]))
+            x = plant.single_step(x, u, dynp)
+            u_prev = u
+        states.append(np.stack(ep_s))
+        ctgs.append(discounted_cost_to_go(np.asarray(ep_g), gamma=0.97))
+    vparams, mse = fit_value_mlp(
+        np.concatenate(states), np.concatenate(ctgs),
+        hiddens=(32, 32), epochs=2000, learning_rate=3e-3, seed=2,
+    )
+
+    def realized(opt):
+        total = 0.0
+        for s0 in ([1.4, -0.6], [-1.0, 0.9], [0.5, 1.2]):
+            opt.optimizer_reset()
+            x = jnp.asarray(s0, jnp.float32)[None]
+            u_prev = jnp.zeros((1, 1), jnp.float32)
+            for _ in range(ticks):
+                u = jnp.reshape(
+                    jnp.asarray(opt.step(np.asarray(x[0]))), (1, 1))
+                total += float(base.stage_cost_step(
+                    x, u, u_prev, {"cost": cp["cost"], "attrs": {}})[0])
+                x = plant.single_step(x, u, dynp)
+                u_prev = u
+        return total
+
+    rows = {"value_fit_mse": round(float(mse), 5)}
+
+    class _CtrlShim:
+        """measure_step consumes a controller-shaped object."""
+        def __init__(self, opt):
+            self.optimizer = opt
+            self._params = None
+
+        def _assemble_params(self):
+            return self.optimizer.default_params()
+
+    for name, opt in (
+        (f"value_mppi_K16k_H{H_full}_plain", make_mppi(PosCost(), H_full)),
+        (f"value_mppi_K16k_H{H_short}_plain", make_mppi(PosCost(), H_short)),
+        (f"value_mppi_K16k_H{H_short}_valueV",
+         make_mppi(ValueTerminalCost(PosCost(), vparams), H_short)),
+    ):
+        ms = measure_step(_CtrlShim(opt), n1=20, n2=100)
+        rows[name + "_ms"] = round(ms, 4)
+        rows[name + "_realized_cost"] = round(realized(opt), 3)
+        print(f"{name:34s}: {ms:7.4f} ms/step, realized "
+              f"{rows[name + '_realized_cost']:.3f}", flush=True)
+    return rows
+
+
+def measure_warmstart_overhead(K=16384, H=50, n1=20, n2=100):
+    """Cost of one policy warm start (VERDICT r3 missing #1, warm-start
+    row): device time of the jitted ``_policy_plan`` closed-loop rollout
+    the optimizer runs ONCE per reset — measured with the same two-scan
+    slope as the step rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_mppi
+
+    ctrl = _build_mppi(num_rollouts=K, horizon=H, seed=0)
+    opt = ctrl.optimizer
+    opt.initial_guess_policy = lambda s, params: -0.5 * s[2:3]
+    plan = opt._policy_plan()
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), ctrl._assemble_params()
+    )
+    s = jnp.zeros((1, opt.num_states), jnp.float32)
+
+    def time_scan(n):
+        @jax.jit
+        def many(s, params):
+            def body(c, _):
+                p = plan(c, params)
+                # fold the plan back into the carry so the scan can't be
+                # collapsed into one iteration by CSE
+                return c + 1e-9 * p[0].sum(), p
+            return jax.lax.scan(body, s, None, length=n)
+
+        _, ps = many(s, params)
+        jax.block_until_ready(ps)
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _, ps = many(s, params)
+            jax.block_until_ready(ps)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (time_scan(n2) - time_scan(n1)) / (n2 - n1) * 1e3
 
 
 def main():
@@ -872,6 +1160,45 @@ def main():
         results[name] = round(ms, 3)
         print(f"{name:22s}: {ms:7.3f} ms", flush=True)
 
+    # Phase-4 sampling zoo (VERDICT r3 missing #1): CMA-ES (full +
+    # sep-CMA diagonal; note the per-generation [H*U,H*U] eigh inside
+    # fori_loop), iCEM, and a same-run modular-CEM pair at matching
+    # shapes for the ratio.
+    for name, builder in (
+        ("cma_es_K64_H50", lambda: build_cma(64, H)),
+        ("cma_es_diag_K64_H50", lambda: build_cma(64, H, diagonal=True)),
+        ("cma_es_K512_H50", lambda: build_cma(512, H)),
+        ("icem_K16k_H50", lambda: build_icem(16384, H)),
+        ("cem_modular_K16k_H50", lambda: build_cem(16384, H, False)),
+        ("cem_fused_K16k_H50", lambda: build_cem(16384, H, True)),
+        ("icem_K512_H50", lambda: build_icem(512, H)),
+        ("cem_modular_K512_H50", lambda: build_cem(512, H, False)),
+    ):
+        try:
+            ms = measure_step(builder(), n1=20, n2=100)
+            results[name] = round(ms, 4)
+            print(f"{name:24s}: {ms:7.4f} ms", flush=True)
+        except Exception as e:
+            results[f"{name}_error"] = str(e)[:200]
+            print(f"{name}: ERROR {e}", flush=True)
+
+    # Learned terminal value: horizon amortization measured end to end
+    # (ms/step + realized closed-loop cost, VERDICT r3 missing #2).
+    try:
+        results.update(measure_value_terminal())
+    except Exception as e:
+        results["value_terminal_error"] = str(e)[:200]
+        print(f"value terminal: ERROR {e}", flush=True)
+
+    # Policy warm-start overhead: one _policy_plan rollout per reset.
+    try:
+        ms = measure_warmstart_overhead()
+        results["policy_warmstart_plan_ms"] = round(ms, 4)
+        print(f"policy warm-start plan: {ms:.4f} ms per reset", flush=True)
+    except Exception as e:
+        results["policy_warmstart_error"] = str(e)[:200]
+        print(f"policy warm-start: ERROR {e}", flush=True)
+
     # NLP slot (host-loop ms/step): latency-bound solver, so the device pin
     # (docs/TUNING.md rule 6) is the lever — CPU avoids both the tiny-op
     # latency and the dispatch round-trip.
@@ -881,15 +1208,32 @@ def main():
         results[name] = round(ms, 3)
         print(f"{name:32s}: {ms:7.3f} ms", flush=True)
 
-    # BASELINE.md scale-out composition: ZMQ server fronting the K=1M
-    # semi-fused MPPI on this chip — served round-trip p50.
+    # BASELINE.md scale-out composition: ZMQ server fronting semi-fused
+    # MPPI on this chip — served round-trip p50 AND steady-state p99 (the
+    # serving SLO row: the reference's remote controller budgets 50 ms per
+    # request, controller_remote.py:11-12).
+    for kname, Ks in (("K262k", 1 << 18), ("K1M", K)):
+        try:
+            p50, p99 = measure_served_mppi(Ks, H)
+            results[f"served_{kname}_roundtrip_p50_ms"] = round(p50, 3)
+            results[f"served_{kname}_roundtrip_p99_ms"] = round(p99, 3)
+            print(f"served {kname} round-trip p50 {p50:.3f} ms | "
+                  f"p99 {p99:.3f} ms", flush=True)
+        except Exception as e:
+            results[f"served_{kname}_error"] = str(e)[:200]
+            print(f"served {kname}: ERROR {e}", flush=True)
+
+    # Fleet-serving SLO: B=32 concurrent clients against a 32-slot batched
+    # server (K=512/slot on-device config), steady-state p50/p99.
     try:
-        ms = measure_served_mppi(K, H)
-        results["served_K1M_roundtrip_p50_ms"] = round(ms, 3)
-        print(f"served K=1M round-trip p50: {ms:.3f} ms", flush=True)
+        p50, p99 = measure_served_batched_percentiles(B=32, K_per_slot=512)
+        results["served_batched_B32_K512_p50_ms"] = round(p50, 3)
+        results["served_batched_B32_K512_p99_ms"] = round(p99, 3)
+        print(f"served batched B=32 K=512: p50 {p50:.3f} ms | p99 {p99:.3f} ms",
+              flush=True)
     except Exception as e:
-        results["served_K1M_error"] = str(e)[:200]
-        print(f"served K=1M: ERROR {e}", flush=True)
+        results["served_batched_error"] = str(e)[:200]
+        print(f"served batched: ERROR {e}", flush=True)
 
     for B in (32, 128):
         Kps = 512
