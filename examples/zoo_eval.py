@@ -168,10 +168,24 @@ def optimizer_configs(task):
         "rpgd-me-tf": (dict(num_rollouts=128, outer_its=8,
                             maximum_entropy_alpha=0.1, **rpgd),
                        "128x8 fwd+bwd"),
+        "rpgd-me-param-tf": (dict(num_rollouts=128, outer_its=8,
+                                  maximum_entropy_alpha=0.1, **rpgd),
+                             "128x8 fwd+bwd"),
         "rpgd-ml-tf": (dict(num_rollouts=128, outer_its=8, **rpgd),
                        "128x8 fwd+bwd"),
         "rpgd-particle-tf": (dict(num_rollouts=128, outer_its=8, **rpgd),
                              "128x8 fwd+bwd"),
+        # mppi-optimize refines the MPPI plan with Adam: K sampled rollouts
+        # plus optim_steps single-plan fwd+bwd passes (negligible vs K).
+        "mppi-optimize-tf": (dict(
+            num_rollouts=1024, optim_steps=10, mppi_LR=0.02,
+            adam_beta_1=0.4, adam_beta_2=0.8, adam_epsilon=1e-7,
+            gradmax_clip=1000, **samp), "1024x1 + 10 plan-grads"),
+        # iLQR is 2nd-order (K = n_starts trajectories/iter, no sampling
+        # budget); multi-start escapes the swing-up local basin.
+        "ilqr": (dict(num_rollouts=1, max_iterations=20, n_starts=4,
+                      line_search_steps=8, include_control_change_cost=True),
+                 "2nd-order, 4 starts x 20 its"),
     }
 
 
@@ -251,6 +265,8 @@ def main():
             except Exception as e:
                 results["cells"][key] = {"error": str(e)[:200]}
                 print(f"{key}: ERROR {e}", flush=True)
+            # incremental checkpoint: a late hang must not lose the table
+            (ROOT / "EVAL.json").write_text(json.dumps(results, indent=2))
 
     (ROOT / "EVAL.json").write_text(json.dumps(results, indent=2))
 
