@@ -346,6 +346,7 @@ def test_slot_mesh_equals_unsharded():
         np.testing.assert_allclose(b, a, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_slot_mesh_rpgd_equals_unsharded():
     """Same check through the RPGD state pytree (Adam moments, ages,
     surgery branches) — 2 ticks cross a resample boundary."""

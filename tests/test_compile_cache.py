@@ -11,6 +11,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.utils.compile_cache import (
     cache_entry_count,
@@ -52,6 +53,7 @@ def _run_child(repo, cache):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+@pytest.mark.slow  # two fresh python processes, full jax import + compile each
 def test_cache_populates_then_hits(tmp_path):
     import pathlib
 

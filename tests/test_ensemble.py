@@ -494,6 +494,7 @@ def test_probabilistic_rollout_propagates_aleatoric_noise():
     np.testing.assert_allclose(np.diff(one, axis=1), 0.3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_nll_fit_learns_heteroscedastic_noise():
     """NLL training recovers input-dependent noise: the learned std is
     much larger in the high-noise input regime."""

@@ -113,6 +113,7 @@ def test_fleet_load_rejects_mismatched_config(tmp_path):
         load_fleet(path, build(2, per_slot_dyn=("L",)))  # different dyn keys
 
 
+@pytest.mark.slow
 def test_server_warm_restart(tmp_path):
     """Universe A: one server answers 4 requests.  Universe B: a server
     answers 2, shuts down (fleet checkpointed), a NEW server restores from

@@ -58,9 +58,18 @@ def test_mppi_fused_equals_unfused():
 import pytest
 
 
-@pytest.mark.parametrize("name", ["cem-tf", "cem-naive-grad-tf", "cem-gmm-tf",
-                                  "cem-grad-bharadhwaj-tf", "gradient-tf",
-                                  "rpgd-tf", "random-action-tf"])
+# Heavy gradient-family params live in the slow tier: the fused-vs-logging
+# equivalence is structural, so cem-tf + random-action-tf keep the property
+# covered per path family in the default tier (re-tier, round 4).
+@pytest.mark.parametrize("name", [
+    "cem-tf",
+    pytest.param("cem-naive-grad-tf", marks=pytest.mark.slow),
+    pytest.param("cem-gmm-tf", marks=pytest.mark.slow),
+    pytest.param("cem-grad-bharadhwaj-tf", marks=pytest.mark.slow),
+    pytest.param("gradient-tf", marks=pytest.mark.slow),
+    pytest.param("rpgd-tf", marks=pytest.mark.slow),
+    "random-action-tf",
+])
 def test_fused_path_equals_trajectory_path(name):
     """Logging on (trajectory path) vs off (fused cost-only path) must yield
     identical controls for every optimizer."""

@@ -198,6 +198,7 @@ def test_ilqr_solver_failure_replays_previous_plan():
     assert not np.allclose(np.asarray(opt.opt_state.plan), plan)
 
 
+@pytest.mark.slow
 def test_ilqr_includes_control_change_cost():
     """The NLP slot must optimize the SAME objective as the sampling
     optimizers: with a heavy ccrc weight the plan gets smoother (round-1
@@ -255,6 +256,7 @@ def test_ilqr_closed_loop_cartpole():
     assert abs(float(s[0, 2])) < 0.1, f"ilqr failed to stabilize: {s[0]}"
 
 
+@pytest.mark.slow
 def test_multistart_escapes_local_minimum():
     """iLQR is local: with a pure quadratic cost (no energy shaping) a
     single solve from the hanging pendulum converges to the hang (u=0 is a
@@ -398,6 +400,7 @@ def test_riccati_mode_validation():
         _make_cartpole_ilqr("banana")
 
 
+@pytest.mark.slow
 def test_heuristic_policy_initial_guess():
     """Reference FORCES heuristic warm start (optimizer_nlp_forces.py:
     261-279): a policy rollout seeds the first plan and an extra start.

@@ -8,6 +8,7 @@ the fitted weights is a params update, never a recompile.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from control_toolkit_tpu.controllers.mpc import MPCController
 from control_toolkit_tpu.models.online_sysid import OnlineSysId
@@ -72,6 +73,7 @@ def test_online_sysid_reduces_one_step_error():
     assert fitted_mse < 0.25 * base_mse, (base_mse, fitted_mse)
 
 
+@pytest.mark.slow
 def test_adaptive_mpc_closed_loop_improves_model():
     """Full adaptive loop through the controller: MPC with the nominal-model
     residual predictor controls the mismatched true plant; mid-run sysid

@@ -88,7 +88,16 @@ def test_step_contract(name):
     assert np.all(np.isfinite(lv["Q_logged"]))
 
 
-@pytest.mark.parametrize("name", sorted(OPTIMIZER_CONFIGS))
+# The four heaviest gradient-family determinism params are slow-tier; the
+# remaining zoo keeps seeded determinism covered by default (re-tier, r4).
+_SLOW_DETERMINISM = {"cem-grad-bharadhwaj-tf", "cem-naive-grad-tf",
+                     "gradient-tf", "rpgd-tf"}
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_DETERMINISM else n
+    for n in sorted(OPTIMIZER_CONFIGS)
+])
 def test_seeded_determinism(name):
     ctrl_a = make(name, logging=False)
     ctrl_b = make(name, logging=False)

@@ -299,6 +299,7 @@ def test_batched_recurrent_kernel_matches_xla_reference(spec):
         )
 
 
+@pytest.mark.slow
 def test_batched_recurrent_step_independent_of_batch_size():
     from test_pallas_neural import make_neural_mppi
 
@@ -329,6 +330,7 @@ def test_batched_recurrent_step_independent_of_batch_size():
     np.testing.assert_allclose(np.asarray(c2), np.asarray(c4)[:2], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_neural_step_independent_of_batch_size():
     from test_pallas_neural import make_neural_mppi
 
@@ -594,6 +596,7 @@ def test_batched_cem_step_matches_single_session():
         )
 
 
+@pytest.mark.slow
 def test_batched_cem_independent_of_batch_size():
     K, H, tile = 64, 10, 128
     ctrl = make_cem_ctrl(K, H)
@@ -707,11 +710,8 @@ def _rpgd_states(opt, B, key_seed=0):
     return jax.vmap(opt._init_state)(keys)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["rpgd-tf",
-     pytest.param("rpgd-particle-tf", marks=pytest.mark.slow)],
-)
+@pytest.mark.slow  # default-tier representative: test_kernel_sweep_rpgd_dispatch_and_parity
+@pytest.mark.parametrize("name", ["rpgd-tf", "rpgd-particle-tf"])
 def test_batched_rpgd_step_matches_single_session(name):
     """Full batched RPGD step (columns-mode gradient+cost kernels, one
     launch per Adam iteration) == the single-session step_fn run per
@@ -767,6 +767,7 @@ def test_batched_rpgd_step_matches_single_session(name):
         states = new_states
 
 
+@pytest.mark.slow
 def test_batched_rpgd_independent_of_batch_size():
     K, H, tile = 32, 10, 64
     ctrl = make_rpgd_ctrl(K, H)
@@ -909,6 +910,7 @@ def test_batched_var_lr0_equals_batched_mppi():
     )
 
 
+@pytest.mark.slow
 def test_batched_var_adaptation_independent_of_batch_size():
     from control_toolkit_tpu.optimizers.mppi_var import MPPIVarState
 
@@ -962,6 +964,7 @@ def make_gradient_ctrl(K=32, H=10, **over):
     return ctrl
 
 
+@pytest.mark.slow
 def test_batched_gradient_step_matches_single_session():
     """Batched gradient-tf (columns-mode gradient+cost kernels) == the
     single-session step_fn per session (XLA-AD scan on CPU), including the

@@ -195,6 +195,7 @@ def test_gp_grad_refit_flows_without_rebuild(gp_ckpt):
                                rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_rpgd_gp_matches_single_session(gp_ckpt):
     """Batched RPGD over a sparse-GP predictor (columns-mode GP
     gradient+cost kernels) == the single-session step_fn per session,

@@ -31,7 +31,10 @@ def make_ctrl(env, K=128, H=15):
     return ctrl
 
 
-@pytest.mark.parametrize("env", ["cartpole", "pointmass", "quadrotor3d"])
+@pytest.mark.parametrize("env", [
+    "cartpole", "pointmass",
+    pytest.param("quadrotor3d", marks=pytest.mark.slow),
+])
 def test_grad_kernel_matches_xla_ad(env):
     K, H = 128, 15
     ctrl = make_ctrl(env, K, H)
@@ -62,7 +65,9 @@ def test_grad_kernel_matches_xla_ad(env):
                                rtol=1e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("mesh_kind", ["1d", "multislice"])
+@pytest.mark.parametrize("mesh_kind", [
+    "1d", pytest.param("multislice", marks=pytest.mark.slow),
+])
 def test_grad_kernel_sharded_matches_unsharded(mesh_kind):
     """The shard_map-wrapped gradient kernel on an 8-device mesh must equal
     the unsharded kernel exactly (per-rollout gradients have no cross-K

@@ -149,6 +149,7 @@ def _stacked_states(opt, B, key_seed=0):
     return jax.vmap(opt._init_state)(keys)
 
 
+@pytest.mark.slow
 def test_batched_rpgd_neural_matches_single_session():
     """Batched RPGD over a neural MLP predictor (columns-mode NEURAL
     gradient+cost kernels, weights as shared operands) == the

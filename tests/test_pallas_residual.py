@@ -132,6 +132,7 @@ def test_residual_sysid_install_flows_without_rebuild():
                                rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_batched_rpgd_residual_matches_single_session():
     """Batched RPGD over the residual predictor — including a PER-SLOT base
     constant (heterogeneous fleet of sysid'd plants) — == the

@@ -288,6 +288,7 @@ def test_swept_kernel_gate_classification():
     assert loop._swept_kernel_run_for(4, tuple(paths), merged) is None
 
 
+@pytest.mark.slow
 def test_grid_search_static_grid():
     """static_grid rebuilds the controller per optimizer-hyperparameter
     combination and crosses it with the swept grid; configs merge both
@@ -331,6 +332,7 @@ def test_grid_search_static_grid():
                     build_loop=build)
 
 
+@pytest.mark.slow
 def test_rpgd_kernel_swept_program_matches_eager_kernel_loop():
     """The RPGD kernel-path swept program (per-episode dyn constant + cost
     weight + attr as pslot rows through the fwd+bwd gradient kernel,

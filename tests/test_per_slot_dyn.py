@@ -244,6 +244,7 @@ def test_updated_dyn_over_the_wire():
     np.testing.assert_allclose(ctrl.slot_dyn["L"][0], 0.5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rpgd_kernel_per_slot_dyn_matches_single_sessions():
     """Batched RPGD gradient-kernel step with per-slot L rows == the
     single-session XLA-AD step_fn run with that session's dyn dict (the

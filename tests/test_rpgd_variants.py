@@ -58,6 +58,7 @@ def test_variant_step_contract(name):
     assert "trajectory_ages_logged" in lv
 
 
+@pytest.mark.slow
 def test_alpha_zero_matches_base_rpgd():
     """maximum_entropy_alpha=0 must be exactly base RPGD (same PRNG stream)."""
     me = make("rpgd-me-tf", maximum_entropy_alpha=0.0)
