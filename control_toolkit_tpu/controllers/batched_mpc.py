@@ -73,6 +73,23 @@ class BatchedMPCController(MPCController):
         import jax
         import jax.numpy as jnp
 
+        # Stash the ORIGINAL call (before the force_scan mutation below) so
+        # a persistent cost transform (attach_value_terminal) can re-run
+        # configure and rebuild the batched program against the wrapped
+        # cost.  Re-running configure resets slot states.
+        self._configure_stash = (
+            args,
+            dict(
+                kwargs,
+                optimizer_config=(
+                    dict(kwargs["optimizer_config"])
+                    if kwargs.get("optimizer_config") is not None else None
+                ),
+                num_slots=num_slots, mesh=mesh, slot_axis=slot_axis,
+                per_slot_dyn=per_slot_dyn,
+            ),
+        )
+
         opt_cfg = kwargs.get("optimizer_config")
         if opt_cfg is None:
             # Load the YAML defaults HERE so force_scan is set before the
@@ -456,7 +473,11 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is MPPIOptimizer  # variants scale eps differently
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            # post_ok: this is the one columns kernel that emits terminal
+            # states, so a learned value terminal keeps the kernel path
+            # (V added per session outside — optimizers/mppi.py).
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan,
+                                       post_ok=True)
             and opt.semi_fused
             and not opt.bounded_update
             and opt.optim_steps == 0
@@ -594,7 +615,11 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is MPPIVarOptimizer
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            # post_ok: the var step reuses the batched MPPI update, whose
+            # columns kernel emits terminal states (V added per session
+            # before the softmax AND the variance-adaptation einsum).
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan,
+                                       post_ok=True)
             and opt.semi_fused
             and opt._pallas_compatible_model()
             and opt.num_rollouts % ROWS == 0

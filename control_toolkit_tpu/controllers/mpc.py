@@ -89,6 +89,15 @@ class MPCController(Controller):
             variable_parameters=self.variable_parameters,
         )
 
+        # A persistent cost transform (e.g. attach_value_terminal on a
+        # batched controller) re-applies across re-configures — configure
+        # recreates the CostFunctionWrapper, so a plain post-configure wrap
+        # would be silently dropped by the next configure() call.
+        if getattr(self, "_cost_wrap_hook", None) is not None:
+            self.cost_function.cost_function = self._cost_wrap_hook(
+                self.cost_function.cost_function
+            )
+
         # Costs that mirror dynamics geometry (e.g. arm2 FK link lengths)
         # reconcile with the predictor's parameters before the step compiles.
         self.cost_function.cost_function.sync_with_dynamics(

@@ -184,6 +184,25 @@ def attach_value_terminal(ctrl, value_params: Dict,
         inner.value_scale = float(value_scale)
         ctrl._cost_params = None
         return inner
+    if hasattr(ctrl, "step_batch") and getattr(ctrl, "num_slots", 0):
+        # BatchedMPCController: its batched program was traced against the
+        # unwrapped cost (and configure() recreates the cost wrapper, so a
+        # plain wrap would be dropped by any later configure).  Install a
+        # persistent wrap hook and re-run configure from the stashed call —
+        # the rebuilt program traces against V (the MPPI/mppi-var columns
+        # kernels keep their kernel path via emit_terminal).  Slot states
+        # reset (the objective changed); slot attrs/dyn re-init too.
+        def hook(inner_cost):
+            if isinstance(inner_cost, ValueTerminalCost):
+                inner_cost.value_params = value_params
+                inner_cost.value_scale = float(value_scale)
+                return inner_cost
+            return ValueTerminalCost(inner_cost, value_params, value_scale)
+
+        ctrl._cost_wrap_hook = hook
+        stash_args, stash_kwargs = ctrl._configure_stash
+        ctrl.configure(*stash_args, **stash_kwargs)
+        return ctrl.cost_function.cost_function
     vt = ValueTerminalCost(inner, value_params, value_scale)
     wrapper.cost_function = vt
     ctrl._cost_params = None

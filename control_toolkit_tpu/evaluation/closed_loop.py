@@ -218,10 +218,17 @@ class ClosedLoop:
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         opt = self.optimizer
+        # post_ok here, gated per kind below: only the semi-fused MPPI
+        # columns kernel emits terminal states ('ode' and 'mppi-var',
+        # which reuses it), so only those kinds may carry a learned value
+        # terminal (V added per episode outside); every other kind
+        # requires post_free.
         if not batched_kernel_core_ok(
-            opt, force_scan=opt.force_scan, stateful=self._stateful
+            opt, force_scan=opt.force_scan, stateful=self._stateful,
+            post_ok=True,
         ):
             return None
+        post_free = opt._post_terminal_fn() is None
 
         def tiles_ok():
             return (
@@ -238,18 +245,20 @@ class ClosedLoop:
             )
 
         if type(opt) is CEMOptimizer:
-            if opt.fully_fused and not opt.warmup and tiles_ok():
+            if post_free and opt.fully_fused and not opt.warmup and tiles_ok():
                 return "cem-fused"
             return None
         if isinstance(opt, RPGDOptimizer):
-            if not opt.warmup and grad_tiles_ok():
+            if post_free and not opt.warmup and grad_tiles_ok():
                 return "rpgd"
             return None
         if type(opt) is GradientOptimizer:
-            if not opt.warmup and grad_tiles_ok():
+            if post_free and not opt.warmup and grad_tiles_ok():
                 return "gradient"
             return None
         if type(opt) is MPPIVarOptimizer:
+            # The var step reuses the batched MPPI update (emit_terminal
+            # columns kernel), so a value terminal keeps the kernel path.
             if opt.semi_fused and tiles_ok():
                 return "mppi-var"
             return None
@@ -263,7 +272,8 @@ class ClosedLoop:
             return "ode"
         pred = getattr(opt.predictor, "predictor", opt.predictor)
         if (
-            isinstance(pred, NeuralPredictor)
+            post_free
+            and isinstance(pred, NeuralPredictor)
             and not pred.recurrent
             and opt._pallas_neural_compatible_model()
             and neural_tile_for(N * opt.num_rollouts) > 0
@@ -273,7 +283,8 @@ class ClosedLoop:
         from control_toolkit_tpu.ops.pallas_neural import gp_tile_for
 
         if (
-            isinstance(pred, GPPredictor)
+            post_free
+            and isinstance(pred, GPPredictor)
             and opt._pallas_gp_compatible_model()
             and gp_tile_for(
                 N * opt.num_rollouts, 1, int(pred.gp_params["Z"].shape[0])
@@ -285,7 +296,8 @@ class ClosedLoop:
         )
 
         if (
-            isinstance(pred, ResidualPredictor)
+            post_free
+            and isinstance(pred, ResidualPredictor)
             and opt._pallas_residual_compatible_model()
             and neural_tile_for(N * opt.num_rollouts) > 0
         ):

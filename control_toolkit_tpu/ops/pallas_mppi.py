@@ -295,10 +295,13 @@ def build_fused_mppi_step(
     # itself is session-agnostic; the caller lays sessions out contiguously
     # along the global column order and reduces per session outside.
     def kernel1_cols(pvec_ref, s0_ref, unom_ref, pslot_ref, eps_ref, wk_ref,
-                     cost_ref, delta_ref):
+                     cost_ref, delta_ref, xterm_ref=None):
         # The per-column operands use None-dim BlockSpecs, so refs arrive
         # with the tile dim already dropped: s0 [S, C], unom [U*H, C],
-        # pslot [n_sk, C], eps [U, P*ROWS, C].
+        # pslot [n_sk, C], eps [U, P*ROWS, C].  With ``xterm_ref``
+        # ([S, ROWS, C]) the terminal states are emitted too, for a
+        # post-terminal hook (learned value terminal) evaluated per
+        # session outside the kernel.
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         pslot = pslot_ref[:, :]                             # [n_sk, C]
         for i, k in enumerate(slot_keys):
@@ -340,6 +343,16 @@ def build_fused_mppi_step(
 
         xs, _, acc, corr = jax.lax.fori_loop(0, H, body, (xs, prev_us, acc, corr))
         cost_ref[:, :] = (acc + terminal_cost_soa(xs, p)) / (H + 1) + corr
+        if xterm_ref is not None:
+            for i in range(S):
+                xterm_ref[i] = xs[i]
+
+    # emit_terminal twin of the columnwise kernel (outputs ordered
+    # cost, xterm ahead of the delta scratch, per pallas_call convention).
+    def kernel1_cols_emit(pvec_ref, s0_ref, unom_ref, pslot_ref, eps_ref,
+                          wk_ref, cost_ref, xterm_ref, delta_ref):
+        kernel1_cols(pvec_ref, s0_ref, unom_ref, pslot_ref, eps_ref, wk_ref,
+                     cost_ref, delta_ref, xterm_ref=xterm_ref)
 
     # ---------------- pass 2: weighted perturbation sums -------------------
     def kernel2(seed_ref, red_ref, wk_ref, eyemask_ref, blocksum_ref,
@@ -572,7 +585,7 @@ def build_fused_mppi_step(
         )
         return jax.jit(inner)
 
-    def make_cost_run_cols(K: int):
+    def make_cost_run_cols(K: int, emit_terminal: bool = False):
         """Columnwise semi-fused cost kernel over K total rollouts.
 
         Returns ``cost(pvec [N_shared], s0_cols [T,S,C], unom_cols
@@ -582,13 +595,28 @@ def build_fused_mppi_step(
         ``make_run.slot_keys``).  All per-column operands are tiny relative
         to eps (they repeat each session's scalars over its K/ROWS
         columns), so the batched launch stays bandwidth-dominated by the
-        same tensors as the single-session kernel."""
+        same tensors as the single-session kernel.
+
+        ``emit_terminal=True`` returns ``(costs2d, xterm)`` with ``xterm``
+        [S, ROWS, T*C] — terminal states in the same tile layout as
+        costs2d, for a post-terminal hook (learned value terminal) added
+        per session before the softmax."""
         assert K % tile_k == 0, f"K={K} not divisible by tile {tile_k}"
         n_tiles = K // tile_k
         n_sk = len(slot_keys)
         assert shared_keys, "columnwise kernel expects >=1 shared param"
         Wk = jnp.asarray(Wk_np)
 
+        out_specs = [pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((ROWS, K // ROWS), jnp.float32)]
+        if emit_terminal:
+            out_specs.append(pl.BlockSpec((S, ROWS, C),
+                                          lambda i, *_: (0, 0, i),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((S, ROWS, K // ROWS), jnp.float32)
+            )
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # shared pvec
             grid=(n_tiles,),
@@ -604,15 +632,14 @@ def build_fused_mppi_step(
                 pl.BlockSpec((H * ROWS, P * ROWS), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((ROWS, C), lambda i, *_: (0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs if emit_terminal else out_specs[0],
             scratch_shapes=[pltpu.VMEM((U, H * ROWS, C), jnp.float32)],
         )
 
         def cost_cols(pvec, s0_cols, unom_cols, pslot_cols, eps):
             return pl.pallas_call(
-                kernel1_cols,
-                out_shape=jax.ShapeDtypeStruct((ROWS, K // ROWS), jnp.float32),
+                kernel1_cols_emit if emit_terminal else kernel1_cols,
+                out_shape=out_shape if emit_terminal else out_shape[0],
                 grid_spec=gs,
                 interpret=interpret,
             )(pvec, s0_cols, unom_cols, pslot_cols, eps, Wk)

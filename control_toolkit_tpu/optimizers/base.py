@@ -104,7 +104,8 @@ def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int,
 
 
 def batched_kernel_core_ok(opt, *, force_scan: bool,
-                           stateful: bool = False) -> bool:
+                           stateful: bool = False,
+                           post_ok: bool = False) -> bool:
     """The conjunction every columnwise batched-kernel eligibility gate
     shares (BatchedMPC._batched_*_eligible and ClosedLoop's sweep gate
     both build on this — keep it in ONE place so a new condition cannot
@@ -112,17 +113,21 @@ def batched_kernel_core_ok(opt, *, force_scan: bool,
     predictor, no logging / optimal-trajectory replay (per-session
     diagnostics take the vmapped path), and no K-sharding mesh on the
     optimizer.  Model compatibility (SOA ODE vs neural) and tile
-    divisibility stay per-gate."""
+    divisibility stay per-gate.
+
+    ``post_ok=True`` admits a post-terminal hook (learned value terminal)
+    — only for gates whose batched kernel emits terminal states so V can
+    be added per session outside (today: the semi-fused MPPI columns
+    kernel).  Every other columns kernel neither emits terminals nor
+    backprops through the hook, so those sessions keep the vmapped scan
+    and V is never dropped."""
     return (
         not force_scan
         and not stateful
         and not opt.optimizer_logging
         and not opt.calculate_optimal_trajectory
         and opt._mesh is None
-        # The columns kernels neither emit terminal states nor backprop
-        # through a post-terminal hook (learned value terminal): batched
-        # sessions with one keep the vmapped scan so V is never dropped.
-        and opt._post_terminal_fn() is None
+        and (post_ok or opt._post_terminal_fn() is None)
     )
 
 

@@ -323,8 +323,14 @@ class MPPIOptimizer(Optimizer):
             slot_extra_keys=tuple(f"d_{k}" for k in per_slot_dyn)
             + tuple(f"c_{k}" for k in per_slot_cost),
         )
-        cost_cols = make_run.cols(B * K)
+        # A learned value terminal keeps this kernel path: the columns
+        # kernel emits the terminal states and V(x_H) is added per session
+        # outside, under the same mean-over-(H+1) normalization as the
+        # single-session emit_terminal path (_finalize_cost_kernel).
+        post = self._post_terminal_fn()
+        cost_cols = make_run.cols(B * K, emit_terminal=post is not None)
         shared_keys, slot_keys = make_run.shared_keys, make_run.slot_keys
+        inv_h1 = 1.0 / (H + 1)
         W_mat = jnp.asarray(self.interp.matrix, jnp.float32)   # [P, H]
         low, high = self.action_low, self.action_high
         LBD, stdev = self.LBD, self.SQRTRHODTINV
@@ -351,7 +357,26 @@ class MPPIOptimizer(Optimizer):
             unom_cols = expand_cols(
                 unom_b.transpose(0, 2, 1).reshape(B, U * H)     # j*H + h order
             )
-            costs2d = cost_cols(pvec, s0_cols, unom_cols, pslot_cols, eps)
+            if post is None:
+                costs2d = cost_cols(pvec, s0_cols, unom_cols, pslot_cols, eps)
+            else:
+                costs2d, xterm = cost_cols(
+                    pvec, s0_cols, unom_cols, pslot_cols, eps
+                )
+                # xterm [S, ROWS, B*cps] -> [B*K, S] in the same rollout
+                # order as costs (k = r*cps + c within each session), V as
+                # one XLA matmul chain, folded in BEFORE the softmax.
+                x_flat = (
+                    xterm.reshape(S, ROWS, B, cps)
+                    .transpose(2, 1, 3, 0)
+                    .reshape(B * K, S)
+                )
+                v = post(x_flat, {"cost": cost, "attrs": attrs}) * inv_h1
+                costs2d = costs2d + (
+                    v.reshape(B, ROWS, cps)
+                    .transpose(1, 0, 2)
+                    .reshape(ROWS, B * cps)
+                )
             w3 = costs2d.reshape(ROWS, B, cps)
             rho = jnp.min(w3, axis=(0, 2))
             w = jnp.exp(-(w3 - rho[None, :, None]) * (1.0 / LBD))

@@ -449,3 +449,156 @@ def test_attach_and_hot_swap_on_controller():
     assert not np.allclose(u1, u2)  # the new net reached the step
     with pytest.raises(ValueError):
         update_value_params(make("mppi", logging=False), vp2)
+
+
+# ---- batched columns kernel (interpret mode) ---------------------------------
+
+def test_value_terminal_rides_batched_mppi_columns_kernel():
+    """The columnwise batched semi-fused MPPI kernel emits terminal states
+    and V is added per session BEFORE the softmax — checked exactly
+    against a per-session XLA reference (trajectory cost through the
+    wrapped cost, V included, plus the MPPI correction term)."""
+    from control_toolkit_tpu.optimizers.mppi import MPPIState
+
+    B, K, H, tile, ROWS = 4, 64, 10, 128, 8
+    ctrl = _mpc_ctrl(K=K, H=H)
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(21), 4),
+                          value_scale=4.0)
+    opt = ctrl.optimizer
+    step, update_from_eps = opt._make_batched_semi_fused_step(
+        B, interpret=True, tile_k=tile
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+    cps = K // ROWS
+    T = (B * K) // tile
+    C = tile // ROWS
+
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(0), i)
+                      for i in range(B)])
+    st = jax.vmap(opt._init_state)(keys)
+    rng = np.random.default_rng(1)
+    states = MPPIState(
+        key=st.key,
+        u_nom=jnp.asarray(rng.uniform(
+            -0.4, 0.4, size=np.asarray(st.u_nom).shape), jnp.float32),
+        u_prev=jnp.asarray(rng.uniform(
+            -0.5, 0.5, size=np.asarray(st.u_prev).shape), jnp.float32),
+    )
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    eps = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(T, U, P * ROWS, C)),
+        jnp.float32,
+    )
+
+    u_nom_new, costs = update_from_eps(
+        states, s_b, params["dyn"], params["cost"], attrs, eps
+    )
+    assert u_nom_new.shape == (B, H, U) and costs.shape == (B, K)
+
+    # ---- per-session XLA reference (V included via get_trajectory_cost) ----
+    W = np.asarray(opt.interp.matrix, np.float32)
+    Wk = np.kron(W.T, np.eye(ROWS, dtype=np.float32))
+    eps_cols = np.asarray(eps).transpose(1, 2, 0, 3).reshape(
+        U, P * ROWS, T * C)
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:],
+             np.asarray(states.u_nom)[b, 0, -1:]], axis=0)
+        eps_b = eps_cols[:, :, b * cps:(b + 1) * cps]
+        delta = np.stack([Wk @ eps_b[j] for j in range(U)])
+        Q = np.zeros((K, H, U), np.float32)
+        du = np.zeros((K, H, U), np.float32)
+        for r in range(ROWS):
+            for cw in range(cps):
+                for j in range(U):
+                    d = delta[j, np.arange(H) * ROWS + r, cw]
+                    du[r * cps + cw, :, j] = d
+                    Q[r * cps + cw, :, j] = np.clip(
+                        un_shift[:, j] + d, -1.0, 1.0)
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        traj = opt.predictor.rollout(s_tiled, jnp.asarray(Q), params["dyn"])
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        base = opt.cost_function.get_trajectory_cost(
+            traj, jnp.asarray(Q), states.u_prev[b], cparams
+        )
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * du**2
+                + opt.R * Q * du + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        ref_cost = np.asarray(base) + corr
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=3e-4, rtol=3e-5
+        )
+
+
+def test_value_terminal_batched_gate_post_ok():
+    """batched_kernel_core_ok rejects a post-terminal hook by default and
+    admits it only with post_ok=True (the semi-fused MPPI / mppi-var
+    columns kernels, which emit terminal states)."""
+    from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+
+    vt = ValueTerminalCost(QuadCost(), _rand_value_net(jax.random.PRNGKey(4), 2))
+    opt = _make_mppi(vt, horizon=6, K=64)
+    assert not batched_kernel_core_ok(opt, force_scan=False)
+    assert batched_kernel_core_ok(opt, force_scan=False, post_ok=True)
+    # force_scan still wins even with post_ok
+    assert not batched_kernel_core_ok(opt, force_scan=True, post_ok=True)
+
+
+def test_attach_value_terminal_batched_controller():
+    """attach_value_terminal on a configured BatchedMPCController installs
+    a persistent wrap hook and rebuilds the batched program (configure
+    recreates the cost wrapper, so a plain wrap would be silently dropped)
+    — V reaches the batched objective and survives a re-configure."""
+    from control_toolkit_tpu.controllers.batched_mpc import (
+        BatchedMPCController,
+    )
+
+    def make():
+        ctrl = BatchedMPCController(
+            environment_name="cartpole",
+            control_limits=(np.array([-1.0], np.float32),
+                            np.array([1.0], np.float32)),
+            initial_environment_attributes={"target_position": 0.0},
+            config={"optimizer": "mppi", "controller_logging": False},
+        )
+        ctrl.configure(optimizer_name="mppi", optimizer_config={
+            "seed": 5, "mpc_timestep": 0.02, "mpc_horizon": 8,
+            "num_rollouts": 32, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+            "NU": 1000.0, "SQRTRHOINV": 0.05,
+            "period_interpolation_inducing_points": 4,
+        }, num_slots=2)
+        return ctrl
+
+    plain = make()
+    valued = make()
+    vp = _rand_value_net(jax.random.PRNGKey(13), 4)
+    vt = attach_value_terminal(valued, vp, value_scale=8.0)
+    assert isinstance(vt, ValueTerminalCost)
+    assert valued.cost_function.cost_function is vt
+
+    s = np.tile(np.array([0.4, 0.0, 0.3, 0.0], np.float32), (2, 1))
+    u_plain = plain.step_batch(s)
+    u_valued = valued.step_batch(s)
+    assert np.all(np.isfinite(u_plain)) and np.all(np.isfinite(u_valued))
+    # the V term reached the batched program's objective
+    assert not np.allclose(u_plain, u_valued)
+
+    # the wrap survives a re-configure (the hook re-applies)
+    stash_args, stash_kwargs = valued._configure_stash
+    valued.configure(*stash_args, **stash_kwargs)
+    assert isinstance(valued.cost_function.cost_function, ValueTerminalCost)
+    u_again = valued.step_batch(s)
+    np.testing.assert_allclose(np.asarray(u_again), np.asarray(u_valued),
+                               atol=1e-6)
