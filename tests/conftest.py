@@ -19,6 +19,19 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# The suite is compile-bound (wall time tracks single-core XLA compile
+# throughput), so persist compiles across runs: a warm rerun skips most
+# of the compile cost.  Repo-local dir so CI workspaces keep it between
+# attempts; harmless when cold.  Tests that count recompiles inspect the
+# jit TRACE cache (fn._cache_size()), which this does not touch.
+from control_toolkit_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".xla_test_cache")
+)
+
 assert jax.default_backend() == "cpu", "tests must not grab the real TPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
