@@ -27,9 +27,12 @@ optimizer then adds ``scale * V(x_H) / (H+1)`` outside the kernel as one
 MXU matmul chain (``post_terminal_cost`` hook, costs/base.py).  So MPPI/CEM
 /iCEM/CMA-ES with a learned terminal keep the kernel path whenever the BASE
 cost is kernel-eligible (``pallas_eligible`` delegates).  The GRADIENT
-kernels stay excluded — their in-kernel backward sweep would silently drop
-``dV/dQ`` — so RPGD/gradient-tf with a value terminal differentiate through
-the fused scan (V participates in AD there).
+kernels keep their fast path too: a plain-MLP V rides IN-KERNEL as
+flatten_mlp_weights VMEM operands (value-scale folded into the last layer
+per call, so re-fits/scale changes never recompile) and the terminal
+``jax.vjp`` seeds the backward sweep with ``dV/dx_H`` — RPGD/gradient-tf
+get exact ``dV/dQ`` at kernel speed (``value_spec``, ops/pallas_grad.py;
+eligibility: ``_value_grad_spec``, optimizers/base.py).
 
 Trajectory-cost semantics are unchanged (mean over H stage costs +
 terminal, costs/base.py): with ``value_scale=1`` the optimizer ranks plans
@@ -209,8 +212,7 @@ def attach_value_terminal(ctrl, value_params: Dict,
     if hasattr(ctrl, "_realized_cost_jit"):
         del ctrl._realized_cost_jit  # retrace against the wrapped cost
     ctrl.optimizer._build()
-    ctrl.optimizer._log_kernel_path()  # the path may have changed (e.g.
-    # gradient kernels -> XLA-AD); re-announce it.
+    ctrl.optimizer._log_kernel_path()  # the path may have changed; re-announce
     return vt
 
 

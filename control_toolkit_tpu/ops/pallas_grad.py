@@ -116,6 +116,7 @@ def _make_fwd_bwd_kernel(
     slot_keys: Sequence[str],
     n_w: int,
     ensemble: bool = False,
+    value_spec: dict = None,
 ):
     """Shared forward-store / backward-sweep kernel body.
 
@@ -123,11 +124,21 @@ def _make_fwd_bwd_kernel(
     runner's per-tile member index_map already selected this tile's
     block) — read ``r[0]`` instead of ``r[:]``.
 
+    ``value_spec``: a LEARNED terminal value V(x) evaluated in-kernel
+    (``{"n_layers": L}``, tanh MLP on the terminal state rows).  Its
+    ``2*L`` flatten_mlp_weights operands (value-scale pre-folded into the
+    last layer by the caller) follow the dynamics weights, and because the
+    terminal is differentiated with ``jax.vjp`` the backward sweep's
+    adjoint seed carries dV/dx_H — RPGD / gradient-tf over a
+    ValueTerminalCost keep the fused kernel with exact dV/dQ (the
+    transposed value MLP is MXU work on the stored terminal states).
+
     Operand order (after the pvec scalar prefetch): s0 [S,T], q [H,U,T],
     then ``pslot [n_slot, T]`` when slot_keys are used, then ``n_w``
-    whole-array weight operands, then outputs (cost, dq) and the
-    state-history scratch."""
+    whole-array weight operands, then the value-net operands, then
+    outputs (cost, dq) and the state-history scratch."""
     n_slot = len(slot_keys)
+    n_vw = 2 * value_spec["n_layers"] if value_spec else 0
     # Dynamic sublane offsets into the state-history scratch must be
     # 8-aligned on TPU (Mosaic vector_store constraint), so each step's
     # state block is padded to a multiple of 8 rows.
@@ -138,11 +149,13 @@ def _make_fwd_bwd_kernel(
         if n_slot:
             pslot_ref, rest = rest[0], rest[1:]
         w_refs = rest[:n_w]
-        cost_ref, dq_ref, xhist_ref = rest[n_w:]
+        vw_refs = rest[n_w : n_w + n_vw]
+        cost_ref, dq_ref, xhist_ref = rest[n_w + n_vw :]
         p = {k: pvec_ref[i] for i, k in enumerate(shared_keys)}
         for i, k in enumerate(slot_keys):
             p[k] = pslot_ref[i : i + 1, :]                    # [1, T] row
         ws = [(r[0] if ensemble else r[:]) for r in w_refs]
+        vws = [r[:] for r in vw_refs]  # value net is member-shared
         one_step = make_step(p, ws)
         xs0 = tuple(s0_ref[i : i + 1, :] for i in range(S))
         u_prev0 = tuple(
@@ -175,7 +188,19 @@ def _make_fwd_bwd_kernel(
             0, H, fwd, (xs0, u_prev0, jnp.zeros((1, tile_k), jnp.float32))
         )
 
-        tc, t_vjp = jax.vjp(lambda xs: terminal_cost_soa(xs, p), xs_H)
+        if n_vw:
+            from control_toolkit_tpu.ops.pallas_neural import mlp_rows
+
+            def term_fn(xs):
+                a = jnp.concatenate(xs, axis=0)               # [S, T]
+                v = mlp_rows(vws, a, value_spec["n_layers"],
+                             value_spec.get("activation", jnp.tanh))
+                return terminal_cost_soa(xs, p) + v
+        else:
+            def term_fn(xs):
+                return terminal_cost_soa(xs, p)
+
+        tc, t_vjp = jax.vjp(term_fn, xs_H)
         cost_ref[0:1, :] = (acc + tc) * inv_h1
         ones_ct = jnp.full((1, tile_k), inv_h1)
         lam0 = t_vjp(ones_ct)[0]                                 # tuple of S rows
@@ -214,10 +239,12 @@ def _make_fwd_bwd_kernel(
 
 
 def _make_grad_runner(kernel, S, U, H, S_pad, tile_k, interpret, n_slot, n_w,
-                      n_members=None):
+                      n_members=None, n_vw=0):
     """pallas_call wrapper shared by the gradient kernels:
     ``run(s0 [K,S], Q [K,H,U], pvec, [pslot [n_slot,K]], *weights)
-    -> (cost [K], dQ [K,H,U])``."""
+    -> (cost [K], dQ [K,H,U])``.  The trailing ``n_vw`` of the weight
+    operands are the (member-shared) value-net operands — whole-array
+    replicated even in the ensemble form."""
 
     @partial(jax.jit, static_argnames=())
     def run(s0: jnp.ndarray, Q: jnp.ndarray, pvec: jnp.ndarray,
@@ -236,7 +263,8 @@ def _make_grad_runner(kernel, S, U, H, S_pad, tile_k, interpret, n_slot, n_w,
             ]
         else:
             weights, slot_ops, slot_specs = rest, (), []
-        assert len(weights) == n_w, (len(weights), n_w)
+        assert len(weights) == n_w + n_vw, (len(weights), n_w, n_vw)
+        dyn_ws, value_ws = weights[:n_w], weights[n_w:]
         if n_members:
             # Ensemble form: stacked member weights, tile i fetches member
             # block i // tiles_per_member (cf. ops/pallas_neural._make_runner).
@@ -249,14 +277,19 @@ def _make_grad_runner(kernel, S, U, H, S_pad, tile_k, interpret, n_slot, n_w,
                     (1,) + w.shape[1:],
                     (lambda i, pv, _nd=w.ndim: (i // tpm,) + (0,) * (_nd - 1)),
                     memory_space=pltpu.VMEM)
-                for w in weights
+                for w in dyn_ws
             ]
         else:
             w_specs = [
                 pl.BlockSpec(w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
                              memory_space=pltpu.VMEM)
-                for w in weights
+                for w in dyn_ws
             ]
+        w_specs += [
+            pl.BlockSpec(w.shape, (lambda i, pv, _nd=w.ndim: (0,) * _nd),
+                         memory_space=pltpu.VMEM)
+            for w in value_ws
+        ]
 
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -303,9 +336,14 @@ def build_grad_cost_rollout_kernel(
     tile_k: int = None,
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
+    value_spec: dict = None,
 ):
     """Build ``fn(s0 [K,S], Q [K,H,U], pvec [N]) -> (cost [K], dQ [K,H,U])``
     for analytic (SOA ODE) dynamics.
+
+    ``value_spec``: in-kernel learned terminal value — see
+    ``_make_fwd_bwd_kernel``; its flatten_mlp_weights operands (scale
+    pre-folded) trail the call.
 
     ``slot_keys`` switches to the batched-session ("columns") form used by
     the batched RPGD step (optimizers/rpgd.py): the listed params (attrs /
@@ -327,11 +365,12 @@ def build_grad_cost_rollout_kernel(
     kernel, S_pad = _make_fwd_bwd_kernel(
         make_step, stage_cost_soa, terminal_cost_soa,
         num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
-        n_w=0,
+        n_w=0, value_spec=value_spec,
     )
     return _make_grad_runner(
         kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
         len(slot_keys), n_w=0,
+        n_vw=2 * value_spec["n_layers"] if value_spec else 0,
     )
 
 
@@ -351,6 +390,7 @@ def build_neural_grad_cost_rollout_kernel(
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
     n_members: int = None,
+    value_spec: dict = None,
 ):
     """Build ``fn(s0, Q, pvec, [pslot], *weights) -> (cost [K], dQ [K,H,U])``
     for an MLP next-state model ``x' = x + net([x,u])`` (or absolute form).
@@ -397,11 +437,12 @@ def build_neural_grad_cost_rollout_kernel(
     kernel, S_pad = _make_fwd_bwd_kernel(
         make_step, stage_cost_soa, terminal_cost_soa,
         num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
-        n_w=n_w, ensemble=bool(n_members),
+        n_w=n_w, ensemble=bool(n_members), value_spec=value_spec,
     )
     return _make_grad_runner(
         kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
         len(slot_keys), n_w=n_w, n_members=n_members,
+        n_vw=2 * value_spec["n_layers"] if value_spec else 0,
     )
 
 
@@ -421,6 +462,7 @@ def build_residual_grad_cost_rollout_kernel(
     tile_k: int = None,
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
+    value_spec: dict = None,
 ):
     """Gradient twin of ops/pallas_neural.build_residual_cost_rollout_kernel
     ('ODE+res' adaptive-MPC predictor): ``x' = ode_step(x,u) + mlp([x,u])``
@@ -451,11 +493,12 @@ def build_residual_grad_cost_rollout_kernel(
     kernel, S_pad = _make_fwd_bwd_kernel(
         make_step, stage_cost_soa, terminal_cost_soa,
         num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
-        n_w=n_w,
+        n_w=n_w, value_spec=value_spec,
     )
     return _make_grad_runner(
         kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
         len(slot_keys), n_w=n_w,
+        n_vw=2 * value_spec["n_layers"] if value_spec else 0,
     )
 
 
@@ -469,6 +512,7 @@ def build_gp_grad_cost_rollout_kernel(
     tile_k: int = None,
     interpret: bool = False,
     slot_keys: Sequence[str] = (),
+    value_spec: dict = None,
 ):
     """Gradient twin of ops/pallas_neural.build_gp_cost_rollout_kernel:
     ``fn(s0, Q, pvec, [pslot], *gp_ops) -> (cost [K], dQ [K,H,U])`` for
@@ -509,9 +553,10 @@ def build_gp_grad_cost_rollout_kernel(
     kernel, S_pad = _make_fwd_bwd_kernel(
         make_step, stage_cost_soa, terminal_cost_soa,
         num_states, num_controls, horizon, tile_k, shared_keys, slot_keys,
-        n_w=GP_N_OPERANDS,
+        n_w=GP_N_OPERANDS, value_spec=value_spec,
     )
     return _make_grad_runner(
         kernel, num_states, num_controls, horizon, S_pad, tile_k, interpret,
         len(slot_keys), n_w=GP_N_OPERANDS,
+        n_vw=2 * value_spec["n_layers"] if value_spec else 0,
     )

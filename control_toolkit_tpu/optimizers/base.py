@@ -481,6 +481,39 @@ class Optimizer:
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         return getattr(cf, "post_terminal_cost", None)
 
+    def _value_grad_spec(self):
+        """``{"n_layers": L}`` when the cost is a ValueTerminalCost whose
+        V is a plain ``mlp_init``-style tanh MLP — the GRADIENT kernels
+        then evaluate AND differentiate V in-kernel (ops/pallas_grad.py
+        ``value_spec``): the terminal ``jax.vjp`` seeds the backward sweep
+        with dV/dx_H, so RPGD / gradient-tf keep the fused kernel with
+        exact dV/dQ.  None otherwise (gradient planning falls back to
+        XLA-AD through the scan, where any post-terminal hook
+        participates in AD natively)."""
+        from control_toolkit_tpu.costs.value_terminal import ValueTerminalCost
+
+        cf = getattr(self.cost_function, "cost_function", self.cost_function)
+        if not isinstance(cf, ValueTerminalCost):
+            return None
+        # A base cost with its OWN post hook would be dropped in-kernel.
+        if getattr(cf.base, "post_terminal_cost", None) is not None:
+            return None
+        net = cf.value_params
+        n = sum(1 for k in net if str(k).startswith("w"))
+        if n == 0 or set(net) != {f"{c}{i}" for i in range(n) for c in "wb"}:
+            return None  # norm-carrying or exotic nets: keep XLA-AD
+        return {"n_layers": n}
+
+    def _flatten_value_ops(self, params):
+        """flatten_mlp_weights of the live value net, with the (dynamic)
+        value scale folded into the last layer — V re-fits and scale
+        changes reach the gradient kernels with zero recompiles."""
+        from control_toolkit_tpu.ops.pallas_neural import flatten_mlp_weights
+
+        ops = flatten_mlp_weights(params["cost"]["_value_net"])
+        scale = params["cost"]["_value_scale"]
+        return ops[:-2] + [ops[-2] * scale, ops[-1] * scale]
+
     def _finalize_cost_kernel(self, raw_call, post):
         """``raw_call(s_tiled, Q, u_prev, params)`` returns ``cost [K]``
         (post is None) or ``(cost [K], x_H [K,S])`` (emit_terminal kernel).
@@ -739,10 +772,17 @@ class Optimizer:
             )
         if getattr(self, "uses_gradient_kernels", False) \
                 and self._post_terminal_fn() is not None:
-            logger.info(
-                f"{name}: gradient kernels disabled — learned value terminal "
-                "keeps gradient planning on XLA-AD (dV/dQ must participate)"
-            )
+            if self._value_grad_spec() is not None:
+                logger.info(
+                    f"{name}: learned value terminal rides the gradient "
+                    "kernels in-kernel (dV/dQ via the terminal vjp seed)"
+                )
+            else:
+                logger.info(
+                    f"{name}: gradient kernels disabled — non-MLP "
+                    "post-terminal hook keeps gradient planning on XLA-AD "
+                    "(its dQ must participate)"
+                )
 
     # ---- Pallas fused kernel ---------------------------------------------
     def _pallas_compatible_model(self) -> bool:
@@ -996,6 +1036,7 @@ class Optimizer:
         param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
             self._soa_bindings()
         )
+        vspec = self._value_grad_spec()
 
         kernel = build_grad_cost_rollout_kernel(
             derivs, stage_soa, terminal_soa,
@@ -1006,16 +1047,23 @@ class Optimizer:
             intermediate_steps=pred.intermediate_steps,
             tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
             interpret=interpret,
+            value_spec=vspec,
         )
 
         if self._mesh is not None:
             kernel = self._shard_map_kernel(
                 kernel,
                 lambda PS, first: (PS(first), PS(first, None, None)),
+                n_replicated_extra=2 * vspec["n_layers"] if vspec else 0,
             )
 
-        def grad_fn(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev))
+        if vspec:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev),
+                              *self._flatten_value_ops(params))
+        else:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev))
 
         return grad_fn
 
@@ -1389,7 +1437,10 @@ class Optimizer:
             tile > 0
             and not self.force_scan
             and self._pallas_residual_compatible_model()
-            and self._post_terminal_fn() is None  # dV/dQ needs AD (see _can_use_pallas_grad)
+            # plain-MLP value terminals ride in-kernel; other post hooks
+            # need AD (see _can_use_pallas_grad)
+            and (self._post_terminal_fn() is None
+                 or self._value_grad_spec() is not None)
             and self.num_rollouts % (tile * self._n_shard_devices()) == 0
         )
 
@@ -1462,6 +1513,7 @@ class Optimizer:
             self._soa_bindings()
         )
         n_layers, flatten = self._residual_kernel_bits()
+        vspec = self._value_grad_spec()
         kernel = build_residual_grad_cost_rollout_kernel(
             derivs, stage_soa, terminal_soa,
             num_states=self.num_states,
@@ -1472,16 +1524,25 @@ class Optimizer:
             intermediate_steps=pred.intermediate_steps,
             tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
             interpret=interpret,
+            value_spec=vspec,
         )
         if self._mesh is not None:
             kernel = self._shard_map_kernel(
                 kernel,
                 lambda PS, first: (PS(first), PS(first, None, None)),
-                n_replicated_extra=2 * n_layers,
+                n_replicated_extra=2 * n_layers + (
+                    2 * vspec["n_layers"] if vspec else 0),
             )
 
-        def grad_fn(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
+        if vspec:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev),
+                              *flatten(params),
+                              *self._flatten_value_ops(params))
+        else:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev),
+                              *flatten(params))
 
         return grad_fn
 
@@ -1555,11 +1616,12 @@ class Optimizer:
         return (
             tile > 0  # 0 = state-history scratch cannot fit VMEM at any tile
             and self._can_use_pallas()
-            # A post-terminal hook (learned value terminal) participates in
-            # the COST kernels via their emitted terminal states, but the
-            # gradient kernels' in-kernel backward sweep would silently drop
-            # dV/dQ — gradient planning over such costs keeps XLA-AD scan.
-            and self._post_terminal_fn() is None
+            # A learned value terminal (plain-MLP V) rides IN-KERNEL: the
+            # terminal jax.vjp seeds the backward sweep with dV/dx_H
+            # (value_spec, ops/pallas_grad.py).  Any OTHER post-terminal
+            # hook keeps XLA-AD — the kernel would silently drop its dQ.
+            and (self._post_terminal_fn() is None
+                 or self._value_grad_spec() is not None)
             and self.num_rollouts % (tile * self._n_shard_devices()) == 0
         )
 
@@ -1587,7 +1649,10 @@ class Optimizer:
             and not self.force_scan
             and not self.risk_weight
             and not self.robust_eval
-            and self._post_terminal_fn() is None  # dV/dQ needs AD (see _can_use_pallas_grad)
+            # plain-MLP value terminals ride in-kernel; other post hooks
+            # need AD (see _can_use_pallas_grad)
+            and (self._post_terminal_fn() is None
+                 or self._value_grad_spec() is not None)
             and self._n_shard_devices() == 1
             and self._ensemble_grad_tile() > 0
         )
@@ -1611,6 +1676,7 @@ class Optimizer:
             include_dyn=False
         )
         net = pred.net_params
+        vspec = self._value_grad_spec()
         kernel = build_neural_grad_cost_rollout_kernel(
             stage_soa, terminal_soa,
             num_states=self.num_states,
@@ -1624,13 +1690,22 @@ class Optimizer:
             tile_k=tile_k or self._ensemble_grad_tile(),
             interpret=interpret,
             n_members=pred.n_members,
+            value_spec=vspec,
         )
 
-        def fn(s_tiled, Q, u_prev, params):
-            return kernel(
-                s_tiled, Q, pack(params, u_prev),
-                *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
-            )
+        if vspec:
+            def fn(s_tiled, Q, u_prev, params):
+                return kernel(
+                    s_tiled, Q, pack(params, u_prev),
+                    *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
+                    *self._flatten_value_ops(params),
+                )
+        else:
+            def fn(s_tiled, Q, u_prev, params):
+                return kernel(
+                    s_tiled, Q, pack(params, u_prev),
+                    *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
+                )
 
         return fn
 
@@ -1649,7 +1724,10 @@ class Optimizer:
             and not self.force_scan
             and self._pallas_neural_compatible_model()
             and not getattr(pred, "recurrent", False)
-            and self._post_terminal_fn() is None  # dV/dQ needs AD (see _can_use_pallas_grad)
+            # plain-MLP value terminals ride in-kernel; other post hooks
+            # need AD (see _can_use_pallas_grad)
+            and (self._post_terminal_fn() is None
+                 or self._value_grad_spec() is not None)
             and self.num_rollouts % (tile * self._n_shard_devices()) == 0
         )
 
@@ -1673,6 +1751,7 @@ class Optimizer:
             include_dyn=False
         )
         net = pred.net_params
+        vspec = self._value_grad_spec()
         kernel = build_neural_grad_cost_rollout_kernel(
             stage_soa, terminal_soa,
             num_states=self.num_states,
@@ -1685,18 +1764,26 @@ class Optimizer:
             has_norm_out="norm_out_mean" in net,
             tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
             interpret=interpret,
+            value_spec=vspec,
         )
         n_w = len(flatten_mlp_weights(net))
+        n_vw = 2 * vspec["n_layers"] if vspec else 0
         if self._mesh is not None:
             kernel = self._shard_map_kernel(
                 kernel,
                 lambda PS, first: (PS(first), PS(first, None, None)),
-                n_replicated_extra=n_w,
+                n_replicated_extra=n_w + n_vw,
             )
 
-        def grad_fn(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev),
-                          *flatten_mlp_weights(params["dyn"]["net"]))
+        if vspec:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev),
+                              *flatten_mlp_weights(params["dyn"]["net"]),
+                              *self._flatten_value_ops(params))
+        else:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev),
+                              *flatten_mlp_weights(params["dyn"]["net"]))
 
         return grad_fn
 
@@ -1708,8 +1795,10 @@ class Optimizer:
 
         if not self._pallas_gp_compatible_model() or self.force_scan:
             return False
-        if self._post_terminal_fn() is not None:
-            return False  # dV/dQ needs AD (see _can_use_pallas_grad)
+        if (self._post_terminal_fn() is not None
+                and self._value_grad_spec() is None):
+            return False  # non-MLP post hook: dV/dQ needs AD
+            # (plain-MLP value terminals ride in-kernel, _value_grad_spec)
         tile = gp_grad_tile_for(
             self.num_states, self.mpc_horizon, self._gp_num_inducing()
         )
@@ -1736,6 +1825,7 @@ class Optimizer:
         param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
             include_dyn=False
         )
+        vspec = self._value_grad_spec()
         kernel = build_gp_grad_cost_rollout_kernel(
             stage_soa, terminal_soa,
             num_states=self.num_states,
@@ -1746,17 +1836,25 @@ class Optimizer:
                 self.num_states, self.mpc_horizon, self._gp_num_inducing()
             ),
             interpret=interpret,
+            value_spec=vspec,
         )
         if self._mesh is not None:
             kernel = self._shard_map_kernel(
                 kernel,
                 lambda PS, first: (PS(first), PS(first, None, None)),
-                n_replicated_extra=GP_N_OPERANDS,
+                n_replicated_extra=GP_N_OPERANDS + (
+                    2 * vspec["n_layers"] if vspec else 0),
             )
 
-        def grad_fn(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev),
-                          *flatten_gp_weights(params["dyn"]["gp"]))
+        if vspec:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev),
+                              *flatten_gp_weights(params["dyn"]["gp"]),
+                              *self._flatten_value_ops(params))
+        else:
+            def grad_fn(s_tiled, Q, u_prev, params):
+                return kernel(s_tiled, Q, pack(params, u_prev),
+                              *flatten_gp_weights(params["dyn"]["gp"]))
 
         return grad_fn
 

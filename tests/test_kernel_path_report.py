@@ -53,10 +53,13 @@ def test_report_names_backend_on_cpu():
     assert any("backend" in r for r in reasons), reasons
 
 
-def test_report_names_value_terminal_gradient_exclusion(caplog, ctt_propagate):
-    """A gradient optimizer with a learned value terminal logs WHY its
-    gradient kernels are off (dV/dQ must ride XLA-AD)."""
+def test_report_names_value_terminal_gradient_paths(caplog, ctt_propagate):
+    """A gradient optimizer with a plain-MLP value terminal logs that V
+    rides the gradient kernels IN-KERNEL (dV/dQ via the terminal vjp
+    seed); an exotic (non-mlp_init-shaped) V logs WHY the kernels are
+    off instead."""
     import jax
+    import jax.numpy as jnp
 
     from control_toolkit_tpu.costs.value_terminal import (
         attach_value_terminal,
@@ -69,9 +72,20 @@ def test_report_names_value_terminal_gradient_exclusion(caplog, ctt_propagate):
                          logger="control_toolkit_tpu.optimizers.base"):
         attach_value_terminal(ctrl, vp)  # re-jits -> re-logs the notice
     assert ctrl.optimizer._post_terminal_fn() is not None
+    assert ctrl.optimizer._value_grad_spec() == {"n_layers": 2}
     msgs = [r.message for r in caplog.records]
-    assert any("gradient kernels disabled" in m and "value terminal" in m
-               for m in msgs), msgs
+    assert any("rides the gradient kernels" in m for m in msgs), msgs
+
+    # exotic V (extra key): the kernels can't host it -> disabled notice
+    ctrl.cost_function.cost_function.value_params = {
+        **vp, "norm_in_mean": jnp.zeros(4)}
+    assert ctrl.optimizer._value_grad_spec() is None
+    caplog.clear()
+    with caplog.at_level(logging.INFO,
+                         logger="control_toolkit_tpu.optimizers.base"):
+        ctrl.optimizer._log_kernel_path()
+    msgs = [r.message for r in caplog.records]
+    assert any("gradient kernels disabled" in m for m in msgs), msgs
 
 
 def test_report_names_force_scan():

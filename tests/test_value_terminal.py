@@ -602,3 +602,96 @@ def test_attach_value_terminal_batched_controller():
     u_again = valued.step_batch(s)
     np.testing.assert_allclose(np.asarray(u_again), np.asarray(u_valued),
                                atol=1e-6)
+
+
+# ---- GRADIENT kernels: in-kernel V with dV/dQ (interpret mode) ---------------
+
+def _grad_kernel_vs_ad(ctrl, build, K, H, tile, swap_net_key=None):
+    """Kernel (cost, dQ) vs the fused scan + jax.grad, where the wrapped
+    terminal (V included) participates in XLA AD — the dV/dQ ground
+    truth.  ``swap_net_key``: re-fit hot-swap check — update the value
+    net (same structure) and verify the SAME kernel tracks the new V."""
+    opt = ctrl.optimizer
+    assert opt._value_grad_spec() is not None
+    grad_kernel = build(opt, tile)
+    S = opt.num_states
+    s_tiled = jnp.tile(
+        jax.random.uniform(jax.random.PRNGKey(11), (1, S),
+                           minval=-0.3, maxval=0.3), (K, 1))
+    Q = jax.random.uniform(jax.random.PRNGKey(12), (K, H, 1),
+                           minval=-1.0, maxval=1.0)
+    u_prev = jnp.array([0.25], jnp.float32)
+
+    def check():
+        params = ctrl._assemble_params()
+        ref_cost = opt._fused_cost(s_tiled, Q, u_prev, params)
+        ref_grad = jax.grad(
+            lambda q: jnp.sum(opt._fused_cost(s_tiled, q, u_prev, params))
+        )(Q)
+        cost, dq = grad_kernel(s_tiled, Q, u_prev, params)
+        np.testing.assert_allclose(np.asarray(cost), np.asarray(ref_cost),
+                                   rtol=1e-4, atol=1e-4)
+        # tolerances as in test_pallas_neural_grad (accumulation order)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(ref_grad),
+                                   rtol=1e-3, atol=5e-4)
+        return np.asarray(dq)
+
+    dq1 = check()
+    if swap_net_key is not None:
+        update_value_params(
+            ctrl, _rand_value_net(swap_net_key, S, hid=8))
+        dq2 = check()  # same kernel, new V operands — still exact
+        assert not np.allclose(dq1, dq2)  # and the swap actually mattered
+
+
+def test_value_terminal_rides_ode_grad_kernel():
+    K, H = 256, 20
+    ctrl = _mpc_ctrl(K=K, H=H)
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(21), 4),
+                          value_scale=3.0)
+    _grad_kernel_vs_ad(
+        ctrl, lambda opt, t: opt._build_pallas_grad(interpret=True, tile_k=t),
+        K, H, 128, swap_net_key=jax.random.PRNGKey(22),
+    )
+
+
+def test_value_terminal_rides_neural_grad_kernel():
+    K, H = 256, 10
+    ctrl = _mpc_ctrl(K=K, H=H, pred_spec="neural:mlp-16")
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(23), 4),
+                          value_scale=2.0)
+    _grad_kernel_vs_ad(
+        ctrl,
+        lambda opt, t: opt._build_pallas_neural_grad(interpret=True, tile_k=t),
+        K, H, 128,
+    )
+
+
+def test_value_terminal_rides_ensemble_grad_kernel():
+    """Member-stacked dynamics weights + member-SHARED value operands:
+    the runner's operand split (member index_map for the net, whole-array
+    for V) must compose."""
+    from tests.test_pallas_neural_grad import make_ensemble_rpgd
+
+    K, H, E = 128, 12, 4
+    ctrl = make_ensemble_rpgd(K, H, E)
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(24), 4),
+                          value_scale=2.0)
+    _grad_kernel_vs_ad(
+        ctrl,
+        lambda opt, t: opt._build_pallas_ensemble_grad(interpret=True,
+                                                       tile_k=t),
+        K, H, 16,
+    )
+
+
+def test_value_grad_spec_rejects_exotic_nets():
+    """Only plain mlp_init-shaped nets ride in-kernel; anything else
+    (extra keys — e.g. a norm-carrying checkpoint) keeps XLA-AD."""
+    ctrl = _mpc_ctrl(K=64, H=8)
+    vp = _rand_value_net(jax.random.PRNGKey(25), 4)
+    attach_value_terminal(ctrl, vp)
+    assert ctrl.optimizer._value_grad_spec() == {"n_layers": 2}
+    ctrl.cost_function.cost_function.value_params = {
+        **vp, "norm_in_mean": jnp.zeros(4)}
+    assert ctrl.optimizer._value_grad_spec() is None
