@@ -189,6 +189,42 @@ def optimizer_configs(task):
     }
 
 
+# --------------------------------------------- per-cell tuned overrides
+# The first full table run exposed degenerate cells (realized cost worse
+# than random action) that were hyper artifacts, not algorithm truth:
+# MPPI's temperature LBD must scale with the task's stage-cost magnitude
+# (cartpole costs run ~1e4/tick -> LBD=100 is winner-take-all; quadrotor
+# hover runs ~1/tick -> LBD=3 over-smooths), and a CEM/MPPI-var stdev
+# floor of 0.01 collapses exploration mid-swing-up.  Each bad cell got a
+# coarse probe sweep (examples/zoo_tune.py, run on TPU); winners live
+# here so the table compares minimally-sane configurations — the same
+# per-method tuning discipline as the reference's physical-cartpole
+# comparison (reference README.md:216-229).
+TUNED = {
+    ("cartpole-swingup", "mppi"): {"LBD": 1e3},
+    ("cartpole-swingup", "cem-tf"): {
+        "cem_initial_action_stdev": 1.0, "cem_stdev_min": 0.2},
+    ("cartpole-swingup", "icem-tf"): {
+        "cem_initial_action_stdev": 1.0, "cem_stdev_min": 0.2},
+    ("cartpole-swingup", "cem-gmm-tf"): {
+        "cem_initial_action_stdev": 1.0, "cem_stdev_min": 0.2},
+    ("pendulum-swingup", "mppi-var-tf"): {"STDEV_min": 0.2},
+    ("pointmass-obstacle", "mppi-var-tf"): {"STDEV_min": 0.1},
+    ("quadrotor3d-hover", "mppi"): {"LBD": 30.0},
+    ("quadrotor3d-hover", "mppi-var-tf"): {"STDEV_min": 0.1},
+    ("quadrotor3d-hover", "mppi-optimize-tf"): {"LBD": 30.0},
+    ("quadrotor3d-hover", "cem-naive-grad-tf"): {
+        "learning_rate": 0.02, "gradmax_clip": 2},
+}
+# Probed but NOT adopted (zoo_tune.py): cartpole mppi-var with
+# stdev floors (0.1: 2.32M, 0.2: 4.27M > 1.23M default) or with
+# LBD_mc=1e3 (1.61M > 1.23M default), cartpole mppi-optimize with
+# LBD=1e3 (1.61M > 1.27M — the Adam refinement prefers the sharper
+# weighting), cartpole cem-naive-grad stdev widening (no change), and
+# pendulum mppi-var LR slowdowns (~20k either way; variance adaptation
+# simply hurts on pendulum at this budget — an honest negative).
+
+
 def build_controller(task, opt_name, opt_cfg):
     from control_toolkit_tpu.controllers.mpc import MPCController
 
@@ -248,10 +284,25 @@ def main():
     backend = jax.default_backend()
     print(f"zoo eval on backend={backend}", flush=True)
 
+    # `python zoo_eval.py <cell> ...` reruns only matching cells and
+    # merges them into the existing EVAL.json (same backend only).  An
+    # arg with "/" must match the "task/optimizer" key exactly; others
+    # match as substrings.
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
     results = {"backend": backend, "n_episodes": N_EPISODES, "cells": {}}
+    prev = ROOT / "EVAL.json"
+    if only and prev.exists():
+        old = json.loads(prev.read_text())
+        if old.get("backend") == backend:
+            results["cells"].update(old.get("cells", {}))
+
     for tname, task in TASKS.items():
         for oname, (cfg, budget) in optimizer_configs(task).items():
             key = f"{tname}/{oname}"
+            if only and not any(
+                    (s == key) if "/" in s else (s in key) for s in only):
+                continue
+            cfg = {**cfg, **TUNED.get((tname, oname), {})}
             try:
                 t0 = time.perf_counter()
                 mean, sd, ms = eval_cell(task, oname, cfg)
@@ -289,6 +340,13 @@ def main():
         "(reference README.md:216-229) validates the zoo by realized "
         "closed-loop cost on the physical cartpole; this table is the "
         "in-tree equivalent across four simulated tasks.",
+        "",
+        "Per-method hypers: shared defaults per task, plus per-cell "
+        "tuned overrides (`TUNED` in the script) for cells a coarse "
+        "probe sweep (`examples/zoo_tune.py`) showed were hyper "
+        "artifacts — chiefly MPPI's temperature LBD, which must scale "
+        "with the task's stage-cost magnitude, and CEM/MPPI-var stdev "
+        "floors.",
         "",
     ]
     opt_names = list(optimizer_configs(next(iter(TASKS.values()))).keys())
