@@ -774,8 +774,10 @@ class Optimizer:
                 and self._post_terminal_fn() is not None:
             if self._value_grad_spec() is not None:
                 logger.info(
-                    f"{name}: learned value terminal rides the gradient "
-                    "kernels in-kernel (dV/dQ via the terminal vjp seed)"
+                    f"{name}: learned value terminal is gradient-kernel "
+                    "eligible (in-kernel V; dV/dQ via the terminal vjp "
+                    "seed) — active whenever the rollout-cost path above "
+                    "is pallas-kernel"
                 )
             else:
                 logger.info(

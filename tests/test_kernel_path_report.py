@@ -74,7 +74,7 @@ def test_report_names_value_terminal_gradient_paths(caplog, ctt_propagate):
     assert ctrl.optimizer._post_terminal_fn() is not None
     assert ctrl.optimizer._value_grad_spec() == {"n_layers": 2}
     msgs = [r.message for r in caplog.records]
-    assert any("rides the gradient kernels" in m for m in msgs), msgs
+    assert any("gradient-kernel eligible" in m for m in msgs), msgs
 
     # exotic V (extra key): the kernels can't host it -> disabled notice
     ctrl.cost_function.cost_function.value_params = {
