@@ -572,7 +572,11 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         if not (
             isinstance(opt, RPGDOptimizer)
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            # post_ok: a plain-MLP value terminal rides the columns
+            # gradient kernels in-kernel (_bind_batched_grad_kernels).
+            and batched_kernel_core_ok(
+                opt, force_scan=self._user_force_scan,
+                post_ok=opt._value_grad_spec() is not None)
             and not opt.warmup
             and opt._grad_kernel_model_ok(bool(self._per_slot_dyn))
         ):
@@ -643,7 +647,11 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         if not (
             type(opt) is GradientOptimizer
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            # post_ok: a plain-MLP value terminal rides the columns
+            # gradient kernels in-kernel (_bind_batched_grad_kernels).
+            and batched_kernel_core_ok(
+                opt, force_scan=self._user_force_scan,
+                post_ok=opt._value_grad_spec() is not None)
             and not opt.warmup
             and opt._grad_kernel_model_ok(bool(self._per_slot_dyn))
         ):

@@ -218,17 +218,19 @@ class ClosedLoop:
         from control_toolkit_tpu.optimizers.rpgd import RPGDOptimizer
 
         opt = self.optimizer
-        # post_ok here, gated per kind below: only the semi-fused MPPI
-        # columns kernel emits terminal states ('ode' and 'mppi-var',
-        # which reuses it), so only those kinds may carry a learned value
-        # terminal (V added per episode outside); every other kind
-        # requires post_free.
+        # post_ok here, gated per kind below: the semi-fused MPPI columns
+        # kernel emits terminal states ('ode' and 'mppi-var', which
+        # reuses it) and the columns gradient kernels evaluate a
+        # plain-MLP V in-kernel ('rpgd'/'gradient'), so those kinds may
+        # carry a learned value terminal; every other kind requires
+        # post_free.
         if not batched_kernel_core_ok(
             opt, force_scan=opt.force_scan, stateful=self._stateful,
             post_ok=True,
         ):
             return None
         post_free = opt._post_terminal_fn() is None
+        value_ok = post_free or opt._value_grad_spec() is not None
 
         def tiles_ok():
             return (
@@ -249,11 +251,11 @@ class ClosedLoop:
                 return "cem-fused"
             return None
         if isinstance(opt, RPGDOptimizer):
-            if post_free and not opt.warmup and grad_tiles_ok():
+            if value_ok and not opt.warmup and grad_tiles_ok():
                 return "rpgd"
             return None
         if type(opt) is GradientOptimizer:
-            if post_free and not opt.warmup and grad_tiles_ok():
+            if value_ok and not opt.warmup and grad_tiles_ok():
                 return "gradient"
             return None
         if type(opt) is MPPIVarOptimizer:

@@ -116,11 +116,13 @@ def batched_kernel_core_ok(opt, *, force_scan: bool,
     divisibility stay per-gate.
 
     ``post_ok=True`` admits a post-terminal hook (learned value terminal)
-    — only for gates whose batched kernel emits terminal states so V can
-    be added per session outside (today: the semi-fused MPPI columns
-    kernel).  Every other columns kernel neither emits terminals nor
-    backprops through the hook, so those sessions keep the vmapped scan
-    and V is never dropped."""
+    — only for gates whose batched kernel carries V: the semi-fused MPPI
+    columns kernel (emits terminal states; V added per session outside)
+    and the columns GRADIENT kernels (plain-MLP V in-kernel with dV/dQ —
+    gates pass ``post_ok=opt._value_grad_spec() is not None``).  Every
+    other columns kernel neither emits terminals nor backprops through
+    the hook, so those sessions keep the vmapped scan and V is never
+    dropped."""
     return (
         not force_scan
         and not stateful
@@ -1929,9 +1931,16 @@ class Optimizer:
           fleets of sysid'd base constants), residual MLP weights shared
           VMEM operands from ``dyn['res']``.
 
+        A learned value terminal (plain-MLP V, ``_value_grad_spec``) keeps
+        this path: the gradient kernels evaluate V in-kernel (the
+        session-SHARED value net rides as trailing VMEM operands read from
+        ``cost['_value_net']`` per call — re-fits never recompile) and the
+        cost kernels emit terminal states with V added outside as one XLA
+        matmul chain, like the single-session emit_terminal path.
+
         Returns ``(gcall, ccall, pack)`` where
-        ``gcall(s0flat, Qflat, pvec, pslot, dyn) -> (cost [B*K], dQ)`` and
-        ``ccall(...) -> cost [B*K]``."""
+        ``gcall(s0flat, Qflat, pvec, pslot, dyn, cost) -> (cost [B*K],
+        dQ)`` and ``ccall(...) -> cost [B*K]``."""
         from control_toolkit_tpu.models.gp_predictor import GPPredictor
         from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
         from control_toolkit_tpu.models.residual_predictor import (
@@ -1966,6 +1975,7 @@ class Optimizer:
             )
 
         pred0 = getattr(self.predictor, "predictor", self.predictor)
+        vspec = self._value_grad_spec()
         neural = isinstance(pred0, NeuralPredictor)
         gp = isinstance(pred0, GPPredictor)
         residual = isinstance(pred0, ResidualPredictor)
@@ -2004,10 +2014,11 @@ class Optimizer:
                 tile_k=tk, interpret=interpret, slot_keys=slot_keys,
             )
             gkernel = build_neural_grad_cost_rollout_kernel(
-                stage_soa, terminal_soa, **nkargs
+                stage_soa, terminal_soa, value_spec=vspec, **nkargs
             )
             ckernel = build_neural_cost_rollout_kernel(
-                stage_soa, terminal_soa, **nkargs
+                stage_soa, terminal_soa, emit_terminal=vspec is not None,
+                **nkargs
             )
 
             def extra_ops(dyn):
@@ -2030,10 +2041,11 @@ class Optimizer:
                 tile_k=tk, interpret=interpret, slot_keys=slot_keys,
             )
             gkernel = build_gp_grad_cost_rollout_kernel(
-                stage_soa, terminal_soa, **gkargs
+                stage_soa, terminal_soa, value_spec=vspec, **gkargs
             )
             ckernel = build_gp_cost_rollout_kernel(
-                stage_soa, terminal_soa, **gkargs
+                stage_soa, terminal_soa, emit_terminal=vspec is not None,
+                **gkargs
             )
 
             def extra_ops(dyn):
@@ -2048,10 +2060,11 @@ class Optimizer:
                 tile_k=tk, interpret=interpret, slot_keys=slot_keys,
             )
             gkernel = build_residual_grad_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa, **rkargs
+                derivs, stage_soa, terminal_soa, value_spec=vspec, **rkargs
             )
             ckernel = build_residual_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa, **rkargs
+                derivs, stage_soa, terminal_soa,
+                emit_terminal=vspec is not None, **rkargs
             )
 
             def extra_ops(dyn):
@@ -2064,10 +2077,11 @@ class Optimizer:
                 tile_k=tk, interpret=interpret, slot_keys=slot_keys,
             )
             gkernel = build_grad_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa, **kargs
+                derivs, stage_soa, terminal_soa, value_spec=vspec, **kargs
             )
             ckernel = build_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa, **kargs
+                derivs, stage_soa, terminal_soa,
+                emit_terminal=vspec is not None, **kargs
             )
 
             def extra_ops(dyn):
@@ -2085,11 +2099,31 @@ class Optimizer:
             def pack(u_prev_b, dyn, cost, attrs):
                 return inner_pack(u_prev_b, dyn["base"], cost, attrs)
 
-        def gcall(s0flat, Qflat, pvec, pslot, dyn):
-            return gkernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
+        if vspec is None:
+            def gcall(s0flat, Qflat, pvec, pslot, dyn, cost):
+                return gkernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
 
-        def ccall(s0flat, Qflat, pvec, pslot, dyn):
-            return ckernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
+            def ccall(s0flat, Qflat, pvec, pslot, dyn, cost):
+                return ckernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
+        else:
+            from control_toolkit_tpu.models.networks import mlp_apply
+
+            inv_h1 = 1.0 / (H + 1)
+
+            def value_ops(cost):
+                ops = flatten_mlp_weights(cost["_value_net"])
+                sc = cost["_value_scale"]
+                return tuple(ops[:-2]) + (ops[-2] * sc, ops[-1] * sc)
+
+            def gcall(s0flat, Qflat, pvec, pslot, dyn, cost):
+                return gkernel(s0flat, Qflat, pvec, pslot,
+                               *extra_ops(dyn), *value_ops(cost))
+
+            def ccall(s0flat, Qflat, pvec, pslot, dyn, cost):
+                costs, x_T = ckernel(s0flat, Qflat, pvec, pslot,
+                                     *extra_ops(dyn))
+                v = mlp_apply(cost["_value_net"], x_T)[..., 0]
+                return costs + cost["_value_scale"] * v * inv_h1
 
         return gcall, ccall, pack
 

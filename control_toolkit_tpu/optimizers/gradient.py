@@ -138,7 +138,8 @@ class GradientOptimizer(Optimizer):
             def grad_iter(i, carry):
                 Qb, adam = carry                                # [B,K,H,U]
                 _, dQf = gcall(
-                    s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn
+                    s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn,
+                    cost,
                 )
                 dQ = clip_by_norm(dQf.reshape(B, K, H, U), gclip, axes=(2, 3))
                 step_c = adam.step + 1                          # [B]
@@ -155,7 +156,7 @@ class GradientOptimizer(Optimizer):
             )
 
             costs = ccall(
-                s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn
+                s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn, cost
             ).reshape(B, K)
             best = jnp.argmin(costs, axis=1)                    # [B]
             u = jnp.take_along_axis(

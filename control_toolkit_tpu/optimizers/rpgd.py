@@ -260,7 +260,8 @@ class RPGDOptimizer(Optimizer):
             def grad_iter(i, carry):
                 Qb, adam = carry                                # [B,K,H,U]
                 _, dQf = gcall(
-                    s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn
+                    s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn,
+                    cost,
                 )
                 dQ = dQf.reshape(B, K, H, U)
                 if alpha > 0.0:
@@ -283,7 +284,7 @@ class RPGDOptimizer(Optimizer):
             )
 
             costs = ccall(
-                s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn
+                s0flat, Qb.reshape(B * K, H, U), pvec, pslot, dyn, cost
             ).reshape(B, K)
             best_idx = jax.vmap(lambda c: elite_indices(c, keep_k))(costs)
             u_nom = jnp.take_along_axis(

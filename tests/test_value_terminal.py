@@ -81,17 +81,20 @@ def test_trajectory_cost_shifts_by_value_over_h_plus_1():
 
 def test_wrapper_delegates_eligibility_and_scan_agrees():
     """The wrapper inherits the BASE cost's kernel eligibility (the cost
-    kernels emit x_H and V rides post_terminal_cost outside the kernel) —
-    while the GRADIENT kernels stay excluded via _post_terminal_fn."""
+    kernels emit x_H and V rides post_terminal_cost outside the kernel);
+    a plain-MLP V is also gradient-kernel eligible (in-kernel V)."""
     vt = ValueTerminalCost(QuadCost(), _rand_value_net(jax.random.PRNGKey(4), 2))
     assert vt.supports_fused_rollout
     assert vt.pallas_eligible is True  # delegates to QuadCost
     # the fused-scan cost path agrees with the trajectory path through the net
     opt = _make_mppi(vt, horizon=6, K=64)
-    assert opt._post_terminal_fn() is not None  # gradient kernels excluded
-    assert not opt._can_use_pallas_grad()
+    assert opt._post_terminal_fn() is not None
+    assert opt._value_grad_spec() is not None  # in-kernel V eligible
+    assert not opt._can_use_pallas_grad()  # CPU: kernels are TPU-only
     from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+    # the post hook is admitted only when the caller declares support
     assert not batched_kernel_core_ok(opt, force_scan=False)
+    assert batched_kernel_core_ok(opt, force_scan=False, post_ok=True)
     cost_only = opt._make_cost_only()
     assert cost_only is not None  # fused scan engaged (CPU: no Pallas)
     params = opt.default_params()
@@ -695,3 +698,116 @@ def test_value_grad_spec_rejects_exotic_nets():
     ctrl.cost_function.cost_function.value_params = {
         **vp, "norm_in_mean": jnp.zeros(4)}
     assert ctrl.optimizer._value_grad_spec() is None
+
+
+def test_value_terminal_rides_batched_rpgd_columns_kernel():
+    """The columns gradient kernels carry a plain-MLP V in-kernel (gcall)
+    and the columns cost kernel emits terminals with V added outside
+    (ccall) — the full batched RPGD step must match the single-session
+    step_fn (XLA-AD scan on CPU, V in AD) per session."""
+    from tests.test_pallas_batched import make_rpgd_ctrl, _rpgd_states
+
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = make_rpgd_ctrl(K, H)
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(31), 4),
+                          value_scale=3.0)
+    opt = ctrl.optimizer
+    assert opt._value_grad_spec() is not None
+    kstep = opt._make_batched_rpgd_step(B, interpret=True, tile_k=tile)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    states = _rpgd_states(opt, B)
+    rng = np.random.default_rng(19)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    for tick in range(2):       # resample branch, then keep branch
+        u, new_states, costs = kstep(
+            states, s_b, params["dyn"], params["cost"],
+            {"target_position": attrs_vec},
+        )
+        for b in range(B):
+            st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+            p_b = {
+                "dyn": params["dyn"], "cost": params["cost"],
+                "attrs": {"target_position": attrs_vec[b]},
+            }
+            u_ref, new_ref, diag = step_fn(st_b, s_b[b], p_b)
+            np.testing.assert_allclose(
+                np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(costs)[b], np.asarray(diag["J_logged"]),
+                atol=5e-4, rtol=5e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+                atol=5e-4, rtol=5e-4,
+            )
+        states = new_states
+
+
+def test_value_terminal_batched_grad_gates_post_ok():
+    """BatchedMPC + ClosedLoop sweep gates admit a plain-MLP value
+    terminal on the columns gradient kernels (and still reject an exotic
+    one)."""
+    from tests.test_pallas_batched import make_rpgd_ctrl
+
+    ctrl = make_rpgd_ctrl(32, 10)
+    vp = _rand_value_net(jax.random.PRNGKey(32), 4)
+    attach_value_terminal(ctrl, vp)
+    opt = ctrl.optimizer
+    from control_toolkit_tpu.optimizers.base import batched_kernel_core_ok
+    assert batched_kernel_core_ok(
+        opt, force_scan=False, post_ok=opt._value_grad_spec() is not None)
+    ctrl.cost_function.cost_function.value_params = {
+        **vp, "norm_in_mean": jnp.zeros(4)}
+    assert not batched_kernel_core_ok(
+        opt, force_scan=False, post_ok=opt._value_grad_spec() is not None)
+
+
+def test_value_terminal_composes_with_per_slot_dyn_rpgd_kernel():
+    """Per-slot dyn pslot rows + session-shared in-kernel V in one
+    batched RPGD kernel step == per-session XLA-AD step_fn with that
+    session's dyn dict (operand order: pslot, dyn weights, value ops)."""
+    from tests.test_pallas_batched import make_rpgd_ctrl, _rpgd_states
+
+    B, K, H, tile = 2, 32, 10, 64
+    ctrl = make_rpgd_ctrl(K, H)
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(33), 4),
+                          value_scale=3.0)
+    opt = ctrl.optimizer
+    kstep = opt._make_batched_rpgd_step(
+        B, interpret=True, tile_k=tile, per_slot_dyn=("L",)
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    L = np.array([0.4, 0.85], np.float32)
+    dyn_b = dict(params["dyn"], L=jnp.asarray(L))
+    states = _rpgd_states(opt, B)
+    rng = np.random.default_rng(23)
+    s_b = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 1, 4)), jnp.float32)
+    attrs_vec = jnp.asarray(np.linspace(-0.3, 0.3, B), jnp.float32)
+
+    step_fn = opt._make_step_fn()
+    u, new_states, costs = kstep(
+        states, s_b, dyn_b, params["cost"], {"target_position": attrs_vec},
+    )
+    for b in range(B):
+        st_b = jax.tree_util.tree_map(lambda x: x[b], states)
+        p_b = {
+            "dyn": dict(params["dyn"], L=jnp.asarray(L[b])),
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs_vec[b]},
+        }
+        u_ref, new_ref, _ = step_fn(st_b, s_b[b], p_b)
+        np.testing.assert_allclose(
+            np.asarray(u)[b], np.asarray(u_ref), atol=5e-4, rtol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
+            atol=5e-4, rtol=5e-4,
+        )
