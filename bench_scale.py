@@ -810,9 +810,14 @@ def measure_value_terminal(K=16384, H_full=50, H_short=3, ticks=40):
         def derivs_soa(xs, us, p):
             pos, vel = xs
             return (vel, us[0])
+        # rk4, NOT euler: the euler form of this 2-state plant crashes
+        # Mosaic ("Invalid relayout ... replicated in destination") in the
+        # semi-fused MPPI kernel — reproduced on v5e, rk4 unaffected,
+        # anchoring the aliased derivative doesn't help (CLAUDE.md
+        # negative results).  rk4 is exact for a linear system anyway.
         return ODEPredictor(dynamics=soa_to_aos(derivs_soa, 2, 1),
                             num_states=2, num_control_inputs=1, dt=DT,
-                            integrator="euler", params={})
+                            integrator="rk4", params={})
 
     def make_mppi(cost, horizon):
         opt = MPPIOptimizer(
@@ -893,11 +898,41 @@ def measure_value_terminal(K=16384, H_full=50, H_short=3, ticks=40):
         (f"value_mppi_K16k_H{H_short}_valueV",
          make_mppi(ValueTerminalCost(PosCost(), vparams), H_short)),
     ):
-        ms = measure_step(_CtrlShim(opt), n1=20, n2=100)
+        # H=3 steps are ~0.01 ms — the 20/100 slope is below tunnel noise
+        # (one run measured a NEGATIVE row); stretch the scan lengths so
+        # the slope numerator is well above it.
+        n1, n2 = (20, 100) if opt.mpc_horizon >= 20 else (200, 1000)
+        ms = measure_step(_CtrlShim(opt), n1=n1, n2=n2)
         rows[name + "_ms"] = round(ms, 4)
         rows[name + "_realized_cost"] = round(realized(opt), 3)
         print(f"{name:34s}: {ms:7.4f} ms/step, realized "
               f"{rows[name + '_realized_cost']:.3f}", flush=True)
+    return rows
+
+
+def measure_value_rpgd(K=16384, H=50):
+    """Gradient planning over a learned terminal value: RPGD + V at
+    K=16k/H=50 cartpole, fused gradient kernel (in-kernel V — the
+    terminal vjp seeds the backward sweep with dV/dx_H) vs the XLA-AD
+    scan (force_scan).  Returns rows to merge."""
+    import jax
+
+    from control_toolkit_tpu.costs.value_terminal import (
+        attach_value_terminal,
+    )
+    from control_toolkit_tpu.models import networks as nets
+
+    rows = {}
+    for name, force_scan in (("value_rpgd_K16k_H50_kernel", False),
+                             ("value_rpgd_K16k_H50_scan_ad", True)):
+        ctrl = build_rpgd(K, H, force_scan=force_scan)
+        attach_value_terminal(
+            ctrl, nets.mlp_init(jax.random.PRNGKey(0), [4, 32, 32, 1]),
+            value_scale=1.0,
+        )
+        ms = measure_step(ctrl, n1=20, n2=100)
+        rows[name] = round(ms, 3)
+        print(f"{name:34s}: {ms:7.3f} ms/step", flush=True)
     return rows
 
 
@@ -1189,6 +1224,14 @@ def main():
     except Exception as e:
         results["value_terminal_error"] = str(e)[:200]
         print(f"value terminal: ERROR {e}", flush=True)
+
+    # RPGD over a learned terminal value: gradient kernel (in-kernel V)
+    # vs XLA-AD scan.
+    try:
+        results.update(measure_value_rpgd())
+    except Exception as e:
+        results["value_rpgd_error"] = str(e)[:200]
+        print(f"value rpgd: ERROR {e}", flush=True)
 
     # Policy warm-start overhead: one _policy_plan rollout per reset.
     try:

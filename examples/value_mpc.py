@@ -59,8 +59,11 @@ def make_plant():
     def derivs_soa(xs, us, p):
         pos, vel = xs
         return (vel, us[0])
+    # rk4, NOT euler: euler on this 2-state plant crashes Mosaic in the
+    # semi-fused MPPI kernel on TPU (recorded negative, CLAUDE.md); rk4
+    # is exact for a linear system anyway.
     return ODEPredictor(dynamics=soa_to_aos(derivs_soa, 2, 1), num_states=2,
-                        num_control_inputs=1, dt=DT, integrator="euler",
+                        num_control_inputs=1, dt=DT, integrator="rk4",
                         params={})
 
 
