@@ -700,6 +700,7 @@ def test_value_grad_spec_rejects_exotic_nets():
     assert ctrl.optimizer._value_grad_spec() is None
 
 
+@pytest.mark.slow  # default-tier representative: test_value_terminal_rides_ode_grad_kernel
 def test_value_terminal_rides_batched_rpgd_columns_kernel():
     """The columns gradient kernels carry a plain-MLP V in-kernel (gcall)
     and the columns cost kernel emits terminals with V added outside
@@ -768,6 +769,7 @@ def test_value_terminal_batched_grad_gates_post_ok():
         opt, force_scan=False, post_ok=opt._value_grad_spec() is not None)
 
 
+@pytest.mark.slow  # default-tier representative: test_value_terminal_batched_grad_gates_post_ok
 def test_value_terminal_composes_with_per_slot_dyn_rpgd_kernel():
     """Per-slot dyn pslot rows + session-shared in-kernel V in one
     batched RPGD kernel step == per-session XLA-AD step_fn with that
