@@ -61,6 +61,11 @@ def _pointmass_s0(rng):
     ], axis=1).astype(np.float32)
 
 
+def _acrobot_s0(rng):
+    # hanging down with small joint noise (env._sample_initial_state)
+    return (0.05 * rng.standard_normal((N_EPISODES, 4))).astype(np.float32)
+
+
 def _quad3d_s0(rng):
     base = np.array([0.0, 0.0, 1.0] + [0.0] * 9, np.float32)
     noise = np.array([0.3, 0.3, 0.3, 0.1, 0.1, 0.1,
@@ -98,6 +103,14 @@ TASKS = {
         cost=None, s0=_quad3d_s0,
         mppi=dict(LBD=3.0, SQRTRHOINV=0.08),
     ),
+    # Underactuated double pendulum: the chaotic-dynamics stress case
+    # (hypers from examples/swingup_demo.py's tuned acrobot config).
+    "acrobot-swingup": dict(
+        env="acrobot", dt=0.05, ticks=150, horizon=40,
+        low=[-1.0], high=[1.0], attrs={"target_position": 0.0},
+        cost=None, s0=_acrobot_s0,
+        mppi=dict(LBD=20.0, SQRTRHOINV=0.6),
+    ),
 }
 
 ENV_CLASSES = {
@@ -106,6 +119,7 @@ ENV_CLASSES = {
     "pointmass": "control_toolkit_tpu.environments.pointmass:PointMassEnv",
     "quadrotor3d":
         "control_toolkit_tpu.environments.quadrotor3d:Quadrotor3DEnv",
+    "acrobot": "control_toolkit_tpu.environments.acrobot:AcrobotEnv",
 }
 
 
@@ -216,6 +230,13 @@ TUNED = {
     ("quadrotor3d-hover", "cem-naive-grad-tf"): {
         "learning_rate": 0.02, "gradmax_clip": 2},
 }
+# Acrobot: NO override helps the MPPI family (probed LBD {2,5,20,50},
+# SQRTRHOINV {0.3,0.6}, mppi-var floors — every variant stays worse
+# than random action at this budget). The softmax-averaged plan update
+# genuinely fails on the chaotic double pendulum: averaged pump-up
+# plans cancel, while elite-truncation (CEM ~1.9k) and gradient
+# methods (RPGD ~1.28k, iLQR 1.11k) handle it — an honest
+# algorithm-level negative, kept un-overridden in the table.
 # Probed but NOT adopted (zoo_tune.py): cartpole mppi-var with
 # stdev floors (0.1: 2.32M, 0.2: 4.27M > 1.23M default) or with
 # LBD_mc=1e3 (1.61M > 1.23M default), cartpole mppi-optimize with

@@ -21,6 +21,13 @@ Measured on TPU (probe results, J = mean realized cost over 8 episodes):
   quadrotor/cem-naive-grad lr .1 -> .02, clip 2: 1036 -> 291
   pointmass/mppi-var   STDEV_min .01 -> .1: 6655 -> 1604
 
+Acrobot (5th task column): NO probe helps the MPPI family — LBD
+{2, 5, 20, 50} span 3.1k-3.9k, SQRTRHOINV 0.3 3.97k, mppi-var floors
+3.8k-4.9k, all worse than random action's 2.4k. Algorithm-level
+negative: softmax plan averaging cancels on the chaotic double
+pendulum; elite (CEM 1.95k) and gradient (RPGD 1.28k, iLQR 1.11k)
+methods handle it.
+
 Probed but NOT adopted: cartpole mppi-var stdev floors (0.1: 2.32M,
 0.2: 4.27M vs 1.23M default) or LBD_mc=1e3+floor (1.61M /
 2.43M vs 1.23M default), cartpole mppi-optimize LBD=1e3 (1.61M vs
@@ -80,6 +87,15 @@ CASES = [
     ("pendulum-swingup", "mppi-var-tf", {"STDEV_min": 0.2, "LR": 0.1}),
     ("pendulum-swingup", "mppi-var-tf",
      {"STDEV_min": 0.2, "LR": 0.05, "STDEV_max": 1.0}),
+    # acrobot mppi family: every probe stayed worse than random (see
+    # module docstring — algorithm-level negative, no override adopted).
+    ("acrobot-swingup", "mppi", {"LBD": 2.0}),
+    ("acrobot-swingup", "mppi", {"LBD": 5.0}),
+    ("acrobot-swingup", "mppi", {"LBD": 50.0}),
+    ("acrobot-swingup", "mppi", {"SQRTRHOINV": 0.3}),
+    ("acrobot-swingup", "mppi", {"LBD": 5.0, "SQRTRHOINV": 0.3}),
+    ("acrobot-swingup", "mppi-var-tf", {"STDEV_min": 0.2}),
+    ("acrobot-swingup", "mppi-var-tf", {"STDEV_min": 0.1, "LBD_mc": 5.0}),
     # quadrotor mppi: LBD=3 over-smooths hover costs ~ hundreds.
     ("quadrotor3d-hover", "mppi", {"LBD": 30.0}),
     ("quadrotor3d-hover", "mppi", {"LBD": 300.0}),
