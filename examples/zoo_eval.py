@@ -6,7 +6,7 @@ the physical cartpole).  This script carries the same comparison
 in-tree: every optimizer in the zoo runs N-episode Monte-Carlo sweeps
 (`evaluation.ClosedLoop.run_batch` — one device program per cell) on
 {cartpole swing-up, pendulum swing-up, pointmass obstacle course,
-quadrotor3d hover} at a FIXED sample budget of ~1024 rollout
+quadrotor3d hover, acrobot swing-up} at a FIXED sample budget of ~1024 rollout
 evaluations per control tick, and the table records mean +/- sd realized
 cost (the environment's own stage cost, summed over the episode) and
 wall-clock ticks/s.
@@ -295,29 +295,36 @@ def eval_cell(task, opt_name, opt_cfg):
 
 
 def main():
-    import jax
+    render_only = "--render-only" in sys.argv
+    if render_only:
+        backend = "?"  # replaced by the recorded backend below
+    else:
+        import jax
 
-    from control_toolkit_tpu.utils.compile_cache import (
-        enable_persistent_cache,
-    )
+        from control_toolkit_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
 
-    enable_persistent_cache()
-    backend = jax.default_backend()
-    print(f"zoo eval on backend={backend}", flush=True)
+        enable_persistent_cache()
+        backend = jax.default_backend()
+        print(f"zoo eval on backend={backend}", flush=True)
 
     # `python zoo_eval.py <cell> ...` reruns only matching cells and
     # merges them into the existing EVAL.json (same backend only).  An
     # arg with "/" must match the "task/optimizer" key exactly; others
-    # match as substrings.
+    # match as substrings.  `--render-only` re-renders EVAL.md from the
+    # existing EVAL.json without touching the device.
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
     results = {"backend": backend, "n_episodes": N_EPISODES, "cells": {}}
     prev = ROOT / "EVAL.json"
-    if only and prev.exists():
+    if (only or render_only) and prev.exists():
         old = json.loads(prev.read_text())
-        if old.get("backend") == backend:
+        if render_only or old.get("backend") == backend:
             results["cells"].update(old.get("cells", {}))
+            if render_only:
+                results["backend"] = backend = old.get("backend", backend)
 
-    for tname, task in TASKS.items():
+    for tname, task in ({} if render_only else TASKS).items():
         for oname, (cfg, budget) in optimizer_configs(task).items():
             key = f"{tname}/{oname}"
             if only and not any(
@@ -360,14 +367,17 @@ def main():
         "Reference anchor: the RPGD ICRA'23 comparison "
         "(reference README.md:216-229) validates the zoo by realized "
         "closed-loop cost on the physical cartpole; this table is the "
-        "in-tree equivalent across four simulated tasks.",
+        f"in-tree equivalent across {len(TASKS)} simulated tasks.",
         "",
         "Per-method hypers: shared defaults per task, plus per-cell "
         "tuned overrides (`TUNED` in the script) for cells a coarse "
         "probe sweep (`examples/zoo_tune.py`) showed were hyper "
         "artifacts — chiefly MPPI's temperature LBD, which must scale "
         "with the task's stage-cost magnitude, and CEM/MPPI-var stdev "
-        "floors.",
+        "floors.  Acrobot is kept un-overridden: no probe rescued the "
+        "MPPI family there (softmax plan averaging cancels on the "
+        "chaotic double pendulum — an algorithm-level negative; elite "
+        "and gradient methods handle it).",
         "",
     ]
     opt_names = list(optimizer_configs(next(iter(TASKS.values()))).keys())
