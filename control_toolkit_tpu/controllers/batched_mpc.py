@@ -502,7 +502,11 @@ class BatchedMPCController(MPCController):
         return (
             type(opt) is MPPIOptimizer
             and not self._per_slot_dyn  # weight-operand kernels share dyn
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            # post_ok for the MLP form only: its columns kernel emits
+            # terminal states, so a learned value terminal rides (V per
+            # session before the softmax); the recurrent kernel doesn't.
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan,
+                                       post_ok=not recurrent)
             and not opt.bounded_update
             and opt.optim_steps == 0
             and isinstance(pred, NeuralPredictor)
@@ -526,7 +530,9 @@ class BatchedMPCController(MPCController):
         opt = self.optimizer
         return (
             type(opt) is MPPIOptimizer
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            # post_ok: the residual columns kernel emits terminal states
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan,
+                                       post_ok=True)
             and not opt.bounded_update
             and opt.optim_steps == 0
             and opt._pallas_residual_compatible_model()
@@ -547,7 +553,9 @@ class BatchedMPCController(MPCController):
         return (
             type(opt) is MPPIOptimizer
             and not self._per_slot_dyn  # weight-operand kernels share dyn
-            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan)
+            # post_ok: the GP columns kernel emits terminal states
+            and batched_kernel_core_ok(opt, force_scan=self._user_force_scan,
+                                       post_ok=True)
             and not opt.bounded_update
             and opt.optim_steps == 0
             and isinstance(pred, GPPredictor)

@@ -274,8 +274,9 @@ class ClosedLoop:
             return "ode"
         pred = getattr(opt.predictor, "predictor", opt.predictor)
         if (
-            post_free
-            and isinstance(pred, NeuralPredictor)
+            # their columns kernels emit terminal states — a value
+            # terminal keeps the kernel path (V per episode outside)
+            isinstance(pred, NeuralPredictor)
             and not pred.recurrent
             and opt._pallas_neural_compatible_model()
             and neural_tile_for(N * opt.num_rollouts) > 0
@@ -285,8 +286,9 @@ class ClosedLoop:
         from control_toolkit_tpu.ops.pallas_neural import gp_tile_for
 
         if (
-            post_free
-            and isinstance(pred, GPPredictor)
+            # their columns kernels emit terminal states — a value
+            # terminal keeps the kernel path (V per episode outside)
+            isinstance(pred, GPPredictor)
             and opt._pallas_gp_compatible_model()
             and gp_tile_for(
                 N * opt.num_rollouts, 1, int(pred.gp_params["Z"].shape[0])
@@ -298,8 +300,9 @@ class ClosedLoop:
         )
 
         if (
-            post_free
-            and isinstance(pred, ResidualPredictor)
+            # their columns kernels emit terminal states — a value
+            # terminal keeps the kernel path (V per episode outside)
+            isinstance(pred, ResidualPredictor)
             and opt._pallas_residual_compatible_model()
             and neural_tile_for(N * opt.num_rollouts) > 0
         ):

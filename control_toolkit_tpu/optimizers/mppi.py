@@ -461,6 +461,7 @@ class MPPIOptimizer(Optimizer):
             )
         shared_keys, slot_keys = split_slot_keys(param_keys)
         net = pred.net_params
+        post = self._post_terminal_fn()
         kernel = build_neural_cost_rollout_kernel(
             stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H,
@@ -469,10 +470,11 @@ class MPPIOptimizer(Optimizer):
             has_norm_in="norm_in_mean" in net,
             has_norm_out="norm_out_mean" in net,
             tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            emit_terminal=post is not None,
         )
         return self._batched_columns_step_from_kernel(
             B, kernel, lambda dyn: flatten_mlp_weights(dyn["net"]),
-            shared_keys, slot_keys,
+            shared_keys, slot_keys, post=post,
         )
 
     def _make_batched_residual_step(self, num_slots: int,
@@ -510,6 +512,7 @@ class MPPIOptimizer(Optimizer):
             param_keys, per_slot_dyn, per_slot_cost
         )
         n_layers = mlp_layer_count(pred._res)
+        post = self._post_terminal_fn()
         kernel = build_residual_cost_rollout_kernel(
             derivs, stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H, dt=pred.dt,
@@ -517,11 +520,12 @@ class MPPIOptimizer(Optimizer):
             integrator=pred.integrator,
             intermediate_steps=pred.intermediate_steps,
             tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            emit_terminal=post is not None,
         )
         return self._batched_columns_step_from_kernel(
             B, kernel, lambda dyn: flatten_mlp_weights(dyn["res"]),
             shared_keys, slot_keys,
-            dyn_leaves_fn=lambda dyn: dyn["base"],
+            dyn_leaves_fn=lambda dyn: dyn["base"], post=post,
         )
 
     def _make_batched_gp_step(self, num_slots: int,
@@ -556,26 +560,31 @@ class MPPIOptimizer(Optimizer):
             include_dyn=False
         )
         shared_keys, slot_keys = split_slot_keys(param_keys)
+        post = self._post_terminal_fn()
         kernel = build_gp_cost_rollout_kernel(
             stage_soa, terminal_soa,
             num_states=S, num_controls=U, horizon=H,
             param_keys=param_keys,
             tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            emit_terminal=post is not None,
         )
         return self._batched_columns_step_from_kernel(
             B, kernel, lambda dyn: flatten_gp_weights(dyn["gp"]),
-            shared_keys, slot_keys,
+            shared_keys, slot_keys, post=post,
         )
 
     def _batched_columns_step_from_kernel(self, B, kernel, weights_fn,
                                           shared_keys, slot_keys,
-                                          dyn_leaves_fn=None):
+                                          dyn_leaves_fn=None, post=None):
         """Shared tail of the columns-mode batched MPPI steps: per-session
         sampling/interpolation/softmax in XLA around ONE packed kernel
         launch.  ``weights_fn(dyn)`` flattens the model-specific VMEM
         operand list (MLP layers / GP params); ``dyn_leaves_fn(dyn)``
         selects the scalar-leaf subtree the packer reads (the residual
-        predictor's base constants — identity otherwise)."""
+        predictor's base constants — identity otherwise).  ``post``: a
+        learned value terminal — the kernel was built with
+        ``emit_terminal=True`` and V(x_H)/(H+1) joins the per-session
+        costs BEFORE the softmax, as in the semi-fused columns path."""
         K = self.num_rollouts
         H, U = self.mpc_horizon, self.num_control_inputs
         P = self.interp.number_of_interpolation_inducing_points
@@ -607,9 +616,16 @@ class MPPIOptimizer(Optimizer):
                 states.u_prev, dyn_leaves_fn(dyn), cost, attrs
             )
 
-            base = kernel(
-                s0, Q, pvec, pslot, *weights_fn(dyn)
-            ).reshape(B, K)
+            if post is None:
+                base = kernel(
+                    s0, Q, pvec, pslot, *weights_fn(dyn)
+                ).reshape(B, K)
+            else:
+                base, x_T = kernel(s0, Q, pvec, pslot, *weights_fn(dyn))
+                base = (
+                    base + post(x_T, {"cost": cost, "attrs": attrs})
+                    * (1.0 / (H + 1))
+                ).reshape(B, K)
             costs = base + jax.vmap(correction_cost)(u_run, delta)
 
             rho = jnp.min(costs, axis=1, keepdims=True)

@@ -813,3 +813,64 @@ def test_value_terminal_composes_with_per_slot_dyn_rpgd_kernel():
             np.asarray(new_states.Q)[b], np.asarray(new_ref.Q),
             atol=5e-4, rtol=5e-4,
         )
+
+
+def test_value_terminal_rides_batched_neural_columns_kernel():
+    """The columns-mode NEURAL cost kernel emits terminal states and V
+    joins the per-session costs before the softmax — checked against a
+    per-session XLA reference whose trajectory cost goes through the
+    WRAPPED cost (V included)."""
+    from tests.test_pallas_batched import make_states
+    from tests.test_pallas_neural import make_neural_mppi
+
+    B, K, H, tile = 4, 128, 10, 128
+    ctrl = make_neural_mppi(K, H, net="mlp-16")
+    attach_value_terminal(ctrl, _rand_value_net(jax.random.PRNGKey(41), 4),
+                          value_scale=4.0)
+    opt = ctrl.optimizer
+    _, update_from_eps = opt._make_batched_neural_step(
+        B, interpret=True, tile_k=tile
+    )
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), ctrl._assemble_params()
+    )
+    U = opt.num_control_inputs
+    P = opt.interp.number_of_interpolation_inducing_points
+
+    states = make_states(opt, B)
+    rng = np.random.default_rng(17)
+    s_b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 1, 4)), jnp.float32)
+    attrs = {"target_position": jnp.asarray(
+        np.linspace(-0.5, 0.5, B), jnp.float32)}
+    delta_b = jnp.asarray(
+        rng.normal(0.0, opt.SQRTRHODTINV, size=(B, K, P, U)), jnp.float32
+    )
+
+    u_nom_new, costs = update_from_eps(
+        states, s_b, params["dyn"], params["cost"], attrs, delta_b
+    )
+    for b in range(B):
+        un_shift = np.concatenate(
+            [np.asarray(states.u_nom)[b, 0, 1:],
+             np.asarray(states.u_nom)[b, 0, -1:]], axis=0)
+        delta = np.asarray(opt.interp.interpolate(delta_b[b]))
+        Q = np.clip(un_shift[None] + delta, -1.0, 1.0)
+        s_tiled = jnp.tile(s_b[b], (K, 1))
+        traj = opt.predictor.rollout(s_tiled, jnp.asarray(Q), params["dyn"])
+        cparams = {
+            "cost": params["cost"],
+            "attrs": {"target_position": attrs["target_position"][b]},
+        }
+        base = opt.cost_function.get_trajectory_cost(  # wrapped: V included
+            traj, jnp.asarray(Q), states.u_prev[b], cparams
+        )
+        corr = np.sum(
+            opt.cc_weight * (
+                0.5 * (1 - 1 / opt.NU) * opt.R * delta**2
+                + opt.R * Q * delta + 0.5 * opt.R * Q**2
+            ), axis=(1, 2),
+        )
+        ref_cost = np.asarray(base) + corr
+        np.testing.assert_allclose(
+            np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=2e-4
+        )
