@@ -739,6 +739,14 @@ class Optimizer:
         if family == "ode" and getattr(pred, "dynamics", None) is not None \
                 and getattr(pred.dynamics, "soa", None) is None:
             reasons.append("dynamics has no SOA form")
+        base = pred.base if family == "residual" else pred
+        if family in ("ode", "residual") \
+                and getattr(base, "integrator", "rk4") == "euler":
+            reasons.append(
+                "euler integrator (known Mosaic miscompile on this "
+                "toolchain — use rk4, exact for linear systems; "
+                "docs/KERNELS.md)"
+            )
         if family == "neural" and pred.compute_dtype != jnp.float32:
             reasons.append("bf16-mode predictor (kernels compute in f32)")
         if family == "ensemble":
@@ -807,6 +815,14 @@ class Optimizer:
             and (self._device is None or self._device.platform == "tpu")
             and isinstance(pred, ODEPredictor)
             and getattr(pred.dynamics, "soa", None) is not None
+            # Mosaic miscompiles the euler SOA integrator on this toolchain
+            # ("Invalid relayout: Non-singleton logical dimension is
+            # replicated in destination but not in source" at the euler
+            # tadd; reproduced on aliased-derivative plants, and euler with
+            # intermediate_steps=5 hung the compile outright — round-4
+            # notes).  rk4 compiles fine everywhere, so euler configs keep
+            # the XLA scan path rather than crash at first dispatch.
+            and getattr(pred, "integrator", "rk4") != "euler"
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
             # The kernels carry attributes as SMEM scalars; a cost declaring
@@ -1407,6 +1423,9 @@ class Optimizer:
             and (self._device is None or self._device.platform == "tpu")
             and isinstance(pred, ResidualPredictor)
             and getattr(pred.base.dynamics, "soa", None) is not None
+            # Same Mosaic euler miscompile gate as _pallas_compatible_model
+            # — the residual kernel runs the base's SOA integrator in-kernel.
+            and getattr(pred.base, "integrator", "rk4") != "euler"
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
             # Costs carrying non-scalar learned params in the STAGE cost

@@ -119,6 +119,30 @@ def test_report_prob_ensemble_named():
     assert any("prob" in r for r in reasons), reasons
 
 
+def test_report_names_euler_integrator(monkeypatch):
+    """The euler SOA integrator miscompiles under Mosaic on this toolchain
+    ("Invalid relayout … replicated in destination but not in source" at
+    the euler tadd — round-4 notes, docs/KERNELS.md): the model gate keeps
+    euler configs on the scan path instead of crashing at first dispatch,
+    and the report names the block."""
+    import jax
+
+    ctrl = _mpc(pred_spec="ODE:euler")
+    opt = ctrl.optimizer
+    _, path, reasons = opt.kernel_path_report()
+    assert path == "fused-scan"
+    assert any("euler" in r for r in reasons), reasons
+
+    # The gate itself: fake the backend to 'tpu' and un-pin, so the
+    # integrator is the only remaining difference vs an rk4 twin.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    opt._device = None
+    assert not opt._pallas_compatible_model()
+    rk4 = _mpc(pred_spec="ODE:rk4")
+    rk4.optimizer._device = None
+    assert rk4.optimizer._pallas_compatible_model()
+
+
 def test_configure_logs_one_info_line(caplog, ctt_propagate):
     with caplog.at_level(logging.INFO,
                          logger="control_toolkit_tpu.optimizers.base"):
