@@ -1315,9 +1315,20 @@ def main():
     results["batched_rpgd_neural_B128_K32_H50"] = round(ms_k, 3)
     results["batched_rpgd_neural_B128_K32_H50_vmap_scan"] = round(ms_s, 3)
     results["batched_rpgd_neural_B128_sessions_per_sec"] = int(128 / (ms_k / 1e3))
-    print(f"batched neural RPGD B=128 K=32 H=50: kernel {ms_k:.3f} ms/step "
+    # At per-slot K=32 the neural gradient kernel auto-gates to the vmapped
+    # scan (measured loss, round-5 — _grad_kernel_model_ok), so the two
+    # rows above should be ~equal; the kernel's winning shape is K=512:
+    print(f"batched neural RPGD B=128 K=32 H=50: default {ms_k:.3f} ms/step "
           f"({128 / (ms_k / 1e3):.0f} session-steps/s) | vmap-scan {ms_s:.3f} "
           f"| {ms_s / ms_k:.2f}x", flush=True)
+    ms_k = measure_batched_rpgd(B=32, K_per_slot=512, H=50,
+                                predictor_specification="neural:mlp-32-32")
+    ms_s = measure_batched_rpgd(B=32, K_per_slot=512, H=50, force_scan=True,
+                                predictor_specification="neural:mlp-32-32")
+    results["batched_rpgd_neural_B32_K512_H50"] = round(ms_k, 3)
+    results["batched_rpgd_neural_B32_K512_H50_vmap_scan"] = round(ms_s, 3)
+    print(f"batched neural RPGD B=32 K=512 H=50: kernel {ms_k:.3f} ms/step "
+          f"| vmap-scan {ms_s:.3f} | {ms_s / ms_k:.2f}x", flush=True)
 
     ms_k = measure_batched_gradient(B=128, K_per_slot=32, H=50)
     ms_s = measure_batched_gradient(B=128, K_per_slot=32, H=50, force_scan=True)

@@ -231,7 +231,17 @@ def _make_fwd_bwd_kernel(
 
             dq_h = tadd(tadd(dus_dyn, gu), gprev)
             dq_ref[pl.ds(h, 1)] = jnp.stack(dq_h, axis=1)        # [1, U, T]
-            return tadd(dxs_dyn, gx), gp
+            # Mosaic layout anchor (same bug class as soa_integrators.euler):
+            # the adjoint seed lam0 comes from a SPLAT cotangent, and on
+            # chain plants under euler a component can take 2+ iterations to
+            # pick up full layout through the carry (lam_vel only via
+            # dt*lam_pos), which outruns Mosaic's one-pass layout join and
+            # dies with "Invalid relayout ... replicated in destination but
+            # not in source".  us_h loads from VMEM (always full layout);
+            # x + 0.0*u is bitwise x.
+            anchor = us_h[0] * 0.0
+            lam_out = tuple(x + anchor for x in tadd(dxs_dyn, gx))
+            return lam_out, gp
 
         jax.lax.fori_loop(0, H, bwd, (lam0, zeros_u))
 

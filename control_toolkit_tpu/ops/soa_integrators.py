@@ -28,7 +28,25 @@ def make_soa_stepper(
     sub_dt = dt / intermediate_steps
 
     def euler(xs, us, p):
-        return tadd(xs, tscale(derivs_soa(xs, us, p), sub_dt))
+        new = tadd(xs, tscale(derivs_soa(xs, us, p), sub_dt))
+        # Mosaic layout anchor.  Kernels initialise the state components as
+        # scalar splats (jnp.full of an SMEM scalar -> REPLICATED vector
+        # layout).  Under euler on chain plants (e.g. a double integrator,
+        # pos' = pos + dt*vel) a component can stay replicated for the first
+        # loop iteration(s) while others go full, so the fori_loop carry
+        # layout diverges between iterations and Mosaic dies with "Invalid
+        # relayout: Non-singleton logical dimension is replicated in
+        # destination but not in source" (round-4 notes).  rk4 never hits
+        # this because every output component picks up control dependence
+        # (full layout) within one step.  Adding a FULL-layout zero
+        # (us[0] carries the per-rollout noise, so it is never replicated)
+        # forces every component to the full layout immediately; the MLIR
+        # arith dialect does not fold float x*0 without fastmath, and
+        # x + 0.0*u is bitwise x (only -0.0 -> +0.0).  Anchoring with
+        # 0.0*xs[i] (tried first) does NOT work: that anchor is itself
+        # replicated.
+        anchor = us[0] * 0.0
+        return tuple(x + anchor for x in new)
 
     def rk4(xs, us, p):
         k1 = derivs_soa(xs, us, p)

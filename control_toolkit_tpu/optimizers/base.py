@@ -739,14 +739,6 @@ class Optimizer:
         if family == "ode" and getattr(pred, "dynamics", None) is not None \
                 and getattr(pred.dynamics, "soa", None) is None:
             reasons.append("dynamics has no SOA form")
-        base = pred.base if family == "residual" else pred
-        if family in ("ode", "residual") \
-                and getattr(base, "integrator", "rk4") == "euler":
-            reasons.append(
-                "euler integrator (known Mosaic miscompile on this "
-                "toolchain — use rk4, exact for linear systems; "
-                "docs/KERNELS.md)"
-            )
         if family == "neural" and pred.compute_dtype != jnp.float32:
             reasons.append("bf16-mode predictor (kernels compute in f32)")
         if family == "ensemble":
@@ -815,14 +807,11 @@ class Optimizer:
             and (self._device is None or self._device.platform == "tpu")
             and isinstance(pred, ODEPredictor)
             and getattr(pred.dynamics, "soa", None) is not None
-            # Mosaic miscompiles the euler SOA integrator on this toolchain
-            # ("Invalid relayout: Non-singleton logical dimension is
-            # replicated in destination but not in source" at the euler
-            # tadd; reproduced on aliased-derivative plants, and euler with
-            # intermediate_steps=5 hung the compile outright — round-4
-            # notes).  rk4 compiles fine everywhere, so euler configs keep
-            # the XLA scan path rather than crash at first dispatch.
-            and getattr(pred, "integrator", "rk4") != "euler"
+            # (Round-4 gated euler off the kernels for a Mosaic "Invalid
+            # relayout" crash; round 5 fixed the root cause — a replicated
+            # splat-init layout diverging through the fori_loop carry — with
+            # a full-layout zero anchor in soa_integrators.euler, so euler
+            # configs ride the kernels again.)
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
             # The kernels carry attributes as SMEM scalars; a cost declaring
@@ -1423,9 +1412,6 @@ class Optimizer:
             and (self._device is None or self._device.platform == "tpu")
             and isinstance(pred, ResidualPredictor)
             and getattr(pred.base.dynamics, "soa", None) is not None
-            # Same Mosaic euler miscompile gate as _pallas_compatible_model
-            # — the residual kernel runs the base's SOA integrator in-kernel.
-            and getattr(pred.base, "integrator", "rk4") != "euler"
             and cf is not None
             and getattr(cf, "supports_fused_rollout", False)
             # Costs carrying non-scalar learned params in the STAGE cost
@@ -1903,6 +1889,13 @@ class Optimizer:
         return (
             self._pallas_neural_compatible_model()
             and not getattr(pred, "recurrent", False)
+            # Measured negative (round-5 recheck + shape probe, BENCH_SCALE
+            # batched_rpgd_neural): at per-slot K=32 the batched NEURAL
+            # gradient kernel loses to the vmapped XLA-AD scan (~1.6 vs
+            # ~1.3 ms — tiny per-iteration matmuls pipeline better in XLA),
+            # is neutral at K=128 and wins 1.4x at K=512.  Engage the
+            # kernel only where it measured >= parity; docs/KERNELS.md.
+            and self.num_rollouts >= 128
         )
 
     def _grad_kernel_tile_ok(self, total_k: int) -> bool:

@@ -49,9 +49,81 @@ def make_correction_cost(cc_weight: float, R: float, NU: float):
     return correction_cost
 
 
+def make_weight_fn(weighting: str, LBD: float):
+    """Rollout-averaging weights ``w(costs, axes)`` for the MPPI update.
+
+    ``weighting`` selects how trajectory costs map to averaging weights
+    over the population ``axes`` (other axes are independent sessions):
+
+    * ``"softmax"`` — the reference rule ``exp(-(S - min S)/LBD)``
+      (optimizer_mppi.py:163-168).  Temperature LBD must scale with the
+      stage-cost magnitude (docs/TUNING.md).
+    * ``"rank"`` / ``"rank:<frac>"`` — temperature-free truncated
+      log-rank weights (the CMA-ES recombination shape): the best
+      ``h = ceil(frac*K)`` rollouts get ``ln(h+0.5) - ln(rank+1)``, the
+      rest zero (frac defaults to 0.5).  Invariant to any monotone
+      rescaling of the cost, so it is immune to the softmax-cancellation
+      failure on chaotic plants (acrobot EVAL negative, round 4) and
+      needs no LBD tuning.
+    * ``"topk"`` / ``"topk:<frac>"`` — reference softmax truncated to
+      the best ``ceil(frac*K)`` rollouts (frac defaults to 0.1): keeps
+      temperature shaping among the elites but stops the long tail of
+      near-uniform weights from cancelling the update.
+
+    Weights are unnormalized; callers divide by their sum.  Rank/top-k
+    cost two [N] argsorts per update in XLA — negligible next to the
+    rollouts, and outside the Pallas kernels (the semi-fused kernels
+    return per-rollout costs; only the fully-fused MPPI kernel bakes the
+    softmax in, so it gates on ``weighting == "softmax"``).
+    """
+    parts = weighting.split(":")
+    mode = parts[0]
+    if mode not in ("softmax", "rank", "topk"):
+        raise ValueError(
+            f"unknown MPPI weighting {weighting!r} "
+            "(softmax | rank[:frac] | topk[:frac])"
+        )
+    frac = float(parts[1]) if len(parts) > 1 else (0.5 if mode == "rank"
+                                                   else 0.1)
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"weighting fraction must be in (0, 1]: {weighting!r}")
+
+    def weights(S, axes):
+        axes = tuple(a % S.ndim for a in axes)
+        if mode == "softmax":
+            rho = jnp.min(S, axis=axes, keepdims=True)
+            return jnp.exp(-(S - rho) * (1.0 / LBD))
+        rest = [a for a in range(S.ndim) if a not in axes]
+        perm = rest + list(axes)
+        St = jnp.transpose(S, perm)
+        shp = St.shape
+        flat = St.reshape(shp[: len(rest)] + (-1,))
+        n = flat.shape[-1]
+        h = max(1, int(np.ceil(frac * n)))
+        order = jnp.argsort(flat, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        if mode == "rank":
+            w = jnp.maximum(
+                np.log(h + 0.5)
+                - jnp.log(ranks.astype(jnp.float32) + 1.0),
+                0.0,
+            )
+        else:  # topk: truncated softmax
+            rho = jnp.min(flat, axis=-1, keepdims=True)
+            w = jnp.where(
+                ranks < h, jnp.exp(-(flat - rho) * (1.0 / LBD)), 0.0
+            )
+        w = w.reshape(shp)
+        inv = np.argsort(perm)
+        return jnp.transpose(w, inv)
+
+    return weights
+
+
 def make_semi_fused_update(cost_kernel, pack, W_mat, LBD, low, high,
                            ROWS, T, C, P, U,
-                           post=None, cost_params=None, horizon=None):
+                           post=None, cost_params=None, horizon=None,
+                           weighting="softmax"):
     """The semi-fused MPPI nominal update shared by MPPI and mppi-var:
     run the fused interp+rollout+cost kernel on tile-layout perturbations,
     softmax-weight them, average at the INDUCING points (linearity of
@@ -66,6 +138,8 @@ def make_semi_fused_update(cost_kernel, pack, W_mat, LBD, low, high,
     hook (learned value terminal, costs/base.py) — the kernel must then be
     built with ``emit_terminal=True`` so it also returns the terminal
     states, and ``post(x_H)/(H+1)`` joins costs2d BEFORE the softmax."""
+    weight_fn = make_weight_fn(weighting, LBD)
+
     def update(s, u_nom, u_prev, params, eps):
         pvec = pack(params, u_prev)
         if post is None:
@@ -74,8 +148,7 @@ def make_semi_fused_update(cost_kernel, pack, W_mat, LBD, low, high,
             costs2d, xterm = cost_kernel(s[0], u_nom[0], pvec, eps)
             x = jnp.moveaxis(xterm, 0, -1)                    # [R, T*C, S]
             costs2d = costs2d + post(x, cost_params(params)) / (horizon + 1)
-        rho = jnp.min(costs2d)
-        w = jnp.exp(-(costs2d - rho) * (1.0 / LBD))
+        w = weight_fn(costs2d, (0, 1))
         a = jnp.sum(w)
         # Weighted average over inducing points, then interpolate:
         # sum_k w_k (W eps_k) == W (sum_k w_k eps_k).
@@ -87,12 +160,16 @@ def make_semi_fused_update(cost_kernel, pack, W_mat, LBD, low, high,
     return update
 
 
-def make_reward_weighted_average(LBD: float):
-    """Softmax over the K rollouts (reference :163-168).  With K sharded
-    over a mesh these reductions lower to ICI psums."""
+def make_reward_weighted_average(LBD: float, weighting: str = "softmax"):
+    """Softmax over the K rollouts (reference :163-168), or the rank /
+    top-k variants (``make_weight_fn``).  With K sharded over a mesh the
+    softmax reductions lower to ICI psums; rank/top-k add an argsort,
+    which XLA lowers to a (heavier) sharded sort — still population-axis
+    collective-friendly."""
+    weight_fn = make_weight_fn(weighting, LBD)
+
     def reward_weighted_average(S, delta_u):
-        rho = jnp.min(S, axis=0)
-        w = jnp.exp(-1.0 / LBD * (S - rho))
+        w = weight_fn(S, (0,))
         a = jnp.sum(w, axis=0)
         return jnp.sum(w[:, None, None] * delta_u, axis=0) / a
     return reward_weighted_average
@@ -123,6 +200,7 @@ class MPPIOptimizer(Optimizer):
         fully_fused: bool = False,
         semi_fused: bool = True,
         bounded_update: bool = False,
+        weighting: str = "softmax",
         optim_steps: int = 0,
         mppi_LR: float = 0.02,
         adam_beta_1: float = 0.9,
@@ -136,6 +214,13 @@ class MPPIOptimizer(Optimizer):
         self.R = float(R)
         self.LBD = float(LBD)
         self.NU = float(NU)
+        # Cost -> averaging-weight rule (make_weight_fn): reference
+        # softmax, or temperature-free rank / truncated top-k — the
+        # acrobot remedy (EVAL round-4 negative: softmax averaging
+        # cancels on chaotic plants).  Validated eagerly so a typo fails
+        # at construction, not at first step.
+        self.weighting = str(weighting)
+        make_weight_fn(self.weighting, float(LBD))
         self._SQRTRHOINV = float(SQRTRHOINV)
         self.period_interpolation_inducing_points = int(period_interpolation_inducing_points)
         # EXPERIMENTAL opt-in: entire MPPI update as two Pallas kernels with
@@ -259,8 +344,11 @@ class MPPIOptimizer(Optimizer):
             # mppi-optimize Adam refinement (optim_steps > 0) needs the
             # modular path, otherwise the refinement would silently drop.
             and self.optim_steps == 0
-            # The fused kernels implement reference raw-delta averaging.
+            # The fused kernels implement reference raw-delta averaging
+            # with the softmax baked in-body; rank/top-k weighting takes
+            # the semi-fused path (costs come back to XLA anyway).
             and not self.bounded_update
+            and self.weighting == "softmax"
             and not self.optimizer_logging
             and not self.calculate_optimal_trajectory
             and self._can_use_pallas()
@@ -334,6 +422,7 @@ class MPPIOptimizer(Optimizer):
         W_mat = jnp.asarray(self.interp.matrix, jnp.float32)   # [P, H]
         low, high = self.action_low, self.action_high
         LBD, stdev = self.LBD, self.SQRTRHODTINV
+        weight_fn = make_weight_fn(self.weighting, LBD)
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         from control_toolkit_tpu.optimizers.base import make_slot_packer
 
@@ -378,8 +467,7 @@ class MPPIOptimizer(Optimizer):
                     .reshape(ROWS, B * cps)
                 )
             w3 = costs2d.reshape(ROWS, B, cps)
-            rho = jnp.min(w3, axis=(0, 2))
-            w = jnp.exp(-(w3 - rho[None, :, None]) * (1.0 / LBD))
+            w = weight_fn(w3, (0, 2))
             a = jnp.sum(w, axis=(0, 2))
             # Per-session weighted average at the inducing points, then one
             # interpolation (linearity — see make_semi_fused_update).
@@ -591,6 +679,7 @@ class MPPIOptimizer(Optimizer):
         interp = self.interp
         low, high = self.action_low, self.action_high
         LBD, stdev = self.LBD, self.SQRTRHODTINV
+        weight_fn = make_weight_fn(self.weighting, LBD)
         correction_cost = make_correction_cost(self.cc_weight, self.R, self.NU)
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         from control_toolkit_tpu.optimizers.base import make_slot_packer
@@ -628,8 +717,7 @@ class MPPIOptimizer(Optimizer):
                 ).reshape(B, K)
             costs = base + jax.vmap(correction_cost)(u_run, delta)
 
-            rho = jnp.min(costs, axis=1, keepdims=True)
-            w = jnp.exp(-(costs - rho) * (1.0 / LBD))
+            w = weight_fn(costs, (1,))
             a = jnp.sum(w, axis=1)
             upd = jnp.einsum("bk,bkhu->bhu", w, delta) / a[:, None, None]
             u_nom_new = jnp.clip(unom_b + upd, low, high)
@@ -717,6 +805,7 @@ class MPPIOptimizer(Optimizer):
         interp = self.interp
         low, high = self.action_low, self.action_high
         LBD, stdev = self.LBD, self.SQRTRHODTINV
+        weight_fn = make_weight_fn(self.weighting, LBD)
         correction_cost = make_correction_cost(self.cc_weight, self.R, self.NU)
 
         def weight_ops(net, hidden):
@@ -744,8 +833,7 @@ class MPPIOptimizer(Optimizer):
             ).reshape(B, K)
             costs = base + jax.vmap(correction_cost)(u_run, delta)
 
-            rho = jnp.min(costs, axis=1, keepdims=True)
-            w = jnp.exp(-(costs - rho) * (1.0 / LBD))
+            w = weight_fn(costs, (1,))
             a = jnp.sum(w, axis=1)
             upd = jnp.einsum("bk,bkhu->bhu", w, delta) / a[:, None, None]
             u_nom_new = jnp.clip(unom_b + upd, low, high)
@@ -778,7 +866,8 @@ class MPPIOptimizer(Optimizer):
         want_opt_traj = self.calculate_optimal_trajectory
 
         correction_cost = make_correction_cost(cc_weight, R, NU)
-        reward_weighted_average = make_reward_weighted_average(LBD)
+        reward_weighted_average = make_reward_weighted_average(
+            LBD, self.weighting)
 
         # Fused path: skip trajectory materialization when nobody reads it
         # (logging off).  Saves the [K,H+1,S] HBM round trip per step.
@@ -862,7 +951,7 @@ class MPPIOptimizer(Optimizer):
             sf_update = make_semi_fused_update(
                 cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U,
                 post=post, cost_params=self._cost_params,
-                horizon=self.mpc_horizon,
+                horizon=self.mpc_horizon, weighting=self.weighting,
             )
 
             def semi_fused_step_fn(state: MPPIState, s, params):

@@ -224,7 +224,8 @@ class MPPIVarOptimizer(MPPIOptimizer):
         want_opt_traj = self.calculate_optimal_trajectory
 
         correction_cost = make_correction_cost(self.cc_weight, self.R, self.NU)
-        reward_weighted_average = make_reward_weighted_average(LBD)
+        reward_weighted_average = make_reward_weighted_average(
+            LBD, self.weighting)
 
         # ---- semi-fused TPU path (mirrors MPPIOptimizer's, plus the sigma
         # scaling of the raw draws and the variance-adaptation einsum) ------
@@ -256,7 +257,7 @@ class MPPIVarOptimizer(MPPIOptimizer):
             sf_update = make_semi_fused_update(
                 cost_kernel, pack, W_mat, LBD, low, high, ROWS, T, C, P, U,
                 post=post, cost_params=self._cost_params,
-                horizon=self.mpc_horizon,
+                horizon=self.mpc_horizon, weighting=self.weighting,
             )
 
             def semi_fused_step_fn(state: MPPIVarState, s, params):

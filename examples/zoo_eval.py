@@ -229,14 +229,17 @@ TUNED = {
     ("quadrotor3d-hover", "mppi-optimize-tf"): {"LBD": 30.0},
     ("quadrotor3d-hover", "cem-naive-grad-tf"): {
         "learning_rate": 0.02, "gradmax_clip": 2},
+    # Acrobot round-4 negative, round-5 remedy: softmax averaging cancels
+    # on the chaotic double pendulum (NO LBD/stdev override helped —
+    # probed LBD {2,5,20,50}, SQRTRHOINV {0.3,0.6}, mppi-var floors; all
+    # worse than random action).  Rank weighting (optimizers/mppi.py
+    # make_weight_fn) replaces the temperature softmax with truncated
+    # log-rank recombination — elite-truncation is exactly what CEM used
+    # to win this column with.
+    ("acrobot-swingup", "mppi"): {"weighting": "rank:0.1"},
+    ("acrobot-swingup", "mppi-var-tf"): {"weighting": "rank:0.1"},
+    ("acrobot-swingup", "mppi-optimize-tf"): {"weighting": "rank:0.1"},
 }
-# Acrobot: NO override helps the MPPI family (probed LBD {2,5,20,50},
-# SQRTRHOINV {0.3,0.6}, mppi-var floors — every variant stays worse
-# than random action at this budget). The softmax-averaged plan update
-# genuinely fails on the chaotic double pendulum: averaged pump-up
-# plans cancel, while elite-truncation (CEM ~1.9k) and gradient
-# methods (RPGD ~1.28k, iLQR 1.11k) handle it — an honest
-# algorithm-level negative, kept un-overridden in the table.
 # Probed but NOT adopted (zoo_tune.py): cartpole mppi-var with
 # stdev floors (0.1: 2.32M, 0.2: 4.27M > 1.23M default) or with
 # LBD_mc=1e3 (1.61M > 1.23M default), cartpole mppi-optimize with

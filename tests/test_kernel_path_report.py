@@ -119,28 +119,25 @@ def test_report_prob_ensemble_named():
     assert any("prob" in r for r in reasons), reasons
 
 
-def test_report_names_euler_integrator(monkeypatch):
-    """The euler SOA integrator miscompiles under Mosaic on this toolchain
-    ("Invalid relayout … replicated in destination but not in source" at
-    the euler tadd — round-4 notes, docs/KERNELS.md): the model gate keeps
-    euler configs on the scan path instead of crashing at first dispatch,
-    and the report names the block."""
+def test_euler_rides_the_kernels(monkeypatch):
+    """Round 4 gated euler off every Pallas kernel for a Mosaic "Invalid
+    relayout" crash; round 5 root-caused it (replicated splat-init layout
+    diverging through the rollout fori_loop carry on chain plants) and
+    fixed it with a full-layout zero anchor in soa_integrators.euler —
+    euler configs are kernel-eligible again, for the ODE family AND the
+    residual family (its kernel runs the base's SOA integrator in-kernel,
+    ADVICE r4)."""
     import jax
 
-    ctrl = _mpc(pred_spec="ODE:euler")
-    opt = ctrl.optimizer
-    _, path, reasons = opt.kernel_path_report()
-    assert path == "fused-scan"
-    assert any("euler" in r for r in reasons), reasons
-
-    # The gate itself: fake the backend to 'tpu' and un-pin, so the
-    # integrator is the only remaining difference vs an rk4 twin.
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    opt._device = None
-    assert not opt._pallas_compatible_model()
-    rk4 = _mpc(pred_spec="ODE:rk4")
-    rk4.optimizer._device = None
-    assert rk4.optimizer._pallas_compatible_model()
+    for spec in ("ODE:euler", "ODE:rk4"):
+        opt = _mpc(pred_spec=spec).optimizer
+        opt._device = None
+        assert opt._pallas_compatible_model(), spec
+    for spec in ("ODE+res:euler", "ODE+res:rk4"):
+        opt = _mpc(pred_spec=spec).optimizer
+        opt._device = None
+        assert opt._pallas_residual_compatible_model(), spec
 
 
 def test_configure_logs_one_info_line(caplog, ctt_propagate):
