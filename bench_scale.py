@@ -698,6 +698,50 @@ def measure_served_mppi(K, H=50, n_requests=100):
     return (float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99)))
 
 
+def measure_served_echo(n_requests=100):
+    """Serving-stack floor WITHOUT the device: a pure echo server behind
+    the same ZMQ ROUTER/DEALER framing and JSON codec — isolates the
+    json+zmq+thread overhead from the tunnel dispatch and the device step
+    (the decomposition VERDICT r4 item 7 asks for)."""
+    import json as _json
+    import threading
+    import zmq
+
+    ctx = zmq.Context.instance()
+    port = 55721
+
+    def echo(max_requests):
+        sock = ctx.socket(zmq.ROUTER)
+        sock.bind(f"tcp://127.0.0.1:{port}")
+        for _ in range(max_requests):
+            frames = sock.recv_multipart()
+            req = _json.loads(frames[-1].decode("utf-8"))
+            reply = _json.dumps(
+                {"rid": req["rid"], "Q": [0.0]}).encode("utf-8")
+            sock.send_multipart(frames[:-1] + [reply])
+        sock.close(0)
+
+    t = threading.Thread(target=echo, args=(n_requests + 5,), daemon=True)
+    t.start()
+    sock = ctx.socket(zmq.DEALER)
+    sock.connect(f"tcp://127.0.0.1:{port}")
+    sock.setsockopt(zmq.RCVTIMEO, 30000)
+    lat = []
+    state = [0.0, 0.0, 0.1, 0.0]
+    for i in range(n_requests + 5):
+        t0 = time.perf_counter()
+        sock.send_json({"rid": i, "state": state, "time": 0.0,
+                        "updated_attributes": {}})
+        resp = sock.recv_json()
+        assert resp["rid"] == i
+        if i >= 5:
+            lat.append(time.perf_counter() - t0)
+    sock.close(0)
+    t.join(timeout=10)
+    lat_ms = np.asarray(lat) * 1e3
+    return (float(np.percentile(lat_ms, 50)), float(np.percentile(lat_ms, 99)))
+
+
 def measure_served_batched_percentiles(B=32, K_per_slot=512, H=35,
                                        steps=60):
     """Steady-state round-trip (p50, p99) for the dynamically-batching
@@ -845,26 +889,78 @@ def measure_value_terminal(K=16384, H_full=50, H_short=3, ticks=40):
     cp = base.current_params()
     dynp = plant.default_params()
     rng = np.random.default_rng(0)
-    states, ctgs = [], []
-    for s0 in [(a, b) for a in (-1.5, -0.75, 0.0, 0.75, 1.5)
-               for b in (-1.0, 0.0, 1.0)]:
-        x = jnp.asarray(s0, jnp.float32)[None]
-        u_prev = jnp.zeros((1, 1), jnp.float32)
-        ep_s, ep_g = [], []
-        for _ in range(60):
-            u = jnp.clip(-(x @ jnp.asarray(Kg).T) + 0.3 * rng.normal(),
-                         -2.0, 2.0)
-            ep_g.append(float(base.stage_cost_step(
-                x, u, u_prev, {"cost": cp["cost"], "attrs": {}})[0]))
-            ep_s.append(np.asarray(x[0]))
-            x = plant.single_step(x, u, dynp)
-            u_prev = u
-        states.append(np.stack(ep_s))
-        ctgs.append(discounted_cost_to_go(np.asarray(ep_g), gamma=0.97))
+
+    def expert_episodes(T, seed):
+        rng = np.random.default_rng(seed)
+        eps = []
+        for s0 in [(a, b) for a in (-1.5, -0.75, 0.0, 0.75, 1.5)
+                   for b in (-1.0, 0.0, 1.0)]:
+            x = jnp.asarray(s0, jnp.float32)[None]
+            u_prev = jnp.zeros((1, 1), jnp.float32)
+            ep_s, ep_g = [], []
+            for _ in range(T):
+                u = jnp.clip(-(x @ jnp.asarray(Kg).T) + 0.3 * rng.normal(),
+                             -2.0, 2.0)
+                ep_g.append(float(base.stage_cost_step(
+                    x, u, u_prev, {"cost": cp["cost"], "attrs": {}})[0]))
+                ep_s.append(np.asarray(x[0]))
+                x = plant.single_step(x, u, dynp)
+                u_prev = u
+            eps.append((np.stack(ep_s), np.asarray(ep_g), np.asarray(x[0])))
+        return eps
+
+    eps60 = expert_episodes(60, seed=0)
     vparams, mse = fit_value_mlp(
-        np.concatenate(states), np.concatenate(ctgs),
+        np.concatenate([s for s, _, _ in eps60]),
+        np.concatenate([discounted_cost_to_go(g, gamma=0.97)
+                        for _, g, _ in eps60]),
         hiddens=(32, 32), epochs=2000, learning_rate=3e-3, seed=2,
     )
+
+    # BOOT recipe (round 5, the best learnable variant found): longer
+    # episodes + near-undiscounted targets + ONE fitted-value-iteration
+    # round (targets bootstrapped at truncation with the previous fit).
+    # Probed-and-rejected on CPU (probes/probe_value_recipe.py numbers at
+    # K=1024): a DAgger round on H=3+V's own episodes HURT (292 vs 125),
+    # and LBD/stdev retunes for the +V rows hurt across the board.
+    from control_toolkit_tpu.models.networks import mlp_apply
+
+    eps120 = expert_episodes(120, seed=1)
+
+    def fit_from(eps, gamma, vprev=None, seed=2):
+        xs, ys = [], []
+        for ep_s, ep_g, x_T in eps:
+            tail = 0.0
+            if vprev is not None:
+                tail = max(0.0, float(mlp_apply(
+                    vprev, jnp.asarray(x_T, jnp.float32)[None])[0, 0]))
+            xs.append(ep_s)
+            ys.append(discounted_cost_to_go(ep_g, gamma=gamma,
+                                            tail_value=tail))
+        return fit_value_mlp(np.concatenate(xs), np.concatenate(ys),
+                             hiddens=(32, 32), epochs=2000,
+                             learning_rate=3e-3, seed=seed)
+
+    v_long, _ = fit_from(eps120, gamma=0.99)
+    v_boot, _ = fit_from(eps120, gamma=0.99, vprev=v_long, seed=3)
+
+    # ORACLE ceiling (diagnostic row): an MLP fit on the analytic DARE
+    # cost-to-go of the PLANNER's cost — the best any V-fit recipe can
+    # possibly do.  Round-5 finding: even this exact V leaves H=3+V at
+    # ~2x the H=50 cost (and clipped LQR scores ~14 on this eval, far
+    # below every MPPI row) — the remaining gap is the short-horizon
+    # MPPI's own sampling suboptimality, not the value function.
+    Qc, Rc = np.diag([1.0, 0.0]), np.array([[0.1]])
+    Pc = np.diag([1.0, 0.1])
+    for _ in range(2000):
+        Kc = np.linalg.solve(Rc + Bm.T @ Pc @ Bm, Bm.T @ Pc @ A)
+        Pc = Qc + A.T @ Pc @ (A - Bm @ Kc)
+    gx = np.stack(np.meshgrid(np.linspace(-3, 3, 61),
+                              np.linspace(-3, 3, 61)), -1).reshape(-1, 2)
+    gy = 0.5 * np.einsum("ni,ij,nj->n", gx, Pc, gx)
+    v_orc, _ = fit_value_mlp(gx.astype(np.float32), gy.astype(np.float32),
+                             hiddens=(32, 32), epochs=4000,
+                             learning_rate=3e-3, seed=6)
 
     def realized(opt):
         total = 0.0
@@ -897,6 +993,10 @@ def measure_value_terminal(K=16384, H_full=50, H_short=3, ticks=40):
         (f"value_mppi_K16k_H{H_short}_plain", make_mppi(PosCost(), H_short)),
         (f"value_mppi_K16k_H{H_short}_valueV",
          make_mppi(ValueTerminalCost(PosCost(), vparams), H_short)),
+        (f"value_mppi_K16k_H{H_short}_valueV_boot",
+         make_mppi(ValueTerminalCost(PosCost(), v_boot), H_short)),
+        (f"value_mppi_K16k_H{H_short}_valueV_oracle",
+         make_mppi(ValueTerminalCost(PosCost(), v_orc), H_short)),
     ):
         # H=3 steps are ~0.01 ms — the 20/100 slope is below tunnel noise
         # (one run measured a NEGATIVE row); stretch the scan lengths so
@@ -1265,6 +1365,36 @@ def main():
         except Exception as e:
             results[f"served_{kname}_error"] = str(e)[:200]
             print(f"served {kname}: ERROR {e}", flush=True)
+
+    # Serving-latency DECOMPOSITION (VERDICT r4 item 7): where do the
+    # served milliseconds go?  (a) echo = json+zmq+thread only (no jax);
+    # (b) K=256 served = echo + tunnel dispatch + ~0 device -> the
+    # round-trip is dispatch-floor-bound on this single-chip tunnel
+    # (~25-30 ms/dispatch, CLAUDE.md); (c) colocated projection = what a
+    # production deployment without the tunnel would see: echo p99 + the
+    # slope-measured device step (no dispatch floor — local PCIe/ICI
+    # dispatch is ~0.1 ms).  The 50 ms deadline (controller_remote.py:
+    # 11-12) is met colocated at every K; it is the TUNNEL that breaks it
+    # at K=1M, not the framework.
+    try:
+        e50, e99 = measure_served_echo()
+        results["served_echo_p50_ms"] = round(e50, 3)
+        results["served_echo_p99_ms"] = round(e99, 3)
+        d50, d99 = measure_served_mppi(256, H)
+        results["served_K256_roundtrip_p50_ms"] = round(d50, 3)
+        results["served_K256_roundtrip_p99_ms"] = round(d99, 3)
+        dev_ms = results.get("semi_fused_fast_math")  # slope, K=1M config
+        if dev_ms is not None:
+            proj = e99 + dev_ms
+            results["served_K1M_colocated_projection_p99_ms"] = round(proj, 3)
+        print(f"serving decomposition: echo p50/p99 {e50:.3f}/{e99:.3f} ms | "
+              f"K=256 served p50/p99 {d50:.3f}/{d99:.3f} ms (tunnel floor) | "
+              f"colocated K=1M projection p99 "
+              f"{results.get('served_K1M_colocated_projection_p99_ms')} ms",
+              flush=True)
+    except Exception as e:
+        results["served_decomposition_error"] = str(e)[:200]
+        print(f"serving decomposition: ERROR {e}", flush=True)
 
     # Fleet-serving SLO: B=32 concurrent clients against a 32-slot batched
     # server (K=512/slot on-device config), steady-state p50/p99.

@@ -444,14 +444,21 @@ def fit_policy(states: np.ndarray, controls: np.ndarray, hiddens=(32, 32),
 
 
 def discounted_cost_to_go(stage_costs: np.ndarray, gamma: float = 0.97,
-                          ) -> np.ndarray:
+                          tail_value: float = 0.0) -> np.ndarray:
     """Per-tick discounted cost-to-go of ONE episode's realized stage costs:
     ``G_t = g_t + gamma * G_{t+1}`` — the regression targets for a terminal
-    value net (costs/value_terminal.py).  [T] -> [T].  gamma<1 bounds the
-    tail-truncation bias of finite episodes."""
+    value net (costs/value_terminal.py).  [T] -> [T].
+
+    ``tail_value`` BOOTSTRAPS the truncated tail: ``G_{T} := V(x_T)``
+    (pass the current value net's estimate at the episode's final state).
+    Without it, late-episode targets are biased low by exactly the
+    truncated tail — the dominant error of the one-pass recipe (fitted-
+    value-iteration / DAgger rounds shrink it: fit, re-collect, bootstrap
+    with the previous fit, refit).  gamma<1 bounds what truncation bias
+    remains."""
     g = np.asarray(stage_costs, np.float64).reshape(-1)
     out = np.empty_like(g)
-    acc = 0.0
+    acc = float(tail_value)
     for t in range(g.shape[0] - 1, -1, -1):
         acc = g[t] + gamma * acc
         out[t] = acc

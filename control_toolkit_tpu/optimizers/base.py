@@ -646,16 +646,12 @@ class Optimizer:
             # Robust member evaluation replaces the TS rollout entirely
             # (every plan under every member); kernels don't apply.
             return self._wrap_risk(self._robust_member_cost())
-        if not differentiable and self._can_use_pallas():
-            return self._wrap_risk(self._build_pallas_cost())
-        if not differentiable and self._can_use_pallas_neural():
-            return self._wrap_risk(self._build_pallas_neural_cost())
-        if not differentiable and self._can_use_pallas_ensemble():
-            return self._wrap_risk(self._build_pallas_ensemble_cost())
-        if not differentiable and self._can_use_pallas_gp():
-            return self._wrap_risk(self._build_pallas_gp_cost())
-        if not differentiable and self._can_use_pallas_residual():
-            return self._wrap_risk(self._build_pallas_residual_cost())
+        if not differentiable:
+            from control_toolkit_tpu.optimizers import kernel_families as kf
+
+            for fam in kf.COST_ORDER:
+                if fam.can_use_cost(self):
+                    return self._wrap_risk(fam.build_cost(self))
         if self._can_fuse_rollout():
             return self._wrap_risk(self._fused_cost)
         return None
@@ -789,54 +785,18 @@ class Optimizer:
                 )
 
     # ---- Pallas fused kernel ---------------------------------------------
+    # ---- per-family kernel providers (optimizers/kernel_families/) -----
+    # The historical method names below are kept as one-line delegations
+    # so every caller (optimizer zoo, BatchedMPC, ClosedLoop sweeps,
+    # tests) is unchanged; the bodies live in one module per model
+    # family.  Adding a family touches kernel_families/, not this class.
     def _pallas_compatible_model(self) -> bool:
-        """Backend + model/cost eligibility for the fused SOA kernels,
-        independent of population-size divisibility and the force_scan
-        override (callers with different tiling geometries — e.g. the
-        batched-session kernel — add their own divisibility checks)."""
-        import jax
-
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        from control_toolkit_tpu.models.predictors import ODEPredictor
-
-        return (
-            jax.default_backend() == "tpu"
-            # A controller pinned to a non-TPU device (config 'device: cpu')
-            # must take the scan paths — Mosaic kernels are TPU-only.
-            and (self._device is None or self._device.platform == "tpu")
-            and isinstance(pred, ODEPredictor)
-            and getattr(pred.dynamics, "soa", None) is not None
-            # (Round-4 gated euler off the kernels for a Mosaic "Invalid
-            # relayout" crash; round 5 fixed the root cause — a replicated
-            # splat-init layout diverging through the fori_loop carry — with
-            # a full-layout zero anchor in soa_integrators.euler, so euler
-            # configs ride the kernels again.)
-            and cf is not None
-            and getattr(cf, "supports_fused_rollout", False)
-            # The kernels carry attributes as SMEM scalars; a cost declaring
-            # array-valued attr defaults (e.g. a reference trajectory) or
-            # non-scalar learned cost params (pallas_eligible=False) stays
-            # on the scan path, which handles array-valued cost params
-            # natively.  (A learned value TERMINAL is eligible: the kernels
-            # emit x_H and V rides post_terminal_cost outside the kernel.)
-            and getattr(cf, "pallas_eligible", True)
-            and all(
-                np.ndim(v) == 0
-                for v in getattr(cf, "attr_defaults", {}).values()
-            )
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ode
+        return ode.compatible_model(self)
 
     def _can_use_pallas(self) -> bool:
-        from control_toolkit_tpu.ops.pallas_rollout import DEFAULT_TILE_K
-
-        return (
-            not self.force_scan
-            and self._pallas_compatible_model()
-            # Under sharding each device runs its LOCAL tiles through the
-            # kernel via shard_map, so the per-device shard must tile evenly.
-            and self.num_rollouts % (DEFAULT_TILE_K * self._n_shard_devices()) == 0
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ode
+        return ode.can_use_cost(self)
 
     def _n_shard_devices(self) -> int:
         if self._mesh is None:
@@ -959,45 +919,8 @@ class Optimizer:
         return param_keys, pack, derivs, stage_soa, terminal_soa, pred
 
     def _build_pallas_cost(self, interpret: bool = False, tile_k: int = None):
-        """Bind predictor dynamics + cost function into the fused Pallas
-        rollout+cost kernel (ops/pallas_rollout.py).
-
-        Returns ``cost_fn(s_tiled, Q, u_prev, params) -> [K]`` with the same
-        semantics as ``_fused_cost``; all scalar parameters are packed into
-        the kernel's SMEM prefetch vector per call, so weight hot-reloads and
-        attribute updates need no recompilation.
-        """
-        from control_toolkit_tpu.ops.pallas_rollout import (
-            DEFAULT_TILE_K,
-            build_cost_rollout_kernel,
-        )
-
-        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
-            self._soa_bindings()
-        )
-        post = self._post_terminal_fn()
-
-        kernel = build_cost_rollout_kernel(
-            derivs, stage_soa, terminal_soa,
-            num_states=self.num_states, num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon, dt=pred.dt,
-            param_keys=param_keys,
-            integrator=pred.integrator,
-            intermediate_steps=pred.intermediate_steps,
-            tile_k=tile_k or DEFAULT_TILE_K,
-            interpret=interpret,
-            emit_terminal=post is not None,
-        )
-
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel, self._cost_out_specs(post)
-            )
-
-        def raw_call(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev))
-
-        return self._finalize_cost_kernel(raw_call, post)
+        from control_toolkit_tpu.optimizers.kernel_families import ode
+        return ode.build_cost(self, interpret=interpret, tile_k=tile_k)
 
     def _shard_map_kernel(self, kernel, make_out_specs, n_replicated_extra: int = 0,
                           n_member_sharded_extra: int = 0):
@@ -1032,528 +955,77 @@ class Optimizer:
         )
 
     def _build_pallas_grad(self, interpret: bool = False, tile_k: int = None):
-        """Bind predictor dynamics + cost into the fused gradient kernel
-        (ops/pallas_grad.py): ``fn(s_tiled, Q, u_prev, params) -> (cost [K],
-        dQ [K,H,U])`` with d(sum_k cost_k)/dQ semantics — what the
-        population gradient optimizers consume.  Same SMEM parameter packing
-        as the cost kernel (no recompiles on weight/attr changes)."""
-        from control_toolkit_tpu.ops.pallas_grad import (
-            build_grad_cost_rollout_kernel,
-            grad_tile_for,
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ode
+        return ode.build_grad(self, interpret=interpret, tile_k=tile_k)
 
-        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
-            self._soa_bindings()
-        )
-        vspec = self._value_grad_spec()
-
-        kernel = build_grad_cost_rollout_kernel(
-            derivs, stage_soa, terminal_soa,
-            num_states=self.num_states, num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon, dt=pred.dt,
-            param_keys=param_keys,
-            integrator=pred.integrator,
-            intermediate_steps=pred.intermediate_steps,
-            tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
-            interpret=interpret,
-            value_spec=vspec,
-        )
-
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel,
-                lambda PS, first: (PS(first), PS(first, None, None)),
-                n_replicated_extra=2 * vspec["n_layers"] if vspec else 0,
-            )
-
-        if vspec:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev),
-                              *self._flatten_value_ops(params))
-        else:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev))
-
-        return grad_fn
-
-    # ---- Pallas fused NEURAL-dynamics kernel ------------------------------
     def _pallas_neural_compatible_model(self) -> bool:
-        """Backend + model/cost eligibility for the fused NEURAL kernels
-        (ops/pallas_neural.py), independent of population-size
-        divisibility and the force_scan override — the batched-session
-        caller adds its own tiling checks (cf. _pallas_compatible_model)."""
-        import jax
-        import jax.numpy as jnp
-
-        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        return (
-            jax.default_backend() == "tpu"
-            and (self._device is None or self._device.platform == "tpu")
-            and isinstance(pred, NeuralPredictor)
-            # The kernels compute in f32; a bf16-mode predictor keeps the
-            # scan path so kernel and scan never disagree numerically.
-            and pred.compute_dtype == jnp.float32
-            and cf is not None
-            and getattr(cf, "supports_fused_rollout", False)
-            # Costs carrying non-scalar learned params in the STAGE cost
-            # evaluate in XLA only — the kernels' cost bodies take scalar
-            # operands.  (A learned value terminal is eligible via the
-            # emit_terminal + post_terminal_cost hook.)
-            and getattr(cf, "pallas_eligible", True)
-            and all(
-                np.ndim(v) == 0
-                for v in getattr(cf, "attr_defaults", {}).values()
-            )
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import neural
+        return neural.compatible_model(self)
 
     def _can_use_pallas_neural(self, tile_k: int = None) -> bool:
-        """Kernel eligibility for learned-dynamics rollouts
-        (ops/pallas_neural.py): TPU backend, MLP or stacked-GRU/LSTM
-        NeuralPredictor in f32, SOA-capable cost with scalar attrs,
-        shard-even K."""
-        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
+        from control_toolkit_tpu.optimizers.kernel_families import neural
+        return neural.can_use_cost(self, tile_k=tile_k)
 
-        tile = tile_k or neural_tile_for(
-            self.num_rollouts, self._n_shard_devices()
-        )
-        return (
-            tile > 0
-            and not self.force_scan
-            and self._pallas_neural_compatible_model()
-            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
-        )
+    def _build_pallas_neural_cost(self, interpret: bool = False,
+                                  tile_k: int = None):
+        from control_toolkit_tpu.optimizers.kernel_families import neural
+        return neural.build_cost(self, interpret=interpret, tile_k=tile_k)
 
-    def _build_pallas_neural_cost(self, interpret: bool = False, tile_k: int = None):
-        """Bind a NeuralPredictor (MLP or stacked GRU/LSTM) + cost function
-        into the fused neural rollout+cost kernel.  Same contract as
-        ``_build_pallas_cost``: ``cost_fn(s_tiled, Q, u_prev, params) ->
-        [K]``; net weights (and, for recurrent nets, the live hidden state)
-        flow as VMEM array operands read from ``params['dyn']`` every call —
-        online-sysid updates, checkpoint swaps and hidden advances need no
-        recompile."""
-        from control_toolkit_tpu.ops.pallas_neural import (
-            build_neural_cost_rollout_kernel,
-            build_recurrent_cost_rollout_kernel,
-            flatten_mlp_weights,
-            flatten_rnn_weights,
-            mlp_layer_count,
-            neural_tile_for,
-        )
-
-        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
-            include_dyn=False
-        )
-        post = self._post_terminal_fn()
-        net = pred.net_params
-        tk = tile_k or neural_tile_for(
-            self.num_rollouts, self._n_shard_devices()
-        )
-
-        if pred.recurrent:
-            kind = pred.arch["kind"]
-            kernel = build_recurrent_cost_rollout_kernel(
-                stage_soa, terminal_soa,
-                num_states=self.num_states,
-                num_controls=self.num_control_inputs,
-                horizon=self.mpc_horizon,
-                param_keys=param_keys,
-                hiddens=tuple(pred.arch["hiddens"]),
-                kind=kind,
-                predict_delta=pred.predict_delta,
-                tile_k=tk, interpret=interpret,
-                emit_terminal=post is not None,
-            )
-            n_w = len(flatten_rnn_weights(net, pred.hidden))
-
-            def flatten(params):
-                return flatten_rnn_weights(
-                    params["dyn"]["net"], params["dyn"]["hidden"]
-                )
-        else:
-            kernel = build_neural_cost_rollout_kernel(
-                stage_soa, terminal_soa,
-                num_states=self.num_states,
-                num_controls=self.num_control_inputs,
-                horizon=self.mpc_horizon,
-                param_keys=param_keys,
-                n_layers=mlp_layer_count(net),
-                predict_delta=pred.predict_delta,
-                has_norm_in="norm_in_mean" in net,
-                has_norm_out="norm_out_mean" in net,
-                tile_k=tk, interpret=interpret,
-                emit_terminal=post is not None,
-            )
-            n_w = len(flatten_mlp_weights(net))
-
-            def flatten(params):
-                return flatten_mlp_weights(params["dyn"]["net"])
-
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel, self._cost_out_specs(post), n_replicated_extra=n_w
-            )
-
-        def raw_call(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
-
-        return self._finalize_cost_kernel(raw_call, post)
-
-    # ---- Pallas fused ENSEMBLE kernel --------------------------------------
     def _pallas_ensemble_compatible_model(self) -> bool:
-        """Ensemble form of the neural kernel: TPU backend, TS-inf
-        EnsemblePredictor (blockwise member assignment — exactly the
-        kernel's tile->member mapping), SOA-capable cost with scalar attrs.
-        Sharded meshes compose when member blocks nest inside device
-        shards (E % n_dev == 0 — ensemble_tile_for returns 0 otherwise)."""
-        import jax
-
-        from control_toolkit_tpu.models.ensemble_predictor import (
-            EnsemblePredictor,
-        )
-
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        return (
-            jax.default_backend() == "tpu"
-            and (self._device is None or self._device.platform == "tpu")
-            and isinstance(pred, EnsemblePredictor)
-            and pred.ts == "inf"
-            # Probabilistic members propagate per-(rollout, step) aleatoric
-            # noise the kernel doesn't generate — they keep the full
-            # rollout path so the sampling semantics survive.
-            and not pred.probabilistic
-            and cf is not None
-            and getattr(cf, "supports_fused_rollout", False)
-            # Costs carrying non-scalar learned params in the STAGE cost
-            # evaluate in XLA only — the kernels' cost bodies take scalar
-            # operands.  (A learned value terminal is eligible via the
-            # emit_terminal + post_terminal_cost hook.)
-            and getattr(cf, "pallas_eligible", True)
-            and all(
-                np.ndim(v) == 0
-                for v in getattr(cf, "attr_defaults", {}).values()
-            )
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ensemble
+        return ensemble.compatible_model(self)
 
     def _can_use_pallas_ensemble(self, tile_k: int = None) -> bool:
-        if not self._pallas_ensemble_compatible_model():
-            return False
-        from control_toolkit_tpu.ops.pallas_neural import ensemble_tile_for
-
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        tile = tile_k or ensemble_tile_for(
-            self.num_rollouts, pred.n_members, self._n_shard_devices()
-        )
-        return tile > 0 and not self.force_scan
+        from control_toolkit_tpu.optimizers.kernel_families import ensemble
+        return ensemble.can_use_cost(self, tile_k=tile_k)
 
     def _build_pallas_ensemble_cost(self, interpret: bool = False,
                                     tile_k: int = None):
-        """Bind an EnsemblePredictor + cost function into the ensemble form
-        of the fused neural kernel: stacked member weights ride as one
-        leading-axis VMEM operand set and each grid tile computes under its
-        block's member — an E-member PETS rollout costs one net's FLOPs.
-        Weights flow from ``params['dyn']['net']`` every call, so PETS
-        re-fits hot-swap with zero recompiles."""
-        from control_toolkit_tpu.ops.pallas_neural import (
-            build_neural_cost_rollout_kernel,
-            ensemble_tile_for,
-            flatten_ensemble_mlp_weights,
-            mlp_layer_count,
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ensemble
+        return ensemble.build_cost(self, interpret=interpret, tile_k=tile_k)
 
-        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
-            include_dyn=False
-        )
-        post = self._post_terminal_fn()
-        net = pred.net_params
-        E = pred.n_members
-        D = self._n_shard_devices()
-        tk = tile_k or ensemble_tile_for(self.num_rollouts, E, D)
-        n_w = 2 * mlp_layer_count(net) \
-            + 2 * ("norm_in_mean" in net) + 2 * ("norm_out_mean" in net)
-        # Under a mesh each device runs a LOCAL E/D-member kernel over its
-        # K/D rollouts: member blocks nest inside device shards
-        # (ensemble_tile_for guarantees E % D == 0), and the stacked
-        # weight operands shard on their member axis so device d holds
-        # exactly its members' weights.
-        kernel = build_neural_cost_rollout_kernel(
-            stage_soa, terminal_soa,
-            num_states=self.num_states,
-            num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon,
-            param_keys=param_keys,
-            n_layers=mlp_layer_count(net),
-            predict_delta=pred.predict_delta,
-            has_norm_in="norm_in_mean" in net,
-            has_norm_out="norm_out_mean" in net,
-            tile_k=tk, interpret=interpret,
-            n_members=E // D,
-            emit_terminal=post is not None,
-        )
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel, self._cost_out_specs(post),
-                n_member_sharded_extra=n_w,
-            )
-
-        def raw_call(s_tiled, Q, u_prev, params):
-            return kernel(
-                s_tiled, Q, pack(params, u_prev),
-                *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
-            )
-
-        return self._finalize_cost_kernel(raw_call, post)
-
-    # ---- Pallas fused GP kernel ------------------------------------------
     def _pallas_gp_compatible_model(self) -> bool:
-        """Backend + model/cost eligibility for the fused sparse-GP kernel
-        (ops/pallas_neural.py build_gp_cost_rollout_kernel) — same contract
-        as _pallas_neural_compatible_model."""
-        import jax
-
-        from control_toolkit_tpu.models.gp_predictor import GPPredictor
-
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        return (
-            jax.default_backend() == "tpu"
-            and (self._device is None or self._device.platform == "tpu")
-            and isinstance(pred, GPPredictor)
-            and cf is not None
-            and getattr(cf, "supports_fused_rollout", False)
-            # Costs carrying non-scalar learned params in the STAGE cost
-            # evaluate in XLA only — the kernels' cost bodies take scalar
-            # operands.  (A learned value terminal is eligible via the
-            # emit_terminal + post_terminal_cost hook.)
-            and getattr(cf, "pallas_eligible", True)
-            and all(
-                np.ndim(v) == 0
-                for v in getattr(cf, "attr_defaults", {}).values()
-            )
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import gp
+        return gp.compatible_model(self)
 
     def _gp_num_inducing(self) -> int:
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        return int(pred.gp_params["Z"].shape[0])
+        from control_toolkit_tpu.optimizers.kernel_families import gp
+        return gp.num_inducing(self)
 
     def _can_use_pallas_gp(self, tile_k: int = None) -> bool:
-        if not self._pallas_gp_compatible_model():
-            return False
-        from control_toolkit_tpu.ops.pallas_neural import gp_tile_for
+        from control_toolkit_tpu.optimizers.kernel_families import gp
+        return gp.can_use_cost(self, tile_k=tile_k)
 
-        tile = tile_k or gp_tile_for(
-            self.num_rollouts, self._n_shard_devices(), self._gp_num_inducing()
-        )
-        return (
-            tile > 0
-            and not self.force_scan
-            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
-        )
+    def _build_pallas_gp_cost(self, interpret: bool = False,
+                              tile_k: int = None):
+        from control_toolkit_tpu.optimizers.kernel_families import gp
+        return gp.build_cost(self, interpret=interpret, tile_k=tile_k)
 
-    def _build_pallas_gp_cost(self, interpret: bool = False, tile_k: int = None):
-        """Bind a GPPredictor + cost function into the fused GP rollout+cost
-        kernel.  Same contract as ``_build_pallas_neural_cost``: the GP
-        parameters (inducing inputs, posterior weights, kernel hypers) flow
-        as VMEM operands read from ``params['dyn']['gp']`` every call, so a
-        GP re-fit swaps in without recompiling."""
-        from control_toolkit_tpu.ops.pallas_neural import (
-            GP_N_OPERANDS,
-            build_gp_cost_rollout_kernel,
-            flatten_gp_weights,
-            gp_tile_for,
-        )
-
-        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
-            include_dyn=False
-        )
-        post = self._post_terminal_fn()
-        tk = tile_k or gp_tile_for(
-            self.num_rollouts, self._n_shard_devices(), self._gp_num_inducing()
-        )
-        kernel = build_gp_cost_rollout_kernel(
-            stage_soa, terminal_soa,
-            num_states=self.num_states,
-            num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon,
-            param_keys=param_keys,
-            tile_k=tk, interpret=interpret,
-            emit_terminal=post is not None,
-        )
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel, self._cost_out_specs(post),
-                n_replicated_extra=GP_N_OPERANDS,
-            )
-
-        def raw_call(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev),
-                          *flatten_gp_weights(params["dyn"]["gp"]))
-
-        return self._finalize_cost_kernel(raw_call, post)
-
-    # ---- Pallas fused RESIDUAL ('ODE+res') kernels -------------------------
     def _pallas_residual_compatible_model(self) -> bool:
-        """Backend + model/cost eligibility for the fused residual kernels
-        (analytic SOA base + MLP correction) — same contract as
-        _pallas_neural_compatible_model."""
-        import jax
-
-        from control_toolkit_tpu.models.residual_predictor import (
-            ResidualPredictor,
-        )
-
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        return (
-            jax.default_backend() == "tpu"
-            and (self._device is None or self._device.platform == "tpu")
-            and isinstance(pred, ResidualPredictor)
-            and getattr(pred.base.dynamics, "soa", None) is not None
-            and cf is not None
-            and getattr(cf, "supports_fused_rollout", False)
-            # Costs carrying non-scalar learned params in the STAGE cost
-            # evaluate in XLA only — the kernels' cost bodies take scalar
-            # operands.  (A learned value terminal is eligible via the
-            # emit_terminal + post_terminal_cost hook.)
-            and getattr(cf, "pallas_eligible", True)
-            and all(
-                np.ndim(v) == 0
-                for v in getattr(cf, "attr_defaults", {}).values()
-            )
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import residual
+        return residual.compatible_model(self)
 
     def _can_use_pallas_residual(self, tile_k: int = None) -> bool:
-        from control_toolkit_tpu.ops.pallas_neural import neural_tile_for
-
-        tile = tile_k or neural_tile_for(
-            self.num_rollouts, self._n_shard_devices()
-        )
-        return (
-            tile > 0
-            and not self.force_scan
-            and self._pallas_residual_compatible_model()
-            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import residual
+        return residual.can_use_cost(self, tile_k=tile_k)
 
     def _can_use_pallas_residual_grad(self) -> bool:
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_for
-
-        tile = grad_tile_for(self.num_states, self.mpc_horizon)
-        return (
-            tile > 0
-            and not self.force_scan
-            and self._pallas_residual_compatible_model()
-            # plain-MLP value terminals ride in-kernel; other post hooks
-            # need AD (see _can_use_pallas_grad)
-            and (self._post_terminal_fn() is None
-                 or self._value_grad_spec() is not None)
-            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import residual
+        return residual.can_use_grad(self)
 
     def _residual_kernel_bits(self):
-        """(n_layers, flatten) shared by the residual builders: the MLP
-        weight operands come from ``params['dyn']['res']``."""
-        from control_toolkit_tpu.ops.pallas_neural import (
-            flatten_mlp_weights,
-            mlp_layer_count,
-        )
-
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        n_layers = mlp_layer_count(pred._res)
-
-        def flatten(params):
-            return flatten_mlp_weights(params["dyn"]["res"])
-
-        return n_layers, flatten
+        from control_toolkit_tpu.optimizers.kernel_families import residual
+        return residual.kernel_bits(self)
 
     def _build_pallas_residual_cost(self, interpret: bool = False,
                                     tile_k: int = None):
-        """Bind a ResidualPredictor + cost into the fused residual
-        rollout+cost kernel: base constants in SMEM (hot-reloadable), MLP
-        weights as VMEM operands (online-sysid installs never recompile)."""
-        from control_toolkit_tpu.ops.pallas_neural import (
-            build_residual_cost_rollout_kernel,
-            neural_tile_for,
-        )
-
-        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
-            self._soa_bindings()
-        )
-        post = self._post_terminal_fn()
-        n_layers, flatten = self._residual_kernel_bits()
-        kernel = build_residual_cost_rollout_kernel(
-            derivs, stage_soa, terminal_soa,
-            num_states=self.num_states,
-            num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon, dt=pred.dt,
-            param_keys=param_keys, n_layers=n_layers,
-            integrator=pred.integrator,
-            intermediate_steps=pred.intermediate_steps,
-            tile_k=tile_k or neural_tile_for(
-                self.num_rollouts, self._n_shard_devices()
-            ),
-            interpret=interpret,
-            emit_terminal=post is not None,
-        )
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel, self._cost_out_specs(post),
-                n_replicated_extra=2 * n_layers,
-            )
-
-        def raw_call(s_tiled, Q, u_prev, params):
-            return kernel(s_tiled, Q, pack(params, u_prev), *flatten(params))
-
-        return self._finalize_cost_kernel(raw_call, post)
+        from control_toolkit_tpu.optimizers.kernel_families import residual
+        return residual.build_cost(self, interpret=interpret, tile_k=tile_k)
 
     def _build_pallas_residual_grad(self, interpret: bool = False,
                                     tile_k: int = None):
-        """Gradient twin: ``fn(s_tiled, Q, u_prev, params) -> (cost, dQ)``
-        for the residual predictor (cf. _build_pallas_residual_cost)."""
-        from control_toolkit_tpu.ops.pallas_grad import (
-            build_residual_grad_cost_rollout_kernel,
-            grad_tile_for,
-        )
-
-        param_keys, pack, derivs, stage_soa, terminal_soa, pred = (
-            self._soa_bindings()
-        )
-        n_layers, flatten = self._residual_kernel_bits()
-        vspec = self._value_grad_spec()
-        kernel = build_residual_grad_cost_rollout_kernel(
-            derivs, stage_soa, terminal_soa,
-            num_states=self.num_states,
-            num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon, dt=pred.dt,
-            param_keys=param_keys, n_layers=n_layers,
-            integrator=pred.integrator,
-            intermediate_steps=pred.intermediate_steps,
-            tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
-            interpret=interpret,
-            value_spec=vspec,
-        )
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel,
-                lambda PS, first: (PS(first), PS(first, None, None)),
-                n_replicated_extra=2 * n_layers + (
-                    2 * vspec["n_layers"] if vspec else 0),
-            )
-
-        if vspec:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev),
-                              *flatten(params),
-                              *self._flatten_value_ops(params))
-        else:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev),
-                              *flatten(params))
-
-        return grad_fn
+        from control_toolkit_tpu.optimizers.kernel_families import residual
+        return residual.build_grad(self, interpret=interpret, tile_k=tile_k)
 
     def _make_grad_and_cost_only(self):
         """The gradient-path pair every AD optimizer uses:
@@ -1566,45 +1038,17 @@ class Optimizer:
         Pallas forward+backward kernel — ops/pallas_grad.py for analytic
         ODE dynamics (~4x XLA-AD at K=16k) or its neural twin for learned
         MLP dynamics; otherwise jax.grad through the fused scan."""
-        if not self.optimizer_logging and self._can_use_pallas_grad():
-            pallas_grad = self._build_pallas_grad()
+        if not self.optimizer_logging:
+            from control_toolkit_tpu.optimizers import kernel_families as kf
 
-            def grad_fn(Q, s_tiled, u_prev, params):
-                return pallas_grad(s_tiled, Q, u_prev, params)[1]
+            for fam in kf.GRAD_ORDER:
+                if fam.can_use_grad(self):
+                    pallas_grad = fam.build_grad(self)
 
-            return grad_fn, self._make_cost_only()
+                    def grad_fn(Q, s_tiled, u_prev, params):
+                        return pallas_grad(s_tiled, Q, u_prev, params)[1]
 
-        if not self.optimizer_logging and self._can_use_pallas_neural_grad():
-            neural_grad = self._build_pallas_neural_grad()
-
-            def grad_fn(Q, s_tiled, u_prev, params):
-                return neural_grad(s_tiled, Q, u_prev, params)[1]
-
-            return grad_fn, self._make_cost_only()
-
-        if not self.optimizer_logging and self._can_use_pallas_ensemble_grad():
-            ens_grad = self._build_pallas_ensemble_grad()
-
-            def grad_fn(Q, s_tiled, u_prev, params):
-                return ens_grad(s_tiled, Q, u_prev, params)[1]
-
-            return grad_fn, self._make_cost_only()
-
-        if not self.optimizer_logging and self._can_use_pallas_gp_grad():
-            gp_grad = self._build_pallas_gp_grad()
-
-            def grad_fn(Q, s_tiled, u_prev, params):
-                return gp_grad(s_tiled, Q, u_prev, params)[1]
-
-            return grad_fn, self._make_cost_only()
-
-        if not self.optimizer_logging and self._can_use_pallas_residual_grad():
-            res_grad = self._build_pallas_residual_grad()
-
-            def grad_fn(Q, s_tiled, u_prev, params):
-                return res_grad(s_tiled, Q, u_prev, params)[1]
-
-            return grad_fn, self._make_cost_only()
+                    return grad_fn, self._make_cost_only()
 
         cost_only = (
             None if self.optimizer_logging
@@ -1619,253 +1063,39 @@ class Optimizer:
         return grad_fn, cost_only
 
     def _can_use_pallas_grad(self) -> bool:
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_for
-
-        tile = grad_tile_for(self.num_states, self.mpc_horizon)
-        return (
-            tile > 0  # 0 = state-history scratch cannot fit VMEM at any tile
-            and self._can_use_pallas()
-            # A learned value terminal (plain-MLP V) rides IN-KERNEL: the
-            # terminal jax.vjp seeds the backward sweep with dV/dx_H
-            # (value_spec, ops/pallas_grad.py).  Any OTHER post-terminal
-            # hook keeps XLA-AD — the kernel would silently drop its dQ.
-            and (self._post_terminal_fn() is None
-                 or self._value_grad_spec() is not None)
-            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ode
+        return ode.can_use_grad(self)
 
     def _ensemble_grad_tile(self) -> int:
-        """Grad tile for the ensemble gradient kernel: VMEM-feasible AND
-        dividing the per-member block K/E (so every tile sees one member).
-        0 when infeasible (caller keeps the AD-through-scan path)."""
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
-
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        E = pred.n_members
-        if self.num_rollouts % E:
-            return 0
-        return grad_tile_dividing(
-            self.num_states, self.mpc_horizon, self.num_rollouts // E
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ensemble
+        return ensemble.grad_tile(self)
 
     def _can_use_pallas_ensemble_grad(self) -> bool:
-        """Gradient twin of the ensemble kernel: same model gate as the
-        forward form, a feasible member-dividing grad tile, and NO
-        risk_weight (the kernel's dQ excludes the disagreement penalty;
-        risk-averse gradient planning keeps AD through the scan)."""
-        return (
-            self._pallas_ensemble_compatible_model()
-            and not self.force_scan
-            and not self.risk_weight
-            and not self.robust_eval
-            # plain-MLP value terminals ride in-kernel; other post hooks
-            # need AD (see _can_use_pallas_grad)
-            and (self._post_terminal_fn() is None
-                 or self._value_grad_spec() is not None)
-            and self._n_shard_devices() == 1
-            and self._ensemble_grad_tile() > 0
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import ensemble
+        return ensemble.can_use_grad(self)
 
     def _build_pallas_ensemble_grad(self, interpret: bool = False,
                                     tile_k: int = None):
-        """Bind an EnsemblePredictor + cost into the ensemble form of the
-        fused neural gradient kernel: ``fn(s_tiled, Q, u_prev, params) ->
-        (cost [K], dQ [K,H,U])`` — RPGD/gradient-tf over a PETS ensemble at
-        one net's backward cost; stacked weights are per-call operands, so
-        PETS re-fits never recompile."""
-        from control_toolkit_tpu.ops.pallas_grad import (
-            build_neural_grad_cost_rollout_kernel,
-        )
-        from control_toolkit_tpu.ops.pallas_neural import (
-            flatten_ensemble_mlp_weights,
-            mlp_layer_count,
-        )
-
-        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
-            include_dyn=False
-        )
-        net = pred.net_params
-        vspec = self._value_grad_spec()
-        kernel = build_neural_grad_cost_rollout_kernel(
-            stage_soa, terminal_soa,
-            num_states=self.num_states,
-            num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon,
-            param_keys=param_keys,
-            n_layers=mlp_layer_count(net),
-            predict_delta=pred.predict_delta,
-            has_norm_in="norm_in_mean" in net,
-            has_norm_out="norm_out_mean" in net,
-            tile_k=tile_k or self._ensemble_grad_tile(),
-            interpret=interpret,
-            n_members=pred.n_members,
-            value_spec=vspec,
-        )
-
-        if vspec:
-            def fn(s_tiled, Q, u_prev, params):
-                return kernel(
-                    s_tiled, Q, pack(params, u_prev),
-                    *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
-                    *self._flatten_value_ops(params),
-                )
-        else:
-            def fn(s_tiled, Q, u_prev, params):
-                return kernel(
-                    s_tiled, Q, pack(params, u_prev),
-                    *flatten_ensemble_mlp_weights(params["dyn"]["net"]),
-                )
-
-        return fn
+        from control_toolkit_tpu.optimizers.kernel_families import ensemble
+        return ensemble.build_grad(self, interpret=interpret, tile_k=tile_k)
 
     def _can_use_pallas_neural_grad(self) -> bool:
-        """Eligibility for the fused neural gradient kernel
-        (ops/pallas_grad.py build_neural_grad_cost_rollout_kernel): MLP
-        NeuralPredictor (recurrent nets keep the XLA-AD scan — their
-        backward needs the per-step hidden history too) with a
-        VMEM-feasible state-history tile."""
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_for
-
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        tile = grad_tile_for(self.num_states, self.mpc_horizon)
-        return (
-            tile > 0
-            and not self.force_scan
-            and self._pallas_neural_compatible_model()
-            and not getattr(pred, "recurrent", False)
-            # plain-MLP value terminals ride in-kernel; other post hooks
-            # need AD (see _can_use_pallas_grad)
-            and (self._post_terminal_fn() is None
-                 or self._value_grad_spec() is not None)
-            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import neural
+        return neural.can_use_grad(self)
 
     def _build_pallas_neural_grad(self, interpret: bool = False,
                                   tile_k: int = None):
-        """Bind an MLP NeuralPredictor + cost into the fused neural gradient
-        kernel: ``fn(s_tiled, Q, u_prev, params) -> (cost [K], dQ [K,H,U])``.
-        Net weights flow as VMEM operands read from ``params['dyn']['net']``
-        every call — online-sysid updates and checkpoint swaps never
-        recompile (cf. _build_pallas_neural_cost)."""
-        from control_toolkit_tpu.ops.pallas_grad import (
-            build_neural_grad_cost_rollout_kernel,
-            grad_tile_for,
-        )
-        from control_toolkit_tpu.ops.pallas_neural import (
-            flatten_mlp_weights,
-            mlp_layer_count,
-        )
-
-        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
-            include_dyn=False
-        )
-        net = pred.net_params
-        vspec = self._value_grad_spec()
-        kernel = build_neural_grad_cost_rollout_kernel(
-            stage_soa, terminal_soa,
-            num_states=self.num_states,
-            num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon,
-            param_keys=param_keys,
-            n_layers=mlp_layer_count(net),
-            predict_delta=pred.predict_delta,
-            has_norm_in="norm_in_mean" in net,
-            has_norm_out="norm_out_mean" in net,
-            tile_k=tile_k or grad_tile_for(self.num_states, self.mpc_horizon),
-            interpret=interpret,
-            value_spec=vspec,
-        )
-        n_w = len(flatten_mlp_weights(net))
-        n_vw = 2 * vspec["n_layers"] if vspec else 0
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel,
-                lambda PS, first: (PS(first), PS(first, None, None)),
-                n_replicated_extra=n_w + n_vw,
-            )
-
-        if vspec:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev),
-                              *flatten_mlp_weights(params["dyn"]["net"]),
-                              *self._flatten_value_ops(params))
-        else:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev),
-                              *flatten_mlp_weights(params["dyn"]["net"]))
-
-        return grad_fn
+        from control_toolkit_tpu.optimizers.kernel_families import neural
+        return neural.build_grad(self, interpret=interpret, tile_k=tile_k)
 
     def _can_use_pallas_gp_grad(self) -> bool:
-        """Eligibility for the fused GP gradient kernel: sparse-GP
-        predictor with a VMEM-feasible tile (state-history scratch + [M,T]
-        RBF blocks)."""
-        from control_toolkit_tpu.ops.pallas_grad import gp_grad_tile_for
-
-        if not self._pallas_gp_compatible_model() or self.force_scan:
-            return False
-        if (self._post_terminal_fn() is not None
-                and self._value_grad_spec() is None):
-            return False  # non-MLP post hook: dV/dQ needs AD
-            # (plain-MLP value terminals ride in-kernel, _value_grad_spec)
-        tile = gp_grad_tile_for(
-            self.num_states, self.mpc_horizon, self._gp_num_inducing()
-        )
-        return (
-            tile > 0
-            and self.num_rollouts % (tile * self._n_shard_devices()) == 0
-        )
+        from control_toolkit_tpu.optimizers.kernel_families import gp
+        return gp.can_use_grad(self)
 
     def _build_pallas_gp_grad(self, interpret: bool = False,
                               tile_k: int = None):
-        """Bind a GPPredictor + cost into the fused GP gradient kernel:
-        ``fn(s_tiled, Q, u_prev, params) -> (cost [K], dQ [K,H,U])``.  GP
-        parameters flow as VMEM operands from ``params['dyn']['gp']`` —
-        posterior re-fits never recompile (cf. _build_pallas_gp_cost)."""
-        from control_toolkit_tpu.ops.pallas_grad import (
-            build_gp_grad_cost_rollout_kernel,
-            gp_grad_tile_for,
-        )
-        from control_toolkit_tpu.ops.pallas_neural import (
-            GP_N_OPERANDS,
-            flatten_gp_weights,
-        )
-
-        param_keys, pack, _, stage_soa, terminal_soa, pred = self._soa_bindings(
-            include_dyn=False
-        )
-        vspec = self._value_grad_spec()
-        kernel = build_gp_grad_cost_rollout_kernel(
-            stage_soa, terminal_soa,
-            num_states=self.num_states,
-            num_controls=self.num_control_inputs,
-            horizon=self.mpc_horizon,
-            param_keys=param_keys,
-            tile_k=tile_k or gp_grad_tile_for(
-                self.num_states, self.mpc_horizon, self._gp_num_inducing()
-            ),
-            interpret=interpret,
-            value_spec=vspec,
-        )
-        if self._mesh is not None:
-            kernel = self._shard_map_kernel(
-                kernel,
-                lambda PS, first: (PS(first), PS(first, None, None)),
-                n_replicated_extra=GP_N_OPERANDS + (
-                    2 * vspec["n_layers"] if vspec else 0),
-            )
-
-        if vspec:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev),
-                              *flatten_gp_weights(params["dyn"]["gp"]),
-                              *self._flatten_value_ops(params))
-        else:
-            def grad_fn(s_tiled, Q, u_prev, params):
-                return kernel(s_tiled, Q, pack(params, u_prev),
-                              *flatten_gp_weights(params["dyn"]["gp"]))
-
-        return grad_fn
+        from control_toolkit_tpu.optimizers.kernel_families import gp
+        return gp.build_grad(self, interpret=interpret, tile_k=tile_k)
 
     def _grad_kernel_model_ok(self, has_per_slot_dyn: bool = False) -> bool:
         """Model-compatibility half of the batched gradient-kernel gates
@@ -1958,25 +1188,8 @@ class Optimizer:
         from control_toolkit_tpu.models.residual_predictor import (
             ResidualPredictor,
         )
-        from control_toolkit_tpu.ops.pallas_grad import (
-            build_gp_grad_cost_rollout_kernel,
-            build_grad_cost_rollout_kernel,
-            build_neural_grad_cost_rollout_kernel,
-            build_residual_grad_cost_rollout_kernel,
-            grad_tile_dividing,
-        )
-        from control_toolkit_tpu.ops.pallas_neural import (
-            build_gp_cost_rollout_kernel,
-            build_neural_cost_rollout_kernel,
-            build_residual_cost_rollout_kernel,
-            flatten_gp_weights,
-            flatten_mlp_weights,
-            mlp_layer_count,
-        )
-        from control_toolkit_tpu.ops.pallas_rollout import (
-            build_cost_rollout_kernel,
-        )
-
+        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
+        from control_toolkit_tpu.optimizers import kernel_families as kf
         B, K = int(num_slots), self.num_rollouts
         H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
         tk = tile_k or grad_tile_dividing(S, H, B * K)
@@ -2002,9 +1215,9 @@ class Optimizer:
                     "recurrent predictors keep the vmapped scan path "
                     "(their backward needs the per-step hidden history)"
                 )
-            param_keys, _, _, stage_soa, terminal_soa, pred = (
+            param_keys, _, derivs, stage_soa, terminal_soa, pred = (
                 self._soa_bindings(include_dyn=False)
-            )
+            )  # derivs is None: weights ride as VMEM operands
         else:
             param_keys, _, derivs, stage_soa, terminal_soa, pred = (
                 self._soa_bindings()
@@ -2014,90 +1227,26 @@ class Optimizer:
             param_keys, per_slot_dyn, per_slot_cost
         )
 
+        common = dict(tk=tk, slot_keys=slot_keys, vspec=vspec,
+                      interpret=interpret, param_keys=param_keys,
+                      derivs=derivs, stage_soa=stage_soa,
+                      terminal_soa=terminal_soa, pred=pred)
         if neural:
-            net = pred.net_params
-            nkargs = dict(
-                num_states=S, num_controls=U, horizon=H,
-                param_keys=param_keys,
-                n_layers=mlp_layer_count(net),
-                predict_delta=pred.predict_delta,
-                has_norm_in="norm_in_mean" in net,
-                has_norm_out="norm_out_mean" in net,
-                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            gkernel, ckernel, extra_ops = kf.neural.batched_kernels(
+                self, **common
             )
-            gkernel = build_neural_grad_cost_rollout_kernel(
-                stage_soa, terminal_soa, value_spec=vspec, **nkargs
-            )
-            ckernel = build_neural_cost_rollout_kernel(
-                stage_soa, terminal_soa, emit_terminal=vspec is not None,
-                **nkargs
-            )
-
-            def extra_ops(dyn):
-                return tuple(flatten_mlp_weights(dyn["net"]))
         elif gp:
-            # The GP backward also holds [M, tile] RBF blocks in VMEM;
-            # shrink the tile below the grad default if M is large.
-            M = int(pred.gp_params["Z"].shape[0])
-            while tk > 256 and (M * tk * 4 > 4 * 2**20
-                                or (B * K) % tk != 0):
-                tk //= 2
-            if M * tk * 4 > 4 * 2**20 or (B * K) % tk != 0:
-                raise ValueError(
-                    f"no VMEM-feasible GP grad tile divides B*K "
-                    f"(B={B}, K={K}, M={M})"
-                )
-            gkargs = dict(
-                num_states=S, num_controls=U, horizon=H,
-                param_keys=param_keys,
-                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            gkernel, ckernel, extra_ops = kf.gp.batched_kernels(
+                self, **common, B=B, K=K
             )
-            gkernel = build_gp_grad_cost_rollout_kernel(
-                stage_soa, terminal_soa, value_spec=vspec, **gkargs
-            )
-            ckernel = build_gp_cost_rollout_kernel(
-                stage_soa, terminal_soa, emit_terminal=vspec is not None,
-                **gkargs
-            )
-
-            def extra_ops(dyn):
-                return tuple(flatten_gp_weights(dyn["gp"]))
         elif residual:
-            n_layers, _ = self._residual_kernel_bits()
-            rkargs = dict(
-                num_states=S, num_controls=U, horizon=H, dt=pred.dt,
-                param_keys=param_keys, n_layers=n_layers,
-                integrator=pred.integrator,
-                intermediate_steps=pred.intermediate_steps,
-                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            gkernel, ckernel, extra_ops = kf.residual.batched_kernels(
+                self, **common
             )
-            gkernel = build_residual_grad_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa, value_spec=vspec, **rkargs
-            )
-            ckernel = build_residual_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa,
-                emit_terminal=vspec is not None, **rkargs
-            )
-
-            def extra_ops(dyn):
-                return tuple(flatten_mlp_weights(dyn["res"]))
         else:
-            kargs = dict(
-                num_states=S, num_controls=U, horizon=H, dt=pred.dt,
-                param_keys=param_keys, integrator=pred.integrator,
-                intermediate_steps=pred.intermediate_steps,
-                tile_k=tk, interpret=interpret, slot_keys=slot_keys,
+            gkernel, ckernel, extra_ops = kf.ode.batched_kernels(
+                self, **common
             )
-            gkernel = build_grad_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa, value_spec=vspec, **kargs
-            )
-            ckernel = build_cost_rollout_kernel(
-                derivs, stage_soa, terminal_soa,
-                emit_terminal=vspec is not None, **kargs
-            )
-
-            def extra_ops(dyn):
-                return ()
 
         cf = getattr(self.cost_function, "cost_function", self.cost_function)
         pack = make_slot_packer(
@@ -2119,6 +1268,9 @@ class Optimizer:
                 return ckernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
         else:
             from control_toolkit_tpu.models.networks import mlp_apply
+            from control_toolkit_tpu.ops.pallas_neural import (
+                flatten_mlp_weights,
+            )
 
             inv_h1 = 1.0 / (H + 1)
 

@@ -62,9 +62,10 @@ def make_weight_fn(weighting: str, LBD: float):
       log-rank weights (the CMA-ES recombination shape): the best
       ``h = ceil(frac*K)`` rollouts get ``ln(h+0.5) - ln(rank+1)``, the
       rest zero (frac defaults to 0.5).  Invariant to any monotone
-      rescaling of the cost, so it is immune to the softmax-cancellation
-      failure on chaotic plants (acrobot EVAL negative, round 4) and
-      needs no LBD tuning.
+      rescaling of the cost, so it needs no LBD tuning and cannot hit
+      the softmax collapse/near-uniform regimes.  (On acrobot it is the
+      best MPPI-family config found but does NOT rescue the family —
+      the additive-perturbation structure is the limit; EVAL.md.)
     * ``"topk"`` / ``"topk:<frac>"`` — reference softmax truncated to
       the best ``ceil(frac*K)`` rollouts (frac defaults to 0.1): keeps
       temperature shaping among the elites but stops the long tail of

@@ -31,7 +31,7 @@ import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
 
-N_EPISODES = 8
+N_EPISODES = 32
 SEED = 11
 
 
@@ -74,18 +74,46 @@ def _quad3d_s0(rng):
             ).astype(np.float32)
 
 
+# --- per-task SUCCESS predicates on the final state [N, S] -> [N] bool.
+# Physical, task-defined thresholds (VERDICT r4 item 6: make cells
+# adjudicable as pass/fail, independent of the cost scale):
+#   cartpole  : pole within ~25 deg of upright AND cart within 1 m of 0
+#   pendulum  : within ~25 deg of upright
+#   pointmass : within 0.3 m of the (1, 0) target (past the obstacle)
+#   quadrotor : within 0.3 m of the (0, 0, 1) hover point
+#   acrobot   : tip height > 1.0 (of max 2.0) at episode end
+def _cartpole_success(sf):
+    return (1.0 - np.cos(sf[:, 2]) < 0.1) & (np.abs(sf[:, 0]) < 1.0)
+
+
+def _pendulum_success(sf):
+    return 1.0 - np.cos(sf[:, 0]) < 0.1
+
+
+def _pointmass_success(sf):
+    return np.hypot(sf[:, 0] - 1.0, sf[:, 1]) < 0.3
+
+
+def _quad3d_success(sf):
+    return np.sqrt(sf[:, 0]**2 + sf[:, 1]**2 + (sf[:, 2] - 1.0)**2) < 0.3
+
+
+def _acrobot_success(sf):
+    return (-np.cos(sf[:, 0]) - np.cos(sf[:, 0] + sf[:, 2])) > 1.0
+
+
 TASKS = {
     # name: env ctor bits, controller bits, per-env MPPI-family sampling
     "cartpole-swingup": dict(
         env="cartpole", dt=0.02, ticks=250, horizon=35,
         low=[-1.0], high=[1.0], attrs={"target_position": 0.0},
-        cost=None, s0=_cartpole_s0,
+        cost=None, s0=_cartpole_s0, success=_cartpole_success,
         mppi=dict(LBD=100.0, SQRTRHOINV=0.05),
     ),
     "pendulum-swingup": dict(
         env="pendulum", dt=0.02, ticks=200, horizon=50,
         low=[-1.0], high=[1.0], attrs={},
-        cost=None, s0=_pendulum_s0,
+        cost=None, s0=_pendulum_s0, success=_pendulum_success,
         mppi=dict(LBD=5.0, SQRTRHOINV=0.2),
     ),
     "pointmass-obstacle": dict(
@@ -93,14 +121,14 @@ TASKS = {
         low=[-1.0, -1.0], high=[1.0, 1.0],
         attrs={"target_x": 1.0, "target_y": 0.0,
                "obs0_x": 0.0, "obs0_y": 0.0, "obs0_r": 0.3},
-        cost="obstacles", s0=_pointmass_s0,
+        cost="obstacles", s0=_pointmass_s0, success=_pointmass_success,
         mppi=dict(LBD=2.0, SQRTRHOINV=0.12),
     ),
     "quadrotor3d-hover": dict(
         env="quadrotor3d", dt=0.02, ticks=250, horizon=35,
         low=[0.0] * 4, high=[1.0] * 4,
         attrs={"target_x": 0.0, "target_y": 0.0, "target_z": 1.0},
-        cost=None, s0=_quad3d_s0,
+        cost=None, s0=_quad3d_s0, success=_quad3d_success,
         mppi=dict(LBD=3.0, SQRTRHOINV=0.08),
     ),
     # Underactuated double pendulum: the chaotic-dynamics stress case
@@ -108,7 +136,7 @@ TASKS = {
     "acrobot-swingup": dict(
         env="acrobot", dt=0.05, ticks=150, horizon=40,
         low=[-1.0], high=[1.0], attrs={"target_position": 0.0},
-        cost=None, s0=_acrobot_s0,
+        cost=None, s0=_acrobot_s0, success=_acrobot_success,
         mppi=dict(LBD=20.0, SQRTRHOINV=0.6),
     ),
 }
@@ -229,16 +257,20 @@ TUNED = {
     ("quadrotor3d-hover", "mppi-optimize-tf"): {"LBD": 30.0},
     ("quadrotor3d-hover", "cem-naive-grad-tf"): {
         "learning_rate": 0.02, "gradmax_clip": 2},
-    # Acrobot round-4 negative, round-5 remedy: softmax averaging cancels
-    # on the chaotic double pendulum (NO LBD/stdev override helped —
-    # probed LBD {2,5,20,50}, SQRTRHOINV {0.3,0.6}, mppi-var floors; all
-    # worse than random action).  Rank weighting (optimizers/mppi.py
-    # make_weight_fn) replaces the temperature softmax with truncated
-    # log-rank recombination — elite-truncation is exactly what CEM used
-    # to win this column with.
+    # Acrobot round-4 negative, round-5 probe: rank weighting
+    # (optimizers/mppi.py make_weight_fn) is the best MPPI-family config
+    # found — mppi 3370 -> 3148, mppi-var 5628 -> 3696 — but still WORSE
+    # than random-action (2417).  Probed and rejected (round 5, TPU):
+    # rank fractions {0.01, 0.03, 0.1, 0.25}, topk:0.03, SQRTRHOINV
+    # {0.4, 0.6, 0.8}, interpolation density pip {1, 2, 5} — all in
+    # 3030-3490.  The failure is structural, not a temperature artifact:
+    # smooth additive perturbations around a shifted nominal explore the
+    # chaotic double pendulum worse than uncorrelated random switching,
+    # while plan-REPLACEMENT methods (CEM 1952, iCEM 2225, CMA-ES 1398,
+    # RPGD 1285, iLQR 1110) all beat random.  Honest negative, kept; the
+    # rank override stays because it is the best of a losing family.
     ("acrobot-swingup", "mppi"): {"weighting": "rank:0.1"},
     ("acrobot-swingup", "mppi-var-tf"): {"weighting": "rank:0.1"},
-    ("acrobot-swingup", "mppi-optimize-tf"): {"weighting": "rank:0.1"},
 }
 # Probed but NOT adopted (zoo_tune.py): cartpole mppi-var with
 # stdev floors (0.1: 2.32M, 0.2: 4.27M > 1.23M default) or with
@@ -279,7 +311,17 @@ def make_env(task):
 
 def eval_cell(task, opt_name, opt_cfg):
     """One (task, optimizer) cell: N-episode MC sweep on device.
-    Returns (mean, sd, ms_per_tick) of the summed realized stage cost."""
+    Returns (mean, sd, ms_per_tick) of the summed realized stage cost
+    (the CONTROLLER's stage cost, evaluated on the realized closed-loop
+    trajectory — ClosedLoop semantics)."""
+    mean, sd, ms, _ = eval_cell_full(task, opt_name, opt_cfg)[:4]
+    return mean, sd, ms
+
+
+def eval_cell_full(task, opt_name, opt_cfg):
+    """(mean, sd, ms_per_tick, extras) where extras carries the
+    adjudication stats: median, IQR, and the task-defined success rate
+    over the N final states."""
     from control_toolkit_tpu.evaluation.closed_loop import ClosedLoop
 
     ctrl = build_controller(task, opt_name, opt_cfg)
@@ -294,7 +336,15 @@ def eval_cell(task, opt_name, opt_cfg):
     elapsed = time.perf_counter() - t0
     ep_costs = np.asarray(out["stage_costs"]).sum(axis=1)   # [N] summed
     ms_per_tick = elapsed / ticks * 1e3            # whole N-episode program
-    return float(ep_costs.mean()), float(ep_costs.std()), ms_per_tick
+    succ = np.asarray(task["success"](np.asarray(out["final_states"])))
+    extras = {
+        "median_cost": float(np.median(ep_costs)),
+        "iqr_cost": float(np.percentile(ep_costs, 75)
+                          - np.percentile(ep_costs, 25)),
+        "success_rate": float(succ.mean()),
+        "n_success": int(succ.sum()),
+    }
+    return float(ep_costs.mean()), float(ep_costs.std()), ms_per_tick, extras
 
 
 def main():
@@ -336,14 +386,21 @@ def main():
             cfg = {**cfg, **TUNED.get((tname, oname), {})}
             try:
                 t0 = time.perf_counter()
-                mean, sd, ms = eval_cell(task, oname, cfg)
+                mean, sd, ms, extras = eval_cell_full(task, oname, cfg)
                 results["cells"][key] = {
                     "mean_cost": round(mean, 3), "sd_cost": round(sd, 3),
+                    "median_cost": round(extras["median_cost"], 3),
+                    "iqr_cost": round(extras["iqr_cost"], 3),
+                    "success_rate": extras["success_rate"],
+                    "n_success": extras["n_success"],
                     "ms_per_tick": round(ms, 3), "budget": budget,
                 }
-                print(f"{key:44s}: J = {mean:10.3f} +/- {sd:8.3f}   "
-                      f"{ms:8.3f} ms/tick (N={N_EPISODES}; "
-                      f"setup+run {time.perf_counter()-t0:.0f}s)", flush=True)
+                print(f"{key:44s}: J = {mean:10.3f} +/- {sd:8.3f}  "
+                      f"med {extras['median_cost']:10.3f}  "
+                      f"succ {extras['n_success']:2d}/{N_EPISODES}  "
+                      f"{ms:8.3f} ms/tick "
+                      f"(setup+run {time.perf_counter()-t0:.0f}s)",
+                      flush=True)
             except Exception as e:
                 results["cells"][key] = {"error": str(e)[:200]}
                 print(f"{key}: ERROR {e}", flush=True)
@@ -356,11 +413,18 @@ def main():
     lines = [
         "# Optimizer-zoo quality table",
         "",
-        f"Realized closed-loop cost (summed stage cost over the episode, "
-        f"the environment's own `get_reward` negated), mean +/- sd over "
-        f"{N_EPISODES} Monte-Carlo episodes per cell "
+        f"Realized closed-loop cost — the CONTROLLER's stage cost "
+        f"evaluated on the realized trajectory, summed over the episode "
+        f"(`evaluation.ClosedLoop` semantics) — over {N_EPISODES} "
+        f"Monte-Carlo episodes per cell "
         f"(`evaluation.ClosedLoop.run_batch`, one device program per "
-        f"cell), on backend `{backend}`.  Sample budget ~1024 rollout "
+        f"cell), on backend `{backend}`.  Cell format: "
+        f"**median (IQR) · success/{N_EPISODES} · mean ± sd (ms/tick)**. "
+        "The bold success count adjudicates the cell pass/fail against a "
+        "physical task threshold on the FINAL state (upright within "
+        "~25 deg, within 0.3 m of the target/hover point, acrobot tip "
+        "above 1.0 of 2.0 — thresholds in the script header), "
+        "independent of the cost scale.  Sample budget ~1024 rollout "
         "evaluations per control tick for every optimizer (budget column "
         "records the exact K x iterations).  ms/tick is the whole "
         f"N={N_EPISODES}-episode program per tick (divide by "
@@ -377,10 +441,14 @@ def main():
         "probe sweep (`examples/zoo_tune.py`) showed were hyper "
         "artifacts — chiefly MPPI's temperature LBD, which must scale "
         "with the task's stage-cost magnitude, and CEM/MPPI-var stdev "
-        "floors.  Acrobot is kept un-overridden: no probe rescued the "
-        "MPPI family there (softmax plan averaging cancels on the "
-        "chaotic double pendulum — an algorithm-level negative; elite "
-        "and gradient methods handle it).",
+        "floors.  Acrobot MPPI/mppi-var carry the round-5 `weighting: "
+        "rank:0.1` override — the best MPPI-family config found (mppi "
+        "3370 -> 3148) — but the honest negative stands: NO weighting/"
+        "stdev/interpolation variant beats random-action there (probed "
+        "rank {0.01..0.25}, topk, SQRTRHOINV {0.4..0.8}, interpolation "
+        "density {1,2,5}); the additive-perturbation plan update is the "
+        "structural limit, and plan-REPLACEMENT methods (CEM, iCEM, "
+        "CMA-ES, RPGD, iLQR) all beat random.",
         "",
     ]
     opt_names = list(optimizer_configs(next(iter(TASKS.values()))).keys())
@@ -396,8 +464,16 @@ def main():
                 cells.append("failed")
             elif c:
                 budget = c["budget"]
-                cells.append(f"{c['mean_cost']:.1f} ± {c['sd_cost']:.1f} "
-                             f"({c['ms_per_tick']:.1f} ms)")
+                if "success_rate" in c:
+                    cells.append(
+                        f"med {c['median_cost']:.0f} "
+                        f"(IQR {c['iqr_cost']:.0f}) · "
+                        f"**{c['n_success']}/{N_EPISODES}** · "
+                        f"{c['mean_cost']:.0f} ± {c['sd_cost']:.0f} "
+                        f"({c['ms_per_tick']:.1f} ms)")
+                else:  # pre-r5 cell (no success stats recorded)
+                    cells.append(f"{c['mean_cost']:.1f} ± {c['sd_cost']:.1f} "
+                                 f"({c['ms_per_tick']:.1f} ms)")
             else:
                 cells.append("—")
         lines.append(f"| {oname} | {budget or '—'} | " + " | ".join(cells)

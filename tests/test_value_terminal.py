@@ -328,6 +328,19 @@ def test_discounted_cost_to_go():
                                atol=1e-6)
 
 
+def test_discounted_cost_to_go_bootstrap_tail():
+    """tail_value bootstraps the truncated tail (fitted-value-iteration
+    rounds, round-5 recipe): G_T := V(x_T) instead of 0."""
+    g = np.array([1.0, 2.0], np.float32)
+    out = discounted_cost_to_go(g, gamma=0.5, tail_value=8.0)
+    np.testing.assert_allclose(
+        out, [1 + 0.5 * (2 + 0.5 * 8.0), 2 + 0.5 * 8.0], atol=1e-6)
+    # tail_value=0 recovers the plain form exactly
+    np.testing.assert_allclose(
+        discounted_cost_to_go(g, gamma=0.5, tail_value=0.0),
+        discounted_cost_to_go(g, gamma=0.5), atol=0)
+
+
 def test_fit_value_mlp_learns_a_quadratic():
     """Also covers the normalization folding: the returned params are a
     plain mlp_apply net in RAW units."""
