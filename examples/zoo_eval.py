@@ -77,29 +77,36 @@ def _quad3d_s0(rng):
 # --- per-task SUCCESS predicates on the final state [N, S] -> [N] bool.
 # Physical, task-defined thresholds (VERDICT r4 item 6: make cells
 # adjudicable as pass/fail, independent of the cost scale):
-#   cartpole  : pole within ~25 deg of upright AND cart within 1 m of 0
-#   pendulum  : within ~25 deg of upright
-#   pointmass : within 0.3 m of the (1, 0) target (past the obstacle)
-#   quadrotor : within 0.3 m of the (0, 0, 1) hover point
-#   acrobot   : tip height > 1.0 (of max 2.0) at episode end
+# Every predicate also requires NEAR-REST velocities: a final-state
+# snapshot alone lets a chaotically spinning plant pass by luck (first
+# run: random-action "succeeded" 30/32 on acrobot while spinning).
+#   cartpole  : ~25 deg of upright, cart within 1 m, |thdot|<1, |xdot|<1
+#   pendulum  : ~25 deg of upright, |thdot| < 1
+#   pointmass : within 0.3 m of the (1, 0) target, speed < 0.5
+#   quadrotor : within 0.3 m of the (0, 0, 1) hover point, speed < 0.5
+#   acrobot   : tip height > 1.0 (of 2.0), |dth1| < 2, |dth2| < 4
 def _cartpole_success(sf):
-    return (1.0 - np.cos(sf[:, 2]) < 0.1) & (np.abs(sf[:, 0]) < 1.0)
+    return ((1.0 - np.cos(sf[:, 2]) < 0.1) & (np.abs(sf[:, 0]) < 1.0)
+            & (np.abs(sf[:, 3]) < 1.0) & (np.abs(sf[:, 1]) < 1.0))
 
 
 def _pendulum_success(sf):
-    return 1.0 - np.cos(sf[:, 0]) < 0.1
+    return (1.0 - np.cos(sf[:, 0]) < 0.1) & (np.abs(sf[:, 1]) < 1.0)
 
 
 def _pointmass_success(sf):
-    return np.hypot(sf[:, 0] - 1.0, sf[:, 1]) < 0.3
+    return ((np.hypot(sf[:, 0] - 1.0, sf[:, 1]) < 0.3)
+            & (np.hypot(sf[:, 2], sf[:, 3]) < 0.5))
 
 
 def _quad3d_success(sf):
-    return np.sqrt(sf[:, 0]**2 + sf[:, 1]**2 + (sf[:, 2] - 1.0)**2) < 0.3
+    return ((np.sqrt(sf[:, 0]**2 + sf[:, 1]**2 + (sf[:, 2] - 1.0)**2) < 0.3)
+            & (np.sqrt(sf[:, 3]**2 + sf[:, 4]**2 + sf[:, 5]**2) < 0.5))
 
 
 def _acrobot_success(sf):
-    return (-np.cos(sf[:, 0]) - np.cos(sf[:, 0] + sf[:, 2])) > 1.0
+    return (((-np.cos(sf[:, 0]) - np.cos(sf[:, 0] + sf[:, 2])) > 1.0)
+            & (np.abs(sf[:, 1]) < 2.0) & (np.abs(sf[:, 3]) < 4.0))
 
 
 TASKS = {
