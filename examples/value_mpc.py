@@ -6,7 +6,11 @@ The MBVE / TD-MPC recipe on stock toolkit surface (costs/value_terminal.py):
    noise) and record the realized per-tick stage costs,
 2. turn them into discounted cost-to-go targets
    (``models.training.discounted_cost_to_go``) and fit a value net
-   (``models.training.fit_value_mlp``),
+   (``models.training.fit_value_mlp``); then run ONE fitted-value-
+   iteration round — refit with the first net bootstrapping the
+   truncated episode tails (``tail_value=V(x_T)``), the dominant error
+   of the one-pass recipe (round-5 probe: best learnable combo is
+   gamma 0.99 + long episodes + one VI round; a DAgger round HURT),
 3. wrap the planner's cost so ``terminal += V(x_H)``
    (``ValueTerminalCost``) — the myopic H=3 MPPI now ranks plans by
    ``sum(stage costs) + V(x_H)``, i.e. with the expert's foresight.
@@ -114,26 +118,39 @@ def main():
     rng = np.random.default_rng(0)
 
     print("1) collecting noisy-LQR expert episodes ...")
-    states, ctgs = [], []
+    episodes = []  # [(ep_states [T,S], ep_stage_costs [T], x_T)]
     for s0 in [(a, b) for a in (-1.5, -0.75, 0.0, 0.75, 1.5)
                for b in (-1.0, 0.0, 1.0)]:
         x = jnp.asarray(s0, jnp.float32)[None]
         u_prev = jnp.zeros((1, 1), jnp.float32)
         ep_s, ep_g = [], []
-        for _ in range(60):
+        for _ in range(120):  # long episodes shrink the truncated tail
             u = jnp.clip(-(x @ jnp.asarray(K).T) + 0.3 * rng.normal(), -2, 2)
             ep_g.append(float(base.stage_cost_step(
                 x, u, u_prev, {"cost": cp["cost"], "attrs": {}})[0]))
             ep_s.append(np.asarray(x[0]))
             x = plant.single_step(x, u, dynp)
             u_prev = u
-        states.append(np.stack(ep_s))
-        ctgs.append(discounted_cost_to_go(np.asarray(ep_g), gamma=0.97))
-    xs, ys = np.concatenate(states), np.concatenate(ctgs)
+        episodes.append((np.stack(ep_s), np.asarray(ep_g), np.asarray(x[0])))
+
+    def fit(vprev=None):
+        from control_toolkit_tpu.models.networks import mlp_apply
+        states, ctgs = [], []
+        for ep_s, ep_g, x_T in episodes:
+            tail = 0.0 if vprev is None else max(0.0, float(
+                mlp_apply(vprev, jnp.asarray(x_T)[None])[0, 0]))
+            states.append(ep_s)
+            ctgs.append(discounted_cost_to_go(ep_g, gamma=0.99,
+                                              tail_value=tail))
+        return fit_value_mlp(np.concatenate(states), np.concatenate(ctgs),
+                             hiddens=(32, 32), epochs=2000,
+                             learning_rate=3e-3, seed=2)
 
     print("2) fitting V(x) on the discounted cost-to-go ...")
-    vparams, mse = fit_value_mlp(xs, ys, hiddens=(32, 32), epochs=2000,
-                                 learning_rate=3e-3, seed=2)
+    vparams, mse = fit()
+    print(f"   value-net MSE (raw units): {mse:.4f}")
+    print("2b) one fitted-value-iteration round (V bootstraps the tails) ...")
+    vparams, mse = fit(vprev=vparams)
     print(f"   value-net MSE (raw units): {mse:.4f}")
 
     print("3) myopic H=3 MPPI, with vs without the learned terminal:")

@@ -140,6 +140,29 @@ def test_euler_rides_the_kernels(monkeypatch):
         assert opt._pallas_residual_compatible_model(), spec
 
 
+def test_neural_batched_grad_gate_is_measurement_driven(monkeypatch):
+    """Round-5 recheck (docs/KERNELS.md §6): the batched NEURAL gradient
+    kernel loses to the vmapped XLA-AD scan at per-slot K=32, is neutral
+    at 128 and wins at 512 — `_grad_kernel_model_ok` engages it only at
+    per-slot K >= 128.  ODE/residual models stay unconditionally
+    eligible (their kernels win at every measured K)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for k, want in ((32, False), (64, False), (128, True), (512, True)):
+        opt = _mpc(pred_spec="neural:mlp-16",
+                   opt_cfg={"num_rollouts": k}).optimizer
+        opt._device = None
+        assert opt._grad_kernel_model_ok() is want, (k, want)
+        # per-slot dyn never composes with shared-operand neural weights
+        assert opt._grad_kernel_model_ok(has_per_slot_dyn=True) is False, k
+    for k in (32, 512):
+        opt = _mpc(pred_spec="ODE:rk4",
+                   opt_cfg={"num_rollouts": k}).optimizer
+        opt._device = None
+        assert opt._grad_kernel_model_ok() is True, k
+
+
 def test_configure_logs_one_info_line(caplog, ctt_propagate):
     with caplog.at_level(logging.INFO,
                          logger="control_toolkit_tpu.optimizers.base"):

@@ -14,30 +14,36 @@ ENV_ATTRS = {
 }
 
 
-def make_ctrl(env, K=128, H=15):
+def make_ctrl(env, K=128, H=15, predictor_spec=None):
     ctrl = MPCController(
         environment_name=env,
         control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
         initial_environment_attributes=dict(ENV_ATTRS[env]),
         config={"optimizer": "rpgd-tf", "controller_logging": False},
     )
+    kw = {}
+    if predictor_spec:
+        kw["predictor_specification"] = predictor_spec
     ctrl.configure(optimizer_name="rpgd-tf", optimizer_config={
         "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": H, "num_rollouts": K,
         "outer_its": 1, "SAMPLING_DISTRIBUTION": "uniform",
         "period_interpolation_inducing_points": 5, "learning_rate": 0.05,
         "gradmax_clip": 5, "opt_keep_k_ratio": 0.25, "resamp_per": 10,
         "sample_stdev": 0.5, "warmup": False, "warmup_iterations": 2,
-    })
+    }, **kw)
     return ctrl
 
 
-@pytest.mark.parametrize("env", [
-    "cartpole", "pointmass",
-    pytest.param("quadrotor3d", marks=pytest.mark.slow),
+@pytest.mark.parametrize("env,spec", [
+    ("cartpole", None), ("pointmass", None),
+    # euler on a chain plant: the round-5 Mosaic layout anchor lives in
+    # the euler backward carry (pallas_grad) — keep its math parity pinned
+    ("pointmass", "ODE:euler"),
+    pytest.param("quadrotor3d", None, marks=pytest.mark.slow),
 ])
-def test_grad_kernel_matches_xla_ad(env):
+def test_grad_kernel_matches_xla_ad(env, spec):
     K, H = 128, 15
-    ctrl = make_ctrl(env, K, H)
+    ctrl = make_ctrl(env, K, H, predictor_spec=spec)
     opt = ctrl.optimizer
     S, U = opt.num_states, opt.num_control_inputs
 
