@@ -744,11 +744,14 @@ def measure_served_echo(n_requests=100):
     import zmq
 
     ctx = zmq.Context.instance()
-    port = 55721
+    # Ephemeral OS-assigned port (CLAUDE.md: fixed ports collide with
+    # TIME_WAIT / concurrent serving runs); bind here so the port is
+    # known before the client connects.
+    srv = ctx.socket(zmq.ROUTER)
+    port = srv.bind_to_random_port("tcp://127.0.0.1")
 
     def echo(max_requests):
-        sock = ctx.socket(zmq.ROUTER)
-        sock.bind(f"tcp://127.0.0.1:{port}")
+        sock = srv
         for _ in range(max_requests):
             frames = sock.recv_multipart()
             req = _json.loads(frames[-1].decode("utf-8"))

@@ -174,9 +174,10 @@ def build_grad(opt, interpret: bool = False, tile_k: int = None):
 def batched_kernels(opt, *, tk, slot_keys, vspec, interpret,
                     param_keys, derivs, stage_soa, terminal_soa, pred,
                     B, K):
-    """Columns-mode (gkernel, ckernel, extra_ops, tk): the GP backward
+    """Columns-mode (gkernel, ckernel, extra_ops): the GP backward
     also holds [M, tile] RBF blocks in VMEM, so the tile shrinks below
-    the grad default when M is large (returns the adjusted tile)."""
+    the grad default when M is large (the adjusted tile is baked into
+    the returned kernels; callers never see it)."""
     from control_toolkit_tpu.ops.pallas_grad import (
         build_gp_grad_cost_rollout_kernel,
     )

@@ -84,6 +84,11 @@ def make_weight_fn(weighting: str, LBD: float):
             f"unknown MPPI weighting {weighting!r} "
             "(softmax | rank[:frac] | topk[:frac])"
         )
+    if mode == "softmax" and len(parts) > 1:
+        raise ValueError(
+            f"softmax weighting takes no fraction: {weighting!r} "
+            "(did you mean rank:<frac> or topk:<frac>?)"
+        )
     frac = float(parts[1]) if len(parts) > 1 else (0.5 if mode == "rank"
                                                    else 0.1)
     if not 0.0 < frac <= 1.0:

@@ -73,6 +73,10 @@ def test_weighting_validated_at_construction():
         make_mppi(weighting="banana")
     with pytest.raises(ValueError, match="fraction"):
         make_mppi(weighting="rank:0.0")
+    # A fraction on softmax is a config mistake (it would be silently
+    # ignored): reject eagerly instead.
+    with pytest.raises(ValueError, match="softmax"):
+        make_mppi(weighting="softmax:0.1")
 
 
 def test_rank_weighting_swings_up_pendulum():
