@@ -19,7 +19,6 @@ recompiles when they change.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -658,131 +657,13 @@ class Optimizer:
 
     # ---- kernel-path report (configure-time eligibility notice) ------------
     def kernel_path_report(self):
-        """(family, path, reasons): which rollout-cost path
-        ``_make_cost_only`` picks for this configuration, and — when a
-        Pallas kernel gate falls back — every known cause by name.
-
-        The PATH decision comes from the real gates (never re-derived);
-        the reasons are the documented gate conjuncts, checked
-        individually so the notice names what actually blocks the fast
-        path (docs/KERNELS.md eligibility matrix).  ``path`` is one of
-        'pallas-kernel', 'robust-member-eval', 'fused-scan',
-        'trajectory'."""
-        from control_toolkit_tpu.models.ensemble_predictor import (
-            EnsemblePredictor,
-        )
-        from control_toolkit_tpu.models.gp_predictor import GPPredictor
-        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-        from control_toolkit_tpu.models.predictors import ODEPredictor
-        from control_toolkit_tpu.models.residual_predictor import (
-            ResidualPredictor,
-        )
-
-        pred = getattr(self.predictor, "predictor", self.predictor)
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-
-        if isinstance(pred, ODEPredictor):
-            family, gate = "ode", self._can_use_pallas
-        elif isinstance(pred, ResidualPredictor):
-            family, gate = "residual", self._can_use_pallas_residual
-        elif isinstance(pred, EnsemblePredictor):
-            family, gate = "ensemble", self._can_use_pallas_ensemble
-        elif isinstance(pred, GPPredictor):
-            family, gate = "gp", self._can_use_pallas_gp
-        elif isinstance(pred, NeuralPredictor):
-            family, gate = "neural", self._can_use_pallas_neural
-        else:
-            family, gate = type(pred).__name__, None
-
-        if self.robust_eval:
-            return family, "robust-member-eval", [
-                "robust_eval scores every plan under every ensemble member "
-                "(kernels do not apply)"
-            ]
-        if gate is not None and gate():
-            return family, "pallas-kernel", []
-
-        reasons = []
-        if jax.default_backend() != "tpu":
-            reasons.append(
-                f"backend is {jax.default_backend()} (Mosaic kernels are "
-                "TPU-only)"
-            )
-        if self._device is not None and self._device.platform != "tpu":
-            reasons.append(f"controller pinned to {self._device.platform}")
-        if self.force_scan:
-            reasons.append("force_scan requested")
-        if gate is None:
-            reasons.append(f"no fused kernel for predictor {family}")
-        if cf is None or not getattr(cf, "supports_fused_rollout", False):
-            reasons.append(
-                "cost overrides the AoS surface (no SOA primitives for the "
-                "kernel body)"
-            )
-        elif not getattr(cf, "pallas_eligible", True):
-            reasons.append(
-                "cost declares pallas_eligible=False (non-scalar learned "
-                "params in the stage cost)"
-            )
-        if any(
-            np.ndim(v) != 0
-            for v in getattr(cf, "attr_defaults", {}).values()
-        ):
-            reasons.append(
-                "array-valued cost attributes (kernels carry attrs as SMEM "
-                "scalars)"
-            )
-        if family == "ode" and getattr(pred, "dynamics", None) is not None \
-                and getattr(pred.dynamics, "soa", None) is None:
-            reasons.append("dynamics has no SOA form")
-        if family == "neural" and pred.compute_dtype != jnp.float32:
-            reasons.append("bf16-mode predictor (kernels compute in f32)")
-        if family == "ensemble":
-            if getattr(pred, "probabilistic", False):
-                reasons.append(
-                    "probabilistic (':prob') members sample aleatoric noise "
-                    "(scan only, by design)"
-                )
-            if getattr(pred, "ts", None) == "1":
-                reasons.append("TS-1 member assignment (scan only, by design)")
-        if gate is not None and not gate() and not reasons:
-            reasons.append(
-                f"population K={self.num_rollouts} does not pack into whole "
-                "kernel tiles across the shard devices"
-            )
-        return family, (
-            "fused-scan" if self._can_fuse_rollout() else "trajectory"
-        ), reasons
+        """(family, path, reasons) — see kernel_families/report.py."""
+        from control_toolkit_tpu.optimizers.kernel_families import report
+        return report.kernel_path_report(self)
 
     def _log_kernel_path(self):
-        """One INFO line at configure: the chosen rollout-cost path, plus
-        the gradient-kernel status for optimizers that use one.  Makes
-        silent fast-path fallbacks legible (VERDICT r3 weak #2)."""
-        family, path, reasons = self.kernel_path_report()
-        name = getattr(self, "registered_name", type(self).__name__)
-        if path == "pallas-kernel":
-            logger.info(f"{name}: rollout-cost path = pallas-kernel ({family})")
-        else:
-            why = "; ".join(reasons) or "kernel gate fell back"
-            logger.info(
-                f"{name}: rollout-cost path = {path} ({family}) — kernel "
-                f"disabled: {why}"
-            )
-        if getattr(self, "uses_gradient_kernels", False) \
-                and self._post_terminal_fn() is not None:
-            if self._value_grad_spec() is not None:
-                logger.info(
-                    f"{name}: learned value terminal is gradient-kernel "
-                    "eligible (in-kernel V; dV/dQ via the terminal vjp "
-                    "seed) — active whenever the rollout-cost path above "
-                    "is pallas-kernel"
-                )
-            else:
-                logger.info(
-                    f"{name}: gradient kernels disabled — non-MLP "
-                    "post-terminal hook keeps gradient planning on XLA-AD "
-                    "(its dQ must participate)"
-                )
+        from control_toolkit_tpu.optimizers.kernel_families import report
+        report.log_kernel_path(self)
 
     # ---- Pallas fused kernel ---------------------------------------------
     # ---- per-family kernel providers (optimizers/kernel_families/) -----
@@ -1154,142 +1035,13 @@ class Optimizer:
     def _bind_batched_grad_kernels(self, num_slots: int, tile_k: int = None,
                                    per_slot_dyn=(), per_slot_cost=(),
                                    interpret: bool = False):
-        """Shared preamble of the columnwise batched gradient-optimizer
-        steps (RPGD / gradient-tf): bind the predictor + cost into
-        columns-mode (``slot_keys``) gradient and cost kernels and the slot
-        packer, dispatching on the predictor family —
-
-        * SOA ODE dynamics → ops/pallas_grad.py + ops/pallas_rollout.py
-          (dynamics constants in the SMEM vector; per-slot dyn rows
-          supported);
-        * neural MLP dynamics → the neural twins (weights as shared VMEM
-          operands appended per call from ``dyn['net']``, so per-session
-          sysid installs/checkpoint swaps never recompile — but per-slot
-          DYNAMICS are unsupported: weights are shared across sessions);
-        * sparse-GP dynamics → the GP twins (same operand treatment, from
-          ``dyn['gp']``);
-        * residual ('ODE+res') dynamics → the residual twins: base scalar
-          constants in SMEM (per-slot dyn rows SUPPORTED — heterogeneous
-          fleets of sysid'd base constants), residual MLP weights shared
-          VMEM operands from ``dyn['res']``.
-
-        A learned value terminal (plain-MLP V, ``_value_grad_spec``) keeps
-        this path: the gradient kernels evaluate V in-kernel (the
-        session-SHARED value net rides as trailing VMEM operands read from
-        ``cost['_value_net']`` per call — re-fits never recompile) and the
-        cost kernels emit terminal states with V added outside as one XLA
-        matmul chain, like the single-session emit_terminal path.
-
-        Returns ``(gcall, ccall, pack)`` where
-        ``gcall(s0flat, Qflat, pvec, pslot, dyn, cost) -> (cost [B*K],
-        dQ)`` and ``ccall(...) -> cost [B*K]``."""
-        from control_toolkit_tpu.models.gp_predictor import GPPredictor
-        from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
-        from control_toolkit_tpu.models.residual_predictor import (
-            ResidualPredictor,
+        """Columns-mode gradient/cost kernel pair + slot packer for a
+        B-session fleet — see kernel_families/batched.py."""
+        from control_toolkit_tpu.optimizers.kernel_families import batched
+        return batched.bind_batched_grad_kernels(
+            self, num_slots, tile_k=tile_k, per_slot_dyn=per_slot_dyn,
+            per_slot_cost=per_slot_cost, interpret=interpret,
         )
-        from control_toolkit_tpu.ops.pallas_grad import grad_tile_dividing
-        from control_toolkit_tpu.optimizers import kernel_families as kf
-        B, K = int(num_slots), self.num_rollouts
-        H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
-        tk = tile_k or grad_tile_dividing(S, H, B * K)
-        if tk == 0 or (B * K) % tk != 0:
-            raise ValueError(
-                f"batched gradient kernel needs a grad tile dividing B*K; "
-                f"got B={B}, K={K}, tile={tk}"
-            )
-
-        pred0 = getattr(self.predictor, "predictor", self.predictor)
-        vspec = self._value_grad_spec()
-        neural = isinstance(pred0, NeuralPredictor)
-        gp = isinstance(pred0, GPPredictor)
-        residual = isinstance(pred0, ResidualPredictor)
-        if neural or gp:
-            if per_slot_dyn:
-                raise ValueError(
-                    "per-slot dynamics require an ODE predictor: learned-"
-                    "model parameters ride as shared VMEM operands"
-                )
-            if neural and pred0.recurrent:
-                raise ValueError(
-                    "recurrent predictors keep the vmapped scan path "
-                    "(their backward needs the per-step hidden history)"
-                )
-            param_keys, _, derivs, stage_soa, terminal_soa, pred = (
-                self._soa_bindings(include_dyn=False)
-            )  # derivs is None: weights ride as VMEM operands
-        else:
-            param_keys, _, derivs, stage_soa, terminal_soa, pred = (
-                self._soa_bindings()
-            )
-
-        shared_keys, slot_keys = split_slot_keys(
-            param_keys, per_slot_dyn, per_slot_cost
-        )
-
-        common = dict(tk=tk, slot_keys=slot_keys, vspec=vspec,
-                      interpret=interpret, param_keys=param_keys,
-                      derivs=derivs, stage_soa=stage_soa,
-                      terminal_soa=terminal_soa, pred=pred)
-        if neural:
-            gkernel, ckernel, extra_ops = kf.neural.batched_kernels(
-                self, **common
-            )
-        elif gp:
-            gkernel, ckernel, extra_ops = kf.gp.batched_kernels(
-                self, **common, B=B, K=K
-            )
-        elif residual:
-            gkernel, ckernel, extra_ops = kf.residual.batched_kernels(
-                self, **common
-            )
-        else:
-            gkernel, ckernel, extra_ops = kf.ode.batched_kernels(
-                self, **common
-            )
-
-        cf = getattr(self.cost_function, "cost_function", self.cost_function)
-        pack = make_slot_packer(
-            shared_keys, slot_keys, getattr(cf, "attr_defaults", {}), B, K
-        )
-        if residual:
-            # The packer reads scalar dyn leaves; the residual's live as
-            # the 'base' subtree (the 'res' weights go via extra_ops).
-            inner_pack = pack
-
-            def pack(u_prev_b, dyn, cost, attrs):
-                return inner_pack(u_prev_b, dyn["base"], cost, attrs)
-
-        if vspec is None:
-            def gcall(s0flat, Qflat, pvec, pslot, dyn, cost):
-                return gkernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
-
-            def ccall(s0flat, Qflat, pvec, pslot, dyn, cost):
-                return ckernel(s0flat, Qflat, pvec, pslot, *extra_ops(dyn))
-        else:
-            from control_toolkit_tpu.models.networks import mlp_apply
-            from control_toolkit_tpu.ops.pallas_neural import (
-                flatten_mlp_weights,
-            )
-
-            inv_h1 = 1.0 / (H + 1)
-
-            def value_ops(cost):
-                ops = flatten_mlp_weights(cost["_value_net"])
-                sc = cost["_value_scale"]
-                return tuple(ops[:-2]) + (ops[-2] * sc, ops[-1] * sc)
-
-            def gcall(s0flat, Qflat, pvec, pslot, dyn, cost):
-                return gkernel(s0flat, Qflat, pvec, pslot,
-                               *extra_ops(dyn), *value_ops(cost))
-
-            def ccall(s0flat, Qflat, pvec, pslot, dyn, cost):
-                costs, x_T = ckernel(s0flat, Qflat, pvec, pslot,
-                                     *extra_ops(dyn))
-                v = mlp_apply(cost["_value_net"], x_T)[..., 0]
-                return costs + cost["_value_scale"] * v * inv_h1
-
-        return gcall, ccall, pack
 
     # ---- sharding ---------------------------------------------------------
     def plan_sharding(self, mesh, axis: Optional[str] = None) -> None:

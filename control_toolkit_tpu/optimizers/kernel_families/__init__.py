@@ -28,10 +28,12 @@ Adding a new model family = one new module here + appending it to the
 order tuples (plus, for serving fleets, a ``batched_kernels`` entry).
 """
 from control_toolkit_tpu.optimizers.kernel_families import (  # noqa: F401
+    batched,
     ensemble,
     gp,
     neural,
     ode,
+    report,
     residual,
 )
 
