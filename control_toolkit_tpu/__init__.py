@@ -17,4 +17,6 @@ from control_toolkit_tpu.utils.registry import (
     import_optimizer_by_name as import_optimizer_by_name,
     get_available_controller_names as get_available_controller_names,
     get_available_optimizer_names as get_available_optimizer_names,
+    get_controller_name as get_controller_name,
+    get_optimizer_name as get_optimizer_name,
 )

@@ -165,3 +165,50 @@ def get_available_controller_names() -> list:
 def get_available_optimizer_names() -> list:
     _load_builtins()
     return list(optimizers.names())
+
+
+def _resolve_name_or_idx(kind, names, name, idx):
+    """Shared body of the reference's name<->index resolvers
+    (globals_and_utils.py:201-264): exactly one of ``name``/``idx`` must
+    be given; returns ``(name, idx)`` within ``names``, or ``None`` when
+    the name is unknown (reference semantics: print-and-return-None, so
+    interactive pickers can re-prompt)."""
+    if (name is None) == (idx is None):
+        raise ValueError(
+            f"Specify either {kind}_name or {kind}_idx to select a "
+            f"{kind} — got {'both' if name is not None else 'neither'}."
+        )
+    if name is not None:
+        try:
+            idx = names.index(name)
+        except ValueError:
+            logger.warning(f"{name!r} is not in list. In list are: {names}")
+            return None
+    else:
+        name = names[idx]
+    return name, idx
+
+
+def get_controller_name(controller_names=None, controller_name=None,
+                        controller_idx=None):
+    """Resolve a controller by name OR list index; returns (name, idx).
+
+    Reference parity: globals_and_utils.py:201-231 (used by apps that
+    cycle controllers with a hotkey index)."""
+    if controller_names is None:
+        controller_names = get_available_controller_names()
+    return _resolve_name_or_idx(
+        "controller", controller_names, controller_name, controller_idx
+    )
+
+
+def get_optimizer_name(optimizer_names=None, optimizer_name=None,
+                       optimizer_idx=None):
+    """Resolve an optimizer by name OR list index; returns (name, idx).
+
+    Reference parity: globals_and_utils.py:234-264."""
+    if optimizer_names is None:
+        optimizer_names = get_available_optimizer_names()
+    return _resolve_name_or_idx(
+        "optimizer", optimizer_names, optimizer_name, optimizer_idx
+    )

@@ -245,3 +245,24 @@ def test_u_prev_per_rollout_batch_semantics():
         jnp.zeros((B, 4)), inputs, u_prev, params,
     )
     np.testing.assert_allclose(np.asarray(cost2), expected, atol=1e-6)
+
+
+def test_name_index_resolvers():
+    """Reference-parity name<->index pickers (globals_and_utils.py:201-264):
+    exactly one of name/idx, unknown name -> None (apps re-prompt)."""
+    import pytest
+
+    import control_toolkit_tpu as ctt
+
+    names = ctt.get_available_optimizer_names()
+    assert "mppi" in names
+    n, i = ctt.get_optimizer_name(optimizer_name="mppi")
+    assert (n, names[i]) == ("mppi", "mppi")
+    assert ctt.get_optimizer_name(optimizer_idx=i) == ("mppi", i)
+    assert ctt.get_optimizer_name(optimizer_name="no-such-optimizer") is None
+    with pytest.raises(ValueError, match="neither"):
+        ctt.get_optimizer_name()
+    with pytest.raises(ValueError, match="both"):
+        ctt.get_optimizer_name(optimizer_name="mppi", optimizer_idx=0)
+    cn, ci = ctt.get_controller_name(controller_name="mpc")
+    assert ctt.get_controller_name(controller_idx=ci) == (cn, ci)
