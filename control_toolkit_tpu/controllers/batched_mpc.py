@@ -219,15 +219,27 @@ class BatchedMPCController(MPCController):
             self._slot_sharding = self._rep_sharding = None
             self._place_slots = lambda tree: tree
 
-        self._slot_keys = jnp.stack(
-            [jax.random.fold_in(opt._initial_key, i) for i in range(B)]
-        )
+        self._slot_keys = jax.vmap(
+            lambda i: jax.random.fold_in(opt._initial_key, i)
+        )(jnp.arange(B))  # one dispatch, not B eager fold_ins
         self.slot_states = self._place_slots(
             jax.vmap(opt._init_state)(self._slot_keys)
         )
 
         step_fn = opt._make_step_fn()
         self._kernel_path = False
+
+        def freeze(mask, u, new_states, states):
+            # Mask-freeze epilogue shared by every batched() variant:
+            # idle slots keep their optimizer state bit-exactly and emit
+            # u = 0 (a change to the freeze discipline lands on the
+            # kernel, vmap and stateful paths together).
+            def keep(new, old):
+                m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            states_out = jax.tree_util.tree_map(keep, new_states, states)
+            return jnp.where(mask[:, None], u, 0.0), states_out
 
         self._stateful = bool(getattr(self.predictor, "is_stateful", False))
         if self._stateful:
@@ -279,14 +291,9 @@ class BatchedMPCController(MPCController):
                 u, new_states, _ = inner_step(
                     states, s, dyn, cost, attrs, hidden
                 )
-
-                def keep(new, old):
-                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
-                    return jnp.where(m, new, old)
-
-                states_out = jax.tree_util.tree_map(keep, new_states, states)
-                # Hidden advance with the applied control; frozen slots keep
-                # their hidden bit-exactly (same mask discipline as states).
+                # Hidden advance with the applied (pre-freeze) control;
+                # frozen slots keep their hidden bit-exactly (same mask
+                # discipline as states).
                 inp = jnp.concatenate([s[:, 0, :], u], axis=-1)
                 _, h_new = rnn_apply(
                     dyn["net"], inp, tuple(h[:, 0, :] for h in hidden)
@@ -295,7 +302,7 @@ class BatchedMPCController(MPCController):
                     jnp.where(mask[:, None, None], hn[:, None, :], h)
                     for hn, h in zip(h_new, hidden)
                 )
-                u = jnp.where(mask[:, None], u, 0.0)
+                u, states_out = freeze(mask, u, new_states, states)
                 return u, states_out, hidden_out
 
         elif (
@@ -378,13 +385,7 @@ class BatchedMPCController(MPCController):
 
             def batched(states, s, dyn, cost, attrs, mask):
                 u, new_states, _ = kstep(states, s, dyn, cost, attrs)
-
-                def keep(new, old):
-                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
-                    return jnp.where(m, new, old)
-
-                states_out = jax.tree_util.tree_map(keep, new_states, states)
-                u = jnp.where(mask[:, None], u, 0.0)
+                u, states_out = freeze(mask, u, new_states, states)
                 return u, states_out
 
         else:
@@ -396,13 +397,7 @@ class BatchedMPCController(MPCController):
                     ),
                     in_axes=(0, 0, dyn_axes(dyn), {k: 0 for k in attrs}),
                 )(states, s, dyn, attrs)
-
-                def keep(new, old):
-                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
-                    return jnp.where(m, new, old)
-
-                states_out = jax.tree_util.tree_map(keep, new_states, states)
-                u = jnp.where(mask[:, None], u, 0.0)
+                u, states_out = freeze(mask, u, new_states, states)
                 return u, states_out
 
         if mesh is None:

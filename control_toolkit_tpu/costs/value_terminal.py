@@ -82,7 +82,6 @@ class ValueTerminalCost(CostFunction):
             getattr(base, "dynamic_config_keys", ())
         )
         self.logged_attributes = getattr(base, "logged_attributes", {})
-        self.reload_cost_parameters_from_config_flag = False
         self.attr_keys = tuple(getattr(base, "attr_keys", ()))
         self.mirrored_dynamics_keys = tuple(
             getattr(base, "mirrored_dynamics_keys", ())
@@ -91,6 +90,20 @@ class ValueTerminalCost(CostFunction):
         self.MIN_COST = base.MIN_COST
         self.batch_size = base.batch_size
         self.horizon = base.horizon
+
+    # The YAML hot-reload watcher (costs/updater.py) registered the BASE
+    # cost before this wrapper existed and raises the flag there; the
+    # CostFunctionWrapper reads the flag off its CURRENT (wrapped) cost —
+    # delegate both directions so a reload signaled on the base is seen
+    # (and consumed) through the wrapper.
+    @property
+    def reload_cost_parameters_from_config_flag(self) -> bool:
+        return getattr(self.base, "reload_cost_parameters_from_config_flag",
+                       False)
+
+    @reload_cost_parameters_from_config_flag.setter
+    def reload_cost_parameters_from_config_flag(self, v: bool) -> None:
+        self.base.reload_cost_parameters_from_config_flag = v
 
     # ---- the value term ----------------------------------------------------
     def _value(self, x, params):
@@ -182,6 +195,30 @@ def attach_value_terminal(ctrl, value_params: Dict,
             "is a CostFunctionWrapper (MPCController); got "
             f"{type(wrapper).__name__}"
         )
+    # Live value state: the persistent wrap hook and update_value_params
+    # read/write THIS dict, so a later configure() (which recreates the
+    # cost and re-applies the hook) re-wraps with the CURRENT net, never a
+    # stale attach-time closure.
+    holder = getattr(ctrl, "_value_holder", None)
+    if holder is None:
+        holder = {}
+        ctrl._value_holder = holder
+    holder["params"] = value_params
+    holder["scale"] = float(value_scale)
+
+    def hook(inner_cost):
+        h = ctrl._value_holder
+        if isinstance(inner_cost, ValueTerminalCost):
+            inner_cost.value_params = h["params"]
+            inner_cost.value_scale = h["scale"]
+            return inner_cost
+        return ValueTerminalCost(inner_cost, h["params"], h["scale"])
+
+    # Install on BOTH controller kinds: configure() recreates the cost
+    # wrapper, so without the hook any later configure would silently drop
+    # the value terminal (MPCController applies the hook at mpc.py:96).
+    ctrl._cost_wrap_hook = hook
+
     if isinstance(inner, ValueTerminalCost):
         inner.value_params = value_params
         inner.value_scale = float(value_scale)
@@ -189,20 +226,10 @@ def attach_value_terminal(ctrl, value_params: Dict,
         return inner
     if hasattr(ctrl, "step_batch") and getattr(ctrl, "num_slots", 0):
         # BatchedMPCController: its batched program was traced against the
-        # unwrapped cost (and configure() recreates the cost wrapper, so a
-        # plain wrap would be dropped by any later configure).  Install a
-        # persistent wrap hook and re-run configure from the stashed call —
-        # the rebuilt program traces against V (the MPPI/mppi-var columns
+        # unwrapped cost — re-run configure from the stashed call so the
+        # rebuilt program traces against V (the MPPI/mppi-var columns
         # kernels keep their kernel path via emit_terminal).  Slot states
         # reset (the objective changed); slot attrs/dyn re-init too.
-        def hook(inner_cost):
-            if isinstance(inner_cost, ValueTerminalCost):
-                inner_cost.value_params = value_params
-                inner_cost.value_scale = float(value_scale)
-                return inner_cost
-            return ValueTerminalCost(inner_cost, value_params, value_scale)
-
-        ctrl._cost_wrap_hook = hook
         stash_args, stash_kwargs = ctrl._configure_stash
         ctrl.configure(*stash_args, **stash_kwargs)
         return ctrl.cost_function.cost_function
@@ -225,4 +252,7 @@ def update_value_params(ctrl, value_params: Dict) -> None:
         raise ValueError("controller's cost is not a ValueTerminalCost; "
                          "call attach_value_terminal first")
     cf.value_params = value_params
+    h = getattr(ctrl, "_value_holder", None)
+    if h is not None:
+        h["params"] = value_params  # keep the configure-time wrap hook live
     ctrl._cost_params = None  # re-assemble from the new leaves

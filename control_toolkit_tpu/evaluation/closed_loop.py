@@ -50,12 +50,21 @@ class ClosedLoop:
         # replicates `env.step` semantics unless explicitly overridden.
         if actuator_noise is None:
             actuator_noise = getattr(env, "actuator_noise", 0.0)
-        opt = controller.optimizer
         self.controller = controller
-        self.optimizer = opt
         self.env = env
         self.actuator_noise = float(actuator_noise)
         self._noise_key = jax.random.PRNGKey(noise_seed)
+        self._bind()
+
+    def _bind(self):
+        """Close over the controller's CURRENT optimizer step and cost.
+        Re-run (via ``_ensure_fresh``) whenever the optimizer is rebuilt —
+        configure() or attach_value_terminal() — so an existing loop never
+        silently evaluates a stale objective; the noise key survives."""
+        controller, env = self.controller, self.env
+        opt = controller.optimizer
+        self.optimizer = opt
+        self._opt_epoch = getattr(opt, "_build_epoch", 0)
         self._stateful = bool(
             opt.predictor is not None
             and getattr(opt.predictor, "is_stateful", False)
@@ -124,6 +133,12 @@ class ClosedLoop:
         self._kernel_swept_runs: Dict[tuple, object] = {}
         self._swept_runs: Dict[Tuple[str, ...], object] = {}
 
+    def _ensure_fresh(self):
+        opt = self.controller.optimizer
+        if (opt is not self.optimizer
+                or getattr(opt, "_build_epoch", 0) != self._opt_epoch):
+            self._bind()
+
     def _swept_run_for(self, swept_paths: Tuple[str, ...], param_axes):
         """Jitted N-episode program with the given params leaves vmapped
         over the episode axis, cached by the swept-leaf path set (the axes
@@ -156,6 +171,9 @@ class ClosedLoop:
             "ode", "rpgd", "gradient", "residual", "mppi-var", "cem-fused",
         ):
             return None
+        from control_toolkit_tpu.models.residual_predictor import (
+            ResidualPredictor,
+        )
         cf = self.controller.cost_function.cost_function
         pred = getattr(self.optimizer.predictor, "predictor",
                        self.optimizer.predictor)
@@ -163,13 +181,24 @@ class ClosedLoop:
         dyn_keys, cost_keys = [], []
         for p in swept_paths:
             top, _, leaf = p.partition(".")
-            if "." in leaf or getattr(params[top][leaf], "ndim", -1) != 1:
+            tree = params[top]
+            dyn_defaults = pred.default_params() if top == "dyn" else {}
+            if (top == "dyn" and leaf.startswith("base.")
+                    and isinstance(pred, ResidualPredictor)):
+                # Residual ('ODE+res') scalar constants live one level
+                # down (dyn.base.<k>); the batched residual/gradient steps
+                # take BARE base-key names and nest their per-slot rows
+                # under the 'base' subtree themselves (_dyn_with_slots).
+                leaf = leaf[len("base."):]
+                tree = tree["base"]
+                dyn_defaults = dyn_defaults["base"]
+            if "." in leaf or getattr(tree[leaf], "ndim", -1) != 1:
                 return None           # nested tree or non-array/vector leaf
             if top == "attrs":
                 if leaf not in attr_keys:
                     return None       # not a kernel-carried attr row
             elif top == "dyn":
-                if leaf not in pred.default_params():
+                if leaf not in dyn_defaults:
                     return None
                 dyn_keys.append(leaf)
             elif top == "cost":
@@ -448,6 +477,7 @@ class ClosedLoop:
         """Raw device program (for slope benchmarking): one launch, ``ticks``
         control steps.  Advances the noise key per call (like ``run``) so
         successive episodes draw independent actuator noise."""
+        self._ensure_fresh()
         self._noise_key, sub = jax.random.split(self._noise_key)
         keys = jax.random.split(sub, ticks)
         return self._run_device(opt_state, s0, params, keys, ticks)
@@ -456,6 +486,7 @@ class ClosedLoop:
             ) -> Dict[str, np.ndarray]:
         """Run one episode; returns {'states' [T,S], 'controls' [T,U],
         'stage_costs' [T], 'final_state' [S], 'mean_cost' scalar}."""
+        self._ensure_fresh()
         if reset:
             self.optimizer.optimizer_reset()
             if self._stateful:
@@ -521,14 +552,19 @@ class ClosedLoop:
         'controls' [N,T,U] when ``return_trajectories`` (off by default —
         at large N the trajectories dominate the device->host copy).
         """
+        self._ensure_fresh()
         opt = self.optimizer
         s0s = jnp.asarray(np.asarray(s0_batch, np.float32))
         if s0s.ndim != 2:
             raise ValueError(f"s0_batch must be [N, S], got {s0s.shape}")
         N = s0s.shape[0]
-        ep_keys = jnp.stack(
-            [jax.random.fold_in(opt._initial_key, i) for i in range(N)]
-        )
+        # One vmapped dispatch, not N eager fold_ins (each eager dispatch
+        # pays the ~25-30 ms host->TPU tunnel launch; N=512 would spend
+        # ~15 s on keys alone).  fold_in is deterministic, so the keys are
+        # identical to the per-index loop.
+        ep_keys = jax.vmap(
+            lambda i: jax.random.fold_in(opt._initial_key, i)
+        )(jnp.arange(N))
         opt_states = jax.vmap(opt._init_state)(ep_keys)
         self._noise_key, sub = jax.random.split(self._noise_key)
         noise_keys = jax.random.split(sub, N * ticks).reshape(

@@ -295,6 +295,11 @@ class Optimizer:
     def _build(self) -> None:
         """Compile the pure step function. Subclasses construct
         ``self._step_jit`` here from ``self._make_step_fn()``."""
+        # Monotone build counter: consumers that close over traces of the
+        # step (evaluation.ClosedLoop) compare this to detect a rebuild
+        # (configure / attach_value_terminal) and re-bind instead of
+        # silently running the stale objective.
+        self._build_epoch = getattr(self, "_build_epoch", 0) + 1
         self._step_jit = jax.jit(self._make_step_fn())
 
     def _make_step_fn(self):

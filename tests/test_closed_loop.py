@@ -200,3 +200,51 @@ def test_run_batch_stateful_hiddens_diverge():
     assert h.shape[0] == 2 and np.any(h[0] != h[1])
     # the sweep must not have clobbered the controller's live hidden
     assert np.all(np.asarray(ctrl.predictor.predictor.hidden[0]) == 0.0)
+
+
+def test_loop_rebinds_after_optimizer_rebuild():
+    """A ClosedLoop built BEFORE attach_value_terminal (or any
+    configure()) must not keep planning with the stale traced objective:
+    the loop re-binds when the optimizer's build epoch moves (review r5).
+    Deterministic setup (no actuator noise, reset=True), so without the
+    re-bind the two runs would be bit-identical."""
+    from control_toolkit_tpu.costs.value_terminal import (
+        ValueTerminalCost, attach_value_terminal,
+    )
+    from control_toolkit_tpu.models import networks as nets
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=3)
+    ctrl = _mppi_controller()
+    loop = ClosedLoop(ctrl, env, actuator_noise=0.0)
+    s0 = np.array([0.0, 0.0, 0.15, 0.0], np.float32)
+    base = loop.run(s0, ticks=6)
+    again = loop.run(s0, ticks=6)
+    np.testing.assert_array_equal(base["controls"], again["controls"])
+
+    # A large V changes the planned controls; the existing loop must see it.
+    vp = nets.mlp_init(jax.random.PRNGKey(40), [4, 8, 1])
+    attach_value_terminal(ctrl, vp, value_scale=1e4)
+    out = loop.run(s0, ticks=6)
+    assert isinstance(loop.controller.cost_function.cost_function,
+                      ValueTerminalCost)
+    assert loop._opt_epoch == ctrl.optimizer._build_epoch
+    assert not np.allclose(out["controls"], base["controls"]), (
+        "stale pre-attach objective still traced into the loop"
+    )
+
+
+def test_run_batch_episode_keys_single_dispatch():
+    """run_batch's per-episode keys come from ONE vmapped fold_in dispatch;
+    the keys must equal the per-index loop (determinism contract with
+    BatchedMPC slot keying)."""
+    ctrl = _mppi_controller()
+    opt = ctrl.optimizer
+    N = 7
+    want = np.stack(
+        [np.asarray(jax.random.fold_in(opt._initial_key, i))
+         for i in range(N)]
+    )
+    got = np.asarray(jax.vmap(
+        lambda i: jax.random.fold_in(opt._initial_key, i)
+    )(jax.numpy.arange(N)))
+    np.testing.assert_array_equal(got, want)

@@ -395,3 +395,72 @@ def test_rpgd_kernel_swept_program_matches_eager_kernel_loop():
         np.asarray(stage), np.stack([np.asarray(x) for x in ref_stage], 1),
         atol=1e-4, rtol=1e-5)
     assert not np.allclose(np.asarray(us)[0], np.asarray(us)[1], atol=1e-5)
+
+
+def _residual_loop():
+    ctrl = MPCController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32),
+                        np.array([1.0], np.float32)),
+        initial_environment_attributes={"target_position": 0.0},
+        config={"optimizer": "mppi", "controller_logging": False},
+    )
+    ctrl.configure(optimizer_name="mppi",
+                   predictor_specification="ODE+res",
+                   optimizer_config=dict(MPPI_CFG))
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=3)
+    return ClosedLoop(ctrl, env, actuator_noise=0.0, noise_seed=7)
+
+
+def test_residual_base_dyn_sweep_classifies_for_kernel(monkeypatch):
+    """Residual ('ODE+res') scalar constants live at dyn.base.<k>; the
+    kernel-sweep classifier must resolve that one-level nesting to the
+    BARE base key (what _make_batched_residual_step's per_slot_dyn
+    expects) instead of rejecting every residual dyn sweep to the vmapped
+    path (review r5)."""
+    from control_toolkit_tpu.evaluation.closed_loop import _overlay_sweep
+
+    loop = _residual_loop()
+    N = 4
+    params = loop.controller._assemble_params()
+    merged, _, paths = _overlay_sweep(
+        params, {"dyn": {"base": {"L": np.full(N, 0.5, np.float32)}}}, N)
+    assert tuple(paths) == ("dyn.base.L",)
+
+    captured = {}
+
+    def fake_build(N_, per_slot_dyn=(), per_slot_cost=(), **kw):
+        captured["dyn"] = tuple(per_slot_dyn)
+        captured["cost"] = tuple(per_slot_cost)
+        return "kernel-program"
+
+    monkeypatch.setattr(loop, "_sweep_kernel_kind", lambda n: "residual")
+    monkeypatch.setattr(loop, "_build_kernel_sweep", fake_build)
+    prog = loop._swept_kernel_run_for(N, tuple(paths), merged)
+    assert prog == "kernel-program"
+    assert captured == {"dyn": ("L",), "cost": ()}
+
+    # A NON-residual predictor still rejects nested dyn paths.
+    plain = _loop()
+    monkeypatch.setattr(plain, "_sweep_kernel_kind", lambda n: "ode")
+    pparams = plain.controller._assemble_params()
+    pm = dict(pparams)
+    assert plain._swept_kernel_run_for(
+        N, ("dyn.base.L",), {**pm, "dyn": {"base": {"L": np.zeros(N)}}}
+    ) is None
+
+
+def test_residual_base_dyn_sweep_runs_vmapped():
+    """End-to-end dyn.base sweep on CPU (vmapped path): each episode
+    plans against its own base length; rows genuinely differ."""
+    loop = _residual_loop()
+    N, T = 3, 6
+    s0s = np.tile(S0, (N, 1))
+    L = np.array([0.3, 0.5, 0.9], np.float32)
+    out = loop.run_batch(
+        s0s, T, sweep_params={"dyn": {"base": {"L": L}}},
+        return_trajectories=True)
+    assert np.all(np.isfinite(out["mean_costs"]))
+    us = np.asarray(out["controls"])
+    assert not np.allclose(us[0], us[1], atol=1e-6)
+    assert not np.allclose(us[1], us[2], atol=1e-6)

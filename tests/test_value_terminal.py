@@ -887,3 +887,57 @@ def test_value_terminal_rides_batched_neural_columns_kernel():
         np.testing.assert_allclose(
             np.asarray(costs)[b], ref_cost, atol=2e-4, rtol=2e-4
         )
+
+
+def test_hot_reload_flag_delegates_through_wrapper():
+    """The YAML watcher raises the reload flag on the BASE cost it
+    registered BEFORE the wrap; the wrapper-aware flag property must see
+    and consume it through the CostFunctionWrapper (review r5 — without
+    the delegation, hot-reload went silently dead after attach)."""
+    ctrl = _mpc_ctrl()
+    vt = attach_value_terminal(
+        ctrl, _rand_value_net(jax.random.PRNGKey(30), 4))
+    base = vt.base
+    assert ctrl.cost_function.update_cost_parameters_from_config() is False
+    base.reload_cost_parameters_from_config_flag = True  # what updater.py does
+    assert vt.reload_cost_parameters_from_config_flag is True
+    assert ctrl.cost_function.update_cost_parameters_from_config() is True
+    assert base.reload_cost_parameters_from_config_flag is False
+
+
+def test_value_survives_reconfigure_with_latest_net():
+    """configure() recreates the cost wrapper; the persistent wrap hook
+    must re-wrap with the CURRENT net (post update_value_params), on the
+    SCALAR controller too (review r5 — the hook used to exist only for
+    batched controllers and closed over attach-time weights)."""
+    ctrl = _mpc_ctrl()
+    vp1 = _rand_value_net(jax.random.PRNGKey(31), 4)
+    attach_value_terminal(ctrl, vp1, value_scale=2.0)
+    vp2 = jax.tree_util.tree_map(lambda w: w + 1.0, vp1)
+    update_value_params(ctrl, vp2)
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": 20,
+        "num_rollouts": 256, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.05,
+        "period_interpolation_inducing_points": 5,
+    })
+    inner = ctrl.cost_function.cost_function
+    assert isinstance(inner, ValueTerminalCost)
+    assert inner.value_scale == 2.0
+    for a, b in zip(jax.tree_util.tree_leaves(inner.value_params),
+                    jax.tree_util.tree_leaves(vp2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # And a re-attach with new weights also reaches post-configure wraps.
+    vp3 = jax.tree_util.tree_map(lambda w: w - 0.25, vp1)
+    attach_value_terminal(ctrl, vp3, value_scale=1.5)
+    ctrl.configure(optimizer_name="mppi", optimizer_config={
+        "seed": 3, "mpc_timestep": 0.02, "mpc_horizon": 20,
+        "num_rollouts": 256, "cc_weight": 1.0, "R": 1.0, "LBD": 100.0,
+        "NU": 1000.0, "SQRTRHOINV": 0.05,
+        "period_interpolation_inducing_points": 5,
+    })
+    inner = ctrl.cost_function.cost_function
+    assert inner.value_scale == 1.5
+    for a, b in zip(jax.tree_util.tree_leaves(inner.value_params),
+                    jax.tree_util.tree_leaves(vp3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
