@@ -179,15 +179,13 @@ def build_fused_mppi_step(
     # dynamics constants (heterogeneous-fleet serving) and cost weights
     # (kernel-path hyperparameter grids), riding as pslot rows like the
     # attrs (the SOA arithmetic broadcasts their [1, C] rows).  The
-    # naming convention is Optimizer._soa_bindings'.
-    _SLOT_PREFIXES = ("a_", "__u_prev_")
-    _slot_extra = frozenset(slot_extra_keys)
-    unknown = _slot_extra - set(param_keys)
-    if unknown:
-        raise ValueError(f"slot_extra_keys {sorted(unknown)} not in param_keys")
-    slot_keys = [k for k in param_keys
-                 if k.startswith(_SLOT_PREFIXES) or k in _slot_extra]
-    shared_keys = [k for k in param_keys if k not in slot_keys]
+    # partition rule lives in ONE place (function-level import: the
+    # optimizers package imports this module's builders lazily).
+    from control_toolkit_tpu.optimizers.base import partition_packed_keys
+
+    shared_keys, slot_keys = partition_packed_keys(
+        param_keys, slot_extra_keys
+    )
 
     one_step = make_soa_stepper(derivs_soa, integrator, dt, intermediate_steps)
 

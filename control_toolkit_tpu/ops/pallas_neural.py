@@ -603,6 +603,12 @@ def gp_tile_for(K: int, n_shard_devices: int = 1, num_inducing: int = 128) -> in
     tile = DEFAULT_NEURAL_TILE_K
     while tile > _MIN_NEURAL_TILE_K and num_inducing * tile * 4 > (4 << 20):
         tile //= 2
+    if num_inducing * tile * 4 > (4 << 20):
+        # Even the floor tile blows the VMEM budget (large inducing sets):
+        # reject so the gate keeps the XLA scan path instead of engaging a
+        # kernel whose Mosaic compile would fail — same final check as
+        # gp_grad_tile_for / gp_grad_tile_dividing (ops/pallas_grad.py).
+        return 0
     per_dev = K // max(1, n_shard_devices)
     while tile >= _MIN_NEURAL_TILE_K:
         if per_dev % tile == 0 and K % (tile * max(1, n_shard_devices)) == 0:

@@ -31,16 +31,16 @@ from control_toolkit_tpu.utils.rng import make_key
 logger = get_logger(__name__)
 
 
-def split_slot_keys(param_keys, per_slot_dyn=(), per_slot_cost=()):
-    """Partition the packed scalar param keys into ``(shared_keys,
-    slot_keys)`` for the columns-mode kernels: attrs (``a_*``) and the
-    per-session previous control (``__u_prev_*``) are always per-lane;
-    requested dynamics constants (``d_<name>``) / cost weights
-    (``c_<name>``) join them for heterogeneous fleets.  The single source
-    of truth for this partition — pair with ``make_slot_packer``."""
+def partition_packed_keys(param_keys, extra_slot_keys=()):
+    """Core of the shared/per-lane partition over ALREADY-PREFIXED extras
+    (``d_<name>`` / ``c_<name>``): attrs (``a_*``) and the per-session
+    previous control (``__u_prev_*``) are always per-lane; the extras join
+    them.  The single source of truth for this partition — used by
+    ``split_slot_keys`` and the fused-MPPI kernel builder
+    (ops/pallas_mppi.py), so a change to the convention reaches the
+    kernels and the packer together."""
     slot_prefixes = ("a_", "__u_prev_")
-    extra = {f"d_{k}" for k in per_slot_dyn} | {
-        f"c_{k}" for k in per_slot_cost}
+    extra = frozenset(extra_slot_keys)
     unknown = extra - set(param_keys)
     if unknown:
         raise ValueError(f"per-slot keys {sorted(unknown)} not in "
@@ -49,6 +49,17 @@ def split_slot_keys(param_keys, per_slot_dyn=(), per_slot_cost=()):
                  if k.startswith(slot_prefixes) or k in extra]
     shared_keys = [k for k in param_keys if k not in slot_keys]
     return shared_keys, slot_keys
+
+
+def split_slot_keys(param_keys, per_slot_dyn=(), per_slot_cost=()):
+    """Partition the packed scalar param keys into ``(shared_keys,
+    slot_keys)`` for the columns-mode kernels, from BARE dynamics/cost
+    names — pair with ``make_slot_packer``."""
+    return partition_packed_keys(
+        param_keys,
+        tuple(f"d_{k}" for k in per_slot_dyn)
+        + tuple(f"c_{k}" for k in per_slot_cost),
+    )
 
 
 def make_slot_packer(shared_keys, slot_keys, attr_defaults, B: int,

@@ -932,11 +932,22 @@ class MPPIOptimizer(Optimizer):
         # the modular path), interp+clip+rollout+cost fused in one kernel,
         # softmax average over the small inducing-point tensor in XLA
         # (linearity of interpolation).  See ops/pallas_mppi.py.
+        from control_toolkit_tpu.ops.pallas_mppi import (
+            DEFAULT_TILE_K, ROWS,
+        )
+
+        # _can_use_pallas checks divisibility against pallas_rollout's tile
+        # constant; this path builds/tiles with pallas_mppi's.  They agree
+        # today but are independent knobs (_can_fully_fuse documents the
+        # same trap) — guard explicitly so a retune falls back to the scan
+        # instead of crashing in make_run.external.
+        semi_fused_tiles_ok = (
+            self.num_rollouts
+            % (DEFAULT_TILE_K * max(1, self._n_shard_devices())) == 0
+        )
         if (self.semi_fused and not self.bounded_update
-                and not self.optimizer_logging and self._can_use_pallas()):
-            from control_toolkit_tpu.ops.pallas_mppi import (
-                DEFAULT_TILE_K, ROWS,
-            )
+                and not self.optimizer_logging and self._can_use_pallas()
+                and semi_fused_tiles_ok):
 
             _, pack, make_run = self._build_fused_mppi(build_step=False)
             # Learned value terminal: the kernel emits x_H and V joins the

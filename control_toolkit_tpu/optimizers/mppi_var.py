@@ -229,11 +229,19 @@ class MPPIVarOptimizer(MPPIOptimizer):
 
         # ---- semi-fused TPU path (mirrors MPPIOptimizer's, plus the sigma
         # scaling of the raw draws and the variance-adaptation einsum) ------
+        from control_toolkit_tpu.ops.pallas_mppi import (
+            DEFAULT_TILE_K, ROWS,
+        )
+
+        # Same explicit tile guard as MPPIOptimizer._make_step_fn:
+        # _can_use_pallas checks pallas_rollout's tile constant, this path
+        # tiles with pallas_mppi's (independent knobs that agree today).
+        semi_fused_tiles_ok = (
+            K % (DEFAULT_TILE_K * max(1, self._n_shard_devices())) == 0
+        )
         if (self.semi_fused and not self.optimizer_logging
-                and not want_opt_traj and self._can_use_pallas()):
-            from control_toolkit_tpu.ops.pallas_mppi import (
-                DEFAULT_TILE_K, ROWS,
-            )
+                and not want_opt_traj and self._can_use_pallas()
+                and semi_fused_tiles_ok):
 
             _, pack, make_run = self._build_fused_mppi(build_step=False)
             # Learned value terminal rides the same emit_terminal + post

@@ -118,6 +118,10 @@ def test_gp_tile_for_caps_vmem():
     assert gp_tile_for(2 ** 18, 1, num_inducing=512) == 2048
     # indivisible K -> 0 (kernel ineligible, scan path)
     assert gp_tile_for(1000, 1, num_inducing=128) == 0
+    # Even the floor tile blows the [M, tile] budget at huge M -> 0 (the
+    # gate must keep the scan path instead of a doomed Mosaic compile;
+    # same final rejection as gp_grad_tile_for — review r5)
+    assert gp_tile_for(2 ** 18, 1, num_inducing=1024) == 0
 
 
 def test_gp_gating_requires_tpu_and_gp_predictor(gp_ckpt):
