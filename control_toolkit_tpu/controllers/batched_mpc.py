@@ -694,7 +694,11 @@ class BatchedMPCController(MPCController):
     def update_slot_dyn(self, i: int, updated: Optional[Dict]) -> None:
         """Update slot ``i``'s per-session dynamics constants (keys must
         have been named in ``configure(per_slot_dyn=...)``) — e.g. commit a
-        per-robot sysid result.  Values are dynamic jit args: no recompile."""
+        per-robot sysid result.  Values are dynamic jit args: no recompile.
+        VALIDATES the whole update before committing any key: a mid-dict
+        rejection (e.g. one NaN constant) must not leave the slot planning
+        with a half-applied, inconsistent model."""
+        staged = []
         for k, v in (updated or {}).items():
             if k not in self.slot_dyn:
                 logger.warning(
@@ -718,6 +722,8 @@ class BatchedMPCController(MPCController):
                     f"slot {i}: dynamics constant {k!r} must be finite, "
                     f"got {v!r}"
                 )
+            staged.append((k, val))
+        for k, val in staged:
             self.slot_dyn[k][i] = val
 
     def reset_slot_dyn(self, i: int) -> None:

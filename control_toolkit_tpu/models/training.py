@@ -105,9 +105,19 @@ def fit_mlp_dynamics(
     target_np = (x_next - x) if predict_delta else x_next
     inp_np = np.concatenate([x, u], axis=-1)
     # Standardize inputs and targets; the normalization constants ship inside
-    # the params dict so NeuralPredictor applies them transparently.
-    in_mean = inp_np.mean(0); in_std = inp_np.std(0) + 1e-6
-    t_mean = target_np.mean(0); t_std = target_np.std(0) + 1e-6
+    # the params dict so NeuralPredictor applies them transparently.  A
+    # warm start REUSES the provided params' constants: the core weights
+    # were trained under them, and recomputing from the new dataset would
+    # discontinuously shift the function the net computes (continual
+    # refits would start WORSE than the previous fit — review r5).
+    if params is not None and "norm_in_mean" in params:
+        in_mean = np.asarray(params["norm_in_mean"], np.float64)
+        in_std = np.asarray(params["norm_in_std"], np.float64)
+        t_mean = np.asarray(params["norm_out_mean"], np.float64)
+        t_std = np.asarray(params["norm_out_std"], np.float64)
+    else:
+        in_mean = inp_np.mean(0); in_std = inp_np.std(0) + 1e-6
+        t_mean = target_np.mean(0); t_std = target_np.std(0) + 1e-6
 
     if params is None:
         key, sub = jax.random.split(key)
@@ -329,6 +339,14 @@ def fit_gru_dynamics(
     E, Tp1, S = x_seqs.shape
     U = u_seqs.shape[-1]
     T = Tp1 - 1
+    if T < rollout_len:
+        # randint with maxval <= minval is undefined and JAX's clamped
+        # gather would then silently train on duplicated terminal states.
+        raise ValueError(
+            f"episodes too short for rollout_len={rollout_len}: got T={T} "
+            f"control steps per episode (need T >= rollout_len; shorten "
+            "rollout_len or record longer episodes)"
+        )
     key = make_key(seed, "fit_gru_dynamics")
     key, sub = jax.random.split(key)
     params = nets.gru_init(sub, S + U, list(hiddens), S)

@@ -239,6 +239,27 @@ class ILQROptimizer(Optimizer):
             stages = jax.vmap(lambda z, u: stage_l(z, u, params))(zs[:-1], u_traj)
             return jnp.sum(stages) + term_l(zs[-1], params)
 
+        has_constraints = has_box or has_term
+
+        def total_violation(z0, u_traj, center, params):
+            """Summed positive constraint violation of an open-loop plan
+            (stage box along the trajectory + terminal set): the
+            feasibility half of the multi-start selection metric — ranking
+            by unconstrained cost alone would let an infeasible random
+            start beat a feasible one (the AL penalty shapes the SOLVES,
+            not the selection)."""
+            zs = rollout_open_loop(z0, u_traj, params)
+            v = jnp.float32(0.0)
+            if has_box:
+                v = v + jnp.sum(jax.vmap(
+                    lambda z: jnp.sum(jnp.maximum(0.0, box_violation(z)))
+                )(zs))
+            if has_term:
+                v = v + jnp.sum(
+                    jnp.maximum(0.0, term_violation(zs[-1], center))
+                )
+            return v
+
         guess_policy = self.initial_guess_policy
 
         def policy_guess(z0, params):
@@ -534,10 +555,14 @@ class ILQROptimizer(Optimizer):
                 )
                 heads = [u_warm[None]]
                 if guess_policy is not None and n_starts > 1:
+                    # cond, not where: the H-scan policy rollout only RUNS
+                    # after tick 0 (where would evaluate it every tick —
+                    # the single-start path's cond exists for this).
                     heads.append(
-                        jnp.where(
-                            state.count == 0, rand[-1],
-                            policy_guess(z0, params),
+                        jax.lax.cond(
+                            state.count == 0,
+                            lambda: rand[-1],
+                            lambda: policy_guess(z0, params),
                         )[None]
                     )
                 us0 = jnp.concatenate(heads + [rand[:-1]], axis=0)[:n_starts]
@@ -551,7 +576,24 @@ class ILQROptimizer(Optimizer):
                 costs_all = jnp.where(
                     jnp.isfinite(costs_all), costs_all, jnp.inf
                 )
-                best = jnp.argmin(costs_all)
+                if has_constraints:
+                    # Feasible-first selection: among feasible solves take
+                    # the cheapest; with none feasible, the least-violating
+                    # (its solve carried the AL penalty furthest).
+                    viol_all = jax.vmap(
+                        lambda u_: total_violation(z0, u_, center, params)
+                    )(us_all)
+                    viol_all = jnp.where(
+                        jnp.isfinite(costs_all), viol_all, jnp.inf
+                    )
+                    feasible = viol_all <= 1e-5
+                    best = jnp.where(
+                        jnp.any(feasible),
+                        jnp.argmin(jnp.where(feasible, costs_all, jnp.inf)),
+                        jnp.argmin(viol_all),
+                    )
+                else:
+                    best = jnp.argmin(costs_all)
                 us = us_all[best]
                 cost = costs_all[best]
 
@@ -602,21 +644,28 @@ class ILQROptimizer(Optimizer):
             else:
                 us_shifted = jnp.where(j_new >= H - 1, u_mid, us_shifted)
 
-            zs_plan = rollout_open_loop(z0, plan_new, params)
+            # Diagnostics describe the plan actually APPLIED from the
+            # CURRENT state: on a replay tick that is the REMAINING plan
+            # (plan[j_new:], tail-clamped) — rolling the whole retained
+            # plan would re-apply already-consumed controls from the wrong
+            # state.  On good ticks j_new == 0, so this is the full plan.
+            diag_idx = jnp.clip(jnp.arange(H) + j_new, 0, H - 1)
+            plan_diag = plan_new[diag_idx]
+            zs_plan = rollout_open_loop(z0, plan_diag, params)
             xs = zs_plan[:, :S]
-            # J_logged reports the cost of the plan actually APPLIED: on a
-            # failed solve that is the replayed plan, not the rejected
+            # J_logged reports the cost of the applied plan: on a failed
+            # solve that is the replayed remainder, not the rejected
             # solve's inf/NaN (computed from the zs_plan rollout already
             # needed for the trajectory diag).
             plan_stages = jax.vmap(
                 lambda z, u_: stage_l(z, u_, params)
-            )(zs_plan[:-1], plan_new)
+            )(zs_plan[:-1], plan_diag)
             cost_applied = jnp.where(
                 ok, cost,
                 jnp.sum(plan_stages) + term_l(zs_plan[-1], params),
             )
             diag = {
-                "Q_logged": plan_new[None],                 # [1, H, U]
+                "Q_logged": plan_diag[None],                # [1, H, U]
                 "J_logged": (cost_applied / (H + 1))[None], # trajectory-mean convention
                 "rollout_trajectories_logged": xs[None],    # [1, H+1, S]
                 "u_nom": plan_new[None],

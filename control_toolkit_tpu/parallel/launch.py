@@ -317,6 +317,7 @@ def launch_workers(
     with tempfile.TemporaryDirectory() as td:
         procs = []
         outs = []
+        logs = []
         for pid in range(num_processes):
             out = os.path.join(td, f"proc{pid}.npz")
             outs.append(out)
@@ -324,6 +325,12 @@ def launch_workers(
             # Workers must not inherit pytest's 8-device XLA flag or any
             # preset platform pin; init_multihost sets its own.
             env.pop("XLA_FLAGS", None)
+            # Worker output goes to a FILE, not a PIPE: nobody drains the
+            # pipes while workers run, so >64KiB of XLA/gloo chatter would
+            # block the worker in write() and deadlock the whole gang
+            # until the timeout (review r5).
+            log = open(os.path.join(td, f"proc{pid}.log"), "w+b")
+            logs.append(log)
             procs.append(
                 subprocess.Popen(
                     [
@@ -338,10 +345,15 @@ def launch_workers(
                         "--out", out,
                     ],
                     env=env,
-                    stdout=subprocess.PIPE,
+                    stdout=log,
                     stderr=subprocess.STDOUT,
                 )
             )
+
+        def read_log(pid):
+            logs[pid].flush()
+            logs[pid].seek(0)
+            return logs[pid].read().decode(errors="replace")
         results = []
         failed = []
         # Reap against a SHARED deadline, polling all workers: one crashed
@@ -356,22 +368,23 @@ def launch_workers(
             for pid in list(live):
                 if live[pid].poll() is not None:
                     proc = live.pop(pid)
-                    out = proc.stdout.read().decode(errors="replace")
                     if proc.returncode != 0:
-                        failed.append((pid, out[-4000:]))
+                        failed.append((pid, read_log(pid)[-4000:]))
             if failed:
                 break
             if live:
                 _time.sleep(0.2)
         for pid, proc in live.items():
             proc.kill()
-            out = proc.stdout.read().decode(errors="replace")
+            proc.wait()
             failed.append((
                 pid,
                 ("killed: "
                  + ("peer worker failed" if failed else "timeout")
-                 + "\n" + out[-2000:]),
+                 + "\n" + read_log(pid)[-2000:]),
             ))
+        for log in logs:
+            log.close()
         if failed:
             msgs = "\n".join(f"--- worker {pid} ---\n{log}" for pid, log in failed)
             raise RuntimeError(f"multihost workers failed:\n{msgs}")

@@ -76,6 +76,12 @@ def test_per_slot_dyn_validation_and_update_api():
         with pytest.raises((ValueError, TypeError)):
             ctrl.update_slot_dyn(0, {"L": bad})
     np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.7])
+    # ATOMIC rejection: a dict with one good and one bad key must commit
+    # NOTHING — a half-applied sysid result is an inconsistent model
+    # persisting across ticks (review r5).
+    with pytest.raises(ValueError, match="finite"):
+        ctrl.update_slot_dyn(0, {"L": 0.9, "m_pole": float("nan")})
+    np.testing.assert_allclose(ctrl.slot_dyn["L"], [0.5, 0.7])
     u = ctrl.step_batch(np.tile(np.array([0, 0, 0.2, 0], np.float32), (2, 1)))
     assert u.shape == (2, 1) and np.all(np.isfinite(u))
 

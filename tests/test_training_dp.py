@@ -150,3 +150,39 @@ def test_mlp_dp_grad_allreduce_in_hlo():
     xb = jax.numpy.zeros((64, 5)); yb = jax.numpy.zeros((64, 4))
     hlo = jax.jit(step).lower(params, opt, xb, yb).compile().as_text()
     assert "all-reduce" in hlo
+
+
+def test_gru_fit_rejects_short_episodes():
+    """Episodes shorter than rollout_len would feed randint an empty
+    range and silently train on clamped (duplicated-terminal) windows."""
+    import pytest
+
+    E, T, S, U = 4, 5, 3, 1
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(E, T + 1, S)).astype(np.float32)
+    us = rng.normal(size=(E, T, U)).astype(np.float32)
+    with pytest.raises(ValueError, match="rollout_len"):
+        fit_gru_dynamics(xs, us, hiddens=(8,), epochs=1, rollout_len=8)
+    # T == rollout_len is the boundary and must work.
+    p, _ = fit_gru_dynamics(xs, us, hiddens=(8,), epochs=1, rollout_len=5)
+    assert p is not None
+
+
+def test_mlp_warm_start_reuses_normalization():
+    """A warm start (params=) must keep the provided normalization
+    constants — the core weights were trained under them; recomputing
+    from the new dataset would discontinuously shift the net's function
+    (review r5)."""
+    x, u, x_next = _linear_data()
+    p0, _ = fit_mlp_dynamics(x, u, x_next, hiddens=(16,), epochs=5,
+                             batch_size=64, seed=3)
+    # Refit on a SHIFTED dataset: fresh-fit constants would differ.
+    x2, u2, x2_next = x + 1.5, u, x_next + 1.5
+    p1, _ = fit_mlp_dynamics(x2, u2, x2_next, hiddens=(16,), epochs=1,
+                             batch_size=64, seed=4, params=p0)
+    for k in ("norm_in_mean", "norm_in_std", "norm_out_mean", "norm_out_std"):
+        np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p0[k]))
+    fresh, _ = fit_mlp_dynamics(x2, u2, x2_next, hiddens=(16,), epochs=1,
+                                batch_size=64, seed=4)
+    assert not np.allclose(np.asarray(fresh["norm_in_mean"]),
+                           np.asarray(p0["norm_in_mean"]))
