@@ -117,6 +117,11 @@ class MPCController(Controller):
         self._dyn_params = None
         self._dyn_net_raw = None
         self._cost_params = None
+        if hasattr(self, "_realized_cost_jit"):
+            # The cached realized-cost program closes over the PREVIOUS
+            # cost function; a re-configure (possibly with a different
+            # cost spec) must retrace it like attach_value_terminal does.
+            del self._realized_cost_jit
         self.controller_data_for_csv = self.cost_function.cost_function.logged_attributes
 
         from control_toolkit_tpu.utils.profiling import LatencyTracker
@@ -250,6 +255,11 @@ class MPCController(Controller):
 
     def controller_reset(self) -> None:
         self.optimizer.optimizer_reset()
+        # Fresh-start previous control: the first realized-cost log of the
+        # new episode must not use the last episode's final u as u_prev
+        # (the reference's optimizer_reset zeroes u likewise).
+        if getattr(self, "u", None) is not None:
+            self.u = np.zeros_like(np.asarray(self.u))
         # Stateful (RNN) predictors carry a persistent hidden state that a
         # controller reset must also clear.
         reset = getattr(

@@ -175,8 +175,12 @@ def _rescore_fixed(loop, states: np.ndarray, controls: np.ndarray) -> np.ndarray
     params = loop.controller._assemble_params()
     p = {"cost": params["cost"], "attrs": params["attrs"]}
 
-    score = getattr(loop, "_fixed_scorer", None)
-    if score is None:
+    # Cache keyed by the cost OBJECT: a reconfigure recreates the cost, so
+    # a stale scorer would silently rank the grid under the old yardstick.
+    cached = getattr(loop, "_fixed_scorer", None)
+    if cached is not None and cached[0] is cf:
+        score = cached[1]
+    else:
 
         @jax.jit
         def score(ss, us, p):
@@ -190,6 +194,6 @@ def _rescore_fixed(loop, states: np.ndarray, controls: np.ndarray) -> np.ndarray
             )
             return jnp.mean(flat.reshape(N, T), axis=1)
 
-        loop._fixed_scorer = score
+        loop._fixed_scorer = (cf, score)
 
     return np.asarray(score(jnp.asarray(states), jnp.asarray(controls), p))

@@ -70,7 +70,36 @@ static void ctt_matvec(const float *x, const float *W, const float *b,
 """
 
 
+def _check_rnn_shapes(kind: str, params: Dict, in_dim: int,
+                      hiddens: Sequence[int], out_dim: int) -> None:
+    """Weight-vs-declaration consistency for both RNN generators: a
+    mismatched ``input_names`` length would otherwise emit a matvec over
+    the wrong flattened extent — silently-wrong controls, or C undefined
+    behavior past the end of the static arrays."""
+    gates = 3 if kind == "gru" else 4
+    dims = [in_dim] + list(hiddens)
+    for i, h in enumerate(hiddens):
+        cell = params[f"cell{i}"]
+        assert np.asarray(cell["wi"]).shape == (dims[i], gates * h), (
+            f"cell{i} wi", np.asarray(cell["wi"]).shape, (dims[i], gates * h))
+        assert np.asarray(cell["wh"]).shape == (h, gates * h), (
+            f"cell{i} wh", np.asarray(cell["wh"]).shape, (h, gates * h))
+        assert np.asarray(cell["bi"]).shape == (gates * h,), f"cell{i} bi"
+        assert np.asarray(cell["bh"]).shape == (gates * h,), f"cell{i} bh"
+    assert np.asarray(params["wo"]).shape == (hiddens[-1], out_dim), (
+        "wo", np.asarray(params["wo"]).shape, (hiddens[-1], out_dim))
+    assert np.asarray(params["bo"]).shape == (out_dim,), "bo"
+
+
 def _spec_block(name: str, input_names: Sequence[str], n_out: int) -> str:
+    if len(input_names) > 32:
+        # controller_api.h declares names[CTT_MAX_INPUTS=32]; gcc only
+        # WARNS on excess initializers and the GET_SPEC handshake would
+        # silently serve a truncated list.
+        raise ValueError(
+            f"{len(input_names)} input names exceed CTT_MAX_INPUTS=32 "
+            "(native/cwrapper/controller_api.h)"
+        )
     names = ", ".join(f'"{n}"' for n in input_names)
     return (
         f"static const ControllerSpec {name}_spec = {{\n"
@@ -135,6 +164,7 @@ def _rnn_source(name: str, kind: str, params: Dict, in_dim: int,
                 hiddens: Sequence[int], out_dim: int,
                 input_names: Sequence[str], clip_output: bool) -> str:
     gates = 3 if kind == "gru" else 4
+    _check_rnn_shapes(kind, params, in_dim, hiddens, out_dim)
     parts: List[str] = []
     dims = [in_dim] + list(hiddens)
     for i, h in enumerate(hiddens):
@@ -337,6 +367,8 @@ def _mlp_source_fixed(name: str, params: Dict, sizes: List[int],
     n_layers = len(sizes) - 1
     parts: List[str] = []
     for i in range(n_layers):
+        w = np.asarray(params[f"w{i}"])
+        assert w.shape == (sizes[i], sizes[i + 1]), (w.shape, sizes)
         parts.append(_c_i16_array(f"{name}_W{i}", _q10_w(params[f"w{i}"])))
         parts.append(_c_i32_array(f"{name}_B{i}", _q20_b(params[f"b{i}"])))
     max_width = max(sizes)
@@ -371,6 +403,7 @@ def _rnn_source_fixed(name: str, kind: str, params: Dict, in_dim: int,
                       hiddens: Sequence[int], out_dim: int,
                       clip_output: bool) -> str:
     gates = 3 if kind == "gru" else 4
+    _check_rnn_shapes(kind, params, in_dim, hiddens, out_dim)
     parts: List[str] = []
     dims = [in_dim] + list(hiddens)
     for i, h in enumerate(hiddens):

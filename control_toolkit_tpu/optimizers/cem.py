@@ -163,6 +163,14 @@ class CEMOptimizer(Optimizer):
                 "outer-loop trip count); warmup sessions take the vmapped "
                 "scan path"
             )
+        if self._post_terminal_fn() is not None:
+            # The callers' eligibility gates route valued CEM to the
+            # vmapped path; a DIRECT composition must fail loudly rather
+            # than silently optimize without the learned value terminal.
+            raise NotImplementedError(
+                "batched CEM steps do not evaluate a learned value "
+                "terminal; use the vmapped path for valued CEM sessions"
+            )
         B, K = int(num_slots), self.num_rollouts
         H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states
         tk = tile_k or DEFAULT_TILE_K
@@ -295,6 +303,14 @@ class CEMOptimizer(Optimizer):
             raise NotImplementedError(
                 "batched fused CEM requires warmup=False (shared outer-loop "
                 "trip count)"
+            )
+        if self._post_terminal_fn() is not None:
+            # Same loud refusal as the modular batched step: the fused
+            # kernel writes costs only — a learned value terminal would be
+            # silently dropped for every session.
+            raise NotImplementedError(
+                "batched fused CEM does not evaluate a learned value "
+                "terminal; use the vmapped path for valued CEM sessions"
             )
         B, K = int(num_slots), self.num_rollouts
         H, U, S = self.mpc_horizon, self.num_control_inputs, self.num_states

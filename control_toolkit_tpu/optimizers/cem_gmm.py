@@ -91,6 +91,24 @@ class CEMGMMOptimizer(Optimizer):
         self.cem_initial_action_stdev = float(cem_initial_action_stdev)
         self.cem_stdev_min = float(cem_stdev_min)
         self.cem_best_k = int(cem_best_k)
+        if self.cem_best_k > self.num_rollouts:
+            # Same loud construction-time guard as CEM/iCEM: the reference
+            # default best_k=40 pairs with K=200; the base-class default
+            # K=32 would otherwise explode inside lax.top_k on step 1.
+            raise ValueError(
+                f"cem_best_k={self.cem_best_k} exceeds num_rollouts="
+                f"{self.num_rollouts}"
+            )
+
+    def _apply_policy_guess(self, state, plan):
+        """Center BOTH mixture components on the heuristic-policy rollout
+        (base Optimizer ``initial_guess_policy``) — the CEM analogue
+        (cem.py) seeds dist_mue; stdev keeps its reset width so the first
+        elite clustering can still move away."""
+        mue = jnp.broadcast_to(
+            plan[None], state.comp_mue.shape
+        ).astype(state.comp_mue.dtype)
+        return state._replace(comp_mue=mue)
 
     def _init_state(self, key):
         H, U = self.mpc_horizon, self.num_control_inputs

@@ -94,3 +94,24 @@ def test_realized_cost_logged():
     rc = out["realized_cost_logged"]
     assert rc is not None and rc.shape == (3,)
     assert np.all(np.isfinite(rc)) and np.all(rc > 0)  # displaced state costs
+
+
+def test_reconfigure_invalidates_realized_cost_and_reset_zeroes_u_prev():
+    """configure() must retrace the cached realized-cost program (it
+    closes over the previous cost function) and controller_reset() must
+    zero the stored previous control so the next episode's first
+    realized cost doesn't use the last episode's final u (review r5)."""
+    ctrl = make_controller(num_rollouts=32, horizon=10, logging=True)
+    s = np.array([0.5, 0.0, 0.2, 0.0], dtype=np.float32)
+    ctrl.step(s)
+    assert hasattr(ctrl, "_realized_cost_jit")
+    old_u = np.asarray(ctrl.u).copy()
+    assert np.any(old_u != 0.0) or True  # u may legitimately be ~0
+    ctrl.configure(optimizer_name="random-action-tf", optimizer_config={
+        "seed": 42, "mpc_timestep": 0.02, "mpc_horizon": 10,
+        "num_rollouts": 32,
+    })
+    assert not hasattr(ctrl, "_realized_cost_jit")
+    ctrl.step(s)
+    ctrl.controller_reset()
+    assert np.all(np.asarray(ctrl.u) == 0.0)

@@ -13,6 +13,7 @@ import pytest
 from control_toolkit_tpu.models.dynamics import soa_to_aos
 from control_toolkit_tpu.models.predictors import ODEPredictor
 from control_toolkit_tpu.optimizers.cem import CEMOptimizer
+from control_toolkit_tpu.optimizers.cem_gmm import CEMGMMOptimizer
 from control_toolkit_tpu.optimizers.cma_es import CMAESOptimizer
 from control_toolkit_tpu.optimizers.gradient import GradientOptimizer
 from control_toolkit_tpu.optimizers.icem import ICEMOptimizer
@@ -43,6 +44,10 @@ OPT_CONFIGS = {
         "cem_stdev_min": 0.01, "cem_best_k": 8,
         "icem_colored_noise_beta": 2.0, "icem_keep_elites_frac": 0.3,
         "icem_add_mean_sample": True,
+    }),
+    "cem-gmm": (CEMGMMOptimizer, {
+        "cem_outer_it": 2, "cem_initial_action_stdev": 0.5,
+        "cem_stdev_min": 0.01, "cem_best_k": 8,
     }),
     "cma": (CMAESOptimizer, {
         "cma_outer_it": 2, "cma_mu": 8, "cma_initial_step_size": 0.3,
@@ -115,6 +120,10 @@ def test_guess_seeds_state_exactly(name):
     elif name == "cma":
         np.testing.assert_array_equal(
             np.asarray(seeded.mean.reshape(H, 1)), np.asarray(plan))
+    elif name == "cem-gmm":
+        np.testing.assert_array_equal(
+            np.asarray(seeded.comp_mue),
+            np.broadcast_to(np.asarray(plan), seeded.comp_mue.shape))
     elif name in ("cem", "icem"):
         np.testing.assert_array_equal(
             np.asarray(seeded.dist_mue[0]), np.asarray(plan))
@@ -168,3 +177,18 @@ def test_guess_requires_single_step_predictor():
     opt._policy_plan_fn = None
     with pytest.raises(ValueError, match="single_step"):
         opt._policy_plan()
+
+
+def test_cem_gmm_best_k_guard():
+    """Same loud construction-time guard as CEM/iCEM: defaults pair
+    best_k=40 with K=200, but the base default K=32 would explode inside
+    lax.top_k on step 1 (review r5)."""
+    pred = make_double_integrator(0.1)
+    with pytest.raises(ValueError, match="cem_best_k"):
+        CEMGMMOptimizer(
+            predictor=pred, cost_function=QuadCost(),
+            control_limits=(np.array([-5.0], np.float32),
+                            np.array([5.0], np.float32)),
+            optimizer_logging=False, seed=7, mpc_horizon=H,
+            num_rollouts=32, cem_best_k=40,
+        )
