@@ -37,6 +37,37 @@ SAVE_VARS = [
 ]
 
 
+def resolve_named_inputs(input_names, state_index, s, updated_attributes,
+                         variable_parameters, time=None,
+                         allow_time: bool = True) -> np.ndarray:
+    """Shared name→value resolution for the hardware-edge controllers
+    (embedded SoC, runtime-gcc C, neural imitator).  Precedence:
+    ``time`` (when the controller supports it) > updated_attributes >
+    state component > variable_parameters > 0.0.  ONE implementation so
+    the precedence cannot drift between the three controllers (it
+    already had: the imitator copy lacked 'time' — that difference is
+    now the explicit ``allow_time`` flag)."""
+    arr = np.zeros(len(input_names), np.float32)
+    for i, name in enumerate(input_names):
+        if allow_time and name == "time":
+            if time is None:
+                raise ValueError(
+                    "controller input 'time' required but not provided"
+                )
+            arr[i] = float(time)
+        elif name in updated_attributes:
+            arr[i] = float(np.asarray(updated_attributes[name]).reshape(-1)[0])
+        elif name in state_index:
+            arr[i] = float(np.asarray(s).reshape(-1)[state_index[name]])
+        elif name in variable_parameters:
+            arr[i] = float(
+                np.asarray(variable_parameters[name]).reshape(-1)[0]
+            )
+        else:
+            arr[i] = 0.0
+    return arr
+
+
 class Controller(ABC):
     _has_optimizer = False
     registered_name: str = "template"

@@ -172,6 +172,16 @@ class CController(Controller):
         self.lib_ctypes.controller_get_input_names(buf, 1024)
         names = buf.value.decode("utf-8")
         self.input_names = names.split(",") if names else []
+        if any(n == "" for n in self.input_names):
+            # The C template writes each name's comma BEFORE checking the
+            # next name fits, so a truncation that drops exactly the last
+            # name leaves a trailing comma — split() then yields an empty
+            # name whose input slot would silently read 0.0.  Treat it as
+            # the truncation it is.
+            raise RuntimeError(
+                "C controller spec mismatch: empty input name in "
+                f"{self.input_names!r} (name buffer truncated?)"
+            )
         if len(self.input_names) != self.n_inputs:
             # Name-buffer truncation or a lying spec: never hand the C side
             # uninitialized input slots.
@@ -186,20 +196,12 @@ class CController(Controller):
         updated_attributes = updated_attributes or {}
         self.update_attributes(updated_attributes)
 
-        arr = np.zeros(self.n_inputs, dtype=np.float32)
-        for i, name in enumerate(self.input_names):
-            if name == "time":
-                if time is None:
-                    raise ValueError("controller input 'time' required but not provided")
-                arr[i] = float(time)
-            elif name in updated_attributes:
-                arr[i] = float(np.asarray(updated_attributes[name]).reshape(-1)[0])
-            elif name in self._state_idx:
-                arr[i] = float(np.asarray(s).reshape(-1)[self._state_idx[name]])
-            elif name in self.variable_parameters:
-                arr[i] = float(np.asarray(self.variable_parameters[name]).reshape(-1)[0])
-            else:
-                arr[i] = 0.0
+        from control_toolkit_tpu.controllers.base import resolve_named_inputs
+
+        arr = resolve_named_inputs(
+            self.input_names, self._state_idx, s, updated_attributes,
+            self.variable_parameters, time=time,
+        )
 
         inputs = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         out = np.empty(self.n_outputs, dtype=np.float32)

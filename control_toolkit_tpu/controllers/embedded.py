@@ -51,21 +51,12 @@ class EmbeddedController(Controller):
         )
 
     def _assemble_inputs(self, s, time, updated_attributes) -> np.ndarray:
-        arr = np.empty(len(self.input_names), dtype=np.float32)
-        for i, name in enumerate(self.input_names):
-            if name == "time":
-                if time is None:
-                    raise ValueError("controller input 'time' required but not provided")
-                arr[i] = float(time)
-            elif name in updated_attributes:
-                arr[i] = float(np.asarray(updated_attributes[name]).reshape(-1)[0])
-            elif name in self._state_idx:
-                arr[i] = float(np.asarray(s).reshape(-1)[self._state_idx[name]])
-            elif name in self.variable_parameters:
-                arr[i] = float(np.asarray(self.variable_parameters[name]).reshape(-1)[0])
-            else:
-                arr[i] = 0.0
-        return arr
+        from control_toolkit_tpu.controllers.base import resolve_named_inputs
+
+        return resolve_named_inputs(
+            self.input_names, self._state_idx, s, updated_attributes,
+            self.variable_parameters, time=time,
+        )
 
     def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
         self.just_restarted = False

@@ -79,7 +79,7 @@ class NeuralImitatorController(Controller):
                 "activations, ap_fixed<32,12> accumulators)"
             )
 
-        self._state_index = {n: i for n, i in state_indices(self.environment_name).items()}
+        self._state_index = sidx
         self.recurrent = arch["kind"] in nets.RECURRENT_FNS
         if self.recurrent:
             _, rnn_apply, rnn_state0 = nets.RECURRENT_FNS[arch["kind"]]
@@ -103,18 +103,15 @@ class NeuralImitatorController(Controller):
         self.controller_data_for_csv = {}
 
     def _assemble_input(self, s: np.ndarray, updated_attributes: Dict) -> np.ndarray:
-        """Precedence: updated_attributes > state > variable_parameters > 0."""
-        vec = np.zeros(len(self.input_names), np.float32)
-        for i, name in enumerate(self.input_names):
-            if name in updated_attributes:
-                vec[i] = float(np.asarray(updated_attributes[name]).reshape(-1)[0])
-            elif name in self._state_index:
-                vec[i] = float(s[self._state_index[name]])
-            elif name in self.variable_parameters:
-                vec[i] = float(np.asarray(self.variable_parameters[name]).reshape(-1)[0])
-            else:
-                vec[i] = 0.0
-        return vec
+        """Precedence: updated_attributes > state > variable_parameters > 0
+        (no 'time' input — reference imitator nets take state/attr features
+        only)."""
+        from control_toolkit_tpu.controllers.base import resolve_named_inputs
+
+        return resolve_named_inputs(
+            self.input_names, self._state_index, s, updated_attributes,
+            self.variable_parameters, allow_time=False,
+        )
 
     def step(self, s: np.ndarray, time=None, updated_attributes: Optional[Dict] = None):
         updated_attributes = updated_attributes or {}

@@ -33,12 +33,20 @@ class RemoteController(Controller):
             "remote_endpoint", f"tcp://{host}:{port}"
         )
         timeout = int(self.config_controller.get("timeout_ms", DEFAULT_RCVTIMEO_MS))
+        if timeout <= 0:
+            # ZMQ's default RCVTIMEO is -1 (block forever): accepting 0 or
+            # a negative here would make the first step against a dead
+            # server hang the loop — the opposite of this controller's
+            # fall-back-to-local deadline contract.
+            raise ValueError(
+                f"timeout_ms must be positive, got {timeout} "
+                f"(default {DEFAULT_RCVTIMEO_MS})"
+            )
 
         self._ctx = zmq.Context.instance()
         self._sock = self._ctx.socket(zmq.DEALER)
         self._sock.connect(self.endpoint)
-        if timeout > 0:
-            self._sock.setsockopt(zmq.RCVTIMEO, timeout)
+        self._sock.setsockopt(zmq.RCVTIMEO, timeout)
         self._next_rid = 0
         logger.info(f"remote controller connected to {self.endpoint}")
 
@@ -68,7 +76,10 @@ class RemoteController(Controller):
         self._sock.send_json({
             "rid": rid,
             "state": np.asarray(s, dtype=np.float32).tolist(),
-            "time": time,
+            # numpy scalars (np.float32 loop time) are not JSON
+            # serializable; a raw `time` would TypeError out of the very
+            # controller meant to degrade gracefully.
+            "time": None if time is None else float(time),
             "updated_attributes": {
                 k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
                 for k, v in updated_attributes.items()

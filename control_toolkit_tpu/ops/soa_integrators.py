@@ -56,7 +56,18 @@ def make_soa_stepper(
         incr = tadd(tadd(k1, tscale(k2, 2.0)), tadd(tscale(k3, 2.0), k4))
         return tadd(xs, tscale(incr, sub_dt / 6.0))
 
-    base = rk4 if integrator == "rk4" else euler
+    if integrator == "rk4":
+        base = rk4
+    elif integrator == "euler":
+        base = euler
+    else:
+        # Validate like the scan path (predictors.INTEGRATORS KeyError):
+        # silently mapping an unknown name to euler would break the
+        # kernel-vs-scan bitwise contract the moment a new integrator is
+        # added there but not here.
+        raise ValueError(
+            f"unknown SOA integrator {integrator!r} (rk4 | euler)"
+        )
 
     def one_step(xs, us, p):
         for _ in range(intermediate_steps):

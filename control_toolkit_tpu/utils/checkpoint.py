@@ -44,6 +44,12 @@ def save_state(path, state: Any) -> None:
 
 def load_state(path, template: Any) -> Any:
     """Load a pytree saved by save_state, shaped like ``template``."""
+    import os
+
+    # np.savez appends '.npz' to extension-less paths but np.load does
+    # not: make save/load round-trip on the same path string.
+    if not os.path.exists(path) and not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     data = np.load(path)
     t_leaves, treedef = _flatten(template)
     if "__n_leaves" in data.files:
@@ -104,6 +110,10 @@ def load_state(path, template: Any) -> Any:
 def save_optimizer(path, optimizer) -> None:
     """Checkpoint an optimizer's full warm-start state (population,
     distribution moments, Adam m/v, PRNG key, counters, u_prev)."""
+    if optimizer.opt_state is None:
+        # tree_flatten(None) is zero leaves: the write would "succeed" and
+        # the mistake only surface at load time, far from the bug site.
+        raise RuntimeError("optimizer not configured; call configure() first")
     save_state(path, optimizer.opt_state)
 
 

@@ -266,3 +266,28 @@ def test_name_index_resolvers():
         ctt.get_optimizer_name(optimizer_name="mppi", optimizer_idx=0)
     cn, ci = ctt.get_controller_name(controller_name="mpc")
     assert ctt.get_controller_name(controller_idx=ci) == (cn, ci)
+
+
+def test_checkpoint_extensionless_path_roundtrip(tmp_path):
+    """np.savez appends '.npz' to extension-less paths; load_state must
+    round-trip the SAME path string (review r5)."""
+    import jax.numpy as jnp
+
+    from control_toolkit_tpu.utils import checkpoint as ck
+
+    state = {"a": jnp.arange(4.0), "b": jnp.zeros((2, 2))}
+    p = str(tmp_path / "ckpt")          # no extension
+    ck.save_state(p, state)
+    out = ck.load_state(p, state)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(4.0))
+
+
+def test_save_optimizer_requires_configure():
+    from control_toolkit_tpu.utils import checkpoint as ck
+
+    class Unconfigured:
+        opt_state = None
+
+    import pytest
+    with pytest.raises(RuntimeError, match="configure"):
+        ck.save_optimizer("/tmp/nope", Unconfigured())

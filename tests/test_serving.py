@@ -86,6 +86,26 @@ def test_remote_controller_round_trip(server_thread):
     ctrl.configure()
     u = ctrl.step(np.array([0.0, 0.0, 0.1, 0.0], np.float32))
     assert u.shape == (1,)
+    # numpy scalar time must serialize (raw np.float32 is not JSON
+    # serializable and used to crash the very controller meant to degrade
+    # gracefully — review r5).
+    u = ctrl.step(np.array([0.0, 0.0, 0.1, 0.0], np.float32),
+                  time=np.float32(0.75))
+    assert u.shape == (1,)
+
+
+def test_remote_rejects_nonpositive_timeout():
+    import pytest
+
+    ctrl = RemoteController(
+        environment_name="cartpole",
+        control_limits=(np.array([-1.0], np.float32), np.array([1.0], np.float32)),
+        initial_environment_attributes={},
+        config={"host": "127.0.0.1", "port": 59998, "timeout_ms": 0,
+                "fallback_controller": None, "controller_logging": False},
+    )
+    with pytest.raises(ValueError, match="timeout_ms"):
+        ctrl.configure()  # 0 would mean ZMQ's block-forever default
 
 
 def test_remote_timeout_falls_back_to_zero():
