@@ -46,7 +46,11 @@ class CostFunctionWrapper:
             full_cfg = load_cost_config()
         except FileNotFoundError:
             full_cfg = {}
-        name = cost_function_specification or full_cfg.get("cost_function_name_default", "default")
+        # Spec precedence: explicit arg > name this wrapper is already
+        # bound to (a copy() carries it — the copy must configure to the
+        # SAME cost, not the config default) > config default.
+        name = (cost_function_specification or self.cost_function_name
+                or full_cfg.get("cost_function_name_default", "default"))
 
         env_cfg = full_cfg.get(environment_name, {}) or {}
         cost_config = dict(env_cfg.get(name, {}) or {})
@@ -110,8 +114,21 @@ class CostFunctionWrapper:
         return self.cost_function.current_params(attrs)
 
     def copy(self) -> "CostFunctionWrapper":
-        """Fresh wrapper bound to the same cost name (reference :108-115)."""
+        """Fresh UNCONFIGURED wrapper bound to the same cost name
+        (reference :108-115): call ``configure(batch_size, horizon,
+        environment_name=...)`` on the copy before use — it resolves to
+        the stored name, not the config default.  When this wrapper is
+        already configured, the copy's cost is instantiated immediately
+        so its proxied methods work without an explicit configure."""
         new = CostFunctionWrapper()
         new.cost_function_name = self.cost_function_name
         new.environment_name = self.environment_name
+        if self.cost_function is not None:
+            new.configure(
+                batch_size=self.cost_function.batch_size,
+                horizon=self.cost_function.horizon,
+                environment_name=self.environment_name,
+                cost_function_specification=self.cost_function_name,
+                watch_config=False,
+            )
         return new

@@ -80,7 +80,26 @@ class EnvironmentBatched:
             self._key = make_key(seed, context=self.__class__.__name__)
         self._key, sub = jax.random.split(self._key)
         self.state = self._sample_initial_state(sub)
+        # A stateful (RNN) attached predictor must not carry the previous
+        # episode's terminal hidden into the new one — cross-episode
+        # correlation even under fixed seeds.
+        reset_state = getattr(self._predictor, "reset_state", None)
+        if reset_state is not None and getattr(
+            self._predictor, "is_stateful", False
+        ):
+            reset_state()
         return np.asarray(self.state), {}
+
+    def _trace_token(self):
+        """Everything ``_step_impl`` reads off ``self`` at trace time (the
+        plant's true constants, the noise scale, dt): mutating any of
+        these must retrace, not silently keep the frozen values
+        (CLAUDE.md: never read self.<mutable> inside a jitted step)."""
+        p = getattr(self, "params", None)
+        ptok = None if p is None else tuple(
+            sorted((k, np.asarray(v, np.float64).tobytes()) for k, v in p.items())
+        )
+        return (ptok, float(self.actuator_noise), float(self.dt))
 
     def _step_impl(self, state, action, key, pred_params):
         if self.actuator_noise > 0.0:
@@ -89,7 +108,10 @@ class EnvironmentBatched:
         next_state = self._dynamics_step(state, action, pred_params)
         reward = self.get_reward(next_state, action)
         terminated = self.is_done(next_state)
-        return next_state, reward, terminated
+        # The APPLIED action is returned so the caller can advance any
+        # stateful predictor with the same control that produced
+        # next_state (raw-vs-applied divergence review r5).
+        return next_state, reward, terminated, action
 
     def step(self, action) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, Dict]:
         action = self._expand_batch(jnp.asarray(action, jnp.float32), self.num_actions)
@@ -97,16 +119,23 @@ class EnvironmentBatched:
         pred_params = (
             self._predictor.default_params() if self._predictor is not None else {}
         )
+        token = self._trace_token()
+        if token != getattr(self, "_traced_token", token):
+            self._step_jit = jax.jit(self._step_impl)  # constants changed
+        self._traced_token = token
         prev_state = self.state
-        self.state, reward, terminated = self._step_jit(self.state, action, sub, pred_params)
+        self.state, reward, terminated, applied = self._step_jit(
+            self.state, action, sub, pred_params
+        )
         if self._predictor is not None and getattr(
             self._predictor, "is_stateful", False
         ):
             # Recurrent learned plant: advance the predictor's persistent
-            # hidden with the applied control so the env really recurs
-            # (otherwise every step would re-roll from the same hidden).
+            # hidden with the APPLIED (noised+clipped) control — the one
+            # that produced self.state — so the env really recurs along
+            # its own trajectory.
             if self.batch_size == 1:
-                self._predictor.update(prev_state[:1], action[:1, None, :])
+                self._predictor.update(prev_state[:1], applied[:1, None, :])
             else:
                 import warnings
 

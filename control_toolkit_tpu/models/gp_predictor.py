@@ -126,8 +126,15 @@ class GPPredictor(Predictor):
     ):
         from control_toolkit_tpu.models.dynamics import DYNAMICS
 
-        if num_states is None:
-            _, _, num_states, num_control_inputs = DYNAMICS[environment_name.lower()]
+        # Fill ONLY the Nones from the env defaults: an explicit
+        # num_control_inputs must not be clobbered, and num_states alone
+        # must not crash on int(None).
+        if num_states is None or num_control_inputs is None:
+            _, _, s_def, u_def = DYNAMICS[environment_name.lower()]
+            num_states = s_def if num_states is None else num_states
+            num_control_inputs = (
+                u_def if num_control_inputs is None else num_control_inputs
+            )
         self.num_states = int(num_states)
         self.num_control_inputs = int(num_control_inputs)
         self.dt = float(dt)
@@ -156,16 +163,10 @@ class GPPredictor(Predictor):
         return step
 
     def rollout(self, s0, Q, params=None):
+        from control_toolkit_tpu.models.predictors import scan_rollout
+
         p = self.default_params() if params is None else params
-        step = self.single_step
-        Q_t = jnp.swapaxes(Q, 0, 1)
-
-        def body(x, u):
-            xn = step(x, u, p)
-            return xn, xn
-
-        _, traj = jax.lax.scan(body, s0, Q_t)
-        return jnp.concatenate([s0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)
+        return scan_rollout(self.single_step, s0, Q, p)
 
     def save(self, path) -> None:
         np.savez(path, **{k: np.asarray(v) for k, v in self.gp_params.items()})

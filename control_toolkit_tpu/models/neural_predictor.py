@@ -49,8 +49,15 @@ class NeuralPredictor(Predictor):
     ):
         from control_toolkit_tpu.models.dynamics import DYNAMICS
 
-        if num_states is None:
-            _, _, num_states, num_control_inputs = DYNAMICS[environment_name.lower()]
+        # Fill ONLY the Nones from the env defaults: an explicit
+        # num_control_inputs must not be clobbered, and num_states alone
+        # must not crash on int(None).
+        if num_states is None or num_control_inputs is None:
+            _, _, s_def, u_def = DYNAMICS[environment_name.lower()]
+            num_states = s_def if num_states is None else num_states
+            num_control_inputs = (
+                u_def if num_control_inputs is None else num_control_inputs
+            )
         self.num_states = int(num_states)
         self.num_control_inputs = int(num_control_inputs)
         self.dt = float(dt)
@@ -138,43 +145,38 @@ class NeuralPredictor(Predictor):
 
     def rollout(self, s0, Q, params=None):
         p = self.default_params() if params is None else params
-        Q_t = jnp.swapaxes(Q, 0, 1)  # [H, B, U]
 
         if not self.recurrent:
-            step = self.single_step
+            from control_toolkit_tpu.models.predictors import scan_rollout
 
-            def body(x, u):
-                xn = step(x, u, p)
-                return xn, xn
+            return scan_rollout(self.single_step, s0, Q, p)
+        # Recurrent nets keep their own scan: the hidden rides the carry.
+        Q_t = jnp.swapaxes(Q, 0, 1)  # [H, B, U]
+        B = s0.shape[0]
+        # The hidden MUST arrive through params (p["hidden"]): falling
+        # back to self.hidden here would freeze the live state at trace
+        # time under jit (CLAUDE.md invariant; the GRU regression).  A
+        # KeyError is the correct loud failure for a malformed params
+        # dict.
+        hidden = p["hidden"]
+        cdt = self.compute_dtype
+        net = p["net"]
+        if cdt != jnp.float32:
+            net = jax.tree_util.tree_map(lambda w: w.astype(cdt), net)
+            hidden = tuple(h.astype(cdt) for h in hidden)
+        h0 = tuple(jnp.broadcast_to(h, (B, h.shape[-1])) for h in hidden)
 
-            _, traj = jax.lax.scan(body, s0, Q_t)
-        else:
-            B = s0.shape[0]
-            # The hidden MUST arrive through params (p["hidden"]): falling
-            # back to self.hidden here would freeze the live state at trace
-            # time under jit (CLAUDE.md invariant; the GRU regression).  A
-            # KeyError is the correct loud failure for a malformed params
-            # dict.
-            hidden = p["hidden"]
-            cdt = self.compute_dtype
-            net = p["net"]
-            if cdt != jnp.float32:
-                net = jax.tree_util.tree_map(lambda w: w.astype(cdt), net)
-                hidden = tuple(h.astype(cdt) for h in hidden)
-            h0 = tuple(jnp.broadcast_to(h, (B, h.shape[-1])) for h in hidden)
+        rnn_apply = self._rnn_apply
 
-            rnn_apply = self._rnn_apply
+        def body(carry, u):
+            x, hs = carry
+            inp = jnp.concatenate([x, u], -1).astype(cdt)
+            out, hs = rnn_apply(net, inp, hs)
+            out = out.astype(jnp.float32)
+            xn = x + out if self.predict_delta else out
+            return (xn, hs), xn
 
-            def body(carry, u):
-                x, hs = carry
-                inp = jnp.concatenate([x, u], -1).astype(cdt)
-                out, hs = rnn_apply(net, inp, hs)
-                out = out.astype(jnp.float32)
-                xn = x + out if self.predict_delta else out
-                return (xn, hs), xn
-
-            (_, _), traj = jax.lax.scan(body, (s0, h0), Q_t)
-
+        (_, _), traj = jax.lax.scan(body, (s0, h0), Q_t)
         traj = jnp.swapaxes(traj, 0, 1)
         return jnp.concatenate([s0[:, None, :], traj], axis=1)
 

@@ -59,19 +59,26 @@ def make_ode_rollout(
         return x
 
     def rollout(s0: jnp.ndarray, Q: jnp.ndarray, params: Dict) -> jnp.ndarray:
-        # Time-major scan: carry [B,S], inputs [H,B,U].
-        Q_t = jnp.swapaxes(Q, 0, 1)
-
-        def body(x, u):
-            x_next = single_step(x, u, params)
-            return x_next, x_next
-
-        _, traj = jax.lax.scan(body, s0, Q_t)
-        traj = jnp.swapaxes(traj, 0, 1)  # [B,H,S]
-        return jnp.concatenate([s0[:, None, :], traj], axis=1)
+        return scan_rollout(single_step, s0, Q, params)
 
     rollout.single_step = single_step  # exposed for fused cost rollouts
     return rollout
+
+
+def scan_rollout(step, s0: jnp.ndarray, Q: jnp.ndarray, params) -> jnp.ndarray:
+    """Horizon rollout of any ``step(x [B,S], u [B,U], params) -> [B,S]``
+    as one time-major ``lax.scan``: [B,S] x [B,H,U] -> [B,H+1,S] with s0
+    prepended.  The single shared body for every single_step-based
+    predictor (ODE / neural MLP / sparse-GP / residual) — the recurrent
+    nets keep their own scan (hidden rides the carry)."""
+    Q_t = jnp.swapaxes(Q, 0, 1)  # [H, B, U]
+
+    def body(x, u):
+        x_next = step(x, u, params)
+        return x_next, x_next
+
+    _, traj = jax.lax.scan(body, s0, Q_t)
+    return jnp.concatenate([s0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)
 
 
 class Predictor:
@@ -228,6 +235,8 @@ class PredictorWrapper:
                 integrator=integrator,
                 intermediate_steps=substeps,
                 fast_math=fast_math,
+                **kwargs,  # predictor_config (e.g. params= overrides) must
+                           # not be silently dropped — every branch forwards
             )
         elif head == "ODE+res":
             # "ODE+res[:integrator[:substeps]][:fast]" — analytic base plus a

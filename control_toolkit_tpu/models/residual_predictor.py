@@ -123,15 +123,10 @@ class ResidualPredictor(Predictor):
         return self._single_step
 
     def rollout(self, s0, Q, params=None):
+        from control_toolkit_tpu.models.predictors import scan_rollout
+
         p = self.default_params() if params is None else params
-        Q_t = jnp.swapaxes(Q, 0, 1)
-
-        def body(x, u):
-            x2 = self._single_step(x, u, p)
-            return x2, x2
-
-        _, traj = jax.lax.scan(body, s0, Q_t)
-        return jnp.concatenate([s0[:, None, :], jnp.swapaxes(traj, 0, 1)], axis=1)
+        return scan_rollout(self._single_step, s0, Q, p)
 
     def copy(self) -> "ResidualPredictor":
         new = ResidualPredictor.__new__(ResidualPredictor)

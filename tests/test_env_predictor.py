@@ -79,3 +79,141 @@ def test_stateful_predictor_recurs_through_env_steps():
     h2 = np.asarray(pw.predictor.hidden[0]).copy()
     assert not np.allclose(h1, h2), "hidden not advanced by env.step"
     assert not np.allclose(s1, s2), "recurrence invisible in the dynamics"
+
+
+def test_env_params_mutation_retraces():
+    """env.params / actuator_noise are read at trace time inside the
+    jitted step: mutating them must retrace, not silently keep the frozen
+    constants (review r5)."""
+    import numpy as np
+
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    env.reset(seed=1)
+    s0 = np.asarray(env.state).copy()
+    u = np.array([0.7], np.float32)
+    s_a, *_ = env.step(u)
+
+    env.state = np.asarray(s0)
+    env.params["L"] = env.params["L"] * 3.0
+    s_b, *_ = env.step(u)
+    assert not np.allclose(s_a, s_b), "mutated plant constants were frozen"
+
+    # Noise toggle also retraces (same key stream; nonzero noise changes u).
+    env.state = np.asarray(s0)
+    env2 = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    env2.reset(seed=1)
+    env2.step(u)
+    env2.state = np.asarray(s0)
+    env2.actuator_noise = 0.5
+    s_c, *_ = env2.step(u)
+    env3 = CartpoleEnv(batch_size=1, dt=0.02, seed=0, actuator_noise=0.5)
+    env3.reset(seed=1)
+    env3.step(u)
+    env3.state = np.asarray(s0)
+    s_d, *_ = env3.step(u)
+    np.testing.assert_allclose(s_c, s_d, atol=1e-6)
+
+
+def test_env_reset_clears_stateful_predictor_hidden():
+    """reset() must not carry the previous episode's terminal hidden into
+    the next one (review r5)."""
+    import numpy as np
+
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0)
+    pred = NeuralPredictor(environment_name="cartpole", dt=0.02,
+                           net_name="GRU-5IN-8H1-4OUT", seed=2)
+    env.predictor = pred
+    env.reset(seed=3)
+    u = np.array([0.5], np.float32)
+    traj1 = [np.asarray(env.step(u)[0]).copy() for _ in range(4)]
+    h_end = [np.asarray(h).copy() for h in pred.hidden]
+    assert any(np.abs(h).max() > 0 for h in h_end)
+
+    env.reset(seed=3)
+    for h in pred.hidden:
+        assert np.abs(np.asarray(h)).max() == 0.0, "hidden not reset"
+    traj2 = [np.asarray(env.step(u)[0]).copy() for _ in range(4)]
+    np.testing.assert_allclose(np.stack(traj1), np.stack(traj2), atol=1e-6)
+
+
+def test_env_stateful_hidden_advances_with_applied_action():
+    """With actuator noise, the hidden must track the NOISED+CLIPPED
+    control that produced the state, not the raw command (review r5)."""
+    import numpy as np
+
+    from control_toolkit_tpu.environments.cartpole import CartpoleEnv
+    from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+
+    env = CartpoleEnv(batch_size=1, dt=0.02, seed=0, actuator_noise=0.4)
+    pred = NeuralPredictor(environment_name="cartpole", dt=0.02,
+                           net_name="GRU-5IN-8H1-4OUT", seed=2)
+    env.predictor = pred
+    env.reset(seed=3)
+    u = np.array([0.9], np.float32)
+    env.step(u)
+    h_noised = [np.asarray(h).copy() for h in pred.hidden]
+
+    # Replay the identical episode with noise OFF: the applied action now
+    # differs, so the hidden must differ too (pre-fix both advanced with
+    # the raw command and were identical).
+    env2 = CartpoleEnv(batch_size=1, dt=0.02, seed=0, actuator_noise=0.0)
+    pred2 = NeuralPredictor(environment_name="cartpole", dt=0.02,
+                            net_name="GRU-5IN-8H1-4OUT", seed=2)
+    env2.predictor = pred2
+    env2.reset(seed=3)
+    env2.step(u)
+    h_clean = [np.asarray(h).copy() for h in pred2.hidden]
+    assert any(not np.allclose(a, b) for a, b in zip(h_noised, h_clean))
+
+
+def test_ode_spec_forwards_predictor_config():
+    """The 'ODE' spec branch must forward predictor_config kwargs (e.g.
+    params= overrides) like every other branch (review r5)."""
+    import numpy as np
+
+    from control_toolkit_tpu.models.predictors import PredictorWrapper
+
+    w = PredictorWrapper()
+    w.configure(dt=0.02, predictor_specification="ODE",
+                environment_name="cartpole", params={"L": 0.9})
+    assert float(w.predictor.default_params()["L"]) == 0.9
+    s = np.zeros((1, 4), np.float32)
+    u = np.ones((1, 1), np.float32)
+    a = w.predictor.single_step(s, u, w.predictor.default_params())
+    w2 = PredictorWrapper()
+    w2.configure(dt=0.02, predictor_specification="ODE",
+                 environment_name="cartpole")
+    b = w2.predictor.single_step(s, u, w2.predictor.default_params())
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cost_wrapper_copy_binds_same_cost():
+    """copy() must yield a usable wrapper bound to the SAME cost name,
+    not the config default (review r5)."""
+    from control_toolkit_tpu.costs.wrapper import CostFunctionWrapper
+
+    w = CostFunctionWrapper()
+    w.configure(batch_size=8, horizon=10, environment_name="pointmass",
+                cost_function_specification="obstacles", watch_config=False)
+    c = w.copy()
+    assert c.cost_function is not None
+    assert type(c.cost_function) is type(w.cost_function)
+    assert c.cost_function_name == w.cost_function_name
+
+
+def test_neural_predictor_partial_dims():
+    """Explicit num_control_inputs must survive; num_states alone must
+    not crash on int(None) (review r5)."""
+    from control_toolkit_tpu.models.neural_predictor import NeuralPredictor
+
+    p = NeuralPredictor(environment_name="cartpole", dt=0.02,
+                        net_name="mlp-8", num_control_inputs=2, seed=0)
+    assert p.num_control_inputs == 2 and p.num_states == 4
+    p2 = NeuralPredictor(environment_name="cartpole", dt=0.02,
+                         net_name="mlp-8", num_states=4, seed=0)
+    assert p2.num_control_inputs == 1
