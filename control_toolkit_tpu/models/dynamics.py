@@ -479,5 +479,12 @@ CONTROL_NAMES = {
 
 
 def state_indices(environment_name: str) -> Dict:
-    names = STATE_NAMES.get(environment_name.lower(), [])
-    return {n: i for i, n in enumerate(names)}
+    key = environment_name.lower()
+    if key not in STATE_NAMES:
+        # A silent {} would wire a controller with ZERO state inputs that
+        # runs and produces garbage; fail at construction instead.
+        raise KeyError(
+            f"unknown environment {environment_name!r}; known: "
+            f"{sorted(STATE_NAMES)}"
+        )
+    return {n: i for i, n in enumerate(STATE_NAMES[key])}

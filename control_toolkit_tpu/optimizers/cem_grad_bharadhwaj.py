@@ -160,7 +160,8 @@ class CEMGradBharadhwajOptimizer(Optimizer):
 
             u = carry["elite_Q"][0, 0, :]
 
-            # apply_time_delta (reference :134-146).
+            # apply_time_delta (reference :134-146); the 10.0 upper clip is
+            # REFERENCE-faithful (optimizer_cem_grad_bharadhwaj_tf.py:140).
             std = jnp.clip(carry["std"], self.cem_stdev_min, 10.0)
             std = jnp.concatenate(
                 [std[:, 1:, :],

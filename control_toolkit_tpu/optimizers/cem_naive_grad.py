@@ -118,6 +118,9 @@ class CEMNaiveGradOptimizer(Optimizer):
             # u = first action of the refit mean (reference :105).
             u = carry["mue"][0, 0, :]
 
+            # 10.0 upper clip is REFERENCE-faithful (optimizer_cem_naive_
+            # grad_tf.py:103) — the reference's own CEM variants disagree
+            # here (plain CEM caps at 1e8); keep the per-variant value.
             std = jnp.clip(carry["std"], self.cem_stdev_min, 10.0)
             std = jnp.concatenate(
                 [std[:, 1:, :],

@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from control_toolkit_tpu.utils.logging_util import get_logger
+
 from control_toolkit_tpu.ops.common import (
     AdamState,
     adam_init,
@@ -67,6 +69,16 @@ class GradientOptimizer(Optimizer):
         self.adam_epsilon = float(adam_epsilon)
         self.gradmax_clip = float(gradmax_clip)
         self.rtol = float(rtol)
+        if self.rtol != 1e-3:
+            # Accepted for reference-config parity only: the jitted Adam
+            # loop is a fixed-trip-count lax.fori_loop (a data-dependent
+            # early exit would force while_loop and break batching), so
+            # tuning rtol has no effect — say so instead of staying inert.
+            get_logger(__name__).warning(
+                "rtol is accepted for reference-config parity but the "
+                "fixed-trip-count jitted loop does not early-stop; tuning "
+                "it has no effect"
+            )
         self.warmup = bool(warmup)
         self.warmup_iterations = int(warmup_iterations)
 
@@ -142,14 +154,14 @@ class GradientOptimizer(Optimizer):
                     cost,
                 )
                 dQ = clip_by_norm(dQf.reshape(B, K, H, U), gclip, axes=(2, 3))
-                step_c = adam.step + 1                          # [B]
-                m = b1 * adam.m + (1.0 - b1) * dQ
-                v = b2 * adam.v + (1.0 - b2) * dQ * dQ
-                t = step_c.astype(jnp.float32).reshape(B, 1, 1, 1)
-                lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
-                delta = lr_t * m / (jnp.sqrt(v) + eps_)
+                # Per-session Adam = vmapped shared helper (one place owns
+                # the subtle Keras epsilon placement; per-session counters
+                # because slot resets desynchronize them).
+                adam2, delta = jax.vmap(
+                    lambda st, g: adam_update(st, g, lr, b1, b2, eps_)
+                )(adam, dQ)
                 Qb = jnp.clip(Qb - delta, low, high)
-                return Qb, AdamState(step=step_c, m=m, v=v)
+                return Qb, adam2
 
             Qb, adam = jax.lax.fori_loop(
                 0, iterations, grad_iter, (states.Q, states.adam)

@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from control_toolkit_tpu.utils.logging_util import get_logger
+
 from control_toolkit_tpu.ops.common import AdamState, adam_init, adam_update, clip_by_norm, elite_indices
 from control_toolkit_tpu.ops.interpolation import Interpolator
 from control_toolkit_tpu.optimizers.base import Optimizer
@@ -136,6 +138,16 @@ class RPGDOptimizer(Optimizer):
         self.opt_keep_k = max(int(self.num_rollouts * float(opt_keep_k_ratio)), 1)
         self.gradmax_clip = float(gradmax_clip)
         self.rtol = float(rtol)
+        if self.rtol != 1e-3:
+            # Accepted for reference-config parity only: the jitted Adam
+            # loop is a fixed-trip-count lax.fori_loop (a data-dependent
+            # early exit would force while_loop and break batching), so
+            # tuning rtol has no effect — say so instead of staying inert.
+            get_logger(__name__).warning(
+                "rtol is accepted for reference-config parity but the "
+                "fixed-trip-count jitted loop does not early-stop; tuning "
+                "it has no effect"
+            )
         self.adam_beta_1 = float(adam_beta_1)
         self.adam_beta_2 = float(adam_beta_2)
         self.adam_epsilon = float(adam_epsilon)
@@ -267,17 +279,14 @@ class RPGDOptimizer(Optimizer):
                 if alpha > 0.0:
                     dQ = dQ + pen_grad(Qb)
                 dQ = clip_by_norm(dQ, gclip, axes=(2, 3))
-                # Stacked Adam with per-session bias-correction counters
-                # (slot resets desynchronize them) — elementwise identical
-                # to vmapping ops/common.adam_update.
-                step_c = adam.step + 1                          # [B]
-                m = b1 * adam.m + (1.0 - b1) * dQ
-                v = b2 * adam.v + (1.0 - b2) * dQ * dQ
-                t = step_c.astype(jnp.float32).reshape(B, 1, 1, 1)
-                lr_t = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
-                delta = lr_t * m / (jnp.sqrt(v) + eps_)
+                # Per-session Adam = vmapped shared helper (one place owns
+                # the subtle Keras epsilon placement; per-session counters
+                # because slot resets desynchronize them).
+                adam2, delta = jax.vmap(
+                    lambda st, g: adam_update(st, g, lr, b1, b2, eps_)
+                )(adam, dQ)
                 Qb = jnp.clip(Qb - delta, low, high)
-                return Qb, AdamState(step=step_c, m=m, v=v)
+                return Qb, adam2
 
             Qb, adam = jax.lax.fori_loop(
                 0, outer_its, grad_iter, (states.Q, states.adam)

@@ -52,10 +52,5 @@ def population_spec(mesh: Mesh, ndim: int) -> P:
     return P(first, *([None] * (ndim - 1)))
 
 
-def rollout_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """NamedSharding placing axis 0 (K) on the mesh, rest replicated."""
-    return NamedSharding(mesh, P(ROLLOUT_AXIS, *([None] * (ndim - 1))))
-
-
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

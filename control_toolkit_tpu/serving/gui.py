@@ -72,7 +72,13 @@ def _choose_terminal(controllers, optimizers, default_controller, default_optimi
         for i, n in enumerate(names):
             marker = "*" if n == default else " "
             print(f"  [{i}]{marker} {n}")
-        raw = input(f"choice [default {default or names[0]}]: ").strip()
+        try:
+            raw = input(f"choice [default {default or names[0]}]: ").strip()
+        except EOFError:
+            # Ctrl-D / closed tty must degrade to defaults, not kill
+            # server startup (the module contract).
+            print("EOF; using default")
+            return default or names[0]
         if not raw:
             return default or names[0]
         if raw.isdigit():
@@ -80,6 +86,11 @@ def _choose_terminal(controllers, optimizers, default_controller, default_optimi
             if 0 <= idx < len(names):
                 return names[idx]
             print(f"index {idx} out of range; using default")
+            return default or names[0]
+        if raw not in names:
+            # Same graceful handling as an out-of-range index: a typo'd
+            # name would otherwise crash deep in build_controller.
+            print(f"{raw!r} is not a known name; using default")
             return default or names[0]
         return raw
 

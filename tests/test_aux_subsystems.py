@@ -291,3 +291,33 @@ def test_save_optimizer_requires_configure():
     import pytest
     with pytest.raises(RuntimeError, match="configure"):
         ck.save_optimizer("/tmp/nope", Unconfigured())
+
+
+def test_state_indices_rejects_unknown_env():
+    """A typo'd environment used to yield {} and wire a controller with
+    ZERO state inputs that runs and produces garbage (review r5)."""
+    import pytest
+
+    from control_toolkit_tpu.models.dynamics import state_indices
+
+    assert state_indices("cartpole")["angle"] == 2
+    with pytest.raises(KeyError, match="cart_pole"):
+        state_indices("cart_pole")
+
+
+def test_terminal_chooser_handles_eof_and_bad_name(monkeypatch):
+    """EOF at the prompt and a typo'd free-text name both degrade to the
+    default instead of crashing server startup (review r5)."""
+    from control_toolkit_tpu.serving import gui
+
+    def raise_eof(prompt):
+        raise EOFError
+
+    monkeypatch.setattr("builtins.input", raise_eof)
+    c, o = gui._choose_terminal(["mpc"], ["mppi", "cem-tf"], "mpc", "mppi")
+    assert (c, o) == ("mpc", "mppi")
+
+    answers = iter(["mpc", "mmpi"])  # typo'd optimizer name
+    monkeypatch.setattr("builtins.input", lambda prompt: next(answers))
+    c, o = gui._choose_terminal(["mpc"], ["mppi", "cem-tf"], "mpc", "mppi")
+    assert (c, o) == ("mpc", "mppi")
