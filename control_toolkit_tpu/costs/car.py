@@ -36,9 +36,7 @@ class CarWaypointCost(CostFunction):
     }
 
     def __init__(self, config=None):
-        merged = dict(self.DEFAULTS)
-        merged.update(config or {})
-        super().__init__(merged)
+        super().__init__(self._init_merged(config))
 
     def _terms(self, x, y, yaw, v, params):
         w = params["cost"]

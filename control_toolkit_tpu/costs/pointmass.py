@@ -32,9 +32,7 @@ class PointMassQuadraticCost(CostFunction):
     }
 
     def __init__(self, config=None):
-        merged = dict(self.DEFAULTS)
-        merged.update(config or {})
-        super().__init__(merged)
+        super().__init__(self._init_merged(config))
 
     def _stage_cost_core_soa(self, xs, us, params):
         w = params["cost"]
@@ -97,9 +95,7 @@ class PointMassTrajectoryCost(CostFunction):
     }
 
     def __init__(self, config=None):
-        merged = dict(self.DEFAULTS)
-        merged.update(config or {})
-        super().__init__(merged)
+        super().__init__(self._init_merged(config))
 
     def configure(self, batch_size, horizon, **kwargs):
         super().configure(batch_size, horizon, **kwargs)

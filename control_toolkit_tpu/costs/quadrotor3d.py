@@ -39,9 +39,7 @@ class Quadrotor3DWaypointCost(CostFunction):
     }
 
     def __init__(self, config=None):
-        merged = dict(self.DEFAULTS)
-        merged.update(config or {})
-        super().__init__(merged)
+        super().__init__(self._init_merged(config))
 
     @staticmethod
     def _targets(attrs):

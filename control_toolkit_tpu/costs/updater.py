@@ -34,7 +34,12 @@ class CostFunctionUpdater:
         # ALL cost functions bound to this watcher get updated on reload
         # (multiple live controllers can watch the same (path, env, name) —
         # rebinding to only the newest would silently orphan the others).
-        self.cost_functions = [cost_function]
+        # WEAK references: every configure() appends a fresh cost instance
+        # and nothing unregisters, so strong refs would pin dead
+        # controllers' costs forever in a long-lived serving process.
+        import weakref
+
+        self._cost_refs = [weakref.ref(cost_function)]
         self.environment_name = environment_name
         self.cost_function_name = cost_function_name
         self.config_path = Path(config_path)
@@ -45,6 +50,19 @@ class CostFunctionUpdater:
         )
         self._thread.start()
 
+    @property
+    def cost_functions(self):
+        """Live bound cost functions; garbage-collected ones are pruned
+        from the ref list as a side effect."""
+        live, refs = [], []
+        for r in self._cost_refs:
+            cf = r()
+            if cf is not None:
+                live.append(cf)
+                refs.append(r)
+        self._cost_refs = refs
+        return live
+
     @classmethod
     def ensure_watching(cls, cost_function, environment_name, cost_function_name, config_path) -> "CostFunctionUpdater":
         """Deduplicate watchers per (path, env, name) — reference :20-53."""
@@ -52,8 +70,11 @@ class CostFunctionUpdater:
         with _watchers_lock:
             if key not in _watchers:
                 _watchers[key] = cls(cost_function, environment_name, cost_function_name, Path(config_path))
-            elif not any(cf is cost_function for cf in _watchers[key].cost_functions):
-                _watchers[key].cost_functions.append(cost_function)
+            elif not any(cf is cost_function
+                         for cf in _watchers[key].cost_functions):
+                import weakref
+
+                _watchers[key]._cost_refs.append(weakref.ref(cost_function))
             return _watchers[key]
 
     def _stat_mtime(self) -> Optional[float]:
@@ -78,7 +99,7 @@ class CostFunctionUpdater:
         except Exception as e:  # malformed mid-write YAML: retry on next poll
             logger.warning(f"cost config reload failed ({e}); keeping old params")
             return
-        for cf in self.cost_functions:
+        for cf in self.cost_functions:  # live refs only; dead ones pruned
             cf.config.update(new_cfg)
             # Single-writer flag read by each control loop at its next step
             # (reference CostFunctionUpdater.py:68 / cost_function_wrapper.py:71-74).

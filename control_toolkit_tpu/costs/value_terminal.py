@@ -91,6 +91,16 @@ class ValueTerminalCost(CostFunction):
         self.batch_size = base.batch_size
         self.horizon = base.horizon
 
+    def __getattr__(self, name):
+        # Fires only for attributes NOT found on the wrapper: duck-typed
+        # extras a base cost exposes (e.g. ``cost_components`` for the
+        # CostFunctionTester) delegate instead of breaking consumers that
+        # feature-detect on the wrapped cost.
+        base = self.__dict__.get("base")
+        if base is None:
+            raise AttributeError(name)
+        return getattr(base, name)
+
     # The YAML hot-reload watcher (costs/updater.py) registered the BASE
     # cost before this wrapper existed and raises the flag there; the
     # CostFunctionWrapper reads the flag off its CURRENT (wrapped) cost —

@@ -36,6 +36,11 @@ class Arm2Env(EnvironmentBatched):
             self.params.update(params)
         self.target = np.asarray(target, np.float32)
 
+    def _trace_token(self):
+        # get_reward reads self.target at trace time: retarget must
+        # retrace like the base's params/noise/dt (base contract).
+        return super()._trace_token() + (self.target.tobytes(),)
+
     def step_dynamics(self, state, action, dt):
         return rk4_step(arm2_dynamics, state, action, dt, self.params)
 

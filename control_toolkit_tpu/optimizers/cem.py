@@ -28,6 +28,62 @@ from control_toolkit_tpu.optimizers.base import Optimizer, split_slot_keys
 from control_toolkit_tpu.utils import registry
 
 
+def cem_trip_count(opt, count):
+    """Outer-iteration trip count shared by the CEM family: static when
+    warmup is off (XLA lowers a fixed-bound, unrollable loop), traced
+    count==0 switch otherwise (reference warmup semantics)."""
+    if opt.warmup:
+        return jnp.where(count == 0, opt.warmup_iterations, opt.cem_outer_it)
+    return opt.cem_outer_it
+
+
+def cem_base_carry(key, mue, std, K, H, U, S, want_Q, want_traj):
+    """Common fori_loop carry of the CEM-family step functions (variants
+    add their own entries, e.g. iCEM's elite buffer)."""
+    carry = {
+        "key": key, "mue": mue, "std": std,
+        "elite0": jnp.zeros((H, U), jnp.float32),
+        "cost": jnp.zeros((K,), jnp.float32),
+    }
+    if want_Q:
+        carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
+    if want_traj:
+        carry["traj"] = jnp.zeros((K, H + 1, S), jnp.float32)
+    return carry
+
+
+def cem_shift_distribution(mue, std, u_mid, stdev_min, init_stdev, U):
+    """Control-step boundary shift shared by CEM/iCEM (reference
+    optimizer_cem_tf.py:99-104): clip sigma, shift mu and sigma one step,
+    pad tails with the initial defaults.  (cem_naive_grad / bharadhwaj
+    keep their own reference-faithful 10.0 sigma cap.)"""
+    std = jnp.clip(std, stdev_min, 1.0e8)
+    std = jnp.concatenate(
+        [std[:, 1:, :],
+         jnp.full((1, 1, U), init_stdev, jnp.float32)],
+        axis=1,
+    )
+    mue = jnp.concatenate(
+        [mue[:, 1:, :],
+         jnp.broadcast_to(u_mid, (1, 1, U)).astype(jnp.float32)],
+        axis=1,
+    )
+    return mue, std
+
+
+def cem_diag(carry, want_Q, want_traj):
+    """Logging-contract diag assembly shared by the CEM family."""
+    diag = {
+        "J_logged": carry["cost"],
+        "u_nom": carry["elite0"][None],
+    }
+    if want_Q:
+        diag["Q_logged"] = carry["Q"]
+    if want_traj:
+        diag["rollout_trajectories_logged"] = carry["traj"]
+    return diag
+
+
 class CEMState(NamedTuple):
     key: jax.Array
     dist_mue: jax.Array  # [1, H, U]
@@ -479,26 +535,11 @@ class CEMOptimizer(Optimizer):
 
         def step_fn(state: CEMState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
-            # Static trip count when warmup is off: lets XLA lower a
-            # fixed-bound loop (unrollable) instead of a while_loop.
-            if self.warmup:
-                iterations = jnp.where(
-                    state.count == 0, self.warmup_iterations, self.cem_outer_it
-                )
-            else:
-                iterations = self.cem_outer_it
-
-            carry = {
-                "key": state.key,
-                "mue": state.dist_mue,
-                "std": state.stdev,
-                "elite0": jnp.zeros((H, U), jnp.float32),
-                "cost": jnp.zeros((K,), jnp.float32),
-            }
-            if want_Q:
-                carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
-            if cost_only is None:
-                carry["traj"] = jnp.zeros((K, H + 1, self.num_states), jnp.float32)
+            iterations = cem_trip_count(self, state.count)
+            carry = cem_base_carry(
+                state.key, state.dist_mue, state.stdev,
+                K, H, U, self.num_states, want_Q, cost_only is None,
+            )
             carry = jax.lax.fori_loop(
                 0, iterations,
                 lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
@@ -506,29 +547,11 @@ class CEMOptimizer(Optimizer):
             )
 
             u = carry["elite0"][0, :]
-
-            # Post-loop distribution shift (reference :99-104): clip sigma,
-            # shift both one step, pad tails with the initial defaults.
-            std = jnp.clip(carry["std"], self.cem_stdev_min, 1.0e8)
-            std = jnp.concatenate(
-                [std[:, 1:, :],
-                 jnp.full((1, 1, U), self.cem_initial_action_stdev, jnp.float32)],
-                axis=1,
+            mue, std = cem_shift_distribution(
+                carry["mue"], carry["std"], u_mid,
+                self.cem_stdev_min, self.cem_initial_action_stdev, U,
             )
-            mue = jnp.concatenate(
-                [carry["mue"][:, 1:, :],
-                 jnp.broadcast_to(u_mid, (1, 1, U)).astype(jnp.float32)],
-                axis=1,
-            )
-
-            diag = {
-                "J_logged": carry["cost"],
-                "u_nom": carry["elite0"][None],
-            }
-            if want_Q:
-                diag["Q_logged"] = carry["Q"]
-            if cost_only is None:
-                diag["rollout_trajectories_logged"] = carry["traj"]
+            diag = cem_diag(carry, want_Q, cost_only is None)
             new_state = CEMState(
                 key=carry["key"], dist_mue=mue, stdev=std,
                 count=state.count + 1, u_prev=u,

@@ -39,6 +39,12 @@ import jax.numpy as jnp
 from control_toolkit_tpu.ops.colored_noise import powerlaw_psd_gaussian
 from control_toolkit_tpu.ops.common import elite_indices
 from control_toolkit_tpu.optimizers.base import Optimizer
+from control_toolkit_tpu.optimizers.cem import (
+    cem_base_carry,
+    cem_diag,
+    cem_shift_distribution,
+    cem_trip_count,
+)
 from control_toolkit_tpu.utils import registry
 
 
@@ -176,27 +182,12 @@ class ICEMOptimizer(Optimizer):
 
         def step_fn(state: ICEMState, s, params):
             s_tiled = jnp.tile(s[:1], (K, 1))
-            if self.warmup:
-                iterations = jnp.where(
-                    state.count == 0, self.warmup_iterations, self.cem_outer_it
-                )
-            else:
-                iterations = self.cem_outer_it
-
-            carry = {
-                "key": state.key,
-                "mue": state.dist_mue,
-                "std": state.stdev,
-                "buf": state.elites,
-                "elite0": jnp.zeros((H, U), jnp.float32),
-                "cost": jnp.zeros((K,), jnp.float32),
-            }
-            if want_Q:
-                carry["Q"] = jnp.zeros((K, H, U), jnp.float32)
-            if cost_only is None:
-                carry["traj"] = jnp.zeros(
-                    (K, H + 1, self.num_states), jnp.float32
-                )
+            iterations = cem_trip_count(self, state.count)
+            carry = cem_base_carry(
+                state.key, state.dist_mue, state.stdev,
+                K, H, U, self.num_states, want_Q, cost_only is None,
+            )
+            carry["buf"] = state.elites
             carry = jax.lax.fori_loop(
                 0, iterations,
                 lambda i, c: outer_iter(c, s_tiled, state.u_prev, params),
@@ -204,21 +195,9 @@ class ICEMOptimizer(Optimizer):
             )
 
             u = carry["elite0"][0, :]
-
-            # Distribution shift at the control-step boundary (reference
-            # optimizer_cem_tf.py:99-104 semantics): clip sigma, shift mu
-            # and sigma one step, pad tails with the initial defaults.
-            std = jnp.clip(carry["std"], self.cem_stdev_min, 1.0e8)
-            std = jnp.concatenate(
-                [std[:, 1:, :],
-                 jnp.full((1, 1, U), self.cem_initial_action_stdev,
-                          jnp.float32)],
-                axis=1,
-            )
-            mue = jnp.concatenate(
-                [carry["mue"][:, 1:, :],
-                 jnp.broadcast_to(u_mid, (1, 1, U)).astype(jnp.float32)],
-                axis=1,
+            mue, std = cem_shift_distribution(
+                carry["mue"], carry["std"], u_mid,
+                self.cem_stdev_min, self.cem_initial_action_stdev, U,
             )
             # Elite buffer shifts with time too (iCEM "shift elites"): the
             # tail repeats each elite's final action, so the re-injected
@@ -226,15 +205,7 @@ class ICEMOptimizer(Optimizer):
             buf = jnp.concatenate(
                 [carry["buf"][:, 1:, :], carry["buf"][:, -1:, :]], axis=1
             )
-
-            diag = {
-                "J_logged": carry["cost"],
-                "u_nom": carry["elite0"][None],
-            }
-            if want_Q:
-                diag["Q_logged"] = carry["Q"]
-            if cost_only is None:
-                diag["rollout_trajectories_logged"] = carry["traj"]
+            diag = cem_diag(carry, want_Q, cost_only is None)
             new_state = ICEMState(
                 key=carry["key"], dist_mue=mue, stdev=std, elites=buf,
                 count=state.count + 1, u_prev=u,

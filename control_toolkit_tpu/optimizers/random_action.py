@@ -50,7 +50,13 @@ class RandomActionOptimizer(Optimizer):
                 cost, traj = self._rollout_and_cost(s_tiled, Q, state.u_prev, params)
             best = jnp.argmin(cost)
             u = Q[best, 0, :]
-            diag = {"Q_logged": Q, "J_logged": cost}
+            # Diag gated like the rest of the zoo: an unread [K,H,U]
+            # Q_logged output is ~52 MB of pure HBM traffic per tick at
+            # K=262k (cem.py documents the identical gate).
+            diag = (
+                {"Q_logged": Q, "J_logged": cost}
+                if self.optimizer_logging else {}
+            )
             if traj is not None:
                 diag["rollout_trajectories_logged"] = traj
             return u, RandomActionState(key=key, u_prev=u), diag

@@ -321,3 +321,92 @@ def test_terminal_chooser_handles_eof_and_bad_name(monkeypatch):
     monkeypatch.setattr("builtins.input", lambda prompt: next(answers))
     c, o = gui._choose_terminal(["mpc"], ["mppi", "cem-tf"], "mpc", "mppi")
     assert (c, o) == ("mpc", "mppi")
+
+
+def test_cost_updater_prunes_dead_refs():
+    """The watcher holds WEAK refs: re-configures must not pin dead
+    controllers' cost objects forever (review r5)."""
+    import gc
+
+    from control_toolkit_tpu.costs.updater import CostFunctionUpdater
+
+    class FakeCost:
+        config = {}
+        reload_cost_parameters_from_config_flag = False
+
+    a, b = FakeCost(), FakeCost()
+    w = CostFunctionUpdater.__new__(CostFunctionUpdater)
+    import weakref
+
+    w._cost_refs = [weakref.ref(a), weakref.ref(b)]
+    assert len(w.cost_functions) == 2
+    del b
+    gc.collect()
+    assert len(w.cost_functions) == 1
+    assert w.cost_functions[0] is a
+
+
+def test_random_action_diag_gated_on_logging():
+    """random-action must not materialize [K,H,U] Q_logged when logging
+    is off (zoo convention; review r5)."""
+    import jax
+    import numpy as np
+
+    from tests.test_ilqr import QuadCost, make_double_integrator
+    from control_toolkit_tpu.optimizers.random_action import (
+        RandomActionOptimizer,
+    )
+
+    def build(logging):
+        opt = RandomActionOptimizer(
+            predictor=make_double_integrator(0.1), cost_function=QuadCost(),
+            control_limits=(np.array([-1.0], np.float32),
+                            np.array([1.0], np.float32)),
+            optimizer_logging=logging, seed=3, mpc_horizon=8,
+            num_rollouts=16,
+        )
+        opt.configure(num_states=2, num_control_inputs=1, dt=0.1)
+        return opt
+
+    s = jax.numpy.asarray(np.array([[0.5, 0.0]], np.float32))
+    for opt, want in ((build(False), False), (build(True), True)):
+        fn = opt._make_step_fn()
+        _, _, diag = fn(opt.opt_state, s, opt.default_params())
+        assert ("Q_logged" in diag) == want
+
+
+def test_value_wrapper_delegates_duck_typed_extras():
+    """Undeclared base attributes (cost_components etc.) reach through
+    the ValueTerminalCost wrapper (review r5)."""
+    import jax
+    import pytest
+
+    from control_toolkit_tpu.costs.value_terminal import ValueTerminalCost
+    from control_toolkit_tpu.models import networks as nets
+    from tests.test_ilqr import QuadCost
+
+    base = QuadCost()
+    base.cost_components = lambda: {"pos": 1.0}
+    vt = ValueTerminalCost(
+        base, nets.mlp_init(jax.random.PRNGKey(0), [2, 4, 1]))
+    assert vt.cost_components() == {"pos": 1.0}
+    with pytest.raises(AttributeError):
+        vt.no_such_attribute_anywhere
+
+
+def test_arm2_env_retarget_retraces():
+    """Arm2Env.get_reward reads self.target at trace time; retargeting
+    must retrace (env trace-token override; review r5)."""
+    import numpy as np
+
+    from control_toolkit_tpu.environments.arm2 import Arm2Env
+
+    env = Arm2Env(batch_size=1, dt=0.02, seed=0)
+    env.reset(seed=1)
+    s0 = np.asarray(env.state).copy()
+    u = np.array([0.4, -0.2], np.float32)
+    _, r_a, *_ = env.step(u)
+    env.state = np.asarray(s0)
+    env.target = np.array([-0.6, 0.4], np.float32)
+    _, r_b, *_ = env.step(u)
+    assert not np.allclose(np.asarray(r_a), np.asarray(r_b))
