@@ -30,8 +30,10 @@ class CostFunctionTester:
         params = params if params is not None else self.cost_function.current_params()
         comps = self.cost_function.cost_components(states, inputs, previous_input, params)
         for k, v in comps.items():
-            # first rollout, first horizon step (reference :47-48)
-            val = np.asarray(v).reshape(np.asarray(v).shape[0], -1)[0, 0]
+            # first rollout, first horizon step (reference :47-48); ravel
+            # handles every rank incl. 0-d scalar components (a shape[0]
+            # index would crash the debugging harness mid-run).
+            val = np.ravel(np.asarray(v))[0]
             self.buffers.setdefault(k, []).append(val)
         return comps
 

@@ -188,6 +188,10 @@ class OnlineSysId:
             return
         self.predictor.set_residual(res)
         self._pending = False
+        # One-shot: a later bare apply() must not re-install this (by
+        # then possibly stale) fit over weights set by other means, e.g.
+        # a checkpoint restored via load_residual.
+        self._fitted_res = None
         if self.controller is not None:
             self.controller._dyn_params = None
 

@@ -36,12 +36,19 @@ def build_cpp_shared(sources, name: str, extra_flags=()) -> Path:
     out = _cache_dir() / f"{name}-{h.hexdigest()[:16]}.so"
     if out.exists():
         return out
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", str(out)]
+    # Build to a pid-suffixed temp path and rename into place: a direct
+    # write means a concurrent builder (parallel/launch.py workers) or an
+    # interrupted link leaves a truncated .so that out.exists() would
+    # then serve forever.  rename() within one directory is atomic.
+    tmp = out.with_suffix(f".tmp{os.getpid()}")
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", str(tmp)]
     cmd += [str(s) for s in sources]
     cmd += list(extra_flags)
     result = subprocess.run(cmd, capture_output=True, text=True)
     if result.returncode != 0:
+        tmp.unlink(missing_ok=True)
         raise RuntimeError(f"g++ build of {name} failed:\n{result.stderr}")
+    os.replace(tmp, out)
     logger.info(f"built native library {out.name}")
     return out
 

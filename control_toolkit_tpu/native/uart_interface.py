@@ -40,6 +40,10 @@ class UartInterface:
 
     # ---- lifecycle --------------------------------------------------------
     def open(self, port: str, baud: int) -> None:
+        if self._h:
+            # Re-opening without closing leaks the native Uart struct and
+            # its fd (which can keep the tty claimed -> EBUSY on retry).
+            self.close()
         h = self._lib.ctt_uart_open(port.encode(), int(baud))
         if not h:
             raise IOError(f"cannot open serial device {port}")
@@ -72,9 +76,18 @@ class UartInterface:
             self._lib.ctt_uart_close(self._h)
             self._h = None
 
+    def _handle(self) -> int:
+        # The C entry points dereference the handle unconditionally: a
+        # NULL from close()/failed reconnect() must surface as a Python
+        # IOError, not a SIGSEGV of the control process.
+        if not self._h:
+            raise IOError("serial interface is not open (call open())")
+        return self._h
+
     # ---- protocol ---------------------------------------------------------
     def ping(self, timeout_s: float = 1.0) -> bool:
-        return bool(self._lib.ctt_uart_ping(self._h, int(timeout_s * 1000)))
+        return bool(self._lib.ctt_uart_ping(self._handle(),
+                                            int(timeout_s * 1000)))
 
     def crc8(self, data: bytes) -> int:
         buf = (ctypes.c_ubyte * len(data)).from_buffer_copy(data)
@@ -86,31 +99,31 @@ class UartInterface:
         n_out = ctypes.c_int()
         names_buf = ctypes.create_string_buffer(NAMES_CAP)
         ok = self._lib.ctt_uart_get_spec(
-            self._h, ctypes.byref(version), names_buf, NAMES_CAP,
+            self._handle(), ctypes.byref(version), names_buf, NAMES_CAP,
             ctypes.byref(n_in), ctypes.byref(n_out),
             int(timeout_s * 1000), int(max_retries),
         )
         if not ok:
             logger.warning("GET_SPEC failed; using hardcoded cartpole spec")
             return HARDCODED_SPEC
-        names = names_buf.value.decode("ascii").split(",")
+        names = names_buf.value.decode("ascii", errors="replace").split(",")
         return int(version.value), names, int(n_out.value)
 
     def send_controller_input(self, controller_input: np.ndarray) -> None:
         arr = np.ascontiguousarray(controller_input, dtype=np.float32)
         ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        if not self._lib.ctt_uart_send_state(self._h, ptr, arr.size):
+        if not self._lib.ctt_uart_send_state(self._handle(), ptr, arr.size):
             raise IOError("send_controller_input failed")
 
     def receive_controller_output(self, n_outputs: int, timeout_s: float = 1.0) -> np.ndarray:
         out = np.empty(n_outputs, dtype=np.float32)
         ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         ok = self._lib.ctt_uart_receive_outputs(
-            self._h, ptr, n_outputs, int(timeout_s * 1000)
+            self._handle(), ptr, n_outputs, int(timeout_s * 1000)
         )
         if not ok and self.reconnect():
             ok = self._lib.ctt_uart_receive_outputs(
-                self._h, ptr, n_outputs, int(timeout_s * 1000)
+                self._handle(), ptr, n_outputs, int(timeout_s * 1000)
             )
         if not ok:
             raise IOError(
@@ -120,17 +133,17 @@ class UartInterface:
         return out
 
     def _poll_pending_spec(self) -> None:
-        if self._lib.ctt_uart_has_pending_spec(self._h):
+        if self._lib.ctt_uart_has_pending_spec(self._handle()):
             version = ctypes.c_int()
             n_in = ctypes.c_int()
             n_out = ctypes.c_int()
             names_buf = ctypes.create_string_buffer(NAMES_CAP)
             if self._lib.ctt_uart_take_pending_spec(
-                self._h, ctypes.byref(version), names_buf, NAMES_CAP,
+                self._handle(), ctypes.byref(version), names_buf, NAMES_CAP,
                 ctypes.byref(n_in), ctypes.byref(n_out),
             ):
-                names = names_buf.value.decode("ascii").split(",")
+                names = names_buf.value.decode("ascii", errors="replace").split(",")
                 self.pending_spec = (int(version.value), names, int(n_out.value))
 
     def drain(self) -> None:
-        self._lib.ctt_uart_drain(self._h)
+        self._lib.ctt_uart_drain(self._handle())

@@ -51,7 +51,17 @@ def scan_cost_rollout(
         if up.ndim == 2:
             u_prev_b = jnp.broadcast_to(up, (B, U))  # per-rollout previous
         else:
-            u_prev_b = jnp.broadcast_to(jnp.reshape(up, (-1,))[:U], (B, U))
+            if up.size not in (1, U):
+                # A [B] per-rollout vector or a flattened plan here would
+                # silently seed every rollout with the first U values and
+                # bias the stage-0 control-change cost — reject instead
+                # (a scalar still broadcasts to every input).
+                raise ValueError(
+                    f"1-D u_prev must have exactly U={U} elements (or be "
+                    f"scalar), got shape {up.shape}; pass [B, U] for "
+                    "per-rollout values"
+                )
+            u_prev_b = jnp.broadcast_to(jnp.reshape(up, (-1,)), (B, U))
 
     def body(carry, u):
         x, up, acc = carry

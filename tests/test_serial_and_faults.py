@@ -201,3 +201,23 @@ def test_pipelined_reply_after_pong_not_lost():
     out = iface.receive_controller_output(1, timeout_s=1.0)
     np.testing.assert_allclose(out, [0.625], rtol=1e-6)
     os.close(master)
+
+
+def test_uart_interface_guards_null_handle(tmp_path):
+    """Protocol methods on a closed interface raise IOError instead of
+    passing NULL into the C core (SIGSEGV; review r5)."""
+    import numpy as np
+    import pytest
+
+    from control_toolkit_tpu.native.uart_interface import UartInterface
+
+    iface = UartInterface()
+    assert iface._h is None
+    with pytest.raises(IOError, match="not open"):
+        iface.send_controller_input(np.zeros(4, np.float32))
+    with pytest.raises(IOError, match="not open"):
+        iface.receive_controller_output(1)
+    with pytest.raises(IOError, match="not open"):
+        iface.drain()
+    with pytest.raises(IOError, match="not open"):
+        iface.ping()
